@@ -1,0 +1,311 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Declared queries over the LLM-data-pipeline operators (SURVEY B21–B24
+  * + driver contract extensions: dedup, near-dup, similarity search,
+  * text analysis, multimodal, fingerprinting). Oracle discipline as in
+  * [[Queries]]. The MinHash/SimHash/LSH scale paths are registered as
+  * no-oracle queries (hash functions are engine-specific); their recall
+  * against the exact forms is asserted in the test suite.
+  */
+object DataQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- B21 exact dedup ----------------------------------------------------
+
+  def q21DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactByTextHash(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("text_hash")
+
+  val q21Oracle: String =
+    """SELECT md5(lower(text)) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+       FROM documents GROUP BY md5(lower(text)) ORDER BY text_hash"""
+
+  /** Keyed keep-first dedup (the dropDuplicates-at-scale form): earliest
+    * event per (user_id, event_type) with a deterministic tie-break. */
+  def q22DedupKeyed(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactKeepFirst(t(s, dir, "events"),
+        Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .orderBy("user_id", "event_type")
+
+  val q22Oracle: String =
+    """SELECT user_id, event_type, event_id, epoch_ns(ts) // 1000 AS ts_us
+       FROM events
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+       ORDER BY user_id, event_type"""
+
+  // ---- B22 near-dup: exact n-gram Jaccard (oracle form) --------------------
+
+  def q23DedupNearJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.8)
+      .orderBy("d1", "d2")
+
+  val q23Oracle: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+         FROM documents),
+       sh AS (
+         SELECT doc_id, tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       dt AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id),
+       pairs AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         FROM dt a JOIN dt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id)
+       SELECT d1, d2, ROUND(inter * 1.0 / (s1.sz + s2.sz - inter), 4) AS jaccard
+       FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+       WHERE ROUND(inter * 1.0 / (s1.sz + s2.sz - inter), 4) >= 0.8
+       ORDER BY d1, d2"""
+
+  // ---- B23 similarity search: brute-force cosine top-k (oracle form) -------
+
+  def q24KnnCosine(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryIds = (0L until 10L), k = 5)
+      .orderBy("qid", "rn")
+
+  val q24Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+       scored AS (
+         SELECT qid, e.vec_id AS cand, ROUND(list_cosine_similarity(qv, v), 4) AS cos
+         FROM q JOIN e ON e.vec_id <> q.qid)
+       SELECT qid, cand, cos, rn FROM (
+         SELECT qid, cand, cos,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cand) AS rn
+         FROM scored)
+       WHERE rn <= 5 ORDER BY qid, rn"""
+
+  // ---- B24 text analysis ----------------------------------------------------
+
+  def q25TextStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langStats(t(s, dir, "documents")).orderBy("lang")
+
+  val q25Oracle: String =
+    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 4) AS avg_tokens,
+       COUNT(DISTINCT source) AS n_sources
+       FROM documents GROUP BY lang ORDER BY lang"""
+
+  def q28TopTerms(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTermsPerLang(t(s, dir, "documents"), k = 5)
+      .orderBy("lang", "rn")
+
+  val q28Oracle: String =
+    """WITH counts AS (
+         SELECT lang, term, COUNT(*) AS freq FROM (
+           SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+         GROUP BY lang, term)
+       SELECT lang, term, freq, rn FROM (
+         SELECT lang, term, freq,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, term) AS rn
+         FROM counts)
+       WHERE rn <= 5 ORDER BY lang, rn"""
+
+  def q29TextQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.avgWordLen(col("text")).as("avg_word_len"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val q29Oracle: String =
+    """WITH base AS (
+         SELECT doc_id, text,
+           len(string_split(text, ' ')) AS n_tokens,
+           ROUND(CAST(length(text) - length(translate(text,
+             '!"#$%&''()*+,-./:;<=>?@[\]^_`{|}~', '')) AS DOUBLE)
+             / greatest(length(text), 1), 4) AS punct_ratio,
+           ROUND(CAST(len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains(['a','an','the','of','in','on','and','or','to','is','are','was','it'], t))) AS DOUBLE)
+             / greatest(len(string_split(text, ' ')), 1), 4) AS stopword_ratio,
+           ROUND(CAST(list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'sum') AS DOUBLE)
+             / greatest(len(string_split(text, ' ')), 1), 4) AS avg_word_len
+         FROM documents)
+       SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, avg_word_len,
+         ROUND(CASE WHEN length(text) < 20 THEN 0.0 ELSE
+           (1.0 - punct_ratio) * 0.4 +
+           CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.4 ELSE 0.0 END +
+           CASE WHEN n_tokens >= 10 THEN 0.2 ELSE 0.0 END END, 4) AS quality
+       FROM base ORDER BY doc_id"""
+
+  // ---- A26/A27 fusion parsing as a declared query ---------------------------
+
+  /** The reference's fusion parsers (deal_fusion live semantics +
+    * deal_fusion_probability, `utils.py:368-393`) applied to synthesized
+    * LLM-output strings — exercising the exact keep-substring and
+    * first-float extraction quirks against the SQL oracle. */
+  def q30FusionParse(s: SparkSession, dir: String): DataFrame = {
+    val probStr = when(col("event_id") % 3 === 0,
+        concat(lit("Probability: 0."), lpad((col("event_id") % 97).cast("string"), 2, "0")))
+      .when(col("event_id") % 3 === 1,
+        concat(lit("confidence score "), (col("event_id") % 10).cast("string"), lit(".")))
+      .otherwise(lit("no numeric signal here"))
+    val fuseStr = when(col("value") > 10.0, lit("I would keep this answer"))
+      .otherwise(lit("better to drop it"))
+    t(s, dir, "events")
+      .select(col("event_id"),
+        graft.exprs.RcFunctions.fusionProbability(probStr).as("prob"),
+        graft.exprs.RcFunctions.fusionKeep(fuseStr).as("fused"))
+      .orderBy("event_id")
+  }
+
+  val q30Oracle: String =
+    """WITH synth AS (
+         SELECT event_id,
+           CASE WHEN event_id % 3 = 0 THEN 'Probability: 0.' || lpad(CAST(event_id % 97 AS VARCHAR), 2, '0')
+                WHEN event_id % 3 = 1 THEN 'confidence score ' || CAST(event_id % 10 AS VARCHAR) || '.'
+                ELSE 'no numeric signal here' END AS ps,
+           CASE WHEN value > 10.0 THEN 'I would keep this answer' ELSE 'better to drop it' END AS fs
+         FROM events)
+       SELECT event_id,
+         CASE WHEN regexp_extract(ps, '\d+\.\d+', 0) <> '' THEN CAST(regexp_extract(ps, '\d+\.\d+', 0) AS DOUBLE)
+              WHEN regexp_extract(ps, '\d+\.', 0) <> '' THEN CAST(regexp_extract(ps, '\d+\.', 0) AS DOUBLE)
+              ELSE 0.0 END AS prob,
+         CASE WHEN contains(fs, 'keep') THEN 'keep' ELSE 'discard' END AS fused
+       FROM synth ORDER BY event_id"""
+
+  // ---- A16/A17 normalize + EM as a declared query ---------------------------
+
+  /** The reference's answer normalization chain and EM (`utils.py:292-310`)
+    * over ASCII document text: punct-strip before article-removal order,
+    * whitespace collapse, normalized-equality EM — hash-checked against
+    * the SQL re-expression. */
+  def q31NormalizeEm(s: SparkSession, dir: String): DataFrame = {
+    import graft.exprs.RcFunctions
+    val pred = when(col("doc_id") % 2 === 0, concat(lit("The "), col("text"), lit(".")))
+      .otherwise(concat(col("text"), lit(" zz")))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(RcFunctions.normalizeAnswer(pred)).as("norm_hash"),
+        RcFunctions.em(pred, array(col("text"))).as("em"))
+      .orderBy("doc_id")
+  }
+
+  val q31Oracle: String =
+    """WITH synth AS (
+         SELECT doc_id, text,
+           CASE WHEN doc_id % 2 = 0 THEN 'The ' || text || '.' ELSE text || ' zz' END AS pred
+         FROM documents),
+       norm AS (
+         SELECT doc_id,
+           trim(regexp_replace(regexp_replace(translate(lower(pred),
+             '!"#$%&''()*+,-./:;<=>?@[\]^_`{|}~', ''), '\b(a|an|the)\b', ' ', 'g'),
+             '\s+', ' ', 'g')) AS np,
+           trim(regexp_replace(regexp_replace(translate(lower(text),
+             '!"#$%&''()*+,-./:;<=>?@[\]^_`{|}~', ''), '\b(a|an|the)\b', ' ', 'g'),
+             '\s+', ' ', 'g')) AS nt
+         FROM synth)
+       SELECT doc_id, md5(np) AS norm_hash,
+         CASE WHEN np = nt THEN 1 ELSE 0 END AS em
+       FROM norm ORDER BY doc_id"""
+
+  // ---- multimodal plumbing ---------------------------------------------------
+
+  /** Binary media columns + partition-local feature extraction (decode
+    * kernel stubbed — see [[Multimodal.MediaKernels]]); the oracle checks
+    * the byte-level plumbing (payload size, checksum) end-to-end. */
+  def q32MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("mime"), col("n_bytes"), col("checksum"))
+      .orderBy("media_id")
+  }
+
+  val q32Oracle: String =
+    """SELECT doc_id AS media_id, 'text/plain' AS mime,
+       octet_length(CAST(text AS BLOB)) AS n_bytes, md5(text) AS checksum
+       FROM documents ORDER BY media_id"""
+
+  // ---- token counting --------------------------------------------------------
+
+  def q33TokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+        TextAnalysis.bpeTokenEstimate(col("text")).as("n_bpe_est"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("n_alpha_tokens"))
+      .orderBy("doc_id")
+
+  val q33Oracle: String =
+    """SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       CAST(list_aggregate(list_transform(string_split(text, ' '),
+         w -> CAST(ceil(length(w) / 4.0) AS BIGINT)), 'sum') AS BIGINT) AS n_bpe_est,
+       len(regexp_extract_all(text, '[a-z0-9]+')) AS n_alpha_tokens
+       FROM documents ORDER BY doc_id"""
+
+  // ---- scale paths: no-oracle (engine-specific hashing), spec-verified -------
+
+  def q34MinhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.8)
+      .orderBy("d1", "d2")
+
+  def q35SimhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      .orderBy("d1", "d2")
+
+  def q36AnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryIds = (0L until 10L), k = 5)
+      .orderBy("qid", "rn")
+
+  def q37LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.languageIdUdf(col("text")).as("lang_guess"))
+      .orderBy("doc_id")
+
+  def q38DocFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.fingerprintUdf(split(col("text"), " ")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  // ---- registry ---------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_dedup_exact" -> (q21DedupExact _),
+    "q22_dedup_keyed" -> (q22DedupKeyed _),
+    "q23_dedup_near_jaccard" -> (q23DedupNearJaccard _),
+    "q24_knn_cosine" -> (q24KnnCosine _),
+    "q25_text_stats" -> (q25TextStats _),
+    "q28_top_terms" -> (q28TopTerms _),
+    "q29_text_quality" -> (q29TextQuality _),
+    "q30_fusion_parse" -> (q30FusionParse _),
+    "q31_normalize_em" -> (q31NormalizeEm _),
+    "q32_multimodal_features" -> (q32MultimodalFeatures _),
+    "q33_token_count" -> (q33TokenCount _),
+    "q34_minhash_neardup" -> (q34MinhashNearDup _),
+    "q35_simhash_neardup" -> (q35SimhashNearDup _),
+    "q36_ann_lsh" -> (q36AnnLsh _),
+    "q37_lang_id" -> (q37LangId _),
+    "q38_doc_fingerprint" -> (q38DocFingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q21_dedup_exact" -> q21Oracle,
+    "q22_dedup_keyed" -> q22Oracle,
+    "q23_dedup_near_jaccard" -> q23Oracle,
+    "q24_knn_cosine" -> q24Oracle,
+    "q25_text_stats" -> q25Oracle,
+    "q28_top_terms" -> q28Oracle,
+    "q29_text_quality" -> q29Oracle,
+    "q30_fusion_parse" -> q30Oracle,
+    "q31_normalize_em" -> q31Oracle,
+    "q32_multimodal_features" -> q32Oracle,
+    "q33_token_count" -> q33Oracle,
+  )
+}
