@@ -2,9 +2,11 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the reference's committed default path (eval + re-fusion,
+    * run_llm_ours.py:53-55) on the committed fixture; driver smoke-checks
+    * rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    rel.Queries.q03Join5Way(spark, "/root/testdata/sf0.001")
+    rel.DataQueries.q40RagEvalPipeline(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rel.Queries.all ++ rel.DataQueries.all

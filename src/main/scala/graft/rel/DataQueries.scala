@@ -274,6 +274,110 @@ object DataQueries {
         TextAnalysis.fingerprintUdf(split(col("text"), " ")).as("fingerprint"))
       .orderBy("doc_id")
 
+  // ---- B25 flagship: the reference's committed default path ------------------
+
+  /** [Q:rag_eval_pipeline] — entry point 3 of the reference
+    * (`run_llm_ours.py:53-55,219-306`): saved per-branch results in →
+    * safety re-fusion (A28) → reject override (A29) → confusion (A30) →
+    * six risk metrics (A31), one row out. Runs on the committed
+    * deterministic fixture (FIXTURES.md §B2, 24 rows covering every
+    * fusion/override branch); golden counts AK=3 AD=10 UK=2 UD=9 are
+    * additionally asserted in the spec. */
+  def q40RagEvalPipeline(s: SparkSession, dir: String): DataFrame = {
+    val results = s.read.schema(graft.pipeline.Schemas.resultRecord)
+      .json("/root/repo/src/test/resources/rag_results.jsonl")
+    graft.pipeline.Stages.evalPipeline(results, "safety")
+      .select(round(col("risk"), 4).as("risk"),
+        round(col("overcaution"), 4).as("overcaution"),
+        round(col("recall"), 4).as("recall"),
+        round(col("carefulness"), 4).as("carefulness"),
+        round(col("alignment"), 4).as("alignment"),
+        round(col("coverage"), 4).as("coverage"),
+        col("AK"), col("AD"), col("UK"), col("UD"))
+  }
+
+  val q40Oracle: String =
+    """WITH src AS (SELECT * FROM read_parquet('/root/repo/src/test/resources/rag_results.parquet')),
+       fused AS (
+         SELECT label_decision, rag.reject AS rrej,
+           CASE WHEN cf_use.pred_decision = cf_quality.pred_decision THEN cf_use.pred_decision
+                WHEN cf_use.pred_decision = 'discard' OR cf_quality.pred_decision = 'discard' THEN 'discard'
+                ELSE 'keep' END AS pred0
+         FROM src),
+       ov AS (
+         SELECT label_decision,
+           CASE WHEN pred0 = 'keep' AND rrej THEN 'discard' ELSE pred0 END AS pred
+         FROM fused),
+       conf AS (
+         SELECT
+           CAST(SUM(CASE WHEN label_decision = 'keep' AND pred = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS AK,
+           CAST(SUM(CASE WHEN label_decision = 'keep' AND pred = 'discard' THEN 1 ELSE 0 END) AS BIGINT) AS AD,
+           CAST(SUM(CASE WHEN label_decision = 'discard' AND pred = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS UK,
+           CAST(SUM(CASE WHEN label_decision = 'discard' AND pred = 'discard' THEN 1 ELSE 0 END) AS BIGINT) AS UD
+         FROM ov)
+       SELECT ROUND(CAST(UK AS DOUBLE) / (AK + UK), 4) AS risk,
+         ROUND(CAST(AD AS DOUBLE) / (UD + AD), 4) AS overcaution,
+         ROUND(CAST(AK AS DOUBLE) / (AK + AD), 4) AS recall,
+         ROUND(CAST(UD AS DOUBLE) / (UK + UD), 4) AS carefulness,
+         ROUND(CAST(AK + UD AS DOUBLE) / (AK + AD + UK + UD), 4) AS alignment,
+         ROUND(CAST(AK + UK AS DOUBLE) / (AK + AD + UK + UD), 4) AS coverage,
+         AK, AD, UK, UD
+       FROM conf"""
+
+  /** Probability-strategy re-fusion (A27/A28 `run_llm_ours.py:166-187` +
+    * quirk 9: tie ⇒ discard): the two branch-confidence completions are
+    * synthesized deterministically from the row id (standing in for the
+    * stub ChatModel), then parsed with deal_fusion_probability semantics
+    * and compared — higher-confidence branch wins. */
+  def q41RagEvalProbability(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Stages
+    val results = s.read.schema(graft.pipeline.Schemas.resultRecord)
+      .json("/root/repo/src/test/resources/rag_results.jsonl")
+    val probUse = concat(lit("Probability: 0."),
+      lpad((col("id") % 7).cast("string"), 2, "0"))
+    val probQuality = concat(lit("probability: 0."),
+      lpad((col("id") % 5).cast("string"), 2, "0"))
+    val fused = Stages.fuse("probability",
+      probUseRaw = probUse, probQualityRaw = probQuality)(results)
+    Stages.metrics(Stages.confusion(Stages.rejectOverride(fused)))
+      .select(round(col("risk"), 4).as("risk"),
+        round(col("alignment"), 4).as("alignment"),
+        round(col("coverage"), 4).as("coverage"),
+        col("AK"), col("AD"), col("UK"), col("UD"))
+  }
+
+  val q41Oracle: String =
+    """WITH src AS (SELECT * FROM read_parquet('/root/repo/src/test/resources/rag_results.parquet')),
+       parsed AS (
+         SELECT label_decision, rag.reject AS rrej,
+           cf_use.pred_decision AS du, cf_quality.pred_decision AS dq,
+           CAST('0.' || lpad(CAST(id % 7 AS VARCHAR), 2, '0') AS DOUBLE) AS pu,
+           CAST('0.' || lpad(CAST(id % 5 AS VARCHAR), 2, '0') AS DOUBLE) AS pq
+         FROM src),
+       fused AS (
+         SELECT label_decision, rrej,
+           CASE WHEN du = dq THEN du
+                WHEN pu > pq THEN du
+                WHEN pu < pq THEN dq
+                ELSE 'discard' END AS pred0
+         FROM parsed),
+       ov AS (
+         SELECT label_decision,
+           CASE WHEN pred0 = 'keep' AND rrej THEN 'discard' ELSE pred0 END AS pred
+         FROM fused),
+       conf AS (
+         SELECT
+           CAST(SUM(CASE WHEN label_decision = 'keep' AND pred = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS AK,
+           CAST(SUM(CASE WHEN label_decision = 'keep' AND pred = 'discard' THEN 1 ELSE 0 END) AS BIGINT) AS AD,
+           CAST(SUM(CASE WHEN label_decision = 'discard' AND pred = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS UK,
+           CAST(SUM(CASE WHEN label_decision = 'discard' AND pred = 'discard' THEN 1 ELSE 0 END) AS BIGINT) AS UD
+         FROM ov)
+       SELECT ROUND(CAST(UK AS DOUBLE) / (AK + UK), 4) AS risk,
+         ROUND(CAST(AK + UD AS DOUBLE) / (AK + AD + UK + UD), 4) AS alignment,
+         ROUND(CAST(AK + UK AS DOUBLE) / (AK + AD + UK + UD), 4) AS coverage,
+         AK, AD, UK, UD
+       FROM conf"""
+
   // ---- registry ---------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -293,6 +397,8 @@ object DataQueries {
     "q36_ann_lsh" -> (q36AnnLsh _),
     "q37_lang_id" -> (q37LangId _),
     "q38_doc_fingerprint" -> (q38DocFingerprint _),
+    "q40_rag_eval_pipeline" -> (q40RagEvalPipeline _),
+    "q41_rag_eval_probability" -> (q41RagEvalProbability _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -307,5 +413,7 @@ object DataQueries {
     "q31_normalize_em" -> q31Oracle,
     "q32_multimodal_features" -> q32Oracle,
     "q33_token_count" -> q33Oracle,
+    "q40_rag_eval_pipeline" -> q40Oracle,
+    "q41_rag_eval_probability" -> q41Oracle,
   )
 }
