@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.rel.Tables
+
+/** Specs for the LLM-data-pipeline operators: correctness on synthetic
+  * micro-data plus scale-path (LSH) recall against the exact forms on the
+  * driver test tables. */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private def docs = Tables.load(spark, SparkTestBase.Sf0001, "documents")
+  private def embs = Tables.load(spark, SparkTestBase.Sf0001, "embeddings")
+
+  test("exactKeepFirst keeps the deterministic representative") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 3L), (2L, "a", 1L), (3L, "b", 5L), (4L, "a", 1L))
+      .toDF("id", "k", "ord")
+    val kept = Dedup.exactKeepFirst(df, Seq("k"), Seq(col("ord"), col("id")))
+      .select("id").orderBy("id").as[Long].collect().toSeq
+    assert(kept == Seq(2L, 3L)) // (ord=1, id=2) beats (ord=1, id=4)
+  }
+
+  test("shingles: trigrams, distinct, short-text guard") {
+    import spark.implicits._
+    val out = Seq("a b c d", "a b", "a b c a b c")
+      .toDF("t").select(Dedup.shingles(col("t"), 3).as("s"))
+      .as[Seq[String]].collect().toSeq
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq.empty)
+    assert(out(2) == Seq("a b c", "b c a", "c a b")) // distinct
+  }
+
+  test("jaccardPairs: known-overlap micro case") {
+    import spark.implicits._
+    val df = Seq((1L, "w x y z q"), (2L, "w x y z r"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    // doc1 shingles {wxy,xyz,yzq}, doc2 {wxy,xyz,yzr}: inter 2, union 4 -> 0.5
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.4)
+      .orderBy("d1", "d2").collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("d1") == 1L && pairs(0).getAs[Long]("d2") == 2L)
+    assert(math.abs(pairs(0).getAs[Double]("jaccard") - 0.5) < 1e-9)
+  }
+
+  test("minhash LSH recall >= 0.9 vs exact Jaccard pairs on documents") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Dedup.minhashCandidates(docs, "doc_id", "text", 3, 0.8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall, exact=${exact.size}, approx=${approx.size}")
+  }
+
+  test("simhash: identical token streams collide, near-dups within Hamming 3") {
+    assert(Dedup.simhash64(Seq("a", "b", "c")) == Dedup.simhash64(Seq("a", "b", "c")))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3).collect()
+    assert(pairs.nonEmpty) // the generator plants near-identical docs
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 3))
+  }
+
+  test("cosine column matches a plain Scala computation") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()(0)
+    val want = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(got - want) < 1e-12)
+  }
+
+  test("ANN-LSH recall >= 0.6 of brute-force top-5 on embeddings") {
+    val qids = (0L until 10L)
+    val bf = Similarity.cosineTopK(embs, "vec_id", "embedding", qids, 5)
+      .select("qid", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(embs, "vec_id", "embedding", qids, 5)
+      .select("qid", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(ann.contains).toDouble / bf.size
+    assert(recall >= 0.6, s"ANN recall $recall")
+  }
+
+  test("multimodal: stub kernels deterministic; extractFeatures end-to-end") {
+    import spark.implicits._
+    val f1 = Multimodal.MediaKernels.featurize("hello world".getBytes("UTF-8"))
+    val f2 = Multimodal.MediaKernels.featurize("hello world".getBytes("UTF-8"))
+    assert(f1.toSeq == f2.toSeq && f1.length == 8)
+    assert(Multimodal.MediaKernels.resizeDims(4000, 2000, 1000) == ((1000, 500)))
+    assert(Multimodal.MediaKernels.resizeDims(300, 200, 1000) == ((300, 200)))
+    assert(Multimodal.MediaKernels.framePositions(100, 4) == Seq(0L, 25L, 50L, 75L))
+    val media = Multimodal.mediaFromDocuments(spark, docs.limit(3))
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 3)
+    assert(feats.forall(f => f.n_bytes > 0 && f.checksum.length == 32 && f.feature.length == 8))
+  }
+
+  test("languageId heuristic picks signature languages, und on no signal") {
+    assert(TextAnalysis.languageIdKernel("the cat and the dog is here") == "en")
+    assert(TextAnalysis.languageIdKernel("这是中文的测试文本") == "zh")
+    assert(TextAnalysis.languageIdKernel("zzz qqq") == "und")
+    assert(TextAnalysis.languageIdKernel("") == "und")
+  }
+
+  test("fingerprint: order-sensitive content identity") {
+    val a = TextAnalysis.fingerprintKernel(Seq("a", "b", "c"))
+    assert(a == TextAnalysis.fingerprintKernel(Seq("a", "b", "c")))
+    assert(a != TextAnalysis.fingerprintKernel(Seq("c", "b", "a")))
+    assert(a != TextAnalysis.fingerprintKernel(Seq("a", "b")))
+  }
+
+  test("bpe estimate and quality score shapes") {
+    import spark.implicits._
+    val df = Seq("hello worlds", "ab", "").toDF("text")
+    val bpe = df.select(TextAnalysis.bpeTokenEstimate(col("text"))).as[Long].collect().toSeq
+    assert(bpe == Seq(2L + 2L, 1L, 0L)) // ceil(5/4)+ceil(6/4)=2+2; ceil(2/4)=1
+    val q = df.select(TextAnalysis.qualityScore(col("text"))).as[Double].collect()
+    assert(q.forall(x => x >= 0.0 && x <= 1.0))
+  }
+}
