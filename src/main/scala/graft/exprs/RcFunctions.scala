@@ -29,10 +29,19 @@ object RcFunctions {
 
   val normalizeAnswerUdf = udf((s: String) => TextKernels.normalizeAnswer(s))
 
-  /** `EM_compute` (`utils.py:309-310`): 1 iff any gold normalizes equal. */
+  /** `EM_compute` (`utils.py:309-310`) — codegen'd variant with ASCII
+    * `\b` article boundaries, matching the DuckDB/RE2 oracle; use ONLY in
+    * oracle-checked SQL-expressible queries. Parity-scored paths use
+    * [[emParity]]. */
   def em(pred: Column, refs: Column): Column =
     when(pred.isNull, lit(0)).otherwise(
       exists(refs, r => normalizeAnswer(r) === normalizeAnswer(pred)).cast("int"))
+
+  /** EM with the reference's Unicode-aware normalization (Python `re \b`
+    * is Unicode on str): shares [[TextKernels.normalizeAnswer]] with
+    * F1/RL so all three scores tokenize identically on accented text. */
+  val emParity = udf((refs: Seq[String], pred: String) =>
+    TextKernels.emCompute(refs, pred))
 
   /** `match`'s raw-substring has_answer (`utils.py:403-407`). */
   def hasAnswerSubstr(pred: Column, refs: Column): Column =
@@ -58,7 +67,7 @@ object RcFunctions {
     * (EM==1 ∨ has_answer ∨ F1>0.7 ∨ RL>0.7).
     */
   def matchStruct(pred: Column, refs: Column): Column = {
-    val emC = em(pred, refs)
+    val emC = emParity(refs, pred)
     val f1C = tokenF1Udf(refs, pred)
     val rlC = rougeLUdf(refs, pred)
     val haC = hasAnswerSubstr(pred, refs)

@@ -7,6 +7,15 @@ import graft.exprs.RcFunctions._
 /** Entry points 1 and 2 (SURVEY §3): annotate+infer and infer-from-cached-
   * annotations, as library functions (not declared queries — LLM output has
   * no SQL oracle; goldens use the [[ChatModel.DeterministicStub]]).
+  *
+  * Conversation threading mirrors the reference exactly
+  * (`run_llm_ours.py:101-187`): the cf_use branch extends the rag
+  * conversation in place (`messages`), while cf_quality extends an
+  * independent fork taken BEFORE cf_use ran (`messages1 = deepcopy`,
+  * `run_llm_ours.py:103`) — here a separate `messages_quality` column.
+  * Fusion LLM calls go to each branch's own conversation, and only for
+  * rows whose branch decisions disagree (`fusion` returns before any LLM
+  * call on agreement, `run_llm_ours.py:144-146`).
   */
 object Inference {
 
@@ -39,7 +48,8 @@ object Inference {
 
   /** Entry point 1: RAG generation + annotation (`run_llm_ours.py:82-98`).
     * Source QA samples in ([[Schemas.qaSample]]); out: the source columns
-    * plus `messages`, `rag`, expanded `reference`, `label_decision`. */
+    * plus `messages` (the rag conversation), `rag`, expanded `reference`,
+    * `label_decision`. */
   def ragAnnotate(samples: DataFrame, model: ChatModel.Model, cfg: Config): DataFrame = {
     val ctxs = col(raDict(cfg.raType))
     val prompt = Prompts.singlePrompt("rag", col("question"), ctxs, cfg.numPassage)
@@ -52,74 +62,109 @@ object Inference {
     Stages.annotate(Stages.expandRefs(parsed))
   }
 
+  /** Entry point 2 (A32, `run_llm_ours.py:217-218,236-241`): skip the LLM
+    * annotate stage — equi-join precomputed annotations by id and rebuild
+    * the rag conversation prefix (prompt + cached rag answer) so the
+    * counterfactual turns see the right history. */
+  def reuseAnnotations(samples: DataFrame, annotated: DataFrame, cfg: Config): DataFrame = {
+    val ctxs = col(raDict(cfg.raType))
+    val prompt = Prompts.singlePrompt("rag", col("question"), ctxs, cfg.numPassage)
+    sliceRange(samples, cfg.dataStart, cfg.dataEnd)
+      .join(annotated.select("id", "rag", "label_decision"), Seq("id"))
+      .withColumn("messages", Prompts.initMessages(prompt))
+      .transform(Stages.expandRefs)
+  }
+
   /** One counterfactual branch with the A25 iteration loop
     * (`run_llm_ours.py:104-137`): up to `numIteration` rounds, rows that
     * decide `discard` exit early (their LLM cost is skipped, like the
     * reference skips calls); a final `continue` maps to keep inside
-    * [[Stages.decide]]. Driver-side loop over DataFrames with an active
-    * filter — with the default single iteration it is one pass.
+    * [[Stages.decide]]. The branch's conversation is threaded in its own
+    * `msgCol` so the two branches stay independent. Each round's result is
+    * cached before the active/exiting split when iterating (otherwise the
+    * split re-executes the round's LLM lineage twice).
     */
   def counterfactualBranch(df0: DataFrame, model: ChatModel.Model, cfg: Config,
-                           branch: String): DataFrame = {
+                           branch: String, msgCol: String): DataFrame = {
     var done: DataFrame = null
     var active = df0
     var i = 0
-    while (i < cfg.numIteration && !active.isEmpty) {
+    var activeNonEmpty = true
+    while (i < cfg.numIteration && activeNonEmpty) {
       val prompt = Prompts.singlePrompt(branch, col("question"), col(raDict(cfg.raType)), cfg.numPassage)
       val prevAnswer = if (i == 0) col("rag.answer") else col(s"$branch.answer")
-      val withMsgs = active.withColumn("messages",
-        Prompts.appendTurn(col("messages"), prevAnswer, prompt))
-      val withLlm = ChatModel.transform(withMsgs, model, "messages", "_llm")
-      val decided = Stages.decide(branch)(
+      val withMsgs = active.withColumn(msgCol,
+        Prompts.appendTurn(col(msgCol), prevAnswer, prompt))
+      val withLlm = ChatModel.transform(withMsgs, model, msgCol, "_llm")
+      var decided = Stages.decide(branch)(
         withLlm.withColumn(branch, branchFromLlm("_llm")).drop("_llm"))
       val lastRound = i == cfg.numIteration - 1
+      if (!lastRound) decided = decided.persist()
       val exiting =
         if (lastRound) decided
         else decided.where(col(s"$branch.pred_decision") === "discard")
       done = if (done == null) exiting else done.unionByName(exiting)
-      active =
-        if (lastRound) active.limit(0)
-        else decided.where(col(s"$branch.pred_decision") =!= "discard")
+      if (lastRound) activeNonEmpty = false
+      else {
+        active = decided.where(col(s"$branch.pred_decision") =!= "discard")
+        activeNonEmpty = !active.isEmpty
+      }
       i += 1
     }
     done
   }
 
   /** Entry points 1/2 tail (`run_llm_ours.py:101-139` + fusion + override):
-    * both counterfactual branches, fusion, reject override. For the
-    * `prompt`/`probability` strategies the extra LLM calls are issued on
-    * the appropriate conversation (fusion-stage messages).
-    */
+    * both counterfactual branches on their independent conversations,
+    * agreement-short-circuited fusion, reject override. */
   def inferDecideFuse(annotated: DataFrame, model: ChatModel.Model, cfg: Config): DataFrame = {
-    val afterUse = counterfactualBranch(annotated, model, cfg, "cf_use")
-    val afterQuality = counterfactualBranch(afterUse, model, cfg, "cf_quality")
-    val fused = cfg.fusionStrategy match {
-      case "safety" => Stages.fuse("safety")(afterQuality)
+    // messages1 = deepcopy of the rag conversation (run_llm_ours.py:103):
+    // cf_quality threads messages_quality, cf_use threads messages in place.
+    val forked = annotated.withColumn("messages_quality", col("messages"))
+    val afterUse = counterfactualBranch(forked, model, cfg, "cf_use", "messages")
+    val afterQuality = counterfactualBranch(afterUse, model, cfg, "cf_quality", "messages_quality")
+
+    val du = col("cf_use.pred_decision")
+    val dq = col("cf_quality.pred_decision")
+
+    // fusion() returns before any LLM call when the branches agree
+    // (run_llm_ours.py:144-146) — split so only disagreement pays LLM cost.
+    val agree = afterQuality.where(du === dq).withColumn("pred_decision", du)
+    val disagreeIn = afterQuality.where(du =!= dq)
+
+    val disagree = cfg.fusionStrategy match {
+      case "safety" =>
+        Stages.fuse("safety")(disagreeIn)
       case "prompt" =>
-        val branchIsUse = col("cf_use.pred_decision") === "discard"
-        val promptType = when(branchIsUse, "fusion_use").otherwise("fusion_quality")
+        // the LLM is asked on the DISCARDING branch's own conversation
+        // (run_llm_ours.py:155-163)
+        val branchIsUse = du === "discard"
         val tmpl = when(branchIsUse, lit(Prompts.templates("fusion_use")))
           .otherwise(lit(Prompts.templates("fusion_quality")))
         val prevAns = when(branchIsUse, col("cf_use.answer")).otherwise(col("cf_quality.answer"))
-        val withMsgs = afterQuality.withColumn("messages",
-          Prompts.appendTurn(col("messages"), prevAns, tmpl))
-        val out = ChatModel.transform(withMsgs, model, "messages", "_fusion")
-        Stages.fuse("prompt", fusionLlmOut = col("_fusion"))(out).drop("_fusion")
+        val convo = when(branchIsUse, col("messages")).otherwise(col("messages_quality"))
+        val withMsgs = disagreeIn.withColumn("_fusion_msgs",
+          Prompts.appendTurn(convo, prevAns, tmpl))
+        val out = ChatModel.transform(withMsgs, model, "_fusion_msgs", "_fusion")
+        Stages.fuse("prompt", fusionLlmOut = Some(col("_fusion")))(out)
+          .drop("_fusion", "_fusion_msgs")
       case "probability" =>
+        // two independent asks, one per branch conversation
+        // (run_llm_ours.py:166-187: messages / messages1)
         val tmpl = lit(Prompts.templates("fusion_probability"))
-        val m1 = afterQuality.withColumn("messages",
+        val m1 = disagreeIn.withColumn("_probUse_msgs",
           Prompts.appendTurn(col("messages"), col("cf_use.answer"), tmpl))
-        val o1 = ChatModel.transform(m1, model, "messages", "_probUse")
-        val m2 = o1.withColumn("messages",
-          Prompts.appendTurn(col("messages"), col("cf_quality.answer"), tmpl))
-        val o2 = ChatModel.transform(m2, model, "messages", "_probQuality")
+        val o1 = ChatModel.transform(m1, model, "_probUse_msgs", "_probUse")
+        val m2 = o1.withColumn("_probQuality_msgs",
+          Prompts.appendTurn(col("messages_quality"), col("cf_quality.answer"), tmpl))
+        val o2 = ChatModel.transform(m2, model, "_probQuality_msgs", "_probQuality")
         // deal_prediction strips/cleans before probability parse (run_llm_ours.py:169-185)
         val ansU = dealPredictionUdf(col("_probUse")).getField("answer")
         val ansQ = dealPredictionUdf(col("_probQuality")).getField("answer")
-        Stages.fuse("probability", probUseRaw = ansU, probQualityRaw = ansQ)(o2)
-          .drop("_probUse", "_probQuality")
+        Stages.fuse("probability", probUseRaw = Some(ansU), probQualityRaw = Some(ansQ))(o2)
+          .drop("_probUse", "_probQuality", "_probUse_msgs", "_probQuality_msgs")
       case other => throw new IllegalArgumentException(s"unknown fusion strategy: $other")
     }
-    Stages.rejectOverride(fused)
+    Stages.rejectOverride(agree.unionByName(disagree))
   }
 }

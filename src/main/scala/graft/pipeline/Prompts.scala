@@ -60,9 +60,15 @@ object Prompts {
     array(struct(lit("user").as("role"), prompt.as("content")))
 
   /** A7 `get_new_message` appended (`llm_ours.py:31-35`): assistant turn
-    * with the previous answer + new user turn. */
+    * with the previous answer + new user turn. A null previous answer
+    * renders the literal "None" (the reference's f-string does,
+    * `llm_ours.py:32`), and a null conversation starts empty rather than
+    * nulling the whole array. */
   def appendTurn(messages: Column, previousAnswer: Column, prompt: Column): Column =
-    concat(messages, array(
-      struct(lit("assistant").as("role"), previousAnswer.as("content")),
-      struct(lit("user").as("role"), prompt.as("content"))))
+    concat(
+      coalesce(messages, array().cast("array<struct<role:string,content:string>>")),
+      array(
+        struct(lit("assistant").as("role"),
+          coalesce(previousAnswer, lit("None")).as("content")),
+        struct(lit("user").as("role"), prompt.as("content"))))
 }

@@ -65,19 +65,25 @@ object Stages {
     * `probUse`/`probQuality` raw completions for `probability`).
     */
   def fuse(strategy: String,
-           fusionLlmOut: Column = lit(null),
-           probUseRaw: Column = lit(null),
-           probQualityRaw: Column = lit(null))(df: DataFrame): DataFrame = {
+           fusionLlmOut: Option[Column] = None,
+           probUseRaw: Option[Column] = None,
+           probQualityRaw: Option[Column] = None)(df: DataFrame): DataFrame = {
     val du = col("cf_use.pred_decision")
     val dq = col("cf_quality.pred_decision")
+    // LLM-consuming strategies must be given their completion columns —
+    // a silent null default would resolve every disagreement to "discard"
+    // (fusionKeep(null) and 0.0-vs-0.0 tie) with no error.
     val disagree = strategy match {
       case "safety" =>
         when(du === "discard" || dq === "discard", "discard").otherwise("keep")
       case "prompt" =>
-        fusionKeep(fusionLlmOut)
+        fusionKeep(fusionLlmOut.getOrElse(throw new IllegalArgumentException(
+          "fuse(\"prompt\") requires fusionLlmOut (the fusion completion column)")))
       case "probability" =>
-        val pU = fusionProbability(probUseRaw)
-        val pQ = fusionProbability(probQualityRaw)
+        val pU = fusionProbability(probUseRaw.getOrElse(throw new IllegalArgumentException(
+          "fuse(\"probability\") requires probUseRaw (the cf_use confidence completion)")))
+        val pQ = fusionProbability(probQualityRaw.getOrElse(throw new IllegalArgumentException(
+          "fuse(\"probability\") requires probQualityRaw (the cf_quality confidence completion)")))
         when(pU > pQ, du).when(pU < pQ, dq).otherwise("discard") // tie ⇒ discard (quirk 9)
       case other => throw new IllegalArgumentException(s"unknown fusion strategy: $other")
     }

@@ -338,7 +338,7 @@ object DataQueries {
     val probQuality = concat(lit("probability: 0."),
       lpad((col("id") % 5).cast("string"), 2, "0"))
     val fused = Stages.fuse("probability",
-      probUseRaw = probUse, probQualityRaw = probQuality)(results)
+      probUseRaw = Some(probUse), probQualityRaw = Some(probQuality))(results)
     Stages.metrics(Stages.confusion(Stages.rejectOverride(fused)))
       .select(round(col("risk"), 4).as("risk"),
         round(col("alignment"), 4).as("alignment"),

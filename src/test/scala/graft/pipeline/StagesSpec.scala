@@ -34,7 +34,7 @@ class StagesSpec extends AnyFunSuite {
     val probUse = concat(lit("Probability: 0."), lpad((col("id") % 7).cast("string"), 2, "0"))
     val probQuality = concat(lit("probability: 0."), lpad((col("id") % 5).cast("string"), 2, "0"))
     val fused = Stages.fuse("probability",
-      probUseRaw = probUse, probQualityRaw = probQuality)(fixture)
+      probUseRaw = Some(probUse), probQualityRaw = Some(probQuality))(fixture)
     val row = Stages.metrics(Stages.confusion(Stages.rejectOverride(fused))).collect()(0)
     assert((row.getAs[Long]("AK"), row.getAs[Long]("AD"),
       row.getAs[Long]("UK"), row.getAs[Long]("UD")) == ((3L, 10L, 3L, 8L)))
