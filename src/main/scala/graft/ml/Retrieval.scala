@@ -1,0 +1,70 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.feature.{HashingTF, IDF, IDFModel}
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.linalg.{SparseVector, Vectors}
+
+/** MLlib batch retrieval scoring (SURVEY B29, driver north star): TF-IDF
+  * document scoring against query term sets, and a logistic model over the
+  * embeddings table. Batch inference only — fit once, `transform` is an
+  * embarrassingly parallel projection that scales with executors.
+  */
+object Retrieval {
+
+  final case class TfIdfModel(tf: HashingTF, idf: IDFModel)
+
+  /** Fit TF-IDF over whitespace-tokenized document text. */
+  def fitTfIdf(docs: DataFrame, numFeatures: Int = 1 << 16): (TfIdfModel, DataFrame) = {
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("tf")
+      .setNumFeatures(numFeatures)
+    val withTf = tf.transform(docs.withColumn("toks", split(col("text"), " ")))
+    val idf = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(withTf)
+    (TfIdfModel(tf, idf), idf.transform(withTf))
+  }
+
+  /** Score every document against a query (bag of terms) by sparse dot
+    * product of TF-IDF vectors — the BM25-ish batch retrieval shape:
+    * a broadcast query vector against a map-side-only document scan. */
+  def scoreQuery(spark: SparkSession, model: TfIdfModel, docsTfIdf: DataFrame,
+                 queryTerms: Seq[String], k: Int): DataFrame = {
+    import spark.implicits._
+    val qDf = Seq(Tuple1(queryTerms)).toDF("toks")
+    val qVec = model.idf.transform(model.tf.transform(qDf))
+      .select("tfidf").collect()(0).getAs[SparseVector](0)
+    val qB = spark.sparkContext.broadcast(qVec)
+    val dot = udf((v: SparseVector) => {
+      val q = qB.value
+      var s = 0.0
+      var i = 0
+      while (i < v.indices.length) {
+        val qi = java.util.Arrays.binarySearch(q.indices, v.indices(i))
+        if (qi >= 0) s += v.values(i) * q.values(qi)
+        i += 1
+      }
+      s
+    })
+    docsTfIdf
+      .select(col("doc_id"), round(dot(col("tfidf")), 4).as("score"))
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Multinomial logistic regression over the embeddings table (label
+    * 0-9), fixed seed / deterministic LBFGS: fit on all rows, return
+    * per-row predictions. */
+  def fitPredictEmbeddings(embs: DataFrame): DataFrame = {
+    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    val data = embs.select(col("vec_id"), col("label").cast("double").as("label"),
+      toVec(col("embedding").cast("array<double>")).as("features"))
+    val lr = new LogisticRegression()
+      .setMaxIter(50).setRegParam(0.01).setElasticNetParam(0.0)
+      .setFamily("multinomial")
+    val m = lr.fit(data)
+    m.transform(data)
+      .select(col("vec_id"), col("label").cast("int").as("label"),
+        col("prediction").cast("int").as("prediction"))
+  }
+}

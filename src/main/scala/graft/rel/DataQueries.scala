@@ -274,6 +274,19 @@ object DataQueries {
         TextAnalysis.fingerprintUdf(split(col("text"), " ")).as("fingerprint"))
       .orderBy("doc_id")
 
+  // ---- B29 MLlib batch scoring (no-oracle: model internals are
+  // engine-specific; spec asserts accuracy + determinism) ----------------------
+
+  def q39MlScore(s: SparkSession, dir: String): DataFrame =
+    graft.ml.Retrieval.fitPredictEmbeddings(t(s, dir, "embeddings"))
+      .orderBy("vec_id")
+
+  def q42TfidfRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val (model, docsTfIdf) = graft.ml.Retrieval.fitTfIdf(t(s, dir, "documents"))
+    graft.ml.Retrieval.scoreQuery(s, model, docsTfIdf,
+      Seq("spark", "query", "window"), k = 20)
+  }
+
   // ---- B25 flagship: the reference's committed default path ------------------
 
   /** [Q:rag_eval_pipeline] — entry point 3 of the reference
@@ -397,6 +410,8 @@ object DataQueries {
     "q36_ann_lsh" -> (q36AnnLsh _),
     "q37_lang_id" -> (q37LangId _),
     "q38_doc_fingerprint" -> (q38DocFingerprint _),
+    "q39_ml_score" -> (q39MlScore _),
+    "q42_tfidf_retrieval" -> (q42TfidfRetrieval _),
     "q40_rag_eval_pipeline" -> (q40RagEvalPipeline _),
     "q41_rag_eval_probability" -> (q41RagEvalProbability _),
   )

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming jobs over the events stream (SURVEY B28). The
+  * reference's only streaming analog is its append-only JSONL sink
+  * (`utils.py:361-365`); these are the engine-capability extensions the
+  * driver contract requires: watermarked tumbling/sliding aggregation
+  * with late-data drop, and gap-based session windows.
+  *
+  * Each job is a pure `DataFrame => DataFrame` over a *streaming* input
+  * (`readStream` source or MemoryStream in tests) — the identical
+  * transform compiles to an incremental stateful plan under
+  * `writeStream`, and to the batch plan when handed a batch DataFrame,
+  * which is exactly how the specs assert batch-equivalence with the
+  * declared queries q26/q27.
+  */
+object Events {
+
+  /** Tumbling 1-hour counts per event type, 10-minute watermark: events
+    * later than the watermark are dropped from their (closed) window.
+    * State per open window only — scales with open-window count, not
+    * stream length. */
+  def tumblingCounts(events: DataFrame,
+                     window_ : String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(unix_seconds(col("w.start")).as("bucket_s"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding windows (length, slide). */
+  def slidingCounts(events: DataFrame,
+                    length: String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), length, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_seconds(col("w.start")).as("bucket_s"), col("event_type"),
+        col("n_events"))
+
+  /** Gap-based session windows per user (the streaming twin of the batch
+    * lag+cumsum sessionization, q26): `session_window` merges events
+    * within `gap` into one growing window per key. */
+  def sessionCounts(events: DataFrame,
+                    gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_ev"))
+      .select(col("user_id"),
+        unix_seconds(col("w.start")).as("session_start_s"),
+        col("n_ev"))
+}

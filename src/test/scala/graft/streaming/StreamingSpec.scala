@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import graft.SparkTestBase
+
+/** Top-level so Spark can derive an Encoder without an outer scope. */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** B28: streaming jobs asserted equivalent to their batch forms on the
+  * same rows (SURVEY §5.2.5), plus watermark late-data drop. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val rows = Seq(
+    Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(20), 1, "click", 2.0),
+    Ev(3, ts(65), 1, "view", 3.0), Ev(4, ts(70), 2, "click", 4.0),
+    Ev(5, ts(130), 1, "click", 5.0), // >30min gap for user 1 -> new session
+    Ev(6, ts(135), 2, "view", 6.0))
+
+  private def runStream(job: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                        batches: Seq[Seq[Ev]]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = s"stream_out_${System.nanoTime()}"
+    val q = job(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    // close all windows: a far-future event advances the watermark
+    mem.addData(Ev(999, ts(24 * 60), 99, "x", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling stream equals batch date_trunc aggregation on same rows") {
+    import spark.implicits._
+    val got = runStream(Events.tumblingCounts(_), Seq(rows.take(3), rows.drop(3)))
+      .where(col("event_type") =!= "x")
+      .select("bucket_s", "event_type", "n_events", "sum_value")
+      .orderBy("bucket_s", "event_type")
+      .collect().toSeq
+    val want = rows.toDF()
+      .groupBy(unix_seconds(date_trunc("hour", col("ts"))).as("bucket_s"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy("bucket_s", "event_type")
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("watermark drops late events from closed windows") {
+    import spark.implicits._
+    // batch 1 advances watermark to 130-10=120min; a then-arriving event at
+    // minute 15 lands in the [0,60) window, which is closed -> dropped
+    val late = Ev(7, ts(15), 1, "click", 9.0)
+    val got = runStream(Events.tumblingCounts(_), Seq(rows, Seq(late)))
+      .where(col("event_type") === "click" && col("bucket_s") === 1704067200L)
+      .select("n_events").as[Long].collect().toSeq
+    assert(got == Seq(2L)) // the two on-time clicks; the late one is gone
+  }
+
+  test("session stream equals batch sessionization on same rows") {
+    import spark.implicits._
+    val got = runStream(Events.sessionCounts(_), Seq(rows))
+      .where(col("user_id") =!= 99)
+      .select("user_id", "session_start_s", "n_ev")
+      .orderBy("user_id", "session_start_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // batch truth: user 1 sessions {5,20}, {65}, {130}; user 2 {70,135->
+    // gap 65min -> two sessions {70}, {135}}
+    val want = Seq(
+      (1L, tsSec(5), 2L), (1L, tsSec(65), 1L), (1L, tsSec(130), 1L),
+      (2L, tsSec(70), 1L), (2L, tsSec(135), 1L))
+    assert(got == want)
+  }
+
+  private def tsSec(minute: Int): Long = 1704067200L + minute * 60L
+}
