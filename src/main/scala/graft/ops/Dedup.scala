@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 
 /** Deduplication operators for large-scale training-data pipelines.
   * No counterpart in the reference (SURVEY §2 Part B: B21/B22) — these are
@@ -33,17 +32,29 @@ object Dedup {
     df.groupBy(md5(lower(col(textCol))).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Word n-gram shingles of a whitespace-tokenized text column, distinct.
-    * Pure column expression (codegen-friendly, no UDF): 0-based array
-    * indexing over a generated position sequence. */
-  def shingles(textCol: Column, n: Int): Column = {
-    val toks = split(textCol, " ")
-    // guard: sequence(0, negative) would flip to a descending range
-    when(size(toks) < n, array().cast("array<string>")).otherwise(
-      array_distinct(
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", (0 until n).map(j => toks(i + lit(j))): _*))))
-  }
+  /** Distinct word n-gram shingles. A Scala UDF rather than a
+    * transform/sequence column chain: the HOF lambda indexes the token
+    * array n times per shingle and CollapseProject re-inlines the
+    * `split()` into every access, re-tokenizing the document ~3n× per row
+    * (observed 10× slowdown at sf0.1); the UDF evaluates once per row
+    * (SURVEY §7.3: per-row string kernels are UDF-class). */
+  def shinglesKernel(toks: Seq[String], n: Int): Seq[String] =
+    if (toks == null || toks.length < n) Seq.empty
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + n <= toks.length) {
+        seen.add(toks.slice(i, i + n).mkString(" "))
+        i += 1
+      }
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSeq
+    }
+
+  private val shinglesUdf = udf((toks: Seq[String], n: Int) => shinglesKernel(toks, n))
+
+  def shingles(textCol: Column, n: Int): Column =
+    shinglesUdf(split(textCol, " "), lit(n))
 
   /** Exact n-gram-Jaccard near-duplicate pairs (declared oracle-checkable
     * form, SURVEY B22): explode distinct shingles, self-join on shingle
@@ -55,40 +66,92 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, tau: Double): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("shingle"))
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+    val withSh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sz", size(col("sh")))
+    val sh = withSh.select(col("doc"), col("sz"), explode(col("sh")).as("shingle"))
+    // size-ratio prune inside the join: jaccard <= min(sz)/max(sz), so a
+    // pair can only reach tau when max <= min/tau — exact-preserving, and
+    // it drops the hot-shingle pair explosion before the aggregate.
+    sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc") &&
+          col("a.sz") <= col("b.sz") / tau && col("b.sz") <= col("a.sz") / tau)
+      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"),
+        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("doc", "d1").withColumnRenamed("sz", "sz1"), "d1")
-      .join(sizes.withColumnRenamed("doc", "d2").withColumnRenamed("sz", "sz2"), "d2")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")), 4))
       .where(col("jaccard") >= tau)
       .select("d1", "d2", "jaccard")
   }
 
-  /** MinHash+LSH near-dup candidates (the 100-TB path): shingle → sparse
-    * term-frequency vector (HashingTF, fixed seed-free hashing) →
-    * MinHashLSH banded join at the given Jaccard-distance threshold.
-    * Returns (d1, d2, minhash_dist). Deterministic for a fixed seed.
+  /** One 64-bit minhash signature per seed slot: FNV-1a base hash of the
+    * shingle, remixed per slot with a splitmix64 finalizer over distinct
+    * odd increments — deterministic across JVMs and partitionings. */
+  def minhashSignature(shingles: Seq[String], k: Int): Array[Long] = {
+    val out = Array.fill(k)(Long.MaxValue)
+    if (shingles == null) return out
+    shingles.foreach { s =>
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+      var j = 0
+      while (j < k) {
+        var v = h + (j + 1) * 0x9E3779B97F4A7C15L // splitmix64 finalizer
+        v = (v ^ (v >>> 30)) * 0xBF58476D1CE4E5B9L
+        v = (v ^ (v >>> 27)) * 0x94D049BB133111EBL
+        v ^= v >>> 31
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+    }
+    out
+  }
+
+  /** MinHash near-dup candidates with banded LSH — the 100-TB path.
+    *
+    * AND-amplification inside each band (r concatenated minhashes) then
+    * OR across b bands: collision probability 1-(1-s^r)^b. With r=3, b=6
+    * a jaccard-0.9 pair is caught with p≈0.999 while a jaccard-0.1 pair
+    * costs only ~0.6% of the pair space — the property MLlib's MinHashLSH
+    * (one hash per table, pure OR) lacks, and the reason a pure-OR join
+    * floods at scale. Candidates are then verified with the exact Jaccard
+    * on their shingle sets, so precision is 1; only recall is
+    * probabilistic (spec asserts >= 0.9 vs [[jaccardPairs]]).
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, tau: Double, numHashTables: Int = 8): DataFrame = {
-    val withShingles = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+                        n: Int, tau: Double,
+                        numHashes: Int = 18, bands: Int = 6): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val sigUdf = udf((sh: Seq[String]) => {
+      val sig = minhashSignature(sh, numHashes)
+      (0 until bands).map { b =>
+        var h = 0xcbf29ce484222325L
+        var i = b * r
+        while (i < (b + 1) * r) { h ^= sig(i); h *= 0x100000001b3L; i += 1 }
+        h
+      }
+    })
+    val withSh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
-    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val feats = tf.transform(withShingles)
-    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(numHashTables).setSeed(42L)
-    val model = lsh.fit(feats)
-    model.approxSimilarityJoin(feats, feats, 1.0 - tau, "dist")
-      .where(col("datasetA.doc") < col("datasetB.doc"))
-      .select(col("datasetA.doc").as("d1"), col("datasetB.doc").as("d2"),
-        round(col("dist"), 4).as("minhash_dist"))
+    val banded = withSh
+      .select(col("doc"), posexplode(sigUdf(col("sh"))).as(Seq("band", "bsig")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .distinct()
+    // exact verification on the (small) candidate set only
+    val sets = withSh.select(col("doc"), col("sh"))
+    cand
+      .join(sets.withColumnRenamed("doc", "d1").withColumnRenamed("sh", "sh1"), "d1")
+      .join(sets.withColumnRenamed("doc", "d2").withColumnRenamed("sh", "sh2"), "d2")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))), 4))
+      .where(col("jaccard") >= tau)
+      .select("d1", "d2", "jaccard")
   }
 
   /** 64-bit SimHash of a token array: per-token 64-bit hash votes on each
