@@ -1,0 +1,61 @@
+package graft.exprs
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** B30: the custom-Expression tier of the extension surface (SURVEY §7.3's
+  * optional upgrade path): `_normalize_answer` (`utils.py:292-306`) as a
+  * native Catalyst expression with whole-stage codegen — the generated
+  * code calls the static kernel once per row, stays inside the codegen
+  * pipeline (no UDF serialization boundary), and is registered as a SQL
+  * function so `spark.sql("... graft_normalize(col) ...")` works.
+  */
+case class NormalizeAnswerExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.text.TextKernels.normalizeAnswer(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(graft.text.TextKernels.normalizeAnswer($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeAnswerExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_normalize"
+}
+
+/** Registration surface: [[register]] installs the functions into a live
+  * session; [[GraftExtensions]] is the `spark.sql.extensions` injection
+  * point for cluster-wide installs (builder
+  * `.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.exprs.GraftExtensions`). */
+object GraftFunctions {
+
+  private val normalizeInfo = new ExpressionInfo(
+    classOf[NormalizeAnswerExpr].getName, null, "graft_normalize",
+    "graft_normalize(str) - RC-RAG answer normalization: lower, strip punctuation, drop articles, collapse whitespace.",
+    "")
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_normalize"), normalizeInfo,
+      (exprs: Seq[Expression]) => NormalizeAnswerExpr(exprs.head))
+
+  def inject(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((FunctionIdentifier("graft_normalize"), normalizeInfo,
+      (exprs: Seq[Expression]) => NormalizeAnswerExpr(exprs.head)))
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.inject(ext)
+}

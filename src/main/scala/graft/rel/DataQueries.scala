@@ -274,6 +274,51 @@ object DataQueries {
         TextAnalysis.fingerprintUdf(split(col("text"), " ")).as("fingerprint"))
       .orderBy("doc_id")
 
+  // ---- embedding-cosine near-dup (driver contract dedup flavor) --------------
+
+  /** Near-duplicate pairs by embedding cosine >= tau: brute-force pair
+    * scan (oracle-checkable); at scale the identical output comes from the
+    * [[graft.ops.Similarity.annTopK]] LSH-bucketed path. */
+  def q44DedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("v1"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("v2"), col("v").as("vb"))
+    a.join(b, col("v1") < col("v2"))
+      .select(col("v1"), col("v2"),
+        round(graft.ops.Similarity.cosine(col("va"), col("vb")), 4).as("cos"))
+      .where(col("cos") >= 0.4)
+      .orderBy("v1", "v2")
+  }
+
+  val q44Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       SELECT a.vec_id AS v1, b.vec_id AS v2,
+         ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
+       FROM e a JOIN e b ON a.vec_id < b.vec_id
+       WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+       ORDER BY v1, v2"""
+
+  // ---- B30 custom Catalyst expression through the SQL surface ----------------
+
+  /** The [[graft.exprs.NormalizeAnswerExpr]] codegen expression exercised
+    * end-to-end through `spark.sql` (function registered via the same
+    * injection the `GraftExtensions` entry point uses). */
+  def q45CustomExprNormalize(s: SparkSession, dir: String): DataFrame = {
+    graft.exprs.GraftFunctions.register(s)
+    t(s, dir, "documents").createOrReplaceTempView("graft_docs")
+    s.sql(
+      """SELECT doc_id, md5(graft_normalize('The ' || text || '!')) AS norm_hash
+         FROM graft_docs ORDER BY doc_id""")
+  }
+
+  val q45Oracle: String =
+    """SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(translate(lower('The ' || text || '!'),
+         '!"#$%&''()*+,-./:;<=>?@[\]^_`{|}~', ''), '\b(a|an|the)\b', ' ', 'g'),
+         '\s+', ' ', 'g'))) AS norm_hash
+       FROM documents ORDER BY doc_id"""
+
   // ---- B29 MLlib batch scoring (no-oracle: model internals are
   // engine-specific; spec asserts accuracy + determinism) ----------------------
 
@@ -414,6 +459,8 @@ object DataQueries {
     "q42_tfidf_retrieval" -> (q42TfidfRetrieval _),
     "q40_rag_eval_pipeline" -> (q40RagEvalPipeline _),
     "q41_rag_eval_probability" -> (q41RagEvalProbability _),
+    "q44_dedup_embedding" -> (q44DedupEmbedding _),
+    "q45_custom_expr_normalize" -> (q45CustomExprNormalize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -430,5 +477,7 @@ object DataQueries {
     "q33_token_count" -> q33Oracle,
     "q40_rag_eval_pipeline" -> q40Oracle,
     "q41_rag_eval_probability" -> q41Oracle,
+    "q44_dedup_embedding" -> q44Oracle,
+    "q45_custom_expr_normalize" -> q45Oracle,
   )
 }

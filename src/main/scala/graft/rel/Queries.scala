@@ -272,6 +272,26 @@ object Queries {
        GROUP BY ROLLUP(l_returnflag, l_linestatus)
        ORDER BY returnflag, linestatus"""
 
+  // ---- B10b cube / grouping sets -------------------------------------------
+
+  def q43Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy("returnflag", "linestatus")
+
+  val q43Oracle: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+       FROM lineitem
+       GROUP BY CUBE(l_returnflag, l_linestatus)
+       ORDER BY returnflag, linestatus"""
+
   // ---- B11 ranking window functions ---------------------------------------
 
   def q11WindowRank(s: SparkSession, dir: String): DataFrame = {
@@ -582,6 +602,7 @@ object Queries {
     "q20_explode_tokens" -> (q20ExplodeTokens _),
     "q26_sessionize" -> (q26Sessionize _),
     "q27_tumbling_window" -> (q27TumblingWindow _),
+    "q43_cube" -> (q43Cube _),
   )
 
   /** name -> DuckDB oracle SQL, for SparkEntry.oracleSql (q09 is declared
@@ -608,5 +629,6 @@ object Queries {
     "q20_explode_tokens" -> q20Oracle,
     "q26_sessionize" -> q26Oracle,
     "q27_tumbling_window" -> q27Oracle,
+    "q43_cube" -> q43Oracle,
   )
 }

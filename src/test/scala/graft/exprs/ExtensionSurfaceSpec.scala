@@ -1,0 +1,48 @@
+package graft.exprs
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** B30 extension-surface specs: the codegen Catalyst expression through
+  * SQL, and the typed confusion Aggregator. */
+class ExtensionSurfaceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("graft_normalize SQL function matches the kernel on quirk inputs") {
+    GraftFunctions.register(spark)
+    val cases = Seq("The  quick, brown fox!", "a the an", "...", "thé café",
+      "Answer is (the) BEST-one!", "")
+    import spark.implicits._
+    val got = cases.toDF("s").createOrReplaceTempView("norm_in")
+    val out = spark.sql("SELECT graft_normalize(s) FROM norm_in").as[String].collect().toSeq
+    assert(out == cases.map(graft.text.TextKernels.normalizeAnswer))
+  }
+
+  test("graft_normalize handles null and stays in codegen plans") {
+    GraftFunctions.register(spark)
+    val out = spark.sql("SELECT graft_normalize(CAST(NULL AS STRING))").collect()(0)
+    assert(out.isNullAt(0))
+    // expression participates in whole-stage codegen (no UDF boundary):
+    // the `*(n)` stage marker must cover the projection; a literal input
+    // additionally constant-folds straight through the expression
+    graft.rel.Tables.load(spark, SparkTestBase.Sf0001, "documents")
+      .createOrReplaceTempView("norm_plan_in")
+    val plan = spark.sql("SELECT graft_normalize(text) FROM norm_plan_in")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") || plan.contains("WholeStageCodegen"), plan)
+    val folded = spark.sql("SELECT graft_normalize('The  x!')")
+      .queryExecution.optimizedPlan.toString
+    assert(folded.contains("x AS"), folded) // constant-folded at optimize time
+  }
+
+  test("ConfusionAggregator equals Stages.confusion on the fixture") {
+    import spark.implicits._
+    val fixture = spark.read.schema(graft.pipeline.Schemas.resultRecord)
+      .json(SparkTestBase.FixtureJsonl)
+    val fused = graft.pipeline.Stages.rejectOverride(
+      graft.pipeline.Stages.fuse("safety")(fixture))
+    val typed = fused.select("label_decision", "pred_decision").as[(String, String)]
+      .select(ConfusionAggregator.instance.toColumn).collect()(0)
+    assert(typed == ConfusionAggregator.Counts(3, 10, 2, 9))
+  }
+}
