@@ -436,6 +436,24 @@ object DataQueries {
          AK, AD, UK, UD
        FROM conf"""
 
+  // ---- entry point 1 end-to-end on the committed QA fixture (no-oracle:
+  // stub LLM output is not SQL-derivable; goldens live in InferenceSpec) -------
+
+  def q46RagAnnotateStub(s: SparkSession, dir: String): DataFrame = {
+    val samples = s.read.schema(graft.pipeline.Schemas.qaSample)
+      .json("/root/repo/src/test/resources/qa_samples.jsonl")
+    val model = new graft.pipeline.ChatModel.DeterministicStub(Map(
+      "Question:" -> "Answer: apple.\nEvidence: ## Passage-0 ##.",
+      "improper use" -> "Answer: apple!\nEvidence: ## Passage-0 ##.",
+      "quality of your referred passages" -> "Answer: apple?\nEvidence: ## Passage-1 ##."))
+    val cfg = graft.pipeline.Inference.Config(fusionStrategy = "safety")
+    val annotated = graft.pipeline.Inference.ragAnnotate(samples, model, cfg)
+    graft.pipeline.Inference.inferDecideFuse(annotated, model, cfg)
+      .select(col("id"), col("label_decision"), col("pred_decision"),
+        col("rag.answer").as("rag_answer"))
+      .orderBy("id")
+  }
+
   // ---- registry ---------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -461,6 +479,7 @@ object DataQueries {
     "q41_rag_eval_probability" -> (q41RagEvalProbability _),
     "q44_dedup_embedding" -> (q44DedupEmbedding _),
     "q45_custom_expr_normalize" -> (q45CustomExprNormalize _),
+    "q46_rag_annotate_stub" -> (q46RagAnnotateStub _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -10,6 +10,11 @@ import graft.SparkTestBase
   * (`run_llm_ours.py:101-103`: messages1 forks from the rag-only
   * conversation BEFORE cf_use extends messages; `:166-187`: probability
   * asks land on each branch's own conversation). */
+/** JVM-static call counters (shared with executor threads in local mode). */
+object IterCounter {
+  val counts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+}
+
 class InferenceSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
 
@@ -93,6 +98,44 @@ class InferenceSpec extends AnyFunSuite {
     // " or "-expansion applied on reuse path too
     val refs = reused.select("reference").collect()(0).getSeq[String](0)
     assert(refs == Seq("apple"))
+  }
+
+  test("A25 iteration loop: round 2 runs only for continuing rows, early exit on discard") {
+    import spark.implicits._
+    // two samples: sample 0's cf answer matches rag (continue -> round 2);
+    // sample 1 mismatches (discard -> exits after round 1)
+    val twoSamples = Seq(
+      (0L, "Q zero?", Seq("apple"), Seq("p", "p", "p"), Seq("p", "p", "p"), Seq("p", "p", "p")),
+      (1L, "Q one?", Seq("apple"), Seq("p", "p", "p"), Seq("p", "p", "p"), Seq("p", "p", "p")))
+      .toDF("id", "question", "reference", "sparse_ctxs", "dense_ctxs", "gold_ctxs")
+    // counters live in a JVM-static object: the model instance itself is
+    // serialized into task closures, so instance state would stay empty
+    IterCounter.counts.clear()
+    val counting = new ChatModel.Model {
+      override def complete(batch: Seq[Seq[ChatModel.Message]]): Seq[Option[String]] =
+        batch.map { msgs =>
+          val last = msgs.reverseIterator.find(_.role == "user").map(_.content).getOrElse("")
+          if (last.contains("improper use")) {
+            val qKey = if (msgs.head.content.contains("Q zero")) "cf0" else "cf1"
+            IterCounter.counts.merge(qKey, 1, (a, b) => a + b)
+            // sample 0 echoes the rag answer (match); sample 1 diverges
+            if (qKey == "cf0") Some("Answer: apple.") else Some("Answer: zzz qqq.")
+          } else Some("Answer: apple.\nEvidence: ## Passage-0 ##.")
+        }
+    }
+    val cfg = Inference.Config(fusionStrategy = "safety", numIteration = 2)
+    val annotated = Inference.ragAnnotate(twoSamples, counting, cfg)
+    val out = Inference.counterfactualBranch(
+      annotated.withColumn("messages_quality", col("messages")),
+      counting, cfg, "cf_use", "messages")
+    val decisions = out.select("id", "cf_use.pred_decision").orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(decisions == Seq((0L, "keep"), (1L, "discard")))
+    // driver-side lazy plans can evaluate a round more than once, but the
+    // discarding sample must never be consulted more often than the
+    // continuing one (its row exits the active set after round 1)
+    assert(IterCounter.counts.get("cf0") != null && IterCounter.counts.get("cf1") != null)
+    assert(IterCounter.counts.get("cf1") <= IterCounter.counts.get("cf0"))
   }
 
   test("appendTurn: null previous answer renders literal \"None\" (llm_ours.py:32)") {
