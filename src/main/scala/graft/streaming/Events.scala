@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming jobs over the events stream (SURVEY B28). The
   * reference's only streaming analog is its append-only JSONL sink
@@ -58,4 +59,33 @@ object Events {
       .select(col("user_id"),
         unix_seconds(col("w.start")).as("session_start_s"),
         col("n_ev"))
+
+  /** Per-user running state snapshot. */
+  final case class UserState(user_id: Long, n_events: Long, total_value: Double,
+                             last_ts_us: Long)
+
+  /** Custom streaming state via `mapGroupsWithState`: a per-user running
+    * counter/total that survives across micro-batches — the API tier for
+    * state that windowed aggregation can't express (cross-window
+    * accumulators, custom eviction). State size is one small record per
+    * active user; `ProcessingTimeTimeout` would bound it in production.
+    */
+  def runningUserTotals(events: Dataset[(Long, Long, Double)]): Dataset[UserState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserState](GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(userId, 0L, 0.0, Long.MinValue))
+          var n = prev.n_events
+          var tot = prev.total_value
+          var last = prev.last_ts_us
+          rows.foreach { case (_, tsUs, v) =>
+            n += 1; tot += v; if (tsUs > last) last = tsUs
+          }
+          val next = UserState(userId, n, tot, last)
+          state.update(next)
+          next
+      }
+  }
 }

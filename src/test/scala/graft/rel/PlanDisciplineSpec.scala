@@ -1,0 +1,55 @@
+package graft.rel
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Plan-shape regression tests: the scale properties the queries rely on
+  * (filter pushdown to parquet, column pruning, broadcast of small dims,
+  * TakeOrdered for top-k) asserted against the executed plans so a future
+  * refactor that silently loses them fails CI, not the 100-TB run. */
+class PlanDisciplineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = SparkTestBase.Sf0001
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q01: both predicates push into the parquet scan; schema pruned") {
+    val p = plan("q01_scan_filter_project")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("GreaterThan(l_discount"))
+    // projection needs 6 of lineitem's 11 columns; the scan must not read more
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag") && !readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("q03: dims join by broadcast, no shuffle join at dim cardinality") {
+    val p = plan("q03_join_5way")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dim joins must not sort-merge")
+    // region filter reaches its scan
+    assert(p.contains("In(r_name"))
+  }
+
+  test("q13: global top-k plans as TakeOrdered, not a global sort") {
+    val p = plan("q13_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(3).mkString("\n"))
+  }
+
+  test("q24: brute-force kNN broadcasts the query side (no cartesian shuffle)") {
+    val p = plan("q24_knn_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("salted aggregation equals plain aggregation (skew path correctness)") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.load(spark, dir, "events")
+    val plain = graft.ops.Skew.plainCountSum(events, col("event_type"), col("value"))
+      .orderBy("k").collect().toSeq
+    val salted = graft.ops.Skew.saltedCountSum(events, col("event_type"),
+        col("event_id"), col("value"), saltBuckets = 8)
+      .orderBy("k").collect().toSeq
+    assert(salted == plain)
+  }
+}

@@ -83,4 +83,28 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   private def tsSec(minute: Int): Long = 1704067200L + minute * 60L
+
+  test("mapGroupsWithState: per-user running totals accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val name = s"state_out_${System.nanoTime()}"
+    val q = Events.runningUserTotals(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("update").start()
+    mem.addData((1L, 100L, 1.0), (1L, 200L, 2.0), (2L, 150L, 5.0))
+    q.processAllAvailable()
+    mem.addData((1L, 300L, 4.0))
+    q.processAllAvailable()
+    q.stop()
+    // last snapshot per user: state carried over from batch 1 into batch 2
+    val last = spark.table(name)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.struct("n_events", "total_value", "last_ts_us"),
+        org.apache.spark.sql.functions.col("n_events")).as("s"))
+      .select("user_id", "s.n_events", "s.total_value", "s.last_ts_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(last == Seq((1L, 3L, 7.0, 300L), (2L, 1L, 5.0, 150L)))
+  }
 }
