@@ -42,6 +42,20 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q09: HLL approx distinct within 5% of exact (B9 no-oracle bound)") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.load(spark, dir, "events")
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.SparkEntry.queries("q09_approx_distinct")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    approx.foreach { case (tpe, est) =>
+      val ex = exact(tpe).toDouble
+      assert(math.abs(est - ex) / ex <= 0.05, s"$tpe: est $est vs exact $ex")
+    }
+  }
+
   test("salted aggregation equals plain aggregation (skew path correctness)") {
     import org.apache.spark.sql.functions._
     val events = Tables.load(spark, dir, "events")
