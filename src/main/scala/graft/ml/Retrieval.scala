@@ -46,7 +46,7 @@ object Retrieval {
       s
     })
     docsTfIdf
-      .select(col("doc_id"), round(dot(col("tfidf")), 4).as("score"))
+      .select(col("doc_id"), graft.Stable.r4(dot(col("tfidf"))).as("score"))
       .where(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)

@@ -80,7 +80,7 @@ object Dedup {
         col("a.sz").as("sz1"), col("b.sz").as("sz2"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")), 4))
+        graft.Stable.r4(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))))
       .where(col("jaccard") >= tau)
       .select("d1", "d2", "jaccard")
   }
@@ -147,9 +147,8 @@ object Dedup {
     cand
       .join(sets.withColumnRenamed("doc", "d1").withColumnRenamed("sh", "sh1"), "d1")
       .join(sets.withColumnRenamed("doc", "d2").withColumnRenamed("sh", "sh2"), "d2")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))), 4))
+      .withColumn("jaccard", graft.Stable.r4(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2")))))
       .where(col("jaccard") >= tau)
       .select("d1", "d2", "jaccard")
   }

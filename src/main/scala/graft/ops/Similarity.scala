@@ -41,7 +41,7 @@ object Similarity {
       .select(col("vid").as("qid"), col("v").as("qv"))
     val scored = asDouble.join(broadcast(queries), col("vid") =!= col("qid"))
       .select(col("qid"), col("vid").as("cand"),
-        round(cosine(col("qv"), col("v")), 4).as("cos"))
+        graft.Stable.r4(cosine(col("qv"), col("v"))).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select("qid", "cand", "cos", "rn")
@@ -68,7 +68,7 @@ object Similarity {
     val joined = model.approxSimilarityJoin(queries, normed, 2.0, "dist")
       .where(col("datasetA.vid") =!= col("datasetB.vid"))
       .select(col("datasetA.vid").as("qid"), col("datasetB.vid").as("cand"),
-        round(lit(1.0) - col("dist") * col("dist") / 2.0, 4).as("cos"))
+        graft.Stable.r4(lit(1.0) - col("dist") * col("dist") / 2.0).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
     joined.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select("qid", "cand", "cos", "rn")

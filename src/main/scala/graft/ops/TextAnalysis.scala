@@ -25,9 +25,9 @@ object TextAnalysis {
 
   /** ASCII punctuation ratio ∈ [0,1], 4-decimal rounded. */
   def punctRatio(text: Column): Column =
-    round((length(text) - length(translate(text,
+    graft.Stable.r4((length(text) - length(translate(text,
       "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~", ""))).cast("double") /
-      greatest(length(text), lit(1)), 4)
+      greatest(length(text), lit(1)))
 
   /** English stopword ratio over whitespace tokens (small fixed list —
     * the quality-score feature the reference-style pipelines threshold). */
@@ -36,25 +36,24 @@ object TextAnalysis {
 
   def stopwordRatio(text: Column): Column = {
     val toks = split(lower(text), " ")
-    round(size(filter(toks, t => t.isInCollection(EnStopwords))).cast("double") /
-      greatest(size(toks), lit(1)), 4)
+    graft.Stable.r4(size(filter(toks, t => t.isInCollection(EnStopwords))).cast("double") /
+      greatest(size(toks), lit(1)))
   }
 
   def avgWordLen(text: Column): Column = {
     val toks = split(text, " ")
-    round(aggregate(transform(toks, w => length(w).cast("long")), lit(0L), (a, x) => a + x)
-      .cast("double") / greatest(size(toks), lit(1)), 4)
+    graft.Stable.r4(aggregate(transform(toks, w => length(w).cast("long")), lit(0L), (a, x) => a + x)
+      .cast("double") / greatest(size(toks), lit(1)))
   }
 
   /** Composite quality score ∈ [0,1]: long-enough, low punctuation, some
     * but not all stopwords — the standard pretraining-corpus heuristic
     * shape (C4/Gopher-style rules), deterministic and SQL-expressible. */
   def qualityScore(text: Column): Column =
-    round(
-      when(length(text) < 20, 0.0).otherwise(
+    graft.Stable.r4(when(length(text) < 20, 0.0).otherwise(
         (lit(1.0) - punctRatio(text)) * 0.4 +
           when(stopwordRatio(text).between(0.05, 0.6), 0.4).otherwise(0.0) +
-          when(tokenCount(text) >= 10, 0.2).otherwise(0.0)), 4)
+          when(tokenCount(text) >= 10, 0.2).otherwise(0.0)))
 
   /** Character-trigram language-ID heuristic: score each candidate
     * language by hits of its signature trigrams/words, argmax with
@@ -110,7 +109,7 @@ object TextAnalysis {
     docs.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
-        round(sum(tokenCount(col("text")).cast("long")).cast("double") / count(lit(1)), 4)
+        graft.Stable.r4(sum(tokenCount(col("text")).cast("long")).cast("double") / count(lit(1)))
           .as("avg_tokens"),
         countDistinct(col("source")).as("n_sources"))
 

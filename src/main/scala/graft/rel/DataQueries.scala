@@ -61,9 +61,9 @@ object DataQueries {
          SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
          FROM dt a JOIN dt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          GROUP BY a.doc_id, b.doc_id)
-       SELECT d1, d2, ROUND(inter * 1.0 / (s1.sz + s2.sz - inter), 4) AS jaccard
+       SELECT d1, d2, floor((inter * 1.0 / (s1.sz + s2.sz - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
        FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-       WHERE ROUND(inter * 1.0 / (s1.sz + s2.sz - inter), 4) >= 0.8
+       WHERE floor((inter * 1.0 / (s1.sz + s2.sz - inter)) * 10000.0 + 0.5) / 10000.0 >= 0.8
        ORDER BY d1, d2"""
 
   // ---- B23 similarity search: brute-force cosine top-k (oracle form) -------
@@ -77,7 +77,7 @@ object DataQueries {
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
        scored AS (
-         SELECT qid, e.vec_id AS cand, ROUND(list_cosine_similarity(qv, v), 4) AS cos
+         SELECT qid, e.vec_id AS cand, floor((list_cosine_similarity(qv, v)) * 10000.0 + 0.5) / 10000.0 AS cos
          FROM q JOIN e ON e.vec_id <> q.qid)
        SELECT qid, cand, cos, rn FROM (
          SELECT qid, cand, cos,
@@ -92,7 +92,7 @@ object DataQueries {
 
   val q25Oracle: String =
     """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-       ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 4) AS avg_tokens,
+       floor((CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS avg_tokens,
        COUNT(DISTINCT source) AS n_sources
        FROM documents GROUP BY lang ORDER BY lang"""
 
@@ -125,20 +125,20 @@ object DataQueries {
     """WITH base AS (
          SELECT doc_id, text,
            len(string_split(text, ' ')) AS n_tokens,
-           ROUND(CAST(length(text) - length(translate(text,
+           floor((CAST(length(text) - length(translate(text,
              '!"#$%&''()*+,-./:;<=>?@[\]^_`{|}~', '')) AS DOUBLE)
-             / greatest(length(text), 1), 4) AS punct_ratio,
-           ROUND(CAST(len(list_filter(string_split(lower(text), ' '),
+             / greatest(length(text), 1)) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+           floor((CAST(len(list_filter(string_split(lower(text), ' '),
              t -> list_contains(['a','an','the','of','in','on','and','or','to','is','are','was','it'], t))) AS DOUBLE)
-             / greatest(len(string_split(text, ' ')), 1), 4) AS stopword_ratio,
-           ROUND(CAST(list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'sum') AS DOUBLE)
-             / greatest(len(string_split(text, ' ')), 1), 4) AS avg_word_len
+             / greatest(len(string_split(text, ' ')), 1)) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio,
+           floor((CAST(list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'sum') AS DOUBLE)
+             / greatest(len(string_split(text, ' ')), 1)) * 10000.0 + 0.5) / 10000.0 AS avg_word_len
          FROM documents)
        SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, avg_word_len,
-         ROUND(CASE WHEN length(text) < 20 THEN 0.0 ELSE
+         floor((CASE WHEN length(text) < 20 THEN 0.0 ELSE
            (1.0 - punct_ratio) * 0.4 +
            CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.4 ELSE 0.0 END +
-           CASE WHEN n_tokens >= 10 THEN 0.2 ELSE 0.0 END END, 4) AS quality
+           CASE WHEN n_tokens >= 10 THEN 0.2 ELSE 0.0 END END) * 10000.0 + 0.5) / 10000.0 AS quality
        FROM base ORDER BY doc_id"""
 
   // ---- A26/A27 fusion parsing as a declared query ---------------------------
@@ -286,7 +286,7 @@ object DataQueries {
     val b = e.select(col("vec_id").as("v2"), col("v").as("vb"))
     a.join(b, col("v1") < col("v2"))
       .select(col("v1"), col("v2"),
-        round(graft.ops.Similarity.cosine(col("va"), col("vb")), 4).as("cos"))
+        graft.Stable.r4(graft.ops.Similarity.cosine(col("va"), col("vb"))).as("cos"))
       .where(col("cos") >= 0.4)
       .orderBy("v1", "v2")
   }
@@ -294,9 +294,9 @@ object DataQueries {
   val q44Oracle: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
        SELECT a.vec_id AS v1, b.vec_id AS v2,
-         ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
+         floor((list_cosine_similarity(a.v, b.v)) * 10000.0 + 0.5) / 10000.0 AS cos
        FROM e a JOIN e b ON a.vec_id < b.vec_id
-       WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+       WHERE floor((list_cosine_similarity(a.v, b.v)) * 10000.0 + 0.5) / 10000.0 >= 0.4
        ORDER BY v1, v2"""
 
   // ---- B30 custom Catalyst expression through the SQL surface ----------------
@@ -345,12 +345,12 @@ object DataQueries {
     val results = s.read.schema(graft.pipeline.Schemas.resultRecord)
       .json("/root/repo/src/test/resources/rag_results.jsonl")
     graft.pipeline.Stages.evalPipeline(results, "safety")
-      .select(round(col("risk"), 4).as("risk"),
-        round(col("overcaution"), 4).as("overcaution"),
-        round(col("recall"), 4).as("recall"),
-        round(col("carefulness"), 4).as("carefulness"),
-        round(col("alignment"), 4).as("alignment"),
-        round(col("coverage"), 4).as("coverage"),
+      .select(graft.Stable.r4(col("risk")).as("risk"),
+        graft.Stable.r4(col("overcaution")).as("overcaution"),
+        graft.Stable.r4(col("recall")).as("recall"),
+        graft.Stable.r4(col("carefulness")).as("carefulness"),
+        graft.Stable.r4(col("alignment")).as("alignment"),
+        graft.Stable.r4(col("coverage")).as("coverage"),
         col("AK"), col("AD"), col("UK"), col("UD"))
   }
 
@@ -373,12 +373,12 @@ object DataQueries {
            CAST(SUM(CASE WHEN label_decision = 'discard' AND pred = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS UK,
            CAST(SUM(CASE WHEN label_decision = 'discard' AND pred = 'discard' THEN 1 ELSE 0 END) AS BIGINT) AS UD
          FROM ov)
-       SELECT ROUND(CAST(UK AS DOUBLE) / (AK + UK), 4) AS risk,
-         ROUND(CAST(AD AS DOUBLE) / (UD + AD), 4) AS overcaution,
-         ROUND(CAST(AK AS DOUBLE) / (AK + AD), 4) AS recall,
-         ROUND(CAST(UD AS DOUBLE) / (UK + UD), 4) AS carefulness,
-         ROUND(CAST(AK + UD AS DOUBLE) / (AK + AD + UK + UD), 4) AS alignment,
-         ROUND(CAST(AK + UK AS DOUBLE) / (AK + AD + UK + UD), 4) AS coverage,
+       SELECT floor((CAST(UK AS DOUBLE) / (AK + UK)) * 10000.0 + 0.5) / 10000.0 AS risk,
+         floor((CAST(AD AS DOUBLE) / (UD + AD)) * 10000.0 + 0.5) / 10000.0 AS overcaution,
+         floor((CAST(AK AS DOUBLE) / (AK + AD)) * 10000.0 + 0.5) / 10000.0 AS recall,
+         floor((CAST(UD AS DOUBLE) / (UK + UD)) * 10000.0 + 0.5) / 10000.0 AS carefulness,
+         floor((CAST(AK + UD AS DOUBLE) / (AK + AD + UK + UD)) * 10000.0 + 0.5) / 10000.0 AS alignment,
+         floor((CAST(AK + UK AS DOUBLE) / (AK + AD + UK + UD)) * 10000.0 + 0.5) / 10000.0 AS coverage,
          AK, AD, UK, UD
        FROM conf"""
 
@@ -398,9 +398,9 @@ object DataQueries {
     val fused = Stages.fuse("probability",
       probUseRaw = Some(probUse), probQualityRaw = Some(probQuality))(results)
     Stages.metrics(Stages.confusion(Stages.rejectOverride(fused)))
-      .select(round(col("risk"), 4).as("risk"),
-        round(col("alignment"), 4).as("alignment"),
-        round(col("coverage"), 4).as("coverage"),
+      .select(graft.Stable.r4(col("risk")).as("risk"),
+        graft.Stable.r4(col("alignment")).as("alignment"),
+        graft.Stable.r4(col("coverage")).as("coverage"),
         col("AK"), col("AD"), col("UK"), col("UD"))
   }
 
@@ -430,9 +430,9 @@ object DataQueries {
            CAST(SUM(CASE WHEN label_decision = 'discard' AND pred = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS UK,
            CAST(SUM(CASE WHEN label_decision = 'discard' AND pred = 'discard' THEN 1 ELSE 0 END) AS BIGINT) AS UD
          FROM ov)
-       SELECT ROUND(CAST(UK AS DOUBLE) / (AK + UK), 4) AS risk,
-         ROUND(CAST(AK + UD AS DOUBLE) / (AK + AD + UK + UD), 4) AS alignment,
-         ROUND(CAST(AK + UK AS DOUBLE) / (AK + AD + UK + UD), 4) AS coverage,
+       SELECT floor((CAST(UK AS DOUBLE) / (AK + UK)) * 10000.0 + 0.5) / 10000.0 AS risk,
+         floor((CAST(AK + UD AS DOUBLE) / (AK + AD + UK + UD)) * 10000.0 + 0.5) / 10000.0 AS alignment,
+         floor((CAST(AK + UK AS DOUBLE) / (AK + AD + UK + UD)) * 10000.0 + 0.5) / 10000.0 AS coverage,
          AK, AD, UK, UD
        FROM conf"""
 

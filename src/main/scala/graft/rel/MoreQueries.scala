@@ -59,16 +59,16 @@ object MoreQueries {
   def q49Percentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
-        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"))
+      .agg(graft.Stable.r4(expr("percentile(l_quantity, 0.5)")).as("median_qty"),
+        graft.Stable.r4(expr("percentile(l_quantity, 0.9)")).as("p90_qty"),
+        graft.Stable.r4(expr("percentile(l_extendedprice, 0.25)")).as("p25_price"))
       .orderBy("l_returnflag")
 
   val q49Oracle: String =
     """SELECT l_returnflag,
-       ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
-       ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
-       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price
+       floor((quantile_cont(l_quantity, 0.5)) * 10000.0 + 0.5) / 10000.0 AS median_qty,
+       floor((quantile_cont(l_quantity, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90_qty,
+       floor((quantile_cont(l_extendedprice, 0.25)) * 10000.0 + 0.5) / 10000.0 AS p25_price
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   // ---- moment statistics -----------------------------------------------------
@@ -76,18 +76,18 @@ object MoreQueries {
   def q50Stats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
-        round(var_samp(col("l_quantity")), 4).as("var_qty"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
-        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qty_price"))
+      .agg(graft.Stable.r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        graft.Stable.r4(var_samp(col("l_quantity"))).as("var_qty"),
+        graft.Stable.r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+        graft.Stable.r2(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("cov_qty_price"))
       .orderBy("l_returnflag")
 
   val q50Oracle: String =
     """SELECT l_returnflag,
-       ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
-       ROUND(var_samp(l_quantity), 4) AS var_qty,
-       ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-       ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
+       floor((stddev_samp(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sd_qty,
+       floor((var_samp(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS var_qty,
+       floor((corr(l_quantity, l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS corr_qty_price,
+       floor((covar_samp(l_quantity, l_extendedprice)) * 100.0 + 0.5) / 100.0 AS cov_qty_price
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   // ---- conditional aggregates ------------------------------------------------

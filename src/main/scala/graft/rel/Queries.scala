@@ -34,7 +34,7 @@ object Queries {
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
 
   private def davg(c: Column): Column =
-    round(sum(c.cast(DecimalType(18, 4))).cast("double") / count(lit(1)), 4)
+    graft.Stable.r4(sum(c.cast(DecimalType(18, 4))).cast("double") / count(lit(1)))
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -96,9 +96,9 @@ object Queries {
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
-       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+       floor((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+       floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+       floor((CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
        COUNT(*) AS count_order
        FROM lineitem
        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -436,11 +436,11 @@ object Queries {
   def q17MathFuncs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
-        round(log(col("l_extendedprice")), 4).as("ln_price"),
-        round(exp(col("l_discount")), 4).as("exp_disc"),
-        round(sqrt(col("l_quantity")), 4).as("sqrt_qty"),
+        graft.Stable.r4(log(col("l_extendedprice"))).as("ln_price"),
+        graft.Stable.r4(exp(col("l_discount"))).as("exp_disc"),
+        graft.Stable.r4(sqrt(col("l_quantity"))).as("sqrt_qty"),
         pow(col("l_quantity"), 2).as("qty_sq"),
-        round(abs(col("l_discount") - 0.05), 4).as("abs_disc_delta"),
+        graft.Stable.r4(abs(col("l_discount") - 0.05)).as("abs_disc_delta"),
         ceil(col("l_extendedprice") / 1000.0).as("price_k_ceil"),
         floor(col("l_extendedprice") / 1000.0).as("price_k_floor"),
         round(col("l_extendedprice"), -2).as("price_h"))
@@ -448,11 +448,11 @@ object Queries {
 
   val q17Oracle: String =
     """SELECT l_orderkey, l_linenumber,
-       round(ln(l_extendedprice), 4) AS ln_price,
-       round(exp(l_discount), 4) AS exp_disc,
-       round(sqrt(l_quantity), 4) AS sqrt_qty,
+       floor((ln(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS ln_price,
+       floor((exp(l_discount)) * 10000.0 + 0.5) / 10000.0 AS exp_disc,
+       floor((sqrt(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sqrt_qty,
        pow(l_quantity, 2) AS qty_sq,
-       round(abs(l_discount - 0.05), 4) AS abs_disc_delta,
+       floor((abs(l_discount - 0.05)) * 10000.0 + 0.5) / 10000.0 AS abs_disc_delta,
        CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
        CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
        round(l_extendedprice, -2) AS price_h
@@ -573,7 +573,7 @@ object Queries {
     """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s, event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_value
+       floor((CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS avg_value
        FROM events GROUP BY bucket_s, event_type ORDER BY bucket_s, event_type"""
 
   // ---- registry ---------------------------------------------------------------
