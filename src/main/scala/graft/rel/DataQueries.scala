@@ -262,6 +262,11 @@ object DataQueries {
         queryIds = (0L until 10L), k = 5)
       .orderBy("qid", "rn")
 
+  def q55AnnIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryIds = (0L until 10L), k = 5)
+      .orderBy("qid", "rn")
+
   def q37LangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
@@ -279,17 +284,9 @@ object DataQueries {
   /** Near-duplicate pairs by embedding cosine >= tau: brute-force pair
     * scan (oracle-checkable); at scale the identical output comes from the
     * [[graft.ops.Similarity.annTopK]] LSH-bucketed path. */
-  def q44DedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val a = e.select(col("vec_id").as("v1"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("v2"), col("v").as("vb"))
-    a.join(b, col("v1") < col("v2"))
-      .select(col("v1"), col("v2"),
-        graft.Stable.r4(graft.ops.Similarity.cosine(col("va"), col("vb"))).as("cos"))
-      .where(col("cos") >= 0.4)
+  def q44DedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.4)
       .orderBy("v1", "v2")
-  }
 
   val q44Oracle: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -471,6 +468,7 @@ object DataQueries {
     "q34_minhash_neardup" -> (q34MinhashNearDup _),
     "q35_simhash_neardup" -> (q35SimhashNearDup _),
     "q36_ann_lsh" -> (q36AnnLsh _),
+    "q55_ann_ivf" -> (q55AnnIvf _),
     "q37_lang_id" -> (q37LangId _),
     "q38_doc_fingerprint" -> (q38DocFingerprint _),
     "q39_ml_score" -> (q39MlScore _),
