@@ -162,6 +162,35 @@ object MoreQueries {
                      WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 400000)
        ORDER BY c_custkey"""
 
+  // ---- null-safety / conditional scalar battery ------------------------------
+
+  def q56NullSafety(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("try_divide(o_totalprice, o_custkey % 3)").as("safe_div"), // /0 -> null (ANSI-safe)
+        nullif(col("o_orderstatus"), lit("O")).as("status_nz"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("none")).as("status_filled"),
+        expr("try_cast(o_orderpriority AS INT)").as("prio_num"),
+        least(col("o_totalprice"), lit(200000.0)).as("capped"),
+        greatest(col("o_totalprice"), lit(200000.0)).as("floored"),
+        when(col("o_totalprice") > 300000.0, "big")
+          .when(col("o_totalprice") > 100000.0, "mid")
+          .otherwise("small").as("bucket"))
+      .orderBy("o_orderkey")
+
+  val q56Oracle: String =
+    """SELECT o_orderkey,
+       o_totalprice / (o_custkey % 3) AS safe_div,
+       nullif(o_orderstatus, 'O') AS status_nz,
+       coalesce(nullif(o_orderstatus, 'O'), 'none') AS status_filled,
+       try_cast(o_orderpriority AS INT) AS prio_num,
+       least(o_totalprice, 200000.0) AS capped,
+       greatest(o_totalprice, 200000.0) AS floored,
+       CASE WHEN o_totalprice > 300000.0 THEN 'big'
+            WHEN o_totalprice > 100000.0 THEN 'mid'
+            ELSE 'small' END AS bucket
+       FROM orders ORDER BY o_orderkey"""
+
   // ---- registry ---------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -173,6 +202,7 @@ object MoreQueries {
     "q52_string_agg" -> (q52StringAgg _),
     "q53_union_by_name" -> (q53UnionByName _),
     "q54_correlated_subquery" -> (q54CorrelatedSubquery _),
+    "q56_null_safety" -> (q56NullSafety _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -184,5 +214,6 @@ object MoreQueries {
     "q52_string_agg" -> q52Oracle,
     "q53_union_by_name" -> q53Oracle,
     "q54_correlated_subquery" -> q54Oracle,
+    "q56_null_safety" -> q56Oracle,
   )
 }
