@@ -1,0 +1,53 @@
+package graft.rel
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Storage-layout scale features: bucketed co-located joins (shuffle
+  * elimination) and partition-pruned reads — the two layout levers a
+  * 100-TB deployment uses so repeated fact-fact joins and selective scans
+  * don't pay full-shuffle/full-scan cost. Asserted on the executed plans,
+  * not just results. */
+class ScaleStorageSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("bucketed tables join without a shuffle exchange") {
+    // managed tables land in ./spark-warehouse (gitignored); dropped below
+    val li = Tables.load(spark, SparkTestBase.Sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = Tables.load(spark, SparkTestBase.Sf0001, "orders")
+      .select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    ord.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("ord_bucketed")
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("ord_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("q"), max(col("o_totalprice")).as("p"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located buckets: the join itself requires no shuffle of either side
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 0, s"expected shuffle-free bucketed join, got:\n$plan")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE li_bucketed")
+    spark.sql("DROP TABLE ord_bucketed")
+  }
+
+  test("partitioned layout prunes non-matching partitions at scan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
+    Tables.load(spark, SparkTestBase.Sf0001, "events")
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val read = spark.read.parquet(dir).where(col("event_type") === "click")
+    val plan = read.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    // only the click partition's rows are read
+    val expected = Tables.load(spark, SparkTestBase.Sf0001, "events")
+      .where(col("event_type") === "click").count()
+    assert(read.count() == expected)
+  }
+}
