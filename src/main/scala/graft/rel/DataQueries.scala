@@ -451,6 +451,22 @@ object DataQueries {
       .orderBy("id")
   }
 
+  // ---- B28 batch/stream unification ------------------------------------------
+
+  /** The streaming tumbling-window job ([[graft.streaming.Events]]) run on
+    * batch input — the watermark node is a no-op in batch planning, so the
+    * ONE transform serves both modes; this query oracle-checks the batch
+    * semantics while StreamingSpec proves incremental equivalence. */
+  def q57StreamBatchParity(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Events.tumblingCounts(t(s, dir, "events"))
+      .orderBy("bucket_s", "event_type")
+
+  val q57Oracle: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY bucket_s, event_type ORDER BY bucket_s, event_type"""
+
   // ---- registry ---------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -478,6 +494,7 @@ object DataQueries {
     "q44_dedup_embedding" -> (q44DedupEmbedding _),
     "q45_custom_expr_normalize" -> (q45CustomExprNormalize _),
     "q46_rag_annotate_stub" -> (q46RagAnnotateStub _),
+    "q57_stream_batch_parity" -> (q57StreamBatchParity _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -496,5 +513,6 @@ object DataQueries {
     "q41_rag_eval_probability" -> q41Oracle,
     "q44_dedup_embedding" -> q44Oracle,
     "q45_custom_expr_normalize" -> q45Oracle,
+    "q57_stream_batch_parity" -> q57Oracle,
   )
 }
