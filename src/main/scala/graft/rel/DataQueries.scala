@@ -451,6 +451,41 @@ object DataQueries {
       .orderBy("id")
   }
 
+  // ---- A9/A13-A15 extraction pipeline as a declared query --------------------
+
+  /** `deal_prediction_with_evidence` (the real kernel, via
+    * [[graft.exprs.RcFunctions.dealPredictionUdf]]) over synthesized
+    * LLM-output strings whose shape keeps the extraction on the
+    * SQL-expressible main path: no refusal markers, no Answer/Evidence
+    * labels, two `##...##` spans — answer = spans deleted + strip,
+    * evidence = last span group (utils.py:222-283). The quirky fallback
+    * paths (Passage- slices, set dedup) stay golden-tested in
+    * ParseKernelsSpec. */
+  def q58ParseExtract(s: SparkSession, dir: String): DataFrame = {
+    val synth = concat(lit("It is "), element_at(split(col("text"), " "), 1),
+      lit(" indeed. ## span "), (col("doc_id") % 5).cast("string"),
+      lit(" ## more ## final "), col("doc_id").cast("string"), lit(" ##"))
+    val parsed = graft.exprs.RcFunctions.dealPredictionUdf(synth)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        parsed.getField("reject").as("reject"),
+        parsed.getField("answer").as("answer"),
+        parsed.getField("evidence").as("evidence"))
+      .orderBy("doc_id")
+  }
+
+  val q58Oracle: String =
+    """WITH synth AS (
+         SELECT doc_id,
+           'It is ' || string_split(text, ' ')[1] || ' indeed. ## span ' ||
+           CAST(doc_id % 5 AS VARCHAR) || ' ## more ## final ' ||
+           CAST(doc_id AS VARCHAR) || ' ##' AS s
+         FROM documents)
+       SELECT doc_id, FALSE AS reject,
+         trim(regexp_replace(s, '##(.*?)##', '', 'g')) AS answer,
+         trim(list_extract(regexp_extract_all(s, '##(.*?)##', 1), -1)) AS evidence
+       FROM synth ORDER BY doc_id"""
+
   // ---- B28 batch/stream unification ------------------------------------------
 
   /** The streaming tumbling-window job ([[graft.streaming.Events]]) run on
@@ -495,6 +530,7 @@ object DataQueries {
     "q45_custom_expr_normalize" -> (q45CustomExprNormalize _),
     "q46_rag_annotate_stub" -> (q46RagAnnotateStub _),
     "q57_stream_batch_parity" -> (q57StreamBatchParity _),
+    "q58_parse_extract" -> (q58ParseExtract _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -514,5 +550,6 @@ object DataQueries {
     "q44_dedup_embedding" -> q44Oracle,
     "q45_custom_expr_normalize" -> q45Oracle,
     "q57_stream_batch_parity" -> q57Oracle,
+    "q58_parse_extract" -> q58Oracle,
   )
 }
