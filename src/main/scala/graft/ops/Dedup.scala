@@ -70,17 +70,31 @@ object Dedup {
       .where(size(col("sh")) > 0)
       .withColumn("sz", size(col("sh")))
     val sh = withSh.select(col("doc"), col("sz"), explode(col("sh")).as("shingle"))
-    // size-ratio prune inside the join: jaccard <= min(sz)/max(sz), so a
-    // pair can only reach tau when max <= min/tau — exact-preserving, and
-    // it drops the hot-shingle pair explosion before the aggregate.
-    sh.as("a").join(sh.as("b"),
+    // Prefix filtering (exact-preserving): under any single GLOBAL shingle
+    // order, a pair with jaccard >= tau must share at least one shingle
+    // inside each side's first (sz - ceil(tau*sz) + 1) shingles; ordering
+    // rarest-first makes those prefixes low-frequency, so the candidate
+    // join touches few pairs even when some shingles are corpus-hot.
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("freq"))
+    val ordered = sh.join(freq, "shingle")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc").orderBy(col("freq"), col("shingle"))))
+    val prefix = ordered.where(col("rnk") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+      .select("doc", "sz", "shingle")
+    // candidates: prefix-share + size-ratio prune (jaccard <= min/max)
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc") &&
           col("a.sz") <= col("b.sz") / tau && col("b.sz") <= col("a.sz") / tau)
-      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"),
-        col("a.sz").as("sz1"), col("b.sz").as("sz2"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        graft.Stable.r4(col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter"))))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .distinct()
+    // exact verification on the candidate set only
+    val sets = withSh.select(col("doc"), col("sh"))
+    cand
+      .join(sets.withColumnRenamed("doc", "d1").withColumnRenamed("sh", "sh1"), "d1")
+      .join(sets.withColumnRenamed("doc", "d2").withColumnRenamed("sh", "sh2"), "d2")
+      .withColumn("jaccard", graft.Stable.r4(
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2")))))
       .where(col("jaccard") >= tau)
       .select("d1", "d2", "jaccard")
   }

@@ -451,6 +451,53 @@ object DataQueries {
       .orderBy("id")
   }
 
+  /** Prompt-strategy re-fusion (A26/A28 `run_llm_ours.py:152-164` + the
+    * dead-regex live semantics, quirk 1): the fusion completion is
+    * synthesized deterministically per row; keep iff it contains the
+    * literal substring "keep". Completes oracle coverage of all three
+    * fusion strategies (safety=q40, probability=q41, prompt=here). */
+  def q59RagEvalPrompt(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Stages
+    val results = s.read.schema(graft.pipeline.Schemas.resultRecord)
+      .json("/root/repo/src/test/resources/rag_results.jsonl")
+    val fusionOut = when(col("id") % 3 === 0, lit("$$ keep $$"))
+      .when(col("id") % 3 === 1, lit("I would discard this"))
+      .otherwise(lit("keeping it is fine"))
+    val fused = Stages.fuse("prompt", fusionLlmOut = Some(fusionOut))(results)
+    Stages.metrics(Stages.confusion(Stages.rejectOverride(fused)))
+      .select(graft.Stable.r4(col("risk")).as("risk"),
+        graft.Stable.r4(col("alignment")).as("alignment"),
+        graft.Stable.r4(col("coverage")).as("coverage"),
+        col("AK"), col("AD"), col("UK"), col("UD"))
+  }
+
+  val q59Oracle: String =
+    """WITH src AS (SELECT * FROM read_parquet('/root/repo/src/test/resources/rag_results.parquet')),
+       fused AS (
+         SELECT label_decision, rag.reject AS rrej,
+           CASE WHEN cf_use.pred_decision = cf_quality.pred_decision THEN cf_use.pred_decision
+                WHEN contains(CASE WHEN id % 3 = 0 THEN '$$ keep $$'
+                                   WHEN id % 3 = 1 THEN 'I would discard this'
+                                   ELSE 'keeping it is fine' END, 'keep')
+                THEN 'keep' ELSE 'discard' END AS pred0
+         FROM src),
+       ov AS (
+         SELECT label_decision,
+           CASE WHEN pred0 = 'keep' AND rrej THEN 'discard' ELSE pred0 END AS pred
+         FROM fused),
+       conf AS (
+         SELECT
+           CAST(SUM(CASE WHEN label_decision = 'keep' AND pred = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS AK,
+           CAST(SUM(CASE WHEN label_decision = 'keep' AND pred = 'discard' THEN 1 ELSE 0 END) AS BIGINT) AS AD,
+           CAST(SUM(CASE WHEN label_decision = 'discard' AND pred = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS UK,
+           CAST(SUM(CASE WHEN label_decision = 'discard' AND pred = 'discard' THEN 1 ELSE 0 END) AS BIGINT) AS UD
+         FROM ov)
+       SELECT floor((CAST(UK AS DOUBLE) / (AK + UK)) * 10000.0 + 0.5) / 10000.0 AS risk,
+         floor((CAST(AK + UD AS DOUBLE) / (AK + AD + UK + UD)) * 10000.0 + 0.5) / 10000.0 AS alignment,
+         floor((CAST(AK + UK AS DOUBLE) / (AK + AD + UK + UD)) * 10000.0 + 0.5) / 10000.0 AS coverage,
+         AK, AD, UK, UD
+       FROM conf"""
+
   // ---- A9/A13-A15 extraction pipeline as a declared query --------------------
 
   /** `deal_prediction_with_evidence` (the real kernel, via
@@ -531,6 +578,7 @@ object DataQueries {
     "q46_rag_annotate_stub" -> (q46RagAnnotateStub _),
     "q57_stream_batch_parity" -> (q57StreamBatchParity _),
     "q58_parse_extract" -> (q58ParseExtract _),
+    "q59_rag_eval_prompt" -> (q59RagEvalPrompt _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -551,5 +599,6 @@ object DataQueries {
     "q45_custom_expr_normalize" -> q45Oracle,
     "q57_stream_batch_parity" -> q57Oracle,
     "q58_parse_extract" -> q58Oracle,
+    "q59_rag_eval_prompt" -> q59Oracle,
   )
 }
