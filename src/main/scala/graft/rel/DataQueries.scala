@@ -533,6 +533,34 @@ object DataQueries {
          trim(list_extract(regexp_extract_all(s, '##(.*?)##', 1), -1)) AS evidence
        FROM synth ORDER BY doc_id"""
 
+  // ---- A11 n-gram expansion as a declared query ------------------------------
+
+  private val ngramsUdf = udf((toks: Seq[String], n: Int) =>
+    graft.text.ParseKernels.ngrams(toks, n))
+
+  /** `Tokens.ngrams` (`utils.py:83-108`, dead in the reference, kept as a
+    * text-lib op): all 1..3-grams per document, frequency-counted. */
+  def q60Ngrams(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .where(col("doc_id") < 20)
+      .select(col("doc_id"), explode(ngramsUdf(split(col("text"), " "), lit(3))).as("gram"))
+      .groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy("doc_id", "gram")
+
+  val q60Oracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 20),
+       grams AS (
+         SELECT doc_id, unnest(t) AS g FROM toks
+         UNION ALL
+         SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+         FROM toks, unnest(generate_series(1, len(t)-1)) AS u(i)
+         UNION ALL
+         SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+         FROM toks, unnest(generate_series(1, len(t)-2)) AS u(i))
+       SELECT doc_id, g AS gram, COUNT(*) AS freq
+       FROM grams GROUP BY doc_id, g ORDER BY doc_id, gram"""
+
   // ---- B28 batch/stream unification ------------------------------------------
 
   /** The streaming tumbling-window job ([[graft.streaming.Events]]) run on
@@ -579,6 +607,7 @@ object DataQueries {
     "q57_stream_batch_parity" -> (q57StreamBatchParity _),
     "q58_parse_extract" -> (q58ParseExtract _),
     "q59_rag_eval_prompt" -> (q59RagEvalPrompt _),
+    "q60_ngrams" -> (q60Ngrams _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -600,5 +629,6 @@ object DataQueries {
     "q57_stream_batch_parity" -> q57Oracle,
     "q58_parse_extract" -> q58Oracle,
     "q59_rag_eval_prompt" -> q59Oracle,
+    "q60_ngrams" -> q60Oracle,
   )
 }
