@@ -104,6 +104,30 @@ object TextAnalysis {
 
   val fingerprintUdf = udf((toks: Seq[String]) => fingerprintKernel(toks))
 
+  /** PII/link scrubbing for pretraining corpora: mask emails, URLs, and
+    * long digit runs (the standard cleaning battery) — pure regexp
+    * projections, trivially distributed. */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "https?://[^\\s]+", "<URL>"),
+      "\\d{6,}", "<NUM>")
+
+  /** Repetition ratio (Gopher-style quality rule): 1 − distinct/total
+    * n-gram windows; high values flag boilerplate/repeated content.
+    * Total windows = tokens − n + 1; distinct from [[Dedup.shingles]]. */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    val total = size(toks) - (n - 1)
+    // NULL text first: under ANSI mode size(NULL) is NULL, so the
+    // total<=0 guard alone would NULL-propagate instead of scoring 0
+    when(text.isNull || total <= 0, 0.0).otherwise(
+      graft.Stable.r4(lit(1.0) -
+        size(graft.ops.Dedup.shingles(text, n)).cast("double") / total))
+  }
+
   /** Corpus-level per-language stats (the declared B24 query body). */
   def langStats(docs: DataFrame): DataFrame =
     docs.groupBy("lang")

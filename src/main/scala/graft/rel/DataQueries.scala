@@ -533,6 +533,50 @@ object DataQueries {
          trim(list_extract(regexp_extract_all(s, '##(.*?)##', 1), -1)) AS evidence
        FROM synth ORDER BY doc_id"""
 
+  // ---- corpus cleaning: scrub + repetition ratio -----------------------------
+
+  /** PII/URL scrubbing and duplicate-3-gram ratio over documents with a
+    * synthesized contaminated suffix (the raw corpus has no emails/URLs
+    * to scrub). */
+  def q61TextScrub(s: SparkSession, dir: String): DataFrame = {
+    val contaminated = concat(col("text"),
+      lit(" contact bob"), (col("doc_id") % 10).cast("string"),
+      lit("@mail.example.org or https://example.org/d/"),
+      col("doc_id").cast("string"),
+      lit(" ref 1234567"), (col("doc_id") % 100).cast("string"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        md5(TextAnalysis.scrub(contaminated)).as("scrubbed_hash"),
+        TextAnalysis.repetitionRatio(col("text"), 3).as("rep3"))
+      .orderBy("doc_id")
+  }
+
+  val q61Oracle: String =
+    """WITH synth AS (
+         SELECT doc_id,
+           text || ' contact bob' || CAST(doc_id % 10 AS VARCHAR) ||
+           '@mail.example.org or https://example.org/d/' || CAST(doc_id AS VARCHAR) ||
+           ' ref 1234567' || CAST(doc_id % 100 AS VARCHAR) AS c,
+           text
+         FROM documents),
+       toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM synth),
+       sh AS (
+         SELECT doc_id,
+           COUNT(DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS n_distinct,
+           len(any_value(t)) - 2 AS total
+         FROM toks, unnest(generate_series(1, len(t)-2)) AS u(i)
+         GROUP BY doc_id)
+       SELECT s.doc_id,
+         md5(regexp_replace(regexp_replace(regexp_replace(s.c,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^\s]+', '<URL>', 'g'),
+           '\d{6,}', '<NUM>', 'g')) AS scrubbed_hash,
+         CASE WHEN sh.total IS NULL OR sh.total <= 0 THEN 0.0 ELSE
+           floor((1.0 - CAST(sh.n_distinct AS DOUBLE) / sh.total) * 10000.0 + 0.5) / 10000.0
+         END AS rep3
+       FROM synth s LEFT JOIN sh ON s.doc_id = sh.doc_id
+       ORDER BY s.doc_id"""
+
   // ---- A11 n-gram expansion as a declared query ------------------------------
 
   private val ngramsUdf = udf((toks: Seq[String], n: Int) =>
@@ -608,6 +652,7 @@ object DataQueries {
     "q58_parse_extract" -> (q58ParseExtract _),
     "q59_rag_eval_prompt" -> (q59RagEvalPrompt _),
     "q60_ngrams" -> (q60Ngrams _),
+    "q61_text_scrub" -> (q61TextScrub _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -630,5 +675,6 @@ object DataQueries {
     "q58_parse_extract" -> q58Oracle,
     "q59_rag_eval_prompt" -> q59Oracle,
     "q60_ngrams" -> q60Oracle,
+    "q61_text_scrub" -> q61Oracle,
   )
 }
