@@ -2,6 +2,7 @@ package graft.exprs
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -19,6 +20,14 @@ case class NormalizeAnswerExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
+
+  // non-string arguments fail at analysis time, not with a mid-job
+  // ClassCastException (AbstractDataType/ExpectsInputTypes is private[sql],
+  // so the check is spelled directly)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_normalize requires a STRING argument, got ${child.dataType.catalogString}")
 
   override protected def nullSafeEval(input: Any): Any =
     UTF8String.fromString(

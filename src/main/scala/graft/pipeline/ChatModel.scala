@@ -62,6 +62,9 @@ object ChatModel {
           else msgs.map(m => Message(m.getString(0), m.getString(1)))
         }
         val outs = model.complete(batch)
+        require(outs.size == rows.size,
+          s"ChatModel returned ${outs.size} completions for ${rows.size} conversations" +
+            " — a short batch would silently drop rows in zip")
         rows.zip(outs).map { case (row, out) =>
           Row.fromSeq(row.toSeq :+ out.orNull)
         }

@@ -23,6 +23,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 final class HttpChatModel(
     url: String,
     model: String,
+    apiKey: String = "",             // llm_ours.py:6-9 (client api_key)
     maxTokens: Int = 256,            // run_llm_ours.py:61
     temperature: Double = 0.0,       // run_llm_ours.py:62
     timeoutMs: Long = 30000,         // llm_ours.py:79
@@ -55,24 +56,36 @@ final class HttpChatModel(
   }
 
   /** Transient = retry (rate limit, unavailable, timeout-ish, connection);
-    * anything else = give up with None. */
+    * anything else = give up with None. Fatal JVM errors and interrupts
+    * propagate (a null prediction must mean a model failure, not a hidden
+    * OOM or a swallowed task cancellation). */
   private def once(messages: Seq[ChatModel.Message]): Either[Boolean, Option[String]] = {
     try {
-      val req = HttpRequest.newBuilder(URI.create(url))
+      var builder = HttpRequest.newBuilder(URI.create(url))
         .timeout(Duration.ofMillis(timeoutMs))
         .header("Content-Type", "application/json")
+      if (apiKey.nonEmpty) builder = builder.header("Authorization", s"Bearer $apiKey")
+      val req = builder
         .POST(HttpRequest.BodyPublishers.ofString(requestBody(messages)))
         .build()
       val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
       resp.statusCode() match {
-        case 200 => Right(parseContent(resp.body()))
+        case 200 =>
+          // a 200 with an unparseable body is a permanent give-up, not a
+          // retry (the reference's generic except arm returns None
+          // immediately); note JsonProcessingException IS an IOException,
+          // so parse failures must not reach the transient arm below
+          Right(try parseContent(resp.body()) catch { case scala.util.control.NonFatal(_) => None })
         case 429 | 500 | 502 | 503 | 504 => Left(true) // transient -> retry
         case _ => Left(false) // permanent -> None
       }
     } catch {
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt()
+        throw new RuntimeException("LLM call interrupted (task cancellation)", e)
       case _: java.net.http.HttpTimeoutException => Left(true)
       case _: java.io.IOException => Left(true)
-      case _: Throwable => Left(false)
+      case scala.util.control.NonFatal(_) => Left(false)
     }
   }
 

@@ -82,7 +82,10 @@ object Inference {
     * [[Stages.decide]]. The branch's conversation is threaded in its own
     * `msgCol` so the two branches stay independent. Each round's result is
     * cached before the active/exiting split when iterating (otherwise the
-    * split re-executes the round's LLM lineage twice).
+    * split re-executes the round's LLM lineage twice). The cached handles
+    * are left for Spark's LRU storage eviction rather than unpersisted
+    * eagerly — the final `done` plan still references every round's cache,
+    * so an early unpersist would force LLM recomputation downstream.
     */
   def counterfactualBranch(df0: DataFrame, model: ChatModel.Model, cfg: Config,
                            branch: String, msgCol: String): DataFrame = {
@@ -96,8 +99,21 @@ object Inference {
       val withMsgs = active.withColumn(msgCol,
         Prompts.appendTurn(col(msgCol), prevAnswer, prompt))
       val withLlm = ChatModel.transform(withMsgs, model, msgCol, "_llm")
+      // Rounds after the first carry the previous round's scores into the
+      // fresh branch struct: the reference's dict keeps EM/F1/RL/has_answer
+      // from the last round in which match() ran, so a later direct-discard
+      // round must not null them (run_llm_ours.py:112 overwrites only
+      // reject/answer/evidence; our_method.py writes scores only on match).
+      val fresh = branchFromLlm("_llm")
+      val withPrev =
+        if (i == 0) fresh
+        else fresh
+          .withField("EM", col(s"$branch.EM"))
+          .withField("F1", col(s"$branch.F1"))
+          .withField("RL", col(s"$branch.RL"))
+          .withField("has_answer", col(s"$branch.has_answer"))
       var decided = Stages.decide(branch)(
-        withLlm.withColumn(branch, branchFromLlm("_llm")).drop("_llm"))
+        withLlm.withColumn(branch, withPrev).drop("_llm"))
       val lastRound = i == cfg.numIteration - 1
       if (!lastRound) decided = decided.persist()
       val exiting =
@@ -122,7 +138,12 @@ object Inference {
     // cf_quality threads messages_quality, cf_use threads messages in place.
     val forked = annotated.withColumn("messages_quality", col("messages"))
     val afterUse = counterfactualBranch(forked, model, cfg, "cf_use", "messages")
+    // persist before the complementary agree/disagree split below: without
+    // it each side re-executes the full LLM lineage (double cost), and a
+    // nondeterministic model could flip a decision between the two
+    // recomputations, silently dropping or duplicating the row.
     val afterQuality = counterfactualBranch(afterUse, model, cfg, "cf_quality", "messages_quality")
+      .persist()
 
     val du = col("cf_use.pred_decision")
     val dq = col("cf_quality.pred_decision")

@@ -25,7 +25,11 @@ object Prompts {
   )
 
   /** A5 (`prompt.py:35-39`): passages `[0,k)`, each prefixed `Passage-%d`
-    * (0-based), newline-joined. */
+    * (0-based), newline-joined. Deviation: a sample with fewer than k
+    * passages renders only the passages it has (the reference raises
+    * IndexError, `prompt.py:38`) — failing a whole distributed job on one
+    * malformed row is the wrong trade; rows with short contexts are
+    * visible downstream as shorter passage blocks. */
   def passageBlock(ctxs: Column, k: Int): Column =
     array_join(
       zip_with(slice(ctxs, 1, k), sequence(lit(0), lit(k - 1)),

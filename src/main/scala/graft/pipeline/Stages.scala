@@ -50,10 +50,21 @@ object Stages {
         .when(evidencePath, when(mEvi.getField("ok"), "continue").otherwise("discard"))
         .otherwise("discard")
     val finalDecision = when(decision === "continue", "keep").otherwise(decision)
+    // a direct discard (no match call) must RETAIN whatever scores the
+    // branch struct already carries — the reference's dict keeps the last
+    // written values; only a match() run overwrites them. (Minimal input
+    // structs without score fields — first-round shapes — retain null.)
+    val branchFields = df.schema(branchName).dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    def prev(field: String, tpe: String): Column =
+      if (branchFields.contains(field)) b.getField(field) else lit(null).cast(tpe)
     df.withColumn("_m", m)
       .withColumn(branchName, b
-        .withField("EM", col("_m.EM")).withField("F1", col("_m.F1"))
-        .withField("RL", col("_m.RL")).withField("has_answer", col("_m.has_answer"))
+        .withField("EM", when(col("_m").isNotNull, col("_m.EM")).otherwise(prev("EM", "int")))
+        .withField("F1", when(col("_m").isNotNull, col("_m.F1")).otherwise(prev("F1", "double")))
+        .withField("RL", when(col("_m").isNotNull, col("_m.RL")).otherwise(prev("RL", "double")))
+        .withField("has_answer",
+          when(col("_m").isNotNull, col("_m.has_answer")).otherwise(prev("has_answer", "boolean")))
         .withField("pred_decision", finalDecision))
       .drop("_m")
   }
@@ -122,9 +133,13 @@ object Stages {
       ak, ad, uk, ud)
   }
 
-  /** Entry point 3 (`run_llm_ours.py:53-55` committed default: eval with
-    * safety re-fusion) as one composed pipeline: saved per-branch results
-    * in, one eval row out. */
+  /** Entry point 3 (`run_llm_ours.py:53-55`: the committed default mode is
+    * eval + re-fusion; its committed fusion_strategy is "probability",
+    * `run_llm_ours.py:67-68`) as one composed pipeline: saved per-branch
+    * results in, one eval row out. The flagship declared query runs the
+    * safety strategy (fully SQL-expressible, SURVEY §2.3); probability and
+    * prompt re-fusion need their LLM-completion columns — pass the
+    * strategy-appropriate [[fuse]] output through the same tail. */
   def evalPipeline(results: DataFrame, strategy: String = "safety"): DataFrame =
     metrics(confusion(rejectOverride(fuse(strategy)(results))))
 }

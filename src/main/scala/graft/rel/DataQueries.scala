@@ -577,6 +577,32 @@ object DataQueries {
        FROM synth s LEFT JOIN sh ON s.doc_id = sh.doc_id
        ORDER BY s.doc_id"""
 
+  // ---- sliding windows (batch form) ------------------------------------------
+
+  /** Sliding 1-hour windows every 15 minutes: each event lands in 4
+    * overlapping windows (Spark's `window(ts, len, slide)` generator);
+    * the oracle derives the same 4 window-starts per event via a lateral
+    * offset unnest. */
+  def q62SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_seconds(col("w.start")).as("win_start_s"), col("event_type"),
+        col("n_events"))
+      .orderBy("win_start_s", "event_type")
+
+  val q62Oracle: String =
+    """WITH slots AS (
+         SELECT event_type,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+             + 900 * CAST(floor(epoch(ts - date_trunc('hour', ts)) / 900) AS BIGINT)
+             - 900 * i AS win_start_s
+         FROM events, unnest(generate_series(0, 3)) AS u(i))
+       SELECT win_start_s, event_type, COUNT(*) AS n_events
+       FROM slots
+       GROUP BY win_start_s, event_type
+       ORDER BY win_start_s, event_type"""
+
   // ---- A11 n-gram expansion as a declared query ------------------------------
 
   private val ngramsUdf = udf((toks: Seq[String], n: Int) =>
@@ -653,6 +679,7 @@ object DataQueries {
     "q59_rag_eval_prompt" -> (q59RagEvalPrompt _),
     "q60_ngrams" -> (q60Ngrams _),
     "q61_text_scrub" -> (q61TextScrub _),
+    "q62_sliding_window" -> (q62SlidingWindow _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -676,5 +703,6 @@ object DataQueries {
     "q59_rag_eval_prompt" -> q59Oracle,
     "q60_ngrams" -> q60Oracle,
     "q61_text_scrub" -> q61Oracle,
+    "q62_sliding_window" -> q62Oracle,
   )
 }
