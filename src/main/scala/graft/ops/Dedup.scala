@@ -92,11 +92,15 @@ object Dedup {
     cand
       .join(sets.withColumnRenamed("doc", "d1").withColumnRenamed("sh", "sh1"), "d1")
       .join(sets.withColumnRenamed("doc", "d2").withColumnRenamed("sh", "sh2"), "d2")
-      .withColumn("jaccard", graft.Stable.r4(
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2")))))
-      .where(col("jaccard") >= tau)
-      .select("d1", "d2", "jaccard")
+      // filter on the TRUE ratio (identical integer operands -> identical
+      // double comparison in both engines): a rounded-value filter would
+      // admit boundary pairs (true J in [tau-0.00005, tau)) that the
+      // prefix/size pruning above is NOT guaranteed to retain; round only
+      // for display
+      .withColumn("_j", size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+        size(array_union(col("sh1"), col("sh2"))))
+      .where(col("_j") >= tau)
+      .select(col("d1"), col("d2"), graft.Stable.r4(col("_j")).as("jaccard"))
   }
 
   /** One 64-bit minhash signature per seed slot: FNV-1a base hash of the
@@ -161,10 +165,10 @@ object Dedup {
     cand
       .join(sets.withColumnRenamed("doc", "d1").withColumnRenamed("sh", "sh1"), "d1")
       .join(sets.withColumnRenamed("doc", "d2").withColumnRenamed("sh", "sh2"), "d2")
-      .withColumn("jaccard", graft.Stable.r4(size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2")))))
-      .where(col("jaccard") >= tau)
-      .select("d1", "d2", "jaccard")
+      .withColumn("_j", size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+        size(array_union(col("sh1"), col("sh2"))))
+      .where(col("_j") >= tau) // true ratio, as in jaccardPairs
+      .select(col("d1"), col("d2"), graft.Stable.r4(col("_j")).as("jaccard"))
   }
 
   /** 64-bit SimHash of a token array: per-token 64-bit hash votes on each

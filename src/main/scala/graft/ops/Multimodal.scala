@@ -59,12 +59,13 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition init would go here (codec handles, model weights)
+      // per-partition init (codec handles, model weights — here the digest;
+      // digest() resets the instance, so one per partition suffices)
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { m =>
         val bytes = if (m.bytes == null) Array.empty[Byte] else m.bytes
         MediaFeatures(m.media_id, m.mime, bytes.length.toLong,
-          java.security.MessageDigest.getInstance("MD5").digest(bytes)
-            .map("%02x".format(_)).mkString,
+          md.digest(bytes).map("%02x".format(_)).mkString,
           MediaKernels.featurize(bytes))
       }
     }

@@ -49,9 +49,13 @@ object Similarity {
       .withColumn("nrm", sqrt(dotUdf(col("v"), col("v"))))
     val queries = asDouble.where(col("vid").isin(queryIds: _*))
       .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // zero-norm guard: 0/0 = NaN sorts ABOVE every real double in a
+    // descending Spark sort, so an all-zeros vector would top every list
+    val denom = col("qnrm") * col("nrm")
     val scored = asDouble.join(broadcast(queries), col("vid") =!= col("qid"))
       .select(col("qid"), col("vid").as("cand"),
-        graft.Stable.r4(dotUdf(col("qv"), col("v")) / (col("qnrm") * col("nrm"))).as("cos"))
+        graft.Stable.r4(when(denom === 0.0, 0.0)
+          .otherwise(dotUdf(col("qv"), col("v")) / denom)).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select("qid", "cand", "cos", "rn")
@@ -86,11 +90,20 @@ object Similarity {
           var s = 0.0
           var i = 0
           val n = math.min(a.length, b.length)
-          while (i < n) { s += a(i) * b(i); i += 1 }
-          val cos = math.floor(s / (na * nb) * 10000.0 + 0.5) / 10000.0
+          // zero-norm guard: 0/0 would be NaN, which Spark sorts above
+          // every real double
+          val cos = if (na == 0.0 || nb == 0.0) 0.0 else {
+            while (i < n) { s += a(i) * b(i); i += 1 }
+            s / (na * nb)
+          }
           (v1, v2, cos)
         }
+        // filter on the TRUE cosine (identical arithmetic both engines);
+        // a rounded-value filter would admit boundary pairs
         .filter(_._3 >= tau)
+        .map { case (v1, v2, cos) =>
+          (v1, v2, math.floor(cos * 10000.0 + 0.5) / 10000.0)
+        }
     }.toDF("v1", "v2", "cos")
   }
 
@@ -153,13 +166,17 @@ object Similarity {
         d
       }.take(nProbe)
     })
-    val queries = assigned.where(col("vid").isin(queryIds: _*))
-      .select(col("vid").as("qid"), col("arr").as("qarr"),
+    // norms once per vector (not per pair — see cosineTopK), zero-guarded
+    val withNrm = assigned.withColumn("nrm", sqrt(dotUdf(col("arr"), col("arr"))))
+    val queries = withNrm.where(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"), col("arr").as("qarr"), col("nrm").as("qnrm"),
         explode(probeCells(col("arr"))).as("cell"))
-    val scored = queries.join(assigned, Seq("cell"))
+    val denom = col("qnrm") * col("nrm")
+    val scored = queries.join(withNrm, Seq("cell"))
       .where(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid").as("cand"),
-        graft.Stable.r4(cosine(col("qarr"), col("arr"))).as("cos"))
+        graft.Stable.r4(when(denom === 0.0, 0.0)
+          .otherwise(dotUdf(col("qarr"), col("arr")) / denom)).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select("qid", "cand", "cos", "rn")

@@ -93,7 +93,9 @@ object TextAnalysis {
     tokens.foreach { t =>
       var th = 0L
       var i = 0
-      while (i < t.length) { th = (th * 131 + t.charAt(i)) % M; i += 1 }
+      // th can reach M-1 ~ 2^61, so th*131 overflows a Long — the inner
+      // product needs the same overflow-safe mulMod as the outer one
+      while (i < t.length) { th = (mulMod(th, 131, M) + t.charAt(i)) % M; i += 1 }
       h = (mulMod(h, B, M) + th + 1) % M
     }
     h

@@ -63,7 +63,7 @@ object DataQueries {
          GROUP BY a.doc_id, b.doc_id)
        SELECT d1, d2, floor((inter * 1.0 / (s1.sz + s2.sz - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
        FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-       WHERE floor((inter * 1.0 / (s1.sz + s2.sz - inter)) * 10000.0 + 0.5) / 10000.0 >= 0.8
+       WHERE inter * 1.0 / (s1.sz + s2.sz - inter) >= 0.8
        ORDER BY d1, d2"""
 
   // ---- B23 similarity search: brute-force cosine top-k (oracle form) -------
@@ -293,7 +293,7 @@ object DataQueries {
        SELECT a.vec_id AS v1, b.vec_id AS v2,
          floor((list_cosine_similarity(a.v, b.v)) * 10000.0 + 0.5) / 10000.0 AS cos
        FROM e a JOIN e b ON a.vec_id < b.vec_id
-       WHERE floor((list_cosine_similarity(a.v, b.v)) * 10000.0 + 0.5) / 10000.0 >= 0.4
+       WHERE list_cosine_similarity(a.v, b.v) >= 0.4
        ORDER BY v1, v2"""
 
   // ---- B30 custom Catalyst expression through the SQL surface ----------------
@@ -509,7 +509,11 @@ object DataQueries {
     * paths (Passage- slices, set dedup) stay golden-tested in
     * ParseKernelsSpec. */
   def q58ParseExtract(s: SparkSession, dir: String): DataFrame = {
-    val synth = concat(lit("It is "), element_at(split(col("text"), " "), 1),
+    // the doc token is glued to a letter prefix ("x" + tok = one token for
+    // the tokenizer) so a vocabulary word that happens to be a single-word
+    // refusal marker ("unknown", "sorry", ...) cannot flip reject=true and
+    // break the oracle's hardcoded FALSE
+    val synth = concat(lit("It is x"), element_at(split(col("text"), " "), 1),
       lit(" indeed. ## span "), (col("doc_id") % 5).cast("string"),
       lit(" ## more ## final "), col("doc_id").cast("string"), lit(" ##"))
     val parsed = graft.exprs.RcFunctions.dealPredictionUdf(synth)
@@ -524,7 +528,7 @@ object DataQueries {
   val q58Oracle: String =
     """WITH synth AS (
          SELECT doc_id,
-           'It is ' || string_split(text, ' ')[1] || ' indeed. ## span ' ||
+           'It is x' || string_split(text, ' ')[1] || ' indeed. ## span ' ||
            CAST(doc_id % 5 AS VARCHAR) || ' ## more ## final ' ||
            CAST(doc_id AS VARCHAR) || ' ##' AS s
          FROM documents)
@@ -579,16 +583,14 @@ object DataQueries {
 
   // ---- sliding windows (batch form) ------------------------------------------
 
-  /** Sliding 1-hour windows every 15 minutes: each event lands in 4
-    * overlapping windows (Spark's `window(ts, len, slide)` generator);
-    * the oracle derives the same 4 window-starts per event via a lateral
-    * offset unnest. */
+  /** Sliding 1-hour windows every 15 minutes, via the SAME transform the
+    * streaming job uses ([[graft.streaming.Events.slidingCounts]] —
+    * batch/stream unification like q57; each event lands in 4 overlapping
+    * windows); the oracle derives the same window-starts per event via a
+    * lateral offset unnest. */
   def q62SlidingWindow(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(unix_seconds(col("w.start")).as("win_start_s"), col("event_type"),
-        col("n_events"))
+    graft.streaming.Events.slidingCounts(t(s, dir, "events"))
+      .withColumnRenamed("bucket_s", "win_start_s")
       .orderBy("win_start_s", "event_type")
 
   val q62Oracle: String =

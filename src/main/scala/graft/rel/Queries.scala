@@ -443,6 +443,9 @@ object Queries {
         graft.Stable.r4(abs(col("l_discount") - 0.05)).as("abs_disc_delta"),
         ceil(col("l_extendedprice") / 1000.0).as("price_k_ceil"),
         floor(col("l_extendedprice") / 1000.0).as("price_k_floor"),
+        // round(-2) is exempt from the Stable.r4 rule: its ties require the
+        // 2-decimal price to be ≡ 50.00 mod 100 EXACTLY, i.e. an integer —
+        // binary-exact, so both engines see the same tie and round half-up
         round(col("l_extendedprice"), -2).as("price_h"))
       .orderBy("l_orderkey", "l_linenumber")
 
@@ -471,7 +474,10 @@ object Queries {
         size(filter(col("toks"), x => length(x) > 4)).as("n_long_toks"),
         aggregate(col("toks"), lit(0), (acc, x) => acc + length(x)).as("total_chars"),
         array_join(sort_array(col("toks")), ",").as("sorted_toks"),
-        size(map_from_arrays(col("toks"), transform(col("toks"), x => length(x)))).as("n_map_keys"))
+        // dedupe keys first: map_from_arrays throws DUPLICATED_MAP_KEY
+        // under the default EXCEPTION policy on a repeated token
+        size(map_from_arrays(array_distinct(col("toks")),
+          transform(array_distinct(col("toks")), x => length(x)))).as("n_map_keys"))
       .orderBy("p_partkey")
 
   val q18Oracle: String =
@@ -536,7 +542,9 @@ object Queries {
     sessions.groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("n_ev")).as("n_events"),
-        (sum(col("dur_us")) / lit(1000000L)).cast("long").as("total_dur_s"),
+        // integer floor division (`div`), never double `/`: the µs sum
+        // exceeds 2^53 at scale and double rounding could shift the floor
+        expr("sum(dur_us) div 1000000").as("total_dur_s"),
         max(col("n_ev")).as("max_session_events"))
       .orderBy("user_id")
   }
