@@ -71,7 +71,7 @@ object Similarity {
     * The dot is the same ascending left fold, so results stay
     * oracle-comparable to DuckDB's per-pair list_cosine_similarity. */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
-                  tau: Double): DataFrame = {
+                  tau: Double, maxBroadcastRows: Long = 1000000L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
@@ -82,29 +82,56 @@ object Similarity {
         while (i < v.length) { s += v(i) * v(i); i += 1 }
         (id, v, math.sqrt(s))
       }
-    val tile = spark.sparkContext.broadcast(vecs.collect())
-    vecs.flatMap { case (v1, a, na) =>
-      tile.value.iterator
-        .filter(_._1 > v1)
-        .map { case (v2, b, nb) =>
-          var s = 0.0
-          var i = 0
-          val n = math.min(a.length, b.length)
-          // zero-norm guard: 0/0 would be NaN, which Spark sorts above
-          // every real double
-          val cos = if (na == 0.0 || nb == 0.0) 0.0 else {
-            while (i < n) { s += a(i) * b(i); i += 1 }
-            s / (na * nb)
+      .persist()
+    try {
+      val total = vecs.count()
+      // bounded-size tiles: only one tile's vectors are ever resident on the
+      // driver / in a live broadcast at a time; tile membership is a pure
+      // function of the id, so the emitted pair set is independent of nTiles
+      val nTiles = math.max(1L, (total + maxBroadcastRows - 1) / maxBroadcastRows).toInt
+      val tileResults = (0 until nTiles).map { t =>
+        val tileRows = vecs.filter(r => java.lang.Math.floorMod(r._1, nTiles.toLong) == t.toLong)
+        val tile = spark.sparkContext.broadcast(tileRows.collect())
+        val pairs = vecs.flatMap { case (v1, a, na) =>
+          tile.value.iterator
+            .filter(_._1 > v1)
+            .map { case (v2, b, nb) =>
+              var s = 0.0
+              var i = 0
+              val n = math.min(a.length, b.length)
+              // zero-norm guard: 0/0 would be NaN, which Spark sorts above
+              // every real double
+              val cos = if (na == 0.0 || nb == 0.0) 0.0 else {
+                while (i < n) { s += a(i) * b(i); i += 1 }
+                s / (na * nb)
+              }
+              (v1, v2, cos)
+            }
+            // filter on the TRUE cosine (identical arithmetic both engines);
+            // a rounded-value filter would admit boundary pairs
+            .filter(_._3 >= tau)
+            .map { case (v1, v2, cos) =>
+              (v1, v2, math.floor(cos * 10000.0 + 0.5) / 10000.0)
+            }
+        }
+        // materialize this tile's (small, above-tau) pairs so the broadcast
+        // can be released before the next tile is collected
+        val out =
+          if (nTiles == 1) pairs
+          else {
+            val cp = pairs.localCheckpoint(true)
+            tile.destroy()
+            cp
           }
-          (v1, v2, cos)
-        }
-        // filter on the TRUE cosine (identical arithmetic both engines);
-        // a rounded-value filter would admit boundary pairs
-        .filter(_._3 >= tau)
-        .map { case (v1, v2, cos) =>
-          (v1, v2, math.floor(cos * 10000.0 + 0.5) / 10000.0)
-        }
-    }.toDF("v1", "v2", "cos")
+        out
+      }
+      tileResults.reduce(_ union _).toDF("v1", "v2", "cos")
+    } finally {
+      // safe to schedule: single-tile plans compute from the persisted
+      // dataset lazily, but unpersist is blocking=false by default and the
+      // data is recomputable from lineage
+      vecs.unpersist()
+    }
   }
 
   /** ANN via random-hyperplane LSH (the scale path): normalize vectors so

@@ -91,7 +91,7 @@ object DataQueries {
     TextAnalysis.langStats(t(s, dir, "documents")).orderBy("lang")
 
   val q25Oracle: String =
-    """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        floor((CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS avg_tokens,
        COUNT(DISTINCT source) AS n_sources
        FROM documents GROUP BY lang ORDER BY lang"""

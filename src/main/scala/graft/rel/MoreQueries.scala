@@ -102,7 +102,7 @@ object MoreQueries {
 
   val q51Oracle: String =
     """SELECT o_orderpriority,
-       count_if(o_totalprice > 200000) AS n_big,
+       CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
        bool_and(o_totalprice > 1000) AS all_over_1k,
        bool_or(o_totalprice > 450000) AS any_over_450k
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""

@@ -563,8 +563,8 @@ object Queries {
        sessions AS (
          SELECT user_id, sess_id, COUNT(*) AS n_ev, MAX(ts_us) - MIN(ts_us) AS dur_us
          FROM sessed GROUP BY user_id, sess_id)
-       SELECT user_id, COUNT(*) AS n_sessions, SUM(n_ev) AS n_events,
-         SUM(dur_us) // 1000000 AS total_dur_s, MAX(n_ev) AS max_session_events
+       SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_ev) AS BIGINT) AS n_events,
+         CAST(SUM(dur_us) // 1000000 AS BIGINT) AS total_dur_s, MAX(n_ev) AS max_session_events
        FROM sessions GROUP BY user_id ORDER BY user_id"""
 
   // ---- B27 tumbling time buckets (batch) ---------------------------------------

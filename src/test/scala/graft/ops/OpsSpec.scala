@@ -69,6 +69,17 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(got - want) < 1e-12)
   }
 
+  test("cosinePairs: multi-tile broadcast emits the identical pair set") {
+    val one = Similarity.cosinePairs(embs, "vec_id", "embedding", tau = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // force several tiles on the 500-row fixture
+    val tiled = Similarity.cosinePairs(embs, "vec_id", "embedding", tau = 0.4,
+        maxBroadcastRows = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(one.nonEmpty)
+    assert(tiled == one)
+  }
+
   test("ANN-LSH recall >= 0.6 of brute-force top-5 on embeddings") {
     val qids = (0L until 10L)
     val bf = Similarity.cosineTopK(embs, "vec_id", "embedding", qids, 5)
