@@ -15,12 +15,14 @@ object PlanProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.drop(1).foreach { name =>
+      val tb = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
+      val build = (System.nanoTime() - tb) / 1e9
       println(s"==== $name ====")
       df.explain("formatted")
       val t0 = System.nanoTime()
       val n = df.count()
-      println(f"==== $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"==== $name: $n rows, build $build%.2f s + exec ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }

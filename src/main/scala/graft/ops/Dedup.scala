@@ -32,29 +32,83 @@ object Dedup {
     df.groupBy(md5(lower(col(textCol))).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word n-gram shingles. A Scala UDF rather than a
-    * transform/sequence column chain: the HOF lambda indexes the token
-    * array n times per shingle and CollapseProject re-inlines the
+  /** Distinct word n-gram shingles from the raw text. A Scala UDF rather
+    * than a transform/sequence column chain: the HOF lambda indexes the
+    * token array n times per shingle and CollapseProject re-inlines the
     * `split()` into every access, re-tokenizing the document ~3n× per row
     * (observed 10× slowdown at sf0.1); the UDF evaluates once per row
-    * (SURVEY §7.3: per-row string kernels are UDF-class). */
-  def shinglesKernel(toks: Seq[String], n: Int): Seq[String] =
-    if (toks == null || toks.length < n) Seq.empty
-    else {
-      val seen = new java.util.LinkedHashSet[String]()
-      var i = 0
-      while (i + n <= toks.length) {
-        seen.add(toks.slice(i, i + n).mkString(" "))
-        i += 1
+    * (SURVEY §7.3: per-row string kernels are UDF-class). Tokenization is
+    * `split(" ", -1)` — identical to Spark's `split(text, " ")` and
+    * DuckDB's `string_split(text, ' ')`, which the oracles use. */
+  def shinglesFromText(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val toks = text.split(" ", -1)
+    if (toks.length < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
       }
-      import scala.jdk.CollectionConverters._
-      seen.asScala.toSeq
+      seen.add(sb.toString)
+      i += 1
     }
+    seen.toArray(new Array[String](seen.size))
+  }
 
-  private val shinglesUdf = udf((toks: Seq[String], n: Int) => shinglesKernel(toks, n))
+  /** Token-array form kept for spec-level micro tests. */
+  def shinglesKernel(toks: Seq[String], n: Int): Seq[String] =
+    if (toks == null) Seq.empty
+    else shinglesFromText(toks.mkString(" "), n).toSeq
+
+  private val shinglesUdf = udf((text: String, n: Int) => shinglesFromText(text, n))
 
   def shingles(textCol: Column, n: Int): Column =
-    shinglesUdf(split(textCol, " "), lit(n))
+    shinglesUdf(textCol, lit(n))
+
+  private[ops] def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Distinct shingles as 64-bit FNV-1a hashes of the joined-with-space
+    * shingle string, computed incrementally — the shingle string is never
+    * materialized. Bit-identical to fnv64(shinglesFromText(..)(i)), so
+    * hash-domain operators compose with the string-domain ones. 64-bit
+    * collisions alter a Jaccard count with probability ~|A|·|B|/2^64 per
+    * pair — negligible against the oracle at any feasible corpus size. */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val toks = text.split(" ", -1)
+    if (toks.length < n) return Array.emptyLongArray
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](toks.length - n + 1)
+    var m = 0
+    var i = 0
+    while (i + n <= toks.length) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) {
+        if (j > 0) { h ^= ' '; h *= 0x100000001b3L }
+        val t = toks(i + j)
+        var c = 0
+        while (c < t.length) { h ^= t.charAt(c); h *= 0x100000001b3L; c += 1 }
+        j += 1
+      }
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, m)
+  }
+
+  private val shingleHashesUdf = udf((text: String, n: Int) => shingleHashes(text, n))
 
   /** Exact n-gram-Jaccard near-duplicate pairs (declared oracle-checkable
     * form, SURVEY B22): explode distinct shingles, self-join on shingle
@@ -65,42 +119,76 @@ object Dedup {
     * join is selective.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, tau: Double): DataFrame = {
-    val withSh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
+                   n: Int, tau: Double,
+                   hotThreshold: Long = 2L, maxHotShingles: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    // Everything downstream works in the 64-bit shingle-hash domain: 4×
+    // smaller shuffles than string shingles and long-typed joins/
+    // intersections. Materialize the hash arrays once: this node feeds the
+    // hot-shingle scan, the prefix branch AND both verification joins;
+    // without it each consumer re-runs the tokenize+shingle kernel over
+    // the full corpus (3+ passes observed).
+    val base = df.select(col(idCol).as("doc"),
+        shingleHashesUdf(col(textCol), lit(n)).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("sz", size(col("sh")))
-    val sh = withSh.select(col("doc"), col("sz"), explode(col("sh")).as("shingle"))
-    // Prefix filtering (exact-preserving): under any single GLOBAL shingle
-    // order, a pair with jaccard >= tau must share at least one shingle
-    // inside each side's first (sz - ceil(tau*sz) + 1) shingles; ordering
-    // rarest-first makes those prefixes low-frequency, so the candidate
-    // join touches few pairs even when some shingles are corpus-hot.
-    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("freq"))
-    val ordered = sh.join(freq, "shingle")
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("doc").orderBy(col("freq"), col("shingle"))))
-    val prefix = ordered.where(col("rnk") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
-      .select("doc", "sz", "shingle")
-    // candidates: prefix-share + size-ratio prune (jaccard <= min/max)
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc") &&
-          col("a.sz") <= col("b.sz") / tau && col("b.sz") <= col("a.sz") / tau)
-      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
-      .distinct()
-    // exact verification on the candidate set only
-    val sets = withSh.select(col("doc"), col("sh"))
-    cand
-      .join(sets.withColumnRenamed("doc", "d1").withColumnRenamed("sh", "sh1"), "d1")
-      .join(sets.withColumnRenamed("doc", "d2").withColumnRenamed("sh", "sh2"), "d2")
-      // filter on the TRUE ratio (identical integer operands -> identical
-      // double comparison in both engines): a rounded-value filter would
-      // admit boundary pairs (true J in [tau-0.00005, tau)) that the
-      // prefix/size pruning above is NOT guaranteed to retain; round only
-      // for display
-      .withColumn("_j", size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-        size(array_union(col("sh1"), col("sh2"))))
-      .where(col("_j") >= tau)
-      .select(col("d1"), col("d2"), graft.Stable.r4(col("_j")).as("jaccard"))
+      .persist()
+    try {
+      // Corpus-hot shingles, bounded to a broadcastable map: anything with
+      // freq > hotThreshold, capped at the maxHotShingles hottest. One
+      // groupBy over the exploded hashes — replaces the freq-join +
+      // per-doc window (3 shuffles of the full exploded table) that a full
+      // frequency sort would need. The cap keeps the map bounded at any
+      // corpus size while still demoting exactly the flood-making hot
+      // shingles.
+      val hot: Map[Long, Long] = base.select(explode(col("sh")).as("s"))
+        .groupBy("s").agg(count(lit(1)).as("f"))
+        .where(col("f") > hotThreshold)
+        .orderBy(col("f").desc, col("s"))
+        .limit(maxHotShingles)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hotB = spark.sparkContext.broadcast(hot)
+      // One consistent GLOBAL total order over the shingle universe:
+      // (frequency if hot else 1, hash). Cold shingles sort first in hash
+      // order, hot ones sink below them by true frequency — the
+      // rarest-first property that keeps candidate prefixes selective,
+      // computed per row with no shuffle.
+      val sortUdf = udf((sh: Seq[Long]) => {
+        val m = hotB.value
+        sh.sortBy(h => (m.getOrElse(h, 1L), h))
+      })
+      val withSh = base.select(col("doc"), sortUdf(col("sh")).as("sh"))
+        .withColumn("sz", size(col("sh")))
+        .localCheckpoint() // eager: safe to unpersist base afterwards
+      // Prefix filtering (exact-preserving): under any single GLOBAL
+      // shingle order, a pair with jaccard >= tau must share at least one
+      // shingle inside each side's first (sz - ceil(tau*sz) + 1) shingles.
+      // The arrays are pre-sorted, so the prefix is an array slice and
+      // only the (short) prefixes are ever exploded.
+      val prefLen = (col("sz") - ceil(lit(tau) * col("sz")) + lit(1)).cast("int")
+      val prefix = withSh
+        .select(col("doc"), col("sz"),
+          explode(slice(col("sh"), lit(1), prefLen)).as("shingle"))
+      // candidates: prefix-share + size-ratio prune (jaccard <= min/max)
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc") &&
+            col("a.sz") <= col("b.sz") / tau && col("b.sz") <= col("a.sz") / tau)
+        .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+        .distinct()
+      // exact verification on the candidate set only
+      val sets = withSh.select(col("doc"), col("sh"))
+      cand
+        .join(sets.withColumnRenamed("doc", "d1").withColumnRenamed("sh", "sh1"), "d1")
+        .join(sets.withColumnRenamed("doc", "d2").withColumnRenamed("sh", "sh2"), "d2")
+        // filter on the TRUE ratio (identical integer operands -> identical
+        // double comparison in both engines): a rounded-value filter would
+        // admit boundary pairs (true J in [tau-0.00005, tau)) that the
+        // prefix/size pruning above is NOT guaranteed to retain; round only
+        // for display
+        .withColumn("_j", size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
+        .where(col("_j") >= tau)
+        .select(col("d1"), col("d2"), graft.Stable.r4(col("_j")).as("jaccard"))
+    } finally base.unpersist()
   }
 
   /** One 64-bit minhash signature per seed slot: FNV-1a base hash of the

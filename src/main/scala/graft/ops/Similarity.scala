@@ -176,8 +176,12 @@ object Similarity {
     val data = emb.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("arr"))
       .withColumn("v", toVec(col("arr")))
+    // coarse-quantizer config: few iterations suffice — cell boundaries
+    // only gate candidate recall (asserted in the spec), they are not a
+    // clustering deliverable (kmeans|| init stays: random init measurably
+    // drops recall on small corpora)
     val km = new KMeans().setK(nCells).setSeed(42L).setFeaturesCol("v")
-      .setPredictionCol("cell")
+      .setPredictionCol("cell").setMaxIter(8)
     val model = km.fit(data)
     val centers = model.clusterCenters.map(_.toArray)
     val centersB = spark.sparkContext.broadcast(centers)
