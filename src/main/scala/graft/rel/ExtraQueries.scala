@@ -1,0 +1,176 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Third relational batch (round 3): distribution window functions, map
+  * higher-order functions, CSV source/sink round-trip, oracle-checked
+  * salted skew aggregation, and the native `session_window` operator on
+  * batch input. Oracle discipline as in [[Queries]] (decimal sums,
+  * BIGINT casts, Stable.r4, deterministic ORDER BY over a unique key).
+  */
+object ExtraQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  // ---- distribution window functions (ntile / percent_rank / cume_dist) -----
+
+  /** B11/B12 completion: the distribution-function class. Ordering is made
+    * unique with the key tie-break so rank-family values are identical in
+    * both engines; percent_rank/cume_dist are exact rationals of the same
+    * integers, rounded by the shared Stable.r4 formula. */
+  def q63WindowDistribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .where(col("o_orderdate").between(lit("1995-01-01"), lit("1995-03-31")))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("tile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", graft.Stable.r4(percent_rank().over(w)))
+      .withColumn("cdist", graft.Stable.r4(cume_dist().over(w)))
+      .withColumn("top_key", first(col("o_orderkey")).over(w))
+      .orderBy("o_orderkey")
+  }
+
+  val q63Oracle: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+       CAST(ntile(4) OVER w AS BIGINT) AS tile,
+       floor((percent_rank() OVER w) * 10000.0 + 0.5) / 10000.0 AS pct_rank,
+       floor((cume_dist() OVER w) * 10000.0 + 0.5) / 10000.0 AS cdist,
+       first_value(o_orderkey) OVER w AS top_key
+       FROM orders
+       WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+       ORDER BY o_orderkey"""
+
+  // ---- map higher-order functions -------------------------------------------
+
+  /** B18 completion: the map-function class (map_from_arrays, map_keys,
+    * map_values, map_filter, element_at, aggregate-over-values) over the
+    * distinct-token map of each document. All outputs are order-insensitive
+    * set summaries, so list_distinct order differences are immaterial. */
+  def q64MapFuncs(s: SparkSession, dir: String): DataFrame = {
+    val toks = array_distinct(split(col("text"), " "))
+    val m = map_from_arrays(toks, transform(toks, tk => length(tk)))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(map_keys(m)).cast("long").as("n_keys"),
+        element_at(m, array_min(map_keys(m))).cast("long").as("min_tok_len"),
+        size(map_keys(map_filter(m, (_, v) => v > 5))).cast("long").as("n_long"),
+        aggregate(map_values(m), lit(0), (acc, v) => acc + v).cast("long").as("sum_len"))
+      .orderBy("doc_id")
+  }
+
+  val q64Oracle: String =
+    """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                  FROM documents)
+       SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_keys,
+         CAST(length(list_min(toks)) AS BIGINT) AS min_tok_len,
+         CAST(len(list_filter(toks, x -> length(x) > 5)) AS BIGINT) AS n_long,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len
+       FROM d ORDER BY doc_id"""
+
+  // ---- CSV source/sink round-trip --------------------------------------------
+
+  /** A2-adjacent source/sink surface: write orders to headered CSV, read it
+    * back with an explicit schema (never inferred), aggregate. Doubles
+    * round-trip exactly through Java's shortest-round-trippable text form;
+    * the oracle aggregates the original parquet, so any sink/source
+    * fidelity loss fails the hash. */
+  def q65CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read
+      .schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE, o_orderdate DATE, o_orderpriority STRING")
+      .option("header", "true").csv(tmp)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"),
+        max(col("o_orderdate")).as("last_date"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q65Oracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+       MAX(o_orderdate) AS last_date
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // ---- salted two-stage aggregation (skew path, oracle-checked) --------------
+
+  /** The skew-mitigation scale path as a declared query: lineitem grouped
+    * by the 3-value (maximally hot) returnflag key through
+    * [[graft.ops.Skew.saltedCountSum]] — stage 1 fans each hot key over 16
+    * salt buckets, stage 2 merges partials. The oracle is the plain GROUP
+    * BY, so the equivalence that makes salting safe is hash-checked. */
+  def q66SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skew.saltedCountSum(t(s, dir, "lineitem"),
+        key = col("l_returnflag"),
+        uniqueId = concat_ws("#", col("l_orderkey"), col("l_linenumber")),
+        valueCol = col("l_extendedprice"),
+        saltBuckets = 16)
+      .orderBy("k")
+
+  val q66Oracle: String =
+    """SELECT l_returnflag AS k, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+       FROM lineitem GROUP BY l_returnflag ORDER BY k"""
+
+  // ---- native session_window on batch input ----------------------------------
+
+  /** B26/B28 bridge: Spark's built-in `session_window` generator run on
+    * batch input (the same transform `streaming/Events.sessionCounts`
+    * serves from a stream). Spark starts a new session when the gap is
+    * >= 30 min (windows merge only on strict overlap); the oracle's
+    * lag/cumsum form replicates that boundary exactly. */
+  def q67SessionWindow(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Events.sessionCounts(t(s, dir, "events"))
+      .orderBy("user_id", "session_start_s")
+
+  val q67Oracle: String =
+    """WITH e AS (
+         SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+       flagged AS (
+         SELECT user_id, ts_us,
+           CASE WHEN LAG(ts_us) OVER w IS NULL
+                  OR ts_us - LAG(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       sessed AS (
+         SELECT user_id, ts_us,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM flagged)
+       SELECT user_id,
+         CAST(MIN(ts_us) // 1000000 AS BIGINT) AS session_start_s,
+         COUNT(*) AS n_ev
+       FROM sessed GROUP BY user_id, sid
+       ORDER BY user_id, session_start_s"""
+
+  // ---- registry ---------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_window_distribution" -> (q63WindowDistribution _),
+    "q64_map_funcs" -> (q64MapFuncs _),
+    "q65_csv_roundtrip" -> (q65CsvRoundtrip _),
+    "q66_salted_agg" -> (q66SaltedAgg _),
+    "q67_session_window" -> (q67SessionWindow _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q63_window_distribution" -> q63Oracle,
+    "q64_map_funcs" -> q64Oracle,
+    "q65_csv_roundtrip" -> q65Oracle,
+    "q66_salted_agg" -> q66Oracle,
+    "q67_session_window" -> q67Oracle,
+  )
+}
