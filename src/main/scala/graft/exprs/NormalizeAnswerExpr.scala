@@ -55,14 +55,26 @@ object GraftFunctions {
     "graft_normalize(str) - RC-RAG answer normalization: lower, strip punctuation, drop articles, collapse whitespace.",
     "")
 
-  def register(spark: SparkSession): Unit =
+  private val dotInfo = new ExpressionInfo(
+    classOf[DotProductExpr].getName, null, "graft_dot",
+    "graft_dot(arr, arr) - dot product of two ARRAY<DOUBLE> columns (codegen, ascending fold).",
+    "")
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_normalize"), normalizeInfo,
       (exprs: Seq[Expression]) => NormalizeAnswerExpr(exprs.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_dot"), dotInfo,
+      (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1)))
+  }
 
-  def inject(ext: SparkSessionExtensions): Unit =
+  def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_normalize"), normalizeInfo,
       (exprs: Seq[Expression]) => NormalizeAnswerExpr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_dot"), dotInfo,
+      (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1))))
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

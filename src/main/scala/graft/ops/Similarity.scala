@@ -21,21 +21,22 @@ object Similarity {
 
   /** Sequential left-fold dot product — the exact evaluation order of
     * DuckDB's list_cosine_similarity, which makes cosine queries
-    * oracle-checkable bit-for-bit before rounding. A JIT'd UDF loop, not
-    * a zip_with/aggregate HOF chain: the HOF lambdas evaluate
-    * interpreted per element (~100× slower on million-pair scans). */
-  val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
-    val n = math.min(a.length, b.length)
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
-  })
+    * oracle-checkable bit-for-bit before rounding. Backed by the native
+    * codegen [[graft.exprs.DotProductExpr]] (reads doubles straight from
+    * ArrayData inside whole-stage codegen); a zip_with/aggregate HOF
+    * chain evaluates its lambdas interpreted per element (~100× slower
+    * on million-pair scans), and a Scala UDF pays a boxed Seq[Double]
+    * conversion per call. */
+  def dot(a: Column, b: Column): Column = {
+    graft.exprs.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active) // idempotent re-register
+    call_function("graft_dot", a, b)
+  }
 
   /** Cosine of two double-array columns (per-pair self-dots; for bulk
     * scans precompute the norms once per vector — see [[cosineTopK]]). */
   def cosine(a: Column, b: Column): Column =
-    dotUdf(a, b) / (sqrt(dotUdf(a, a)) * sqrt(dotUdf(b, b)))
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Brute-force cosine top-k: for each query vector (id in `queryIds`),
     * the k nearest candidates by cosine. Norms are computed once per
@@ -46,7 +47,7 @@ object Similarity {
                  queryIds: Seq[Long], k: Int): DataFrame = {
     val asDouble = emb.select(col(idCol).as("vid"),
         col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(dotUdf(col("v"), col("v"))))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val queries = asDouble.where(col("vid").isin(queryIds: _*))
       .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     // zero-norm guard: 0/0 = NaN sorts ABOVE every real double in a
@@ -55,7 +56,7 @@ object Similarity {
     val scored = asDouble.join(broadcast(queries), col("vid") =!= col("qid"))
       .select(col("qid"), col("vid").as("cand"),
         graft.Stable.r4(when(denom === 0.0, 0.0)
-          .otherwise(dotUdf(col("qv"), col("v")) / denom)).as("cos"))
+          .otherwise(dot(col("qv"), col("v")) / denom)).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select("qid", "cand", "cos", "rn")
@@ -198,7 +199,7 @@ object Similarity {
       }.take(nProbe)
     })
     // norms once per vector (not per pair — see cosineTopK), zero-guarded
-    val withNrm = assigned.withColumn("nrm", sqrt(dotUdf(col("arr"), col("arr"))))
+    val withNrm = assigned.withColumn("nrm", sqrt(dot(col("arr"), col("arr"))))
     val queries = withNrm.where(col("vid").isin(queryIds: _*))
       .select(col("vid").as("qid"), col("arr").as("qarr"), col("nrm").as("qnrm"),
         explode(probeCells(col("arr"))).as("cell"))
@@ -207,7 +208,7 @@ object Similarity {
       .where(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid").as("cand"),
         graft.Stable.r4(when(denom === 0.0, 0.0)
-          .otherwise(dotUdf(col("qarr"), col("arr")) / denom)).as("cos"))
+          .otherwise(dot(col("qarr"), col("arr")) / denom)).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select("qid", "cand", "cos", "rn")

@@ -56,9 +56,10 @@ object TextAnalysis {
           when(tokenCount(text) >= 10, 0.2).otherwise(0.0)))
 
   /** Character-trigram language-ID heuristic: score each candidate
-    * language by hits of its signature trigrams/words, argmax with
-    * alphabetical tie-break. Deterministic; spec-tested (no oracle —
-    * the signature tables live here, not in SQL). */
+    * language by NON-overlapping hits of its signature trigrams/words
+    * (replace-count semantics, so the score is SQL-expressible), argmax
+    * with greatest-language tie-break. Deterministic; oracle-checked
+    * (q37 builds the equivalent DuckDB SQL from this same table). */
   val LangSignatures: Map[String, Seq[String]] = Map(
     "en" -> Seq(" the ", " and ", " of ", " is ", "ing "),
     "de" -> Seq(" der ", " und ", " die ", " ist ", "sch"),
@@ -71,8 +72,10 @@ object TextAnalysis {
     val padded = " " + text.toLowerCase + " "
     val scores = LangSignatures.map { case (lang, sigs) =>
       lang -> sigs.map { s =>
+        // non-overlapping count (advance past the match) — identical to
+        // (len(t) - len(replace(t, s, ''))) / len(s) in SQL
         var c = 0; var i = padded.indexOf(s)
-        while (i >= 0) { c += 1; i = padded.indexOf(s, i + 1) }
+        while (i >= 0) { c += 1; i = padded.indexOf(s, i + s.length) }
         c
       }.sum
     }

@@ -273,6 +273,34 @@ object DataQueries {
         TextAnalysis.languageIdUdf(col("text")).as("lang_guess"))
       .orderBy("doc_id")
 
+  /** Oracle generated from [[TextAnalysis.LangSignatures]] itself (single
+    * source of truth): per-language score = Σ non-overlapping signature
+    * counts via replace-count, argmax with greatest-language tie-break —
+    * exactly the kernel's semantics. */
+  val q37Oracle: String = {
+    def q(str: String) = "'" + str.replace("'", "''") + "'"
+    val langs = TextAnalysis.LangSignatures.toSeq.sortBy(_._1)
+    val scoreExprs = langs.map { case (lang, sigs) =>
+      val terms = sigs.map(sg =>
+        s"(length(p) - length(replace(p, ${q(sg)}, ''))) // ${sg.length}")
+      s"${terms.mkString(" + ")} AS sc_$lang"
+    }.mkString(",\n         ")
+    val scCols = langs.map { case (lang, _) => s"sc_$lang" }.mkString(", ")
+    val tieBreak = langs.reverse.init.map { case (lang, _) =>
+      s"WHEN sc_$lang = mx THEN '$lang'"
+    }.mkString("\n            ")
+    s"""WITH t AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents),
+       sc AS (SELECT doc_id, lang,
+         $scoreExprs
+       FROM t),
+       g AS (SELECT doc_id, lang, $scCols, greatest($scCols) AS mx FROM sc)
+       SELECT doc_id, lang,
+         CASE WHEN mx = 0 THEN 'und'
+            $tieBreak
+            ELSE '${langs.head._1}' END AS lang_guess
+       FROM g ORDER BY doc_id"""
+  }
+
   def q38DocFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
@@ -696,6 +724,7 @@ object DataQueries {
     "q31_normalize_em" -> q31Oracle,
     "q32_multimodal_features" -> q32Oracle,
     "q33_token_count" -> q33Oracle,
+    "q37_lang_id" -> q37Oracle,
     "q40_rag_eval_pipeline" -> q40Oracle,
     "q41_rag_eval_probability" -> q41Oracle,
     "q44_dedup_embedding" -> q44Oracle,

@@ -130,9 +130,11 @@ object ExtraQueries {
 
   /** B26/B28 bridge: Spark's built-in `session_window` generator run on
     * batch input (the same transform `streaming/Events.sessionCounts`
-    * serves from a stream). Spark starts a new session when the gap is
-    * >= 30 min (windows merge only on strict overlap); the oracle's
-    * lag/cumsum form replicates that boundary exactly. */
+    * serves from a stream). Spark merges session windows that touch OR
+    * overlap, so a gap of exactly 30 min stays in the SAME session and a
+    * new session starts only when the gap is strictly greater (pinned by
+    * the boundary spec in StreamingSpec); the oracle's lag/cumsum form
+    * replicates that boundary exactly. */
   def q67SessionWindow(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Events.sessionCounts(t(s, dir, "events"))
       .orderBy("user_id", "session_start_s")
@@ -143,7 +145,7 @@ object ExtraQueries {
        flagged AS (
          SELECT user_id, ts_us,
            CASE WHEN LAG(ts_us) OVER w IS NULL
-                  OR ts_us - LAG(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+                  OR ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
        sessed AS (
          SELECT user_id, ts_us,

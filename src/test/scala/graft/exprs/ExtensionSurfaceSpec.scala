@@ -35,6 +35,36 @@ class ExtensionSurfaceSpec extends AnyFunSuite {
     assert(folded.contains("x AS"), folded) // constant-folded at optimize time
   }
 
+  test("graft_dot: exact ascending-fold value, nulls, codegen, length mismatch") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)))
+      .toDF("a", "b").createOrReplaceTempView("dot_in")
+    val got = spark.sql("SELECT graft_dot(a, b) FROM dot_in").as[Double].collect()(0)
+    assert(got == 32.0) // exact: ((1*4) + 2*5) + 3*6, ascending fold
+    // shorter side bounds the fold
+    val short = spark.sql("SELECT graft_dot(array(2.0D, 3.0D), array(10.0D))")
+      .as[Double].collect()(0)
+    assert(short == 20.0)
+    val nul = spark.sql("SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D))")
+      .collect()(0)
+    assert(nul.isNullAt(0))
+    // stays inside whole-stage codegen (no UDF serialization boundary)
+    graft.rel.Tables.load(spark, SparkTestBase.Sf0001, "embeddings")
+      .selectExpr("CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .createOrReplaceTempView("dot_plan_in")
+    val plan = spark.sql("SELECT graft_dot(v, v) FROM dot_plan_in")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") || plan.contains("WholeStageCodegen"), plan)
+    // interpreted eval path (no codegen) agrees with the codegen path
+    val e = DotProductExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(1.0, 2.0, 3.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(4.0, 5.0, 6.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+    assert(e.eval(null) == 32.0)
+  }
+
   test("ConfusionAggregator equals Stages.confusion on the fixture") {
     import spark.implicits._
     val fixture = spark.read.schema(graft.pipeline.Schemas.resultRecord)

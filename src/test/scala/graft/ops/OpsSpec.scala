@@ -69,6 +69,14 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(got - want) < 1e-12)
   }
 
+  test("shingleHashes == fnv64 of the string shingles (hash-domain consistency)") {
+    val texts = Seq("a b c d e", "x y", "", "w w w w", "a b c a b c d")
+    texts.foreach { t =>
+      val strs = Dedup.shinglesFromText(t, 3).map(Dedup.fnv64).toSeq
+      assert(Dedup.shingleHashes(t, 3).toSeq == strs, s"text: '$t'")
+    }
+  }
+
   test("cosinePairs: multi-tile broadcast emits the identical pair set") {
     val one = Similarity.cosinePairs(embs, "vec_id", "embedding", tau = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

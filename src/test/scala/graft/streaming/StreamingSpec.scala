@@ -84,6 +84,22 @@ class StreamingSpec extends AnyFunSuite {
 
   private def tsSec(minute: Int): Long = 1704067200L + minute * 60L
 
+  test("session_window boundary: a gap of exactly 30 min MERGES; 30min1s splits") {
+    // load-bearing for q67's oracle (new session iff diff > gap, strictly):
+    // Spark merges session windows that touch or overlap, so [t, t+30) and
+    // [t+30, ...) DO merge
+    import spark.implicits._
+    val boundary = Seq(
+      Ev(1, ts(0), 1, "click", 1.0),
+      Ev(2, ts(30), 1, "click", 1.0),  // exactly 30:00 later -> same session
+      Ev(3, ts(61), 1, "click", 1.0))  // 31min after #2 -> new session
+    val got = Events.sessionCounts(boundary.toDF())
+      .orderBy("session_start_s")
+      .select("user_id", "session_start_s", "n_ev")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, tsSec(0), 2L), (1L, tsSec(61), 1L)))
+  }
+
   test("mapGroupsWithState: per-user running totals accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
