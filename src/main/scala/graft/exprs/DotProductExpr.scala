@@ -14,8 +14,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * order DuckDB's list_cosine_similarity uses, so cosine queries built on
   * it remain oracle-comparable bit-for-bit before rounding.
   *
-  * Null elements inside the arrays are not expected (embedding vectors
-  * are dense); a null array yields null.
+  * Null handling matches builtin arithmetic: a null array OR a null
+  * element in either array's folded range yields null (no silent
+  * treat-as-zero).
   */
 case class DotProductExpr(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -39,7 +40,11 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -52,6 +57,7 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $x.getDouble($i) * $y.getDouble($i);
          |}
          |${ev.value} = $acc;

@@ -28,8 +28,13 @@ object Similarity {
     * on million-pair scans), and a Scala UDF pays a boxed Seq[Double]
     * conversion per call. */
   def dot(a: Column, b: Column): Column = {
-    graft.exprs.GraftFunctions.register(
-      org.apache.spark.sql.SparkSession.active) // idempotent re-register
+    // best-effort registration for bare-Column callers; the DataFrame
+    // operators below also register on their own df.sparkSession, which
+    // covers multi-session and helper-thread setups where no session is
+    // active at Column-construction time
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(graft.exprs.GraftFunctions.register)
     call_function("graft_dot", a, b)
   }
 
@@ -45,6 +50,7 @@ object Similarity {
     * across engines and partitionings. */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
                  queryIds: Seq[Long], k: Int): DataFrame = {
+    graft.exprs.GraftFunctions.register(emb.sparkSession)
     val asDouble = emb.select(col(idCol).as("vid"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
@@ -87,11 +93,20 @@ object Similarity {
     try {
       val total = vecs.count()
       // bounded-size tiles: only one tile's vectors are ever resident on the
-      // driver / in a live broadcast at a time; tile membership is a pure
-      // function of the id, so the emitted pair set is independent of nTiles
+      // driver / in a live broadcast at a time; tile membership hashes the
+      // id (splitmix64 finalizer) so tiles stay balanced even for ids with
+      // fixed residues (raw id mod nTiles would put all multiples of k in
+      // one tile); still a pure function of the id, so the emitted pair
+      // set is independent of nTiles
+      def tileOf(id: Long, nTiles: Int): Long = {
+        var v = id + 0x9E3779B97F4A7C15L
+        v = (v ^ (v >>> 30)) * 0xBF58476D1CE4E5B9L
+        v = (v ^ (v >>> 27)) * 0x94D049BB133111EBL
+        java.lang.Math.floorMod(v ^ (v >>> 31), nTiles.toLong)
+      }
       val nTiles = math.max(1L, (total + maxBroadcastRows - 1) / maxBroadcastRows).toInt
       val tileResults = (0 until nTiles).map { t =>
-        val tileRows = vecs.filter(r => java.lang.Math.floorMod(r._1, nTiles.toLong) == t.toLong)
+        val tileRows = vecs.filter(r => tileOf(r._1, nTiles) == t.toLong)
         val tile = spark.sparkContext.broadcast(tileRows.collect())
         val pairs = vecs.flatMap { case (v1, a, na) =>
           tile.value.iterator
@@ -173,6 +188,7 @@ object Similarity {
               queryIds: Seq[Long], k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val spark = emb.sparkSession
+    graft.exprs.GraftFunctions.register(spark)
     val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
     val data = emb.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("arr"))

@@ -295,7 +295,7 @@ object DataQueries {
        FROM t),
        g AS (SELECT doc_id, lang, $scCols, greatest($scCols) AS mx FROM sc)
        SELECT doc_id, lang,
-         CASE WHEN mx = 0 THEN 'und'
+         CASE WHEN mx IS NULL OR mx = 0 THEN 'und'
             $tieBreak
             ELSE '${langs.head._1}' END AS lang_guess
        FROM g ORDER BY doc_id"""

@@ -84,7 +84,10 @@ object ExtraQueries {
     * the oracle aggregates the original parquet, so any sink/source
     * fidelity loss fails the hash. */
   def q65CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+    // fixed per-sfDir path (mode=overwrite), so repeated Verify/Bench runs
+    // reuse one directory instead of leaking a fresh temp copy per call
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_csv_roundtrip_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
     t(s, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
@@ -143,13 +146,13 @@ object ExtraQueries {
     """WITH e AS (
          SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
        flagged AS (
-         SELECT user_id, ts_us,
+         SELECT user_id, event_id, ts_us,
            CASE WHEN LAG(ts_us) OVER w IS NULL
                   OR ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
        sessed AS (
          SELECT user_id, ts_us,
-           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
          FROM flagged)
        SELECT user_id,

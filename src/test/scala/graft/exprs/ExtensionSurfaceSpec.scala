@@ -49,6 +49,11 @@ class ExtensionSurfaceSpec extends AnyFunSuite {
     val nul = spark.sql("SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D))")
       .collect()(0)
     assert(nul.isNullAt(0))
+    // a null ELEMENT propagates null too (no silent treat-as-zero)
+    val nulElem = spark.sql(
+      "SELECT graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(2.0D, 5.0D))")
+      .collect()(0)
+    assert(nulElem.isNullAt(0))
     // stays inside whole-stage codegen (no UDF serialization boundary)
     graft.rel.Tables.load(spark, SparkTestBase.Sf0001, "embeddings")
       .selectExpr("CAST(embedding AS ARRAY<DOUBLE>) AS v")

@@ -89,15 +89,16 @@ class StreamingSpec extends AnyFunSuite {
     // Spark merges session windows that touch or overlap, so [t, t+30) and
     // [t+30, ...) DO merge
     import spark.implicits._
+    val justOver = Timestamp.valueOf("2024-01-01 01:00:01") // 30:01 after #2
     val boundary = Seq(
       Ev(1, ts(0), 1, "click", 1.0),
-      Ev(2, ts(30), 1, "click", 1.0),  // exactly 30:00 later -> same session
-      Ev(3, ts(61), 1, "click", 1.0))  // 31min after #2 -> new session
+      Ev(2, ts(30), 1, "click", 1.0), // exactly 30:00 later -> same session
+      Ev(3, justOver, 1, "click", 1.0)) // 30min 1s after #2 -> new session
     val got = Events.sessionCounts(boundary.toDF())
       .orderBy("session_start_s")
       .select("user_id", "session_start_s", "n_ev")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(got == Seq((1L, tsSec(0), 2L), (1L, tsSec(61), 1L)))
+    assert(got == Seq((1L, tsSec(0), 2L), (1L, tsSec(60) + 1L, 1L)))
   }
 
   test("mapGroupsWithState: per-user running totals accumulate across micro-batches") {

@@ -53,17 +53,15 @@ def main(sf_dir, out_dir):
             for c in got.columns:
                 a, b = got[c], want[c]
                 # Driver gate hashes typed values: DuckDB HUGEINT (e.g. SUM over
-                # BIGINT) surfaces here as float64 vs Spark's int64 and must FAIL,
-                # except the benign case of pandas promoting a nullable int column
-                # to float (detectable: the float side actually holds NaN).
+                # BIGINT) surfaces here as float64 vs Spark's int64 and must FAIL.
+                # (Nullable-int promotion can't cause a spurious kind mismatch:
+                # both frames come through DuckDB's .df(), so matching data gets
+                # matching dtypes; a one-sided NaN fails the value check anyway.)
                 if a.dtype.kind != b.dtype.kind:
-                    kinds = {a.dtype.kind, b.dtype.kind}
-                    float_side = a if a.dtype.kind == 'f' else b
-                    if not (kinds <= {'i', 'u', 'f'} and float_side.isna().any()):
-                        print(f"[FAIL] {name}.{c}: dtype mismatch {a.dtype} vs "
-                              f"{b.dtype} (driver typed hash would differ)")
-                        ok = False
-                        continue
+                    print(f"[FAIL] {name}.{c}: dtype mismatch {a.dtype} vs "
+                          f"{b.dtype} (driver typed hash would differ)")
+                    ok = False
+                    continue
                 if a.dtype.kind == 'f' or b.dtype.kind == 'f':
                     af = a.astype(float).to_numpy()
                     bf = b.astype(float).to_numpy()
