@@ -307,6 +307,28 @@ object DataQueries {
         TextAnalysis.fingerprintUdf(split(col("text"), " ")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Karp-Rabin fingerprint replicated in SQL: DuckDB HUGEINT holds the
+    * 61-bit × 21-bit products exactly, list_reduce folds chars→token hash
+    * →document hash in the kernel's exact order (list_prepend supplies the
+    * zero seed). unicode() = Java charAt for BMP text; the corpus is BMP
+    * (non-BMP surrogate pairs would diverge — documented limit). */
+  val q38Oracle: String =
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       th AS (
+         SELECT doc_id,
+           list_transform(ts, t ->
+             CAST(list_reduce(
+               list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(string_split_regex(t, ''), c -> CAST(unicode(c) AS HUGEINT))),
+               (acc, ch) -> (acc * 131 + ch) % 2305843009213693951) AS HUGEINT)) AS token_hashes
+         FROM toks)
+       SELECT doc_id,
+         CAST(list_reduce(
+           list_prepend(CAST(0 AS HUGEINT), token_hashes),
+           (acc, t) -> (acc * 1000003 + t + 1) % 2305843009213693951) AS BIGINT) AS fingerprint
+       FROM th ORDER BY doc_id"""
+
   // ---- embedding-cosine near-dup (driver contract dedup flavor) --------------
 
   /** Near-duplicate pairs by embedding cosine >= tau: brute-force pair
@@ -725,6 +747,7 @@ object DataQueries {
     "q32_multimodal_features" -> q32Oracle,
     "q33_token_count" -> q33Oracle,
     "q37_lang_id" -> q37Oracle,
+    "q38_doc_fingerprint" -> q38Oracle,
     "q40_rag_eval_pipeline" -> q40Oracle,
     "q41_rag_eval_probability" -> q41Oracle,
     "q44_dedup_embedding" -> q44Oracle,
