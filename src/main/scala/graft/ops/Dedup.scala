@@ -157,10 +157,19 @@ object Dedup {
       // per-doc window (3 shuffles of the full exploded table) that a full
       // frequency sort would need. The cap keeps the map bounded at any
       // corpus size while still demoting exactly the flood-making hot
-      // shingles.
-      val hot: Map[Long, Long] = base.select(explode(col("sh")).as("s"))
+      // shingles. Above hotSampleTarget docs the discovery pass runs on a
+      // deterministic sample (hot shingles are by definition frequent, so
+      // a sample finds them); the resulting order is a DIFFERENT but still
+      // globally consistent total order, which is all prefix-filter
+      // exactness needs — the final output is invariant.
+      val total = base.count()
+      val hotSampleTarget = 2000000L
+      val fraction = math.min(1.0, hotSampleTarget.toDouble / math.max(total, 1L))
+      val discovery = if (fraction >= 1.0) base else base.sample(false, fraction, 42L)
+      val scaledThreshold = math.max(1L, math.floor(hotThreshold * fraction).toLong)
+      val hot: Map[Long, Long] = discovery.select(explode(col("sh")).as("s"))
         .groupBy("s").agg(count(lit(1)).as("f"))
-        .where(col("f") > hotThreshold)
+        .where(col("f") > scaledThreshold)
         .orderBy(col("f").desc, col("s"))
         .limit(maxHotShingles)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -42,6 +42,26 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q63: one shuffle on the window partition key, pushdown of the date filter") {
+    val p = plan("q63_window_distribution")
+    // the date-range predicate reaches the parquet scan
+    assert(p.contains("PushedFilters:") && p.contains("o_orderdate"), p.linesIterator.take(5).mkString("\n"))
+    // the four window functions share the (o_orderpriority, ordering)
+    // spec, so they evaluate over at most two Window nodes (rank-family +
+    // frame-family), not one shuffle per function
+    assert(p.split("\\) Window").length - 1 <= 2, s"expected at most 2 Window nodes, plan:\n$p")
+  }
+
+  test("q66: salted aggregation plans as two hash-aggregate stages, no extra shuffle") {
+    val p = plan("q66_salted_agg")
+    // two-stage: 2 aggregation shuffles (salted stage + merge stage) plus
+    // the final result sort; count tree nodes only (formatted explain
+    // repeats each node in the details section)
+    val exchanges = p.linesIterator.count(_.contains("+- Exchange"))
+    assert(exchanges <= 3, s"expected <=3 exchange tree nodes, got $exchanges:\n$p")
+    assert(p.contains("HashAggregate"))
+  }
+
   test("q09: HLL approx distinct within 5% of exact (B9 no-oracle bound)") {
     import org.apache.spark.sql.functions._
     val events = Tables.load(spark, dir, "events")
