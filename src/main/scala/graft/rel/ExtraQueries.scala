@@ -161,6 +161,22 @@ object ExtraQueries {
        FROM sessed GROUP BY user_id, sid
        ORDER BY user_id, session_start_s"""
 
+  // ---- approx percentile sketch (no-oracle, like q09's HLL) ------------------
+
+  /** Sketch-quantile counterpart to q49's exact percentiles:
+    * `approx_percentile` (Greenwald-Khanna) with accuracy 10000. The
+    * sketch is mergeable, so it scales as a partial+final aggregation —
+    * the 100-TB shape exact percentile (full sort per group) lacks.
+    * No-oracle (sketch internals are engine-specific); the spec bounds
+    * the rank error against q49's exact values. */
+  def q68ApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(graft.Stable.r4(expr("approx_percentile(l_quantity, 0.5, 10000)").cast("double")).as("median_qty"),
+        graft.Stable.r4(expr("approx_percentile(l_quantity, 0.9, 10000)").cast("double")).as("p90_qty"),
+        graft.Stable.r4(expr("approx_percentile(l_extendedprice, 0.25, 10000)").cast("double")).as("p25_price"))
+      .orderBy("l_returnflag")
+
   // ---- registry ---------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -169,6 +185,7 @@ object ExtraQueries {
     "q65_csv_roundtrip" -> (q65CsvRoundtrip _),
     "q66_salted_agg" -> (q66SaltedAgg _),
     "q67_session_window" -> (q67SessionWindow _),
+    "q68_approx_percentile" -> (q68ApproxPercentile _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -76,6 +76,20 @@ class PlanDisciplineSpec extends AnyFunSuite {
     }
   }
 
+  test("q68: approx_percentile within 2% relative error of exact percentiles") {
+    val exact = graft.SparkEntry.queries("q49_percentiles")(spark, dir).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = graft.SparkEntry.queries("q68_approx_percentile")(spark, dir).collect()
+    approx.foreach { r =>
+      val ex = exact(r.getString(0))
+      Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)).zip(ex).foreach {
+        case (a, e) =>
+          assert(math.abs(a - e) <= math.max(0.02 * math.abs(e), 1e-6),
+            s"${r.getString(0)}: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("salted aggregation equals plain aggregation (skew path correctness)") {
     import org.apache.spark.sql.functions._
     val events = Tables.load(spark, dir, "events")

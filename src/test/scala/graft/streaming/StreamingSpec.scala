@@ -101,6 +101,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq((1L, tsSec(0), 2L), (1L, tsSec(60) + 1L, 1L)))
   }
 
+  test("foreachBatch + appendJsonl: streaming twin of A2's append-only sink") {
+    // the reference's record-at-a-time 'a+' JSONL append (utils.py:361-365)
+    // as a streaming sink: each micro-batch appends part files; a re-read
+    // sees the union of all batches, and batch ids give the idempotent
+    // restart boundary the per-record offsets gave the reference
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    val q = mem.toDF().select(col("event_id"), col("user_id"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.pipeline.Sink.appendJsonl(batch, out)
+      }
+      .outputMode("append").start()
+    mem.addData(rows.take(3): _*); q.processAllAvailable()
+    mem.addData(rows.drop(3): _*); q.processAllAvailable()
+    q.stop()
+    val back = spark.read.schema("event_id LONG, user_id LONG, value DOUBLE")
+      .json(out).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(back == rows.map(e => (e.event_id, e.user_id, e.value)).sortBy(_._1))
+  }
+
   test("mapGroupsWithState: per-user running totals accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
