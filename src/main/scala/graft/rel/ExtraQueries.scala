@@ -109,6 +109,32 @@ object ExtraQueries {
        MAX(o_orderdate) AS last_date
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  // ---- ORC source/sink round-trip --------------------------------------------
+
+  /** Same contract as [[q65CsvRoundtrip]] for the ORC columnar format
+    * (Spark-native source/sink): write part, read back, aggregate; the
+    * oracle aggregates the original parquet so a fidelity loss anywhere in
+    * the ORC path fails the hash. */
+  def q69OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_orc_roundtrip_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+    t(s, dir, "part")
+      .select("p_partkey", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        dsum(col("p_retailprice")).as("total_price"),
+        max(col("p_size")).as("max_size"))
+      .orderBy("p_brand")
+  }
+
+  val q69Oracle: String =
+    """SELECT p_brand, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+       MAX(p_size) AS max_size
+       FROM part GROUP BY p_brand ORDER BY p_brand"""
+
   // ---- salted two-stage aggregation (skew path, oracle-checked) --------------
 
   /** The skew-mitigation scale path as a declared query: lineitem grouped
@@ -186,6 +212,7 @@ object ExtraQueries {
     "q66_salted_agg" -> (q66SaltedAgg _),
     "q67_session_window" -> (q67SessionWindow _),
     "q68_approx_percentile" -> (q68ApproxPercentile _),
+    "q69_orc_roundtrip" -> (q69OrcRoundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -194,5 +221,6 @@ object ExtraQueries {
     "q65_csv_roundtrip" -> q65Oracle,
     "q66_salted_agg" -> q66Oracle,
     "q67_session_window" -> q67Oracle,
+    "q69_orc_roundtrip" -> q69Oracle,
   )
 }
