@@ -203,6 +203,70 @@ object ExtraQueries {
         graft.Stable.r4(expr("approx_percentile(l_extendedprice, 0.25, 10000)").cast("double")).as("p25_price"))
       .orderBy("l_returnflag")
 
+  // ---- unpivot (melt — the reshape inverse of q48's pivot) -------------------
+
+  /** Wide-to-long reshape via `Dataset.unpivot` (Catalyst `Unpivot` node):
+    * per-priority status counts melted into (priority, status, n) rows.
+    * DuckDB's UNPIVOT checks the same semantics. */
+  def q70Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(expr("count_if(o_orderstatus = 'F')").as("F"),
+        expr("count_if(o_orderstatus = 'O')").as("O"),
+        expr("count_if(o_orderstatus = 'P')").as("P"))
+    wide.unpivot(Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")), "status", "n")
+      .orderBy("o_orderpriority", "status")
+  }
+
+  val q70Oracle: String =
+    """WITH agg AS (SELECT o_orderpriority,
+         CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS F,
+         CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS O,
+         CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS P
+       FROM orders GROUP BY o_orderpriority)
+       SELECT o_orderpriority, status, n FROM agg
+       UNPIVOT (n FOR status IN (F, O, P))
+       ORDER BY o_orderpriority, status"""
+
+  // ---- date-series gap fill ---------------------------------------------------
+
+  /** Zero-filled daily series: generate the calendar with
+    * `sequence(start, stop, interval 1 day)` + explode, left-join real
+    * daily aggregates, coalesce gaps to zero — the standard time-series
+    * densification pattern (a generator join, no driver loop). */
+  def q71GapFill(s: SparkSession, dir: String): DataFrame = {
+    val days = s.range(1).select(explode(sequence(
+        lit(java.sql.Date.valueOf("1995-01-01")),
+        lit(java.sql.Date.valueOf("1995-03-31")),
+        expr("interval 1 day"))).as("day"))
+    val daily = t(s, dir, "orders")
+      .where(col("o_orderdate").between(lit("1995-01-01"), lit("1995-03-31")))
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+    days.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total_price"), lit(0.0)).as("total_price"))
+      .orderBy("day")
+  }
+
+  val q71Oracle: String =
+    """WITH days AS (
+         SELECT CAST(d AS DATE) AS day
+         FROM generate_series(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY) t(d)),
+       daily AS (
+         SELECT o_orderdate AS day, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+         FROM orders
+         WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+         GROUP BY o_orderdate)
+       SELECT days.day,
+         CAST(COALESCE(daily.n_orders, 0) AS BIGINT) AS n_orders,
+         COALESCE(daily.total_price, 0.0) AS total_price
+       FROM days LEFT JOIN daily ON days.day = daily.day
+       ORDER BY days.day"""
+
   // ---- registry ---------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -213,6 +277,8 @@ object ExtraQueries {
     "q67_session_window" -> (q67SessionWindow _),
     "q68_approx_percentile" -> (q68ApproxPercentile _),
     "q69_orc_roundtrip" -> (q69OrcRoundtrip _),
+    "q70_unpivot" -> (q70Unpivot _),
+    "q71_gap_fill" -> (q71GapFill _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -222,5 +288,7 @@ object ExtraQueries {
     "q66_salted_agg" -> q66Oracle,
     "q67_session_window" -> q67Oracle,
     "q69_orc_roundtrip" -> q69Oracle,
+    "q70_unpivot" -> q70Oracle,
+    "q71_gap_fill" -> q71Oracle,
   )
 }

@@ -60,6 +60,30 @@ object Events {
         unix_seconds(col("w.start")).as("session_start_s"),
         col("n_ev"))
 
+  /** Stream-stream interval join (attribution/funnel shape): each click is
+    * joined to same-user views it follows within `maxDelay`. Both sides
+    * carry watermarks AND the join condition bounds event time on both
+    * sides, so Spark can evict join state — without the time bound the
+    * view-side buffer would grow forever. Works identically on batch
+    * DataFrames (watermark is a no-op there). */
+  def clicksAfterViews(clicks: DataFrame, views: DataFrame,
+                       watermark: String = "10 minutes",
+                       maxDelay: String = "15 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+    c.join(v,
+        col("user_id") === col("view_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"interval $maxDelay"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        unix_seconds(col("view_ts")).as("view_s"),
+        unix_seconds(col("click_ts")).as("click_s"))
+  }
+
   /** Per-user running state snapshot. */
   final case class UserState(user_id: Long, n_events: Long, total_value: Double,
                              last_ts_us: Long)

@@ -125,6 +125,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(back == rows.map(e => (e.event_id, e.user_id, e.value)).sortBy(_._1))
   }
 
+  test("stream-stream interval join matches the batch join on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      Ev(10, ts(10), 1, "view", 1.0),
+      Ev(11, ts(12), 1, "click", 1.0),  // 2 min after view 10 -> match
+      Ev(12, ts(40), 1, "click", 1.0),  // 30 min after view 10 -> too late
+      Ev(20, ts(20), 2, "view", 1.0),
+      Ev(21, ts(33), 2, "click", 1.0),  // 13 min after view 20 -> match
+      Ev(22, ts(33), 3, "click", 1.0))  // other user -> no match
+    val mem = MemoryStream[Ev]
+    val name = s"ssjoin_out_${System.nanoTime()}"
+    val streamDf = mem.toDF()
+    val q = Events.clicksAfterViews(
+        streamDf.where(col("event_type") === "click"),
+        streamDf.where(col("event_type") === "view"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    mem.addData(evs: _*); q.processAllAvailable()
+    mem.addData(Ev(999, ts(24 * 60), 99, "x", 0.0)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name)
+      .select("user_id", "view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 10L, 11L), (2L, 20L, 21L)))
+    // batch form of the SAME transform on the same rows agrees
+    val batch = Events.clicksAfterViews(
+        evs.toDF().where(col("event_type") === "click"),
+        evs.toDF().where(col("event_type") === "view"))
+      .select("user_id", "view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch == got)
+  }
+
   test("mapGroupsWithState: per-user running totals accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
