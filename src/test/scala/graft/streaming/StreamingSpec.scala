@@ -101,26 +101,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq((1L, tsSec(0), 2L), (1L, tsSec(60) + 1L, 1L)))
   }
 
-  test("foreachBatch + appendJsonl: streaming twin of A2's append-only sink") {
+  test("foreachBatch JSONL sink: per-batchId overwrite makes replays idempotent") {
     // the reference's record-at-a-time 'a+' JSONL append (utils.py:361-365)
-    // as a streaming sink: each micro-batch appends part files; a re-read
-    // sees the union of all batches, and batch ids give the idempotent
-    // restart boundary the per-record offsets gave the reference
+    // as a streaming sink. foreachBatch is at-least-once, so a blind
+    // append would duplicate a replayed batch; writing each batch to a
+    // batch=<id> subdirectory with mode=overwrite makes the replay
+    // idempotent — the streaming analog of the reference's per-record
+    // offsets. Fixed output path (repo temp-dir discipline): reruns
+    // overwrite the same batch dirs instead of leaking copies.
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
-    val out = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_sink_spec").toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    def writeBatch(batch: org.apache.spark.sql.DataFrame, bid: Long): Unit =
+      batch.write.mode("overwrite").json(s"$out/batch=$bid")
     val q = mem.toDF().select(col("event_id"), col("user_id"), col("value"))
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.pipeline.Sink.appendJsonl(batch, out)
-      }
+      .foreachBatch(writeBatch _)
       .outputMode("append").start()
     mem.addData(rows.take(3): _*); q.processAllAvailable()
     mem.addData(rows.drop(3): _*); q.processAllAvailable()
     q.stop()
+    // simulate an at-least-once replay of the last batch: same id, same
+    // rows -> overwrite leaves the union unchanged
+    writeBatch(rows.drop(3).toDF()
+      .select(col("event_id"), col("user_id"), col("value")), 1L)
     val back = spark.read.schema("event_id LONG, user_id LONG, value DOUBLE")
-      .json(out).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .json(s"$out/batch=*").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .sortBy(_._1).toSeq
     assert(back == rows.map(e => (e.event_id, e.user_id, e.value)).sortBy(_._1))
   }
@@ -143,7 +153,12 @@ class StreamingSpec extends AnyFunSuite {
         streamDf.where(col("event_type") === "view"))
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     mem.addData(evs: _*); q.processAllAvailable()
-    mem.addData(Ev(999, ts(24 * 60), 99, "x", 0.0)); q.processAllAvailable()
+    // advance BOTH sides' watermarks: the flush events must survive the
+    // click/view filters (which run upstream of withWatermark), and use
+    // distinct partner-less users so they add no join rows
+    mem.addData(Ev(998, ts(24 * 60), 98, "click", 0.0),
+      Ev(999, ts(24 * 60), 97, "view", 0.0))
+    q.processAllAvailable()
     q.stop()
     val got = spark.table(name)
       .select("user_id", "view_id", "click_id")
