@@ -138,7 +138,8 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, tau: Double,
-                   hotThreshold: Long = 2L, maxHotShingles: Int = 100000): DataFrame = {
+                   hotThreshold: Long = 2L, maxHotShingles: Int = 100000,
+                   hotSampleTarget: Long = 2000000L): DataFrame = {
     val spark = df.sparkSession
     // Everything downstream works in the 64-bit shingle-hash domain: 4×
     // smaller shuffles than string shingles and long-typed joins/
@@ -163,7 +164,6 @@ object Dedup {
       // globally consistent total order, which is all prefix-filter
       // exactness needs — the final output is invariant.
       val total = base.count()
-      val hotSampleTarget = 2000000L
       val fraction = math.min(1.0, hotSampleTarget.toDouble / math.max(total, 1L))
       val discovery = if (fraction >= 1.0) base else base.sample(false, fraction, 42L)
       val scaledThreshold = math.max(1L, math.floor(hotThreshold * fraction).toLong)

@@ -44,6 +44,19 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(pairs(0).getAs[Double]("jaccard") - 0.5) < 1e-9)
   }
 
+  test("jaccardPairs: sampled hot-discovery path emits the identical pair set") {
+    // force the sampling branch (fraction << 1) on the 500-doc fixture: a
+    // different-but-consistent global shingle order must leave the final
+    // verified pairs unchanged
+    val exactPath = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sampledPath = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
+        hotSampleTarget = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exactPath.nonEmpty)
+    assert(sampledPath == exactPath)
+  }
+
   test("minhash LSH recall >= 0.9 vs exact Jaccard pairs on documents") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
