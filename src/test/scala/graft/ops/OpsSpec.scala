@@ -44,6 +44,41 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(pairs(0).getAs[Double]("jaccard") - 0.5) < 1e-9)
   }
 
+  test("jaccardPairs equals brute-force O(n^2) Jaccard on seeded random docs") {
+    // small vocabulary forces heavy shingle sharing — the adversarial case
+    // for prefix filtering; every pair >= tau found by brute force must
+    // survive the pruned path, and vice versa (exactness, not recall)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    def randTokens(len: Int) = (0 until len).map(_ => vocab(rnd.nextInt(vocab.size)))
+    // 40 random bases + 2 lightly-mutated variants each: guaranteed
+    // high-Jaccard pairs plus plenty of borderline shingle sharing
+    val docsRnd = (0 until 40).flatMap { i =>
+      val base = randTokens(12 + rnd.nextInt(12)).toArray
+      val variants = (1 to 2).map { v =>
+        val m = base.clone()
+        (0 until rnd.nextInt(4)).foreach { _ =>
+          m(rnd.nextInt(m.length)) = vocab(rnd.nextInt(vocab.size))
+        }
+        (i * 3L + v, m.mkString(" "))
+      }
+      (i * 3L, base.mkString(" ")) +: variants
+    }
+    val tau = 0.5
+    val got = Dedup.jaccardPairs(docsRnd.toDF("doc_id", "text"), "doc_id", "text", 3, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sets = docsRnd.map { case (id, t) => id -> Dedup.shinglesFromText(t, 3).toSet }
+      .filter(_._2.nonEmpty)
+    val want = (for {
+      (i, si) <- sets; (j, sj) <- sets if i < j
+      inter = (si & sj).size
+      j2 = inter.toDouble / (si | sj).size if j2 >= tau
+    } yield (i, j, math.floor(j2 * 10000.0 + 0.5) / 10000.0)).toSet
+    assert(want.nonEmpty, "seed produced no qualifying pairs — test is vacuous")
+    assert(got == want)
+  }
+
   test("jaccardPairs: sampled hot-discovery path emits the identical pair set") {
     // force the sampling branch (fraction << 1) on the 500-doc fixture: a
     // different-but-consistent global shingle order must leave the final

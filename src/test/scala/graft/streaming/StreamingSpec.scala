@@ -135,6 +135,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(back == rows.map(e => (e.event_id, e.user_id, e.value)).sortBy(_._1))
   }
 
+  test("session_window equals an independent gap-semantics reference on seeded random events") {
+    // 400 events, 5 users, seeded gaps straddling the 30-min boundary
+    // (including exact-boundary multiples) — an independent fold
+    // implementing merge-iff-gap<=30min must agree with session_window on
+    // every (user, session_start, count)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val evs = (1 to 400).map { i =>
+      val user = 1L + rnd.nextInt(5)
+      // gaps in seconds: mix of small, near-boundary, exact 1800, large
+      val base = rnd.nextInt(5) match {
+        case 0 => rnd.nextInt(300)
+        case 1 => 1795 + rnd.nextInt(10) // straddles 1800
+        case 2 => 1800
+        case 3 => 3600 + rnd.nextInt(600)
+        case _ => rnd.nextInt(2400)
+      }
+      (i.toLong, user, base.toLong)
+    }
+    // cumulative per-user timestamps from the gap sequence
+    val byUser = evs.groupBy(_._2).flatMap { case (u, es) =>
+      var t = 0L
+      es.map { case (id, _, gap) => t += gap; (id, u, t) }
+    }.toSeq
+    val df = byUser.map { case (id, u, sec) =>
+      Ev(id, new Timestamp(1704067200000L + sec * 1000L), u, "e", 1.0)
+    }.toDF()
+    val got = Events.sessionCounts(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: per user, sort by time, new session when gap > 1800 s
+    val want = byUser.groupBy(_._2).flatMap { case (u, es) =>
+      val sorted = es.map(_._3).sorted
+      val sessions = sorted.foldLeft(List.empty[List[Long]]) {
+        case (Nil, t) => List(List(t))
+        case (cur :: done, t) if t - cur.head <= 1800L => (t :: cur) :: done
+        case (acc, t) => List(t) :: acc
+      }
+      sessions.map(s => (u, 1704067200L + s.last, s.size.toLong))
+    }.toSet
+    assert(got == want)
+  }
+
   test("stream-stream interval join matches the batch join on the same rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
