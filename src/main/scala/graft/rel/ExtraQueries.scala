@@ -270,6 +270,57 @@ object ExtraQueries {
        FROM days LEFT JOIN daily ON days.day = daily.day
        ORDER BY days.day"""
 
+  // ---- multimodal resize + frame-sample kernels (oracle-checked) -------------
+
+  /** The remaining [[graft.ops.Multimodal.MediaKernels]] stubs under the
+    * oracle: aspect-preserving resize dims (synthetic w=n_chars,
+    * h=n_chars÷2, maxSide 256) and evenly-spaced frame byte offsets.
+    * Both kernels are pure integer/float arithmetic the oracle replicates
+    * (round-half-up == DuckDB round for positive values); empty payloads
+    * yield null frame offsets on both sides. */
+  def q72MediaResizeFrames(s: SparkSession, dir: String): DataFrame = {
+    val resizeUdf = udf((w: Int, h: Int) => {
+      val (rw, rh) = graft.ops.Multimodal.MediaKernels.resizeDims(w, h, 256)
+      Seq(rw, rh)
+    })
+    val framesUdf = udf((n: Long) =>
+      graft.ops.Multimodal.MediaKernels.framePositions(n, 4))
+    t(s, dir, "documents")
+      .select(col("doc_id").as("media_id"),
+        col("n_chars").cast("int").as("w"),
+        expr("CAST(n_chars DIV 2 AS INT)").as("h"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("nb"))
+      .withColumn("rs", resizeUdf(col("w"), col("h")))
+      .withColumn("fr", framesUdf(col("nb")))
+      .select(col("media_id"),
+        element_at(col("rs"), 1).as("rw"),
+        element_at(col("rs"), 2).as("rh"),
+        expr("try_element_at(fr, 1)").as("f0"),
+        expr("try_element_at(fr, 2)").as("f1"),
+        expr("try_element_at(fr, 3)").as("f2"),
+        expr("try_element_at(fr, 4)").as("f3"))
+      .orderBy("media_id")
+  }
+
+  val q72Oracle: String =
+    """WITH m AS (
+         SELECT doc_id AS media_id, CAST(n_chars AS INT) AS w,
+           CAST(n_chars // 2 AS INT) AS h,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb
+         FROM documents)
+       SELECT media_id,
+         CASE WHEN w <= 0 OR h <= 0 OR greatest(w, h) <= 256 THEN w
+              WHEN w >= h THEN 256
+              ELSE CAST(greatest(1, round(CAST(w AS DOUBLE) * 256 / h)) AS INT) END AS rw,
+         CASE WHEN w <= 0 OR h <= 0 OR greatest(w, h) <= 256 THEN h
+              WHEN w >= h THEN CAST(greatest(1, round(CAST(h AS DOUBLE) * 256 / w)) AS INT)
+              ELSE 256 END AS rh,
+         CASE WHEN nb <= 0 THEN NULL ELSE CAST(0 AS BIGINT) END AS f0,
+         CASE WHEN nb <= 0 THEN NULL ELSE CAST(nb // 4 AS BIGINT) END AS f1,
+         CASE WHEN nb <= 0 THEN NULL ELSE CAST(2 * nb // 4 AS BIGINT) END AS f2,
+         CASE WHEN nb <= 0 THEN NULL ELSE CAST(3 * nb // 4 AS BIGINT) END AS f3
+       FROM m ORDER BY media_id"""
+
   // ---- registry ---------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -282,6 +333,7 @@ object ExtraQueries {
     "q69_orc_roundtrip" -> (q69OrcRoundtrip _),
     "q70_unpivot" -> (q70Unpivot _),
     "q71_gap_fill" -> (q71GapFill _),
+    "q72_media_resize_frames" -> (q72MediaResizeFrames _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -293,5 +345,6 @@ object ExtraQueries {
     "q69_orc_roundtrip" -> q69Oracle,
     "q70_unpivot" -> q70Oracle,
     "q71_gap_fill" -> q71Oracle,
+    "q72_media_resize_frames" -> q72Oracle,
   )
 }
