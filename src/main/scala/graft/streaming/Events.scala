@@ -112,4 +112,42 @@ object Events {
           next
       }
   }
+
+  /** A closed (gap-terminated) session. */
+  final case class SessionClose(user_id: Long, start_us: Long, end_us: Long,
+                                n_ev: Long)
+
+  /** Session-close events via `flatMapGroupsWithState` — the variable-
+    * cardinality state API: zero or many records per (key, micro-batch).
+    * A session closes when a later event arrives more than `gapUs` after
+    * it; the still-open session stays in state across batches (in
+    * production an `EventTimeTimeout` would flush it when the watermark
+    * passes; here closure-by-successor keeps the spec deterministic).
+    * Input: (user_id, ts_us) pairs. */
+  def sessionCloseEvents(events: Dataset[(Long, Long)],
+                         gapUs: Long = 1800000000L): Dataset[SessionClose] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), SessionClose](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[(Long, Long, Long)]) =>
+          // state = (session start, last event, event count)
+          var cur = state.getOption
+          var closes = List.empty[SessionClose]
+          rows.map(_._2).toSeq.sorted.foreach { t =>
+            cur match {
+              case Some((s, l, n)) if t - l <= gapUs =>
+                cur = Some((s, math.max(l, t), n + 1))
+              case Some((s, l, n)) =>
+                closes = SessionClose(userId, s, l, n) :: closes
+                cur = Some((t, t, 1L))
+              case None =>
+                cur = Some((t, t, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          closes.reverseIterator
+      }
+  }
 }

@@ -215,6 +215,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == got)
   }
 
+  test("flatMapGroupsWithState: session closes emitted across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (user, ts_us)
+    val name = s"closes_out_${System.nanoTime()}"
+    val M = 60000000L // one minute in us
+    val q = Events.sessionCloseEvents(mem.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    // batch 1: user 1 session {0,5}; gap 40min -> closes it; new session {45}
+    mem.addData((1L, 0L), (1L, 5 * M), (1L, 45 * M))
+    q.processAllAvailable()
+    // batch 2: user 1 event at 50min extends open session; event at 100min
+    // closes {45,50}; user 2 opens (never closes - stays in state)
+    mem.addData((1L, 50 * M), (1L, 100 * M), (2L, 0L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 5 * M, 2L),       // closed inside batch 1
+      (1L, 45 * M, 50 * M, 2L))) // state {45} crossed batches, extended, closed
+  }
+
   test("mapGroupsWithState: per-user running totals accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
