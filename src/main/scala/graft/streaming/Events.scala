@@ -123,6 +123,13 @@ object Events {
     * it; the still-open session stays in state across batches (in
     * production an `EventTimeTimeout` would flush it when the watermark
     * passes; here closure-by-successor keeps the spec deterministic).
+    *
+    * Cross-batch disorder policy: an event within `gapUs` of the open
+    * session's interval (on either side) merges and may extend the START
+    * as well as the end; an event more than `gapUs` BEFORE the open
+    * session is too late to merge with anything still in state and is
+    * emitted immediately as its own single-event closed session (the
+    * emit-rather-than-drop analog of a watermark's late-data cutoff).
     * Input: (user_id, ts_us) pairs. */
   def sessionCloseEvents(events: Dataset[(Long, Long)],
                          gapUs: Long = 1800000000L): Dataset[SessionClose] = {
@@ -137,9 +144,11 @@ object Events {
           var closes = List.empty[SessionClose]
           rows.map(_._2).toSeq.sorted.foreach { t =>
             cur match {
-              case Some((s, l, n)) if t - l <= gapUs =>
-                cur = Some((s, math.max(l, t), n + 1))
-              case Some((s, l, n)) =>
+              case Some((s, l, n)) if t >= s - gapUs && t <= l + gapUs =>
+                cur = Some((math.min(s, t), math.max(l, t), n + 1))
+              case Some((s, _, _)) if t < s - gapUs =>
+                closes = SessionClose(userId, t, t, 1L) :: closes
+              case Some((s, l, n)) => // t > l + gapUs
                 closes = SessionClose(userId, s, l, n) :: closes
                 cur = Some((t, t, 1L))
               case None =>

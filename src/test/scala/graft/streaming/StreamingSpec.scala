@@ -230,12 +230,18 @@ class StreamingSpec extends AnyFunSuite {
     // closes {45,50}; user 2 opens (never closes - stays in state)
     mem.addData((1L, 50 * M), (1L, 100 * M), (2L, 0L))
     q.processAllAvailable()
+    // batch 3: a too-late event at 10min (more than gap before the open
+    // session at 100min) is emitted immediately as its own closed session
+    // instead of corrupting the open session's bounds
+    mem.addData((1L, 10 * M))
+    q.processAllAvailable()
     q.stop()
     val got = spark.table(name)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == Set(
-      (1L, 0L, 5 * M, 2L),       // closed inside batch 1
-      (1L, 45 * M, 50 * M, 2L))) // state {45} crossed batches, extended, closed
+      (1L, 0L, 5 * M, 2L),        // closed inside batch 1
+      (1L, 45 * M, 50 * M, 2L),   // state {45} crossed batches, extended, closed
+      (1L, 10 * M, 10 * M, 1L)))  // late arrival: own single-event session
   }
 
   test("mapGroupsWithState: per-user running totals accumulate across micro-batches") {
