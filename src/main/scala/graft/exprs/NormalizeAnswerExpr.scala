@@ -50,15 +50,12 @@ case class NormalizeAnswerExpr(child: Expression) extends UnaryExpression {
   * `--conf spark.sql.extensions=graft.exprs.GraftExtensions`). */
 object GraftFunctions {
 
+  // 3-arg constructor: the usage-string overloads are deprecated since 3.0
   private val normalizeInfo = new ExpressionInfo(
-    classOf[NormalizeAnswerExpr].getName, null, "graft_normalize",
-    "graft_normalize(str) - RC-RAG answer normalization: lower, strip punctuation, drop articles, collapse whitespace.",
-    "")
+    classOf[NormalizeAnswerExpr].getName, null, "graft_normalize")
 
   private val dotInfo = new ExpressionInfo(
-    classOf[DotProductExpr].getName, null, "graft_dot",
-    "graft_dot(arr, arr) - dot product of two ARRAY<DOUBLE> columns (codegen, ascending fold).",
-    "")
+    classOf[DotProductExpr].getName, null, "graft_dot")
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(

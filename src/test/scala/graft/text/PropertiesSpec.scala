@@ -82,4 +82,37 @@ class PropertiesSpec extends AnyFunSuite {
         graft.ops.TextAnalysis.fingerprintKernel(toks))
     }
   }
+
+  test("minhash signature of a union is the elementwise min of the parts") {
+    // the algebraic property banded LSH relies on: each slot is a min over
+    // per-shingle hashes, so sig(A ++ B) = min(sig(A), sig(B)) slotwise
+    val shingleGen = Gen.listOf(Gen.oneOf("a b c", "b c d", "x y z", "q w e", "m n o"))
+    forAllSamples(Gen.zip(shingleGen, shingleGen), n = 150) { case (a, b) =>
+      val k = 12
+      val sa = graft.ops.Dedup.minhashSignature(a, k)
+      val sb = graft.ops.Dedup.minhashSignature(b, k)
+      val su = graft.ops.Dedup.minhashSignature(a ++ b, k)
+      (0 until k).foreach { i =>
+        assert(su(i) == math.min(sa(i), sb(i)), s"slot $i")
+      }
+    }
+  }
+
+  test("identical minhash signatures for permuted shingle sets; shingles consistent") {
+    forAllSamples(Gen.listOf(Gen.alphaLowerStr.suchThat(_.nonEmpty)), n = 100) { toks =>
+      val s1 = graft.ops.Dedup.minhashSignature(toks, 8)
+      val s2 = graft.ops.Dedup.minhashSignature(scala.util.Random.javaRandomToRandom(
+        new java.util.Random(1)).shuffle(toks), 8)
+      assert(s1.toSeq == s2.toSeq) // order-insensitive (min-reduction)
+      // hash-domain and string-domain shingles agree on arbitrary text
+      def fnv(s: String): Long = {
+        var h = 0xcbf29ce484222325L
+        s.foreach { c => h ^= c; h *= 0x100000001b3L }
+        h
+      }
+      val text = toks.mkString(" ")
+      assert(graft.ops.Dedup.shingleHashes(text, 2).toSeq ==
+        graft.ops.Dedup.shinglesFromText(text, 2).map(fnv).toSeq)
+    }
+  }
 }
