@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Regenerate src/test/resources/parity_cases.jsonl by executing the
+reference's own Python kernels (utils.py; datasets.load_metric stubbed) on
+seeded random inputs. Deterministic: seed 20260812.
+
+Usage: python3 tools/make_parity_cases.py
+"""
+import sys, types, json, random
+
+sys.path.insert(0, '/root/reference/code')
+ds = types.ModuleType('datasets')
+ds.load_metric = lambda *a, **k: None
+sys.modules['datasets'] = ds
+import utils  # noqa: E402
+
+rnd = random.Random(20260812)
+words = ["the", "a", "an", "quick", "brown", "fox", "naïve", "café", "thé",
+         "中文", "测试", "x1", "2024", "or", "keep", "discard", "Answer",
+         "Evidence", "probability", "", "  ", "don't", "it's", "U.S.A.",
+         "re-do", "(paren)", "[brack]", "semi;colon", "end."]
+marks = ["##", "Passage-0", "Passage-1", "Passage-2", "Passage-12",
+         "Answer: ", "Evidence: ", "\n", ".", "!", "?", ":", "probability: "]
+
+
+def rand_text(n):
+    parts = []
+    for _ in range(n):
+        if rnd.random() < 0.25:
+            parts.append(rnd.choice(marks))
+        else:
+            parts.append(rnd.choice(words))
+    return " ".join(parts)
+
+
+cases = []
+for i in range(2500):
+    kind = rnd.choice(["norm", "em", "f1", "fusion", "prob", "pred",
+                       "ans_text", "evi_text", "extract", "contain"])
+    if kind == "norm":
+        s = rand_text(rnd.randint(0, 8))
+        cases.append({"fn": "norm", "s": s, "exp": utils._normalize_answer(s)})
+    elif kind == "em":
+        refs = [rand_text(rnd.randint(1, 4)) for _ in range(rnd.randint(1, 3))]
+        pred = rnd.choice(refs) if rnd.random() < 0.3 else rand_text(rnd.randint(1, 4))
+        cases.append({"fn": "em", "refs": refs, "pred": pred,
+                      "exp": utils.EM_compute(refs, pred)})
+    elif kind == "f1":
+        refs = [rand_text(rnd.randint(0, 5)) for _ in range(rnd.randint(1, 3))]
+        pred = rand_text(rnd.randint(0, 5))
+        cases.append({"fn": "f1", "refs": refs, "pred": pred,
+                      "exp": utils.F1_compute(refs, pred)})
+    elif kind == "fusion":
+        s = rand_text(rnd.randint(0, 6))
+        cases.append({"fn": "fusion", "s": s, "exp": utils.deal_fusion(s)})
+    elif kind == "prob":
+        s = rnd.choice(["probability: ", "", "p="]) + rnd.choice(
+            ["0.75", "1.", "0.5 maybe", "no digits", "3.14159 and 2.71", ".5", "7", ""])
+        cases.append({"fn": "prob", "s": s, "exp": utils.deal_fusion_probability(s)})
+    elif kind == "pred":
+        forms = [
+            None,
+            "Answer: " + rand_text(rnd.randint(1, 4)) + "\nEvidence: ## "
+            + rnd.choice(["Passage-0", "Passage-1"]) + " ##.",
+            rand_text(rnd.randint(1, 6)),
+            "I'm sorry, I cannot answer this question",
+            "answer: mixed Case prefix " + rand_text(2),
+            "The answer is unknown",
+        ]
+        s = rnd.choice(forms)
+        r, a, e = utils.deal_prediction_with_evidence(s)
+        cases.append({"fn": "pred", "s": s, "exp": [bool(r), a, e]})
+    elif kind == "ans_text":
+        s = rand_text(rnd.randint(0, 6)).replace(
+            "## ", "##x## " if rnd.random() < 0.5 else "## ")
+        cases.append({"fn": "ans_text", "s": s, "exp": utils.get_answer_from_text(s)})
+    elif kind == "evi_text":
+        s = rand_text(rnd.randint(0, 8))
+        exp = utils.get_evidence_from_text(s)
+        # the multi-passage fallback joins a Python SET (order
+        # nondeterministic across processes): store sorted items
+        cases.append({"fn": "evi_text", "s": s,
+                      "exp_sorted": sorted(x.strip() for x in exp.split(", "))})
+    elif kind == "extract":
+        s = rand_text(rnd.randint(0, 8))
+        a, e = utils.extract_ans_evi(s)
+        cases.append({"fn": "extract", "s": s, "exp": [a, e]})
+    elif kind == "contain":
+        answers = [rand_text(rnd.randint(1, 3)) for _ in range(rnd.randint(1, 2))]
+        text = rand_text(rnd.randint(2, 8))
+        if rnd.random() < 0.3:
+            text = text + " " + rnd.choice(answers)
+        cases.append({"fn": "contain", "answers": answers, "text": text,
+                      "exp": bool(utils.has_answer(answers, text, "string"))})
+
+with open("src/test/resources/parity_cases.jsonl", "w") as f:
+    for c in cases:
+        f.write(json.dumps(c, ensure_ascii=False) + "\n")
+print(f"wrote {len(cases)} cases")
