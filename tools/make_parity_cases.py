@@ -57,6 +57,13 @@ for i in range(2500):
             ["0.75", "1.", "0.5 maybe", "no digits", "3.14159 and 2.71", ".5", "7", ""])
         cases.append({"fn": "prob", "s": s, "exp": utils.deal_fusion_probability(s)})
     elif kind == "pred":
+        refusals = ["no specific", "unconfirmed", "uncertain", "unavailable",
+                    "sorry", "not have access", "no information", "not provide",
+                    "no clear", "not mentioned", "not mention", "no mention",
+                    "no answer", "N/A", "unclear", "not clear", "unknown",
+                    "partially correct", "partially incorrect", "not correct",
+                    "cannot determine", "cannot answer", "not incorrect",
+                    "incomplete"]
         forms = [
             None,
             "Answer: " + rand_text(rnd.randint(1, 4)) + "\nEvidence: ## "
@@ -65,6 +72,12 @@ for i in range(2500):
             "I'm sorry, I cannot answer this question",
             "answer: mixed Case prefix " + rand_text(2),
             "The answer is unknown",
+            # every refusal marker, embedded mid-text with random casing
+            rand_text(rnd.randint(0, 2)) + " "
+            + (lambda m: m.upper() if rnd.random() < 0.3 else m)(rnd.choice(refusals))
+            + " " + rand_text(rnd.randint(0, 2)),
+            # marker-adjacent but split across tokens (must NOT trigger)
+            rnd.choice(refusals).replace(" ", " x "),
         ]
         s = rnd.choice(forms)
         r, a, e = utils.deal_prediction_with_evidence(s)
@@ -83,7 +96,10 @@ for i in range(2500):
     elif kind == "extract":
         s = rand_text(rnd.randint(0, 8))
         a, e = utils.extract_ans_evi(s)
-        cases.append({"fn": "extract", "s": s, "exp": [a, e]})
+        # evidence can pass through the multi-passage set-join fallback
+        # (process-random order) - store sorted items, like evi_text
+        cases.append({"fn": "extract", "s": s, "exp_ans": a,
+                      "exp_evi_sorted": sorted(x.strip() for x in e.split(", "))})
     elif kind == "contain":
         answers = [rand_text(rnd.randint(1, 3)) for _ in range(rnd.randint(1, 2))]
         text = rand_text(rnd.randint(2, 8))
