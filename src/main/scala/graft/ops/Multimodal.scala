@@ -23,14 +23,206 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, mime: String, n_bytes: Long,
                                  checksum: String, feature: Array[Float])
 
-  /** Deterministic stand-ins for codec kernels. Real impls are drop-in:
-    * same signatures, partition-local, no state. */
+  /** A decoded raster image: interleaved channel samples, row-major. */
+  final case class DecodedImage(width: Int, height: Int, maxVal: Int,
+                                pixels: Array[Byte])
+
+  /** Decoded PCM audio. */
+  final case class DecodedAudio(sampleRate: Int, numChannels: Int,
+                                bitsPerSample: Int, samples: Array[Short])
+
+  /** Codec kernels. PPM (binary P6) and WAV (RIFF PCM16) are REAL pure-JVM
+    * decoders — header parse + payload decode, no library dependencies;
+    * other formats fall back to deterministic byte-level stand-ins (this
+    * container has no image/audio codec libraries). All kernels are
+    * partition-local and stateless, so a production deployment swaps the
+    * fallback for codec-backed impls without touching the operators. */
   object MediaKernels {
-    /** STUB decode+featurize: 8-dim feature from byte histogram moments.
-      * (Real: decode image → CNN/CLIP embed.) */
+
+    /** Decode a binary PPM (P6) image: `P6 <ws> width <ws> height <ws>
+      * maxval <single-ws> raw-RGB-triples`. Full netpbm header grammar —
+      * `#` comments and arbitrary whitespace runs between tokens are
+      * accepted. Returns None for anything that is not a well-formed P6
+      * payload (wrong magic, truncated raster, maxval > 255). */
+    def decodePpm(bytes: Array[Byte]): Option[DecodedImage] = {
+      if (bytes == null || bytes.length < 2 ||
+          bytes(0) != 'P' || bytes(1) != '6') return None
+      var pos = 2
+      def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+      // netpbm: a comment runs from '#' to end-of-line and counts as ws
+      def skipWs(): Unit = {
+        var more = true
+        while (more && pos < bytes.length) {
+          if (isWs(bytes(pos))) pos += 1
+          else if (bytes(pos) == '#') {
+            while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+          } else more = false
+        }
+      }
+      def readInt(): Int = {
+        skipWs()
+        var v = 0
+        var seen = false
+        while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+          v = v * 10 + (bytes(pos) - '0'); pos += 1; seen = true
+        }
+        if (!seen) -1 else v
+      }
+      val w = readInt(); val h = readInt(); val maxVal = readInt()
+      if (w <= 0 || h <= 0 || maxVal <= 0 || maxVal > 255) return None
+      // exactly ONE whitespace byte separates maxval from the raster
+      if (pos >= bytes.length || !isWs(bytes(pos))) return None
+      pos += 1
+      val n = w * h * 3
+      if (bytes.length - pos < n) return None
+      Some(DecodedImage(w, h, maxVal,
+        java.util.Arrays.copyOfRange(bytes, pos, pos + n)))
+    }
+
+    /** Encode an interleaved-RGB raster as binary PPM (P6) — the writer
+      * half of the codec; round-trips through [[decodePpm]]. */
+    def encodePpm(img: DecodedImage): Array[Byte] = {
+      val header = s"P6\n${img.width} ${img.height}\n${img.maxVal}\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](header.length + img.pixels.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(img.pixels, 0, out, header.length, img.pixels.length)
+      out
+    }
+
+    /** Decode a RIFF/WAVE container with a PCM (format 1) `fmt ` chunk and
+      * 8- or 16-bit samples. Walks the chunk list (chunks are word-aligned:
+      * odd-size chunks carry a pad byte), so extra chunks like LIST/INFO
+      * are skipped, as the RIFF spec requires. 16-bit samples are
+      * little-endian signed; 8-bit samples are unsigned, shifted to signed
+      * (centered at 0) for a uniform return type. */
+    def decodeWav(bytes: Array[Byte]): Option[DecodedAudio] = {
+      if (bytes == null || bytes.length < 12) return None
+      def tag(off: Int) = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      def u16(off: Int) = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+      def u32(off: Int): Long =
+        (bytes(off) & 0xFFL) | ((bytes(off + 1) & 0xFFL) << 8) |
+        ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var pos = 12
+      var sampleRate = -1; var numCh = -1; var bits = -1
+      var dataOff = -1; var dataLen = -1
+      while (pos + 8 <= bytes.length && (dataOff < 0 || sampleRate < 0)) {
+        val id = tag(pos)
+        val sz = u32(pos + 4)
+        if (sz < 0 || pos + 8 + sz > bytes.length) return None
+        val szi = sz.toInt
+        id match {
+          case "fmt " =>
+            if (szi < 16) return None
+            val audioFormat = u16(pos + 8)
+            if (audioFormat != 1) return None // PCM only
+            numCh = u16(pos + 10)
+            sampleRate = u32(pos + 12).toInt
+            bits = u16(pos + 22)
+          case "data" => dataOff = pos + 8; dataLen = szi
+          case _ => () // LIST/INFO/fact/... skipped
+        }
+        pos += 8 + szi + (szi & 1) // word alignment: odd chunks pad a byte
+      }
+      if (sampleRate <= 0 || numCh <= 0 || dataOff < 0) return None
+      bits match {
+        case 16 =>
+          val n = dataLen / 2
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = ((bytes(dataOff + 2 * i) & 0xFF) |
+              (bytes(dataOff + 2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          Some(DecodedAudio(sampleRate, numCh, 16, samples))
+        case 8 =>
+          val samples = new Array[Short](dataLen)
+          var i = 0
+          while (i < dataLen) {
+            samples(i) = ((bytes(dataOff + i) & 0xFF) - 128).toShort
+            i += 1
+          }
+          Some(DecodedAudio(sampleRate, numCh, 8, samples))
+        case _ => None
+      }
+    }
+
+    /** Encode mono/stereo PCM16 as a minimal RIFF/WAVE file — the writer
+      * half; round-trips through [[decodeWav]]. */
+    def encodeWav(audio: DecodedAudio): Array[Byte] = {
+      require(audio.bitsPerSample == 16, "writer emits PCM16 only")
+      val dataLen = audio.samples.length * 2
+      val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      out.put("RIFF".getBytes(ascii)).putInt(36 + dataLen)
+        .put("WAVE".getBytes(ascii))
+        .put("fmt ".getBytes(ascii)).putInt(16)
+        .putShort(1).putShort(audio.numChannels.toShort)
+        .putInt(audio.sampleRate)
+        .putInt(audio.sampleRate * audio.numChannels * 2)
+        .putShort((audio.numChannels * 2).toShort).putShort(16)
+        .put("data".getBytes(ascii)).putInt(dataLen)
+      audio.samples.foreach(out.putShort)
+      out.array()
+    }
+
+    /** Decode+featurize. Recognized containers get REAL decoded features:
+      * PPM → per-channel mean/std of decoded pixel values (6 dims) + aspect
+      * + normalized maxval; WAV → mean/RMS/zero-cross-rate/peak over
+      * decoded samples + rate/channels/duration. Unrecognized payloads
+      * fall back to byte-histogram moments (deterministic stand-in for
+      * codecs this container lacks). */
     def featurize(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
       val out = new Array[Float](dim)
       if (bytes == null || bytes.isEmpty) return out
+      decodePpm(bytes) match {
+        case Some(img) =>
+          val sums = new Array[Double](3); val sqs = new Array[Double](3)
+          var i = 0
+          while (i < img.pixels.length) {
+            val v = (img.pixels(i) & 0xFF).toDouble / img.maxVal
+            sums(i % 3) += v; sqs(i % 3) += v * v
+            i += 1
+          }
+          val nPix = math.max(1, img.width * img.height)
+          var c = 0
+          while (c < 3 && 2 * c + 1 < dim) {
+            val mean = sums(c) / nPix
+            out(2 * c) = mean.toFloat
+            out(2 * c + 1) = math.sqrt(math.max(0, sqs(c) / nPix - mean * mean)).toFloat
+            c += 1
+          }
+          if (dim > 6) out(6) = img.width.toFloat / math.max(1, img.height)
+          if (dim > 7) out(7) = img.maxVal / 255.0f
+          return out
+        case None => ()
+      }
+      decodeWav(bytes) match {
+        case Some(a) if a.samples.nonEmpty =>
+          var sum = 0.0; var sq = 0.0; var zc = 0; var peak = 0.0
+          var i = 0
+          while (i < a.samples.length) {
+            val v = a.samples(i).toDouble / 32768.0
+            sum += v; sq += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > 0 && (a.samples(i) >= 0) != (a.samples(i - 1) >= 0)) zc += 1
+            i += 1
+          }
+          val n = a.samples.length
+          if (dim > 0) out(0) = (sum / n).toFloat
+          if (dim > 1) out(1) = math.sqrt(sq / n).toFloat
+          if (dim > 2) out(2) = zc.toFloat / n
+          if (dim > 3) out(3) = peak.toFloat
+          if (dim > 4) out(4) = a.sampleRate / 48000.0f
+          if (dim > 5) out(5) = a.numChannels.toFloat
+          if (dim > 6) out(6) = n.toFloat / math.max(1, a.sampleRate * a.numChannels)
+          return out
+        case _ => ()
+      }
+      // fallback: byte-histogram moments (unrecognized container)
       var i = 0
       while (i < bytes.length) {
         out(i % dim) += (bytes(i) & 0xFF) / 255.0f
@@ -67,6 +259,52 @@ object Multimodal {
         MediaFeatures(m.media_id, m.mime, bytes.length.toLong,
           md.digest(bytes).map("%02x".format(_)).mkString,
           MediaKernels.featurize(bytes))
+      }
+    }
+  }
+
+  /** One row of image+audio payloads to decode together. */
+  final case class MediaPair(media_id: Long, ppm: Array[Byte], wav: Array[Byte])
+
+  /** Stats computed from DECODED content (not byte checksums): image dims
+    * and per-channel pixel sums from the PPM raster; sample count, Σ|s|
+    * and non-negative count from the WAV PCM data. Integer-exact, so a
+    * SQL oracle that regenerates the expected samples can hash-match. */
+  final case class DecodedStats(media_id: Long, img_w: Int, img_h: Int,
+                                r_sum: Long, g_sum: Long, b_sum: Long,
+                                wav_sr: Int, wav_n: Int,
+                                wav_sum_abs: Long, wav_n_nonneg: Long)
+
+  /** Decode PPM + WAV payloads and emit content-derived stats — the real
+    * decode path (header parse + raster/PCM walk in [[MediaKernels]]),
+    * partition-local like [[extractFeatures]]. Malformed payloads surface
+    * as -1 dims rather than dropping rows, so corrupt inputs are visible
+    * downstream instead of silently filtered. */
+  def decodePairStats(pairs: Dataset[MediaPair]): Dataset[DecodedStats] = {
+    import pairs.sparkSession.implicits._
+    pairs.mapPartitions { it =>
+      it.map { p =>
+        val (iw, ih, rs, gs, bs) = MediaKernels.decodePpm(p.ppm) match {
+          case Some(img) =>
+            val s = new Array[Long](3)
+            var i = 0
+            while (i < img.pixels.length) { s(i % 3) += img.pixels(i) & 0xFF; i += 1 }
+            (img.width, img.height, s(0), s(1), s(2))
+          case None => (-1, -1, -1L, -1L, -1L)
+        }
+        val (sr, n, sa, nn) = MediaKernels.decodeWav(p.wav) match {
+          case Some(a) =>
+            var sumAbs = 0L; var nonneg = 0L
+            var i = 0
+            while (i < a.samples.length) {
+              sumAbs += math.abs(a.samples(i).toLong)
+              if (a.samples(i) >= 0) nonneg += 1
+              i += 1
+            }
+            (a.sampleRate, a.samples.length, sumAbs, nonneg)
+          case None => (-1, -1, -1L, -1L)
+        }
+        DecodedStats(p.media_id, iw, ih, rs, gs, bs, sr, n, sa, nn)
       }
     }
   }

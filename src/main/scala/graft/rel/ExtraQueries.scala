@@ -321,6 +321,61 @@ object ExtraQueries {
          CASE WHEN nb <= 0 THEN NULL ELSE CAST(3 * nb // 4 AS BIGINT) END AS f3
        FROM m ORDER BY media_id"""
 
+  // ---- real media decode (PPM + WAV kernels under the oracle) ----------------
+
+  /** [[graft.ops.Multimodal.MediaKernels]] REAL decoders end-to-end: per
+    * document, synthesize an actual binary PPM image (w×h deterministic in
+    * the id, pixel i = (id·31 + i·7) mod 256) and an actual RIFF/WAVE PCM16
+    * clip (sample i = (id·131 + i·17) mod 65536 − 32768), run them through
+    * encode → decode → content stats. The oracle regenerates the expected
+    * pixels/samples arithmetically in SQL, so any header-parse or
+    * payload-walk bug in the decoders diverges the hash — this checks
+    * DECODED CONTENT, not byte checksums. */
+  def q74MediaDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.Multimodal
+    import graft.ops.Multimodal.MediaKernels
+    val ids = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    val pairs = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val px = Array.tabulate[Byte](w * h * 3)(i => ((id * 31 + i.toLong * 7) % 256).toByte)
+        val ppm = MediaKernels.encodePpm(Multimodal.DecodedImage(w, h, 255, px))
+        val n = (16 + id % 16).toInt
+        val smp = Array.tabulate[Short](n)(i => ((id * 131 + i.toLong * 17) % 65536 - 32768).toShort)
+        val wav = MediaKernels.encodeWav(Multimodal.DecodedAudio(8000, 1, 16, smp))
+        Multimodal.MediaPair(id, ppm, wav)
+      }
+    }
+    Multimodal.decodePairStats(pairs).toDF().orderBy("media_id")
+  }
+
+  val q74Oracle: String =
+    """WITH ids AS (
+         SELECT doc_id AS media_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+                16 + doc_id % 16 AS n
+         FROM documents),
+       pix AS (
+         SELECT media_id,
+           CAST(SUM(CASE WHEN i % 3 = 0 THEN (media_id*31 + i*7) % 256 END) AS BIGINT) AS r_sum,
+           CAST(SUM(CASE WHEN i % 3 = 1 THEN (media_id*31 + i*7) % 256 END) AS BIGINT) AS g_sum,
+           CAST(SUM(CASE WHEN i % 3 = 2 THEN (media_id*31 + i*7) % 256 END) AS BIGINT) AS b_sum
+         FROM (SELECT media_id, unnest(generate_series(0, w*h*3 - 1)) AS i FROM ids)
+         GROUP BY media_id),
+       wav AS (
+         SELECT media_id,
+           CAST(SUM(abs((media_id*131 + i*17) % 65536 - 32768)) AS BIGINT) AS wav_sum_abs,
+           CAST(count_if((media_id*131 + i*17) % 65536 - 32768 >= 0) AS BIGINT) AS wav_n_nonneg
+         FROM (SELECT media_id, unnest(generate_series(0, n - 1)) AS i FROM ids)
+         GROUP BY media_id)
+       SELECT ids.media_id, CAST(w AS INT) AS img_w, CAST(h AS INT) AS img_h,
+         r_sum, g_sum, b_sum,
+         CAST(8000 AS INT) AS wav_sr, CAST(n AS INT) AS wav_n,
+         wav_sum_abs, wav_n_nonneg
+       FROM ids JOIN pix USING (media_id) JOIN wav USING (media_id)
+       ORDER BY media_id"""
+
   // ---- registry ---------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -334,6 +389,7 @@ object ExtraQueries {
     "q70_unpivot" -> (q70Unpivot _),
     "q71_gap_fill" -> (q71GapFill _),
     "q72_media_resize_frames" -> (q72MediaResizeFrames _),
+    "q74_media_decode" -> (q74MediaDecode _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -346,5 +402,6 @@ object ExtraQueries {
     "q70_unpivot" -> q70Oracle,
     "q71_gap_fill" -> q71Oracle,
     "q72_media_resize_frames" -> q72Oracle,
+    "q74_media_decode" -> q74Oracle,
   )
 }

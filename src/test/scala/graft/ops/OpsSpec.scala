@@ -170,6 +170,75 @@ class OpsSpec extends AnyFunSuite {
     assert(feats.forall(f => f.n_bytes > 0 && f.checksum.length == 32 && f.feature.length == 8))
   }
 
+  test("PPM codec: round-trip, comment/whitespace headers, malformed → None") {
+    import Multimodal.{DecodedImage, MediaKernels}
+    val px = Array.tabulate[Byte](2 * 3 * 3)(i => (i * 40).toByte)
+    val img = DecodedImage(2, 3, 255, px)
+    val rt = MediaKernels.decodePpm(MediaKernels.encodePpm(img)).get
+    assert(rt.width == 2 && rt.height == 3 && rt.maxVal == 255)
+    assert(rt.pixels.toSeq == px.toSeq)
+    // netpbm grammar: comments between tokens, arbitrary whitespace runs
+    val commented = ("P6\n# a comment\n 2 # w\n\t3\r\n255\n").getBytes("US-ASCII") ++ px
+    val dc = MediaKernels.decodePpm(commented).get
+    assert(dc.width == 2 && dc.height == 3 && dc.pixels.toSeq == px.toSeq)
+    assert(MediaKernels.decodePpm("P5\n2 3\n255\n".getBytes("US-ASCII")).isEmpty) // wrong magic
+    assert(MediaKernels.decodePpm(("P6\n2 3\n255\n").getBytes("US-ASCII") ++ px.take(5)).isEmpty) // truncated raster
+    assert(MediaKernels.decodePpm("P6\n2 3\n65535\n".getBytes("US-ASCII") ++ px).isEmpty) // 16-bit maxval unsupported
+    assert(MediaKernels.decodePpm(Array.empty[Byte]).isEmpty)
+  }
+
+  test("WAV codec: PCM16 round-trip, chunk skipping + odd-size padding, 8-bit") {
+    import Multimodal.{DecodedAudio, MediaKernels}
+    val smp = Array.tabulate[Short](10)(i => ((i - 5) * 1000).toShort)
+    val bytes = MediaKernels.encodeWav(DecodedAudio(8000, 1, 16, smp))
+    val rt = MediaKernels.decodeWav(bytes).get
+    assert(rt.sampleRate == 8000 && rt.numChannels == 1 && rt.bitsPerSample == 16)
+    assert(rt.samples.toSeq == smp.toSeq)
+    // splice an odd-size LIST chunk before fmt/data: the walker must skip
+    // it including the RIFF word-alignment pad byte
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val extra = java.nio.ByteBuffer.allocate(8 + 3 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes(ascii)).putInt(3).put(Array[Byte](1, 2, 3, 0)).array()
+    val spliced = bytes.take(12) ++ extra ++ bytes.drop(12)
+    // fix RIFF size field (bytes 4-7) for the added chunk
+    java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, spliced.length - 8)
+    val rt2 = MediaKernels.decodeWav(spliced).get
+    assert(rt2.samples.toSeq == smp.toSeq)
+    // 8-bit unsigned PCM decodes shifted to signed
+    val pcm8 = java.nio.ByteBuffer.allocate(44 + 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes(ascii)).putInt(36 + 4).put("WAVE".getBytes(ascii))
+      .put("fmt ".getBytes(ascii)).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(8000).putShort(1).putShort(8)
+      .put("data".getBytes(ascii)).putInt(4)
+      .put(Array[Byte](0, 127.toByte, 128.toByte, 255.toByte)).array()
+    assert(MediaKernels.decodeWav(pcm8).get.samples.toSeq == Seq(-128, -1, 0, 127))
+    assert(MediaKernels.decodeWav("RIFX".getBytes(ascii) ++ bytes.drop(4)).isEmpty)
+    assert(MediaKernels.decodeWav(bytes.take(20)).isEmpty)
+  }
+
+  test("featurize dispatches on container: PPM/WAV features come from decoded content") {
+    import Multimodal.{DecodedAudio, DecodedImage, MediaKernels}
+    // solid mid-gray image: channel means = 128/255, stds = 0
+    val gray = Array.fill[Byte](4 * 4 * 3)(128.toByte)
+    val fImg = MediaKernels.featurize(MediaKernels.encodePpm(DecodedImage(4, 4, 255, gray)))
+    (0 until 3).foreach { c =>
+      assert(math.abs(fImg(2 * c) - 128f / 255f) < 1e-6, s"mean ch$c = ${fImg(2 * c)}")
+      assert(fImg(2 * c + 1) == 0f, s"std ch$c")
+    }
+    assert(fImg(6) == 1.0f && fImg(7) == 1.0f) // aspect, maxval/255
+    // constant positive samples: mean = rms = peak, zero crossings = 0
+    val const = Array.fill[Short](100)(16384)
+    val fWav = MediaKernels.featurize(MediaKernels.encodeWav(DecodedAudio(8000, 1, 16, const)))
+    assert(math.abs(fWav(0) - 0.5f) < 1e-6 && math.abs(fWav(1) - 0.5f) < 1e-6)
+    assert(fWav(2) == 0f && math.abs(fWav(3) - 0.5f) < 1e-6)
+    assert(fWav(5) == 1f)
+    // unrecognized bytes fall back to the histogram stand-in (non-zero, deterministic)
+    val fRaw = MediaKernels.featurize("not a container".getBytes("UTF-8"))
+    assert(fRaw.exists(_ != 0f))
+  }
+
   test("languageId heuristic picks signature languages, und on no signal") {
     assert(TextAnalysis.languageIdKernel("the cat and the dog is here") == "en")
     assert(TextAnalysis.languageIdKernel("这是中文的测试文本") == "zh")
