@@ -553,6 +553,64 @@ object DataQueries {
          AK, AD, UK, UD
        FROM conf"""
 
+  // ---- entry point 2: annotation reuse as a declared query -------------------
+
+  /** [Q:reuse_annotations] — entry point 2 of the reference (A32,
+    * `run_llm_ours.py:217-218,236-241`): skip the LLM annotate stage,
+    * equi-join precomputed annotations by id, rebuild the rag conversation
+    * prefix, and expand references. Completes the reference's entry-point
+    * triad as declared queries (entry 1 = q46, entry 3 = q40). The oracle
+    * replays the join + reference expansion + prompt-length arithmetic in
+    * SQL over the committed parquet fixture twins, so the equi-join
+    * semantics (inner: samples without annotations drop), the
+    * extend-not-replace reference expansion (A22), and the rebuilt prompt
+    * (template + question + ≤3-passage block + "\nAnswer: " tail) are all
+    * hash-checked. */
+  def q73ReuseAnnotations(s: SparkSession, dir: String): DataFrame = {
+    val samples = s.read.schema(graft.pipeline.Schemas.qaSample)
+      .json("/root/repo/src/test/resources/qa_samples.jsonl")
+    val annotated = s.read.schema(graft.pipeline.Schemas.resultRecord)
+      .json("/root/repo/src/test/resources/rag_results.jsonl")
+    val cfg = graft.pipeline.Inference.Config()
+    graft.pipeline.Inference.reuseAnnotations(samples, annotated, cfg)
+      .select(col("id"), col("label_decision"),
+        col("rag.reject").as("rag_reject"),
+        col("rag.answer").as("rag_answer"),
+        size(col("reference")).as("n_refs"),
+        size(col("messages")).as("n_msgs"),
+        length(element_at(col("messages"), 1).getField("content")).as("prompt_len"))
+      .orderBy("id")
+  }
+
+  /** Oracle generated from [[graft.pipeline.Prompts.templates]] itself
+    * (single source of truth, like q37Oracle): the prompt length is the
+    * template's fixed character count plus the interpolated question and
+    * passage-block lengths ("Passage-i" prefix = 9 chars for i < 10,
+    * newline-joined), plus the "\nAnswer: " tail. */
+  val q73Oracle: String = {
+    val tpl = graft.pipeline.Prompts.templates("rag")
+    val fixedLen = tpl.length - "{question}".length - "{passage}".length +
+      "\nAnswer: ".length
+    s"""WITH qa AS (SELECT * FROM read_parquet('/root/repo/src/test/resources/qa_samples.parquet')),
+       ann AS (SELECT id, rag, label_decision
+               FROM read_parquet('/root/repo/src/test/resources/rag_results.parquet')),
+       j AS (SELECT qa.id, qa.question, qa.reference, qa.dense_ctxs,
+               ann.rag, ann.label_decision
+             FROM qa JOIN ann USING (id)),
+       pb AS (SELECT id, list_slice(dense_ctxs, 1, 3) AS p3 FROM j)
+       SELECT j.id, j.label_decision,
+         j.rag.reject AS rag_reject, j.rag.answer AS rag_answer,
+         len(list_distinct(list_concat(j.reference,
+           flatten(list_transform(list_filter(j.reference, r -> contains(r, ' or ')),
+             r -> string_split(r, ' or ')))))) AS n_refs,
+         1 AS n_msgs,
+         $fixedLen + length(j.question)
+           + CAST(list_aggregate(list_transform(pb.p3, x -> length(x)), 'sum') AS BIGINT)
+           + 9 * len(pb.p3) + (len(pb.p3) - 1) AS prompt_len
+       FROM j JOIN pb ON j.id = pb.id
+       ORDER BY j.id"""
+  }
+
   // ---- A9/A13-A15 extraction pipeline as a declared query --------------------
 
   /** `deal_prediction_with_evidence` (the real kernel, via
@@ -733,6 +791,7 @@ object DataQueries {
     "q46_rag_annotate_stub" -> (q46RagAnnotateStub _),
     "q57_stream_batch_parity" -> (q57StreamBatchParity _),
     "q58_parse_extract" -> (q58ParseExtract _),
+    "q73_reuse_annotations" -> (q73ReuseAnnotations _),
     "q59_rag_eval_prompt" -> (q59RagEvalPrompt _),
     "q60_ngrams" -> (q60Ngrams _),
     "q61_text_scrub" -> (q61TextScrub _),
@@ -759,6 +818,7 @@ object DataQueries {
     "q45_custom_expr_normalize" -> q45Oracle,
     "q57_stream_batch_parity" -> q57Oracle,
     "q58_parse_extract" -> q58Oracle,
+    "q73_reuse_annotations" -> q73Oracle,
     "q59_rag_eval_prompt" -> q59Oracle,
     "q60_ngrams" -> q60Oracle,
     "q61_text_scrub" -> q61Oracle,

@@ -36,3 +36,11 @@ with open("src/test/resources/qa_samples.jsonl", "w") as f:
     for r in rows:
         f.write(json.dumps(r, ensure_ascii=False) + "\n")
 print(f"wrote {len(rows)} rows")
+
+# parquet twin for DuckDB oracles (same pattern as rag_results.parquet):
+# the driver's oracle SQL reads this path directly.
+import duckdb
+duckdb.sql(
+    "COPY (SELECT * FROM read_json_auto('src/test/resources/qa_samples.jsonl') ORDER BY id) "
+    "TO 'src/test/resources/qa_samples.parquet' (FORMAT PARQUET)")
+print("wrote qa_samples.parquet")
