@@ -163,6 +163,13 @@ object Dedup {
       // a sample finds them); the resulting order is a DIFFERENT but still
       // globally consistent total order, which is all prefix-filter
       // exactness needs — the final output is invariant.
+      // This count() is not just a gate: it (1) materializes the persist
+      // that every downstream branch reuses (the pass would be paid anyway
+      // by the first consumer) and (2) sizes the discovery sample fraction,
+      // which needs the true row count. The statistics-based alternative
+      // (optimizedPlan.stats.rowCount) is only populated under CBO/ANALYZE
+      // and silently absent otherwise, so the explicit bounded action is
+      // the safer contract at every scale.
       val total = base.count()
       val fraction = math.min(1.0, hotSampleTarget.toDouble / math.max(total, 1L))
       val discovery = if (fraction >= 1.0) base else base.sample(false, fraction, 42L)

@@ -92,6 +92,20 @@ class OpsSpec extends AnyFunSuite {
     assert(sampledPath == exactPath)
   }
 
+  test("jaccardPairs: hot-map cap overflow (maxHotShingles < hot count) stays exact") {
+    // when more shingles exceed hotThreshold than the cap admits, the
+    // overflow shingles silently rank as cold (freq 1) in the global
+    // order — selectivity degrades but exactness must not: the verified
+    // pair set is invariant under ANY consistent total order
+    val exactPath = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cappedPath = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8,
+        hotThreshold = 1L, maxHotShingles = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exactPath.nonEmpty)
+    assert(cappedPath == exactPath)
+  }
+
   test("minhash LSH recall >= 0.9 vs exact Jaccard pairs on documents") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -106,4 +106,44 @@ class PlanDisciplineSpec extends AnyFunSuite {
       .orderBy("k").collect().toSeq
     assert(salted == plain)
   }
+
+  test("AQE splits the hot partition of a skewed sort-merge join (SURVEY §4.2 skew-join path)") {
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      // thresholds scaled down so the 100-TB condition (one partition ≫
+      // median AND above the absolute floor) is reproducible on test data;
+      // broadcast disabled because skew-split applies to shuffle joins
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // 95% of the left side lands on key 0 — the hot-user_id shape
+      val left = spark.range(0, 200000).select(
+        when(col("id") % 20 =!= 0, 0L).otherwise(col("id")).as("k"),
+        concat(lit("pad-payload-pad-payload-pad-payload-"), col("id")).as("payload"))
+      val right = spark.range(0, 500).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = left.join(right, "k")
+      // k=0: 190000 (id%20!=0) + 1 (id=0) matches; k=20..480 step 20: 24
+      assert(joined.collect().length == 190025)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"expected AQE skew-split (skew=true) in the final adaptive plan:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
