@@ -84,4 +84,32 @@ class PorterSpec extends AnyFunSuite {
     assert(TextKernels.rougeLRecall(Seq(""), "x") == 0.0)
     assert(TextKernels.rougeLRecall(Seq("stemming matters"), "stemmed matter") == 1.0)
   }
+
+  test("rougeLRecall reproduces the dual-implementation golden sweep (245 cases)") {
+    // tools/make_rouge_cases.py: an INDEPENDENT Python re-implementation
+    // of the same published chain (NLTK-mode Porter -> rouge_score
+    // tokenize -> LCS recall), run over suffix-adversarial sentence pairs
+    // covering every Porter rule class + the irregular pool. The real
+    // library is unavailable offline; two independently written
+    // implementations agreeing across this sweep is the strongest
+    // available check against transcription bugs (SURVEY §7.4 risk #1).
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val src = scala.io.Source.fromFile("src/test/resources/rouge_cases.jsonl", "UTF-8")
+    val cases = try src.getLines().filter(_.nonEmpty).map(JsonMethods.parse(_)).toList
+      finally src.close()
+    assert(cases.size >= 200, s"fixture unexpectedly small: ${cases.size}")
+    cases.foreach { c =>
+      val refs = (c \ "refs").asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s)
+      val pred = (c \ "pred").asInstanceOf[JString].s
+      val exp = c \ "exp" match {
+        case JDouble(x) => x
+        case JInt(x) => x.toDouble
+        case other => fail(s"not numeric: $other")
+      }
+      val got = TextKernels.rougeLRecall(refs, pred)
+      assert(math.abs(got - exp) < 1e-9,
+        s"refs=${refs.map(_.take(40))} pred=${pred.take(40)}: got $got want $exp")
+    }
+  }
 }
