@@ -15,11 +15,17 @@ object Retrieval {
 
   final case class TfIdfModel(tf: HashingTF, idf: IDFModel)
 
+  /** One tokenizer for BOTH fit and serve: if these ever diverged, a
+    * cached model would score tokens hashed differently than it was
+    * fitted on, silently. */
+  private def tokenized(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+
   /** Fit TF-IDF over whitespace-tokenized document text. */
   def fitTfIdf(docs: DataFrame, numFeatures: Int = 1 << 16): (TfIdfModel, DataFrame) = {
     val tf = new HashingTF().setInputCol("toks").setOutputCol("tf")
       .setNumFeatures(numFeatures)
-    val withTf = tf.transform(docs.withColumn("toks", split(col("text"), " ")))
+    val withTf = tf.transform(tokenized(docs))
     val idf = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(withTf)
     (TfIdfModel(tf, idf), idf.transform(withTf))
   }
@@ -35,13 +41,23 @@ object Retrieval {
   /** Fit-once / transform-many entry: fit (or fetch) the TF-IDF model for
     * `corpusKey`, then lazily transform `docs` with it — the returned
     * DataFrame is a pure projection with no fitting action in its lineage.
+    * Get-then-putIfAbsent rather than computeIfAbsent: the IDF fit is a
+    * distributed job and must not run under a CHM bin lock (worst case is
+    * a rare duplicate fit, not a cross-corpus stall).
     */
   def tfIdfFor(docs: DataFrame, corpusKey: String,
                numFeatures: Int = 1 << 16): (TfIdfModel, DataFrame) = {
-    val model = tfIdfCache.computeIfAbsent((corpusKey, numFeatures),
-      _ => fitTfIdf(docs, numFeatures)._1)
-    val withTf = model.tf.transform(docs.withColumn("toks", split(col("text"), " ")))
-    (model, model.idf.transform(withTf))
+    val key = (corpusKey, numFeatures)
+    val model = {
+      val cached = tfIdfCache.get(key)
+      if (cached != null) cached
+      else {
+        val fitted = fitTfIdf(docs, numFeatures)._1
+        val prev = tfIdfCache.putIfAbsent(key, fitted)
+        if (prev != null) prev else fitted
+      }
+    }
+    (model, model.idf.transform(model.tf.transform(tokenized(docs))))
   }
 
   /** Score every document against a query (bag of terms) by sparse dot

@@ -61,20 +61,27 @@ object Multimodal {
       }
       def readInt(): Int = {
         skipWs()
-        var v = 0
+        var v = 0L
         var seen = false
         while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
-          v = v * 10 + (bytes(pos) - '0'); pos += 1; seen = true
+          // saturate instead of wrapping: absurd digit strings must read
+          // as invalid, not alias a small positive dimension
+          if (v <= Int.MaxValue) v = v * 10 + (bytes(pos) - '0')
+          pos += 1; seen = true
         }
-        if (!seen) -1 else v
+        if (!seen || v > Int.MaxValue) -1 else v.toInt
       }
       val w = readInt(); val h = readInt(); val maxVal = readInt()
       if (w <= 0 || h <= 0 || maxVal <= 0 || maxVal > 255) return None
       // exactly ONE whitespace byte separates maxval from the raster
       if (pos >= bytes.length || !isWs(bytes(pos))) return None
       pos += 1
-      val n = w * h * 3
-      if (bytes.length - pos < n) return None
+      // dims validated in Long space: a hostile header like 46341×46341
+      // would wrap w*h*3 in Int (negative or zero), slipping past the
+      // length guard and breaking the malformed→None contract
+      val nL = w.toLong * h.toLong * 3L
+      if (nL > bytes.length.toLong - pos) return None
+      val n = nL.toInt
       Some(DecodedImage(w, h, maxVal,
         java.util.Arrays.copyOfRange(bytes, pos, pos + n)))
     }

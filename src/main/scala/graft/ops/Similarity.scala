@@ -176,7 +176,11 @@ object Similarity {
       .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42L)
     val model = lsh.fit(normed)
     val queries = normed.where(col("vid").isin(queryIds: _*))
-    val distThreshold = math.sqrt(2.0 * (1.0 - minCos))
+    // approxSimilarityJoin filters dist < threshold STRICTLY; nudge up one
+    // ulp-scale step so cos == minCos pairs (e.g. exactly orthogonal
+    // one-hot vectors at minCos = 0) stay inside the documented inclusive
+    // floor
+    val distThreshold = math.nextUp(math.sqrt(2.0 * (1.0 - minCos)))
     val joined = model.approxSimilarityJoin(queries, normed, distThreshold, "dist")
       .where(col("datasetA.vid") =!= col("datasetB.vid"))
       .select(col("datasetA.vid").as("qid"), col("datasetB.vid").as("cand"),
@@ -193,7 +197,7 @@ object Similarity {
     * Centroids are tiny (nCells × dim doubles), so an unbounded map is
     * fine for any realistic number of distinct corpora per JVM. */
   private val quantizerCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
   /** Fit the IVF coarse quantizer on a bounded deterministic sample.
     * `sampleCap` bounds the rows seen by k-means — at 100 TB the quantizer
@@ -242,8 +246,21 @@ object Similarity {
     val data = emb.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("arr"))
     val centers = corpusKey match {
-      case Some(key) => quantizerCache.computeIfAbsent((key, nCells),
-        _ => fitQuantizer(data, nCells, sampleCap))
+      case Some(key) =>
+        // the full fit config is part of the key: a call with a different
+        // column pair or sample cap must not silently reuse centroids fit
+        // under other parameters
+        val fullKey = s"$key|$idCol|$vecCol|$nCells|$sampleCap"
+        // get-then-putIfAbsent, NOT computeIfAbsent: the fit is a
+        // distributed Spark job and must not run while holding a CHM bin
+        // lock (worst case here is a rare duplicate fit, not a stall)
+        val cached = quantizerCache.get(fullKey)
+        if (cached != null) cached
+        else {
+          val fitted = fitQuantizer(data, nCells, sampleCap)
+          val prev = quantizerCache.putIfAbsent(fullKey, fitted)
+          if (prev != null) prev else fitted
+        }
       case None => fitQuantizer(data, nCells, sampleCap)
     }
     val centersB = spark.sparkContext.broadcast(centers)

@@ -199,6 +199,9 @@ class OpsSpec extends AnyFunSuite {
     assert(MediaKernels.decodePpm(("P6\n2 3\n255\n").getBytes("US-ASCII") ++ px.take(5)).isEmpty) // truncated raster
     assert(MediaKernels.decodePpm("P6\n2 3\n65535\n".getBytes("US-ASCII") ++ px).isEmpty) // 16-bit maxval unsupported
     assert(MediaKernels.decodePpm(Array.empty[Byte]).isEmpty)
+    // hostile dims whose w*h*3 wraps Int must read as malformed, not throw
+    assert(MediaKernels.decodePpm(("P6\n46341 46341\n255\n").getBytes("US-ASCII") ++ px).isEmpty)
+    assert(MediaKernels.decodePpm(("P6\n99999999999999999 2\n255\n").getBytes("US-ASCII") ++ px).isEmpty)
   }
 
   test("WAV codec: PCM16 round-trip, chunk skipping + odd-size padding, 8-bit") {
