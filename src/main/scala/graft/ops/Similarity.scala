@@ -222,6 +222,179 @@ object Similarity {
     km.fit(fitInput).clusterCenters.map(_.toArray)
   }
 
+  /** Product-quantization codebooks: `m` subspaces × `ks` centroids ×
+    * (dim/m) doubles. Small by construction (m·ks·dsub doubles). */
+  final case class PqModel(m: Int, ks: Int, dsub: Int,
+                           codebooks: Array[Array[Array[Double]]])
+
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PqModel]()
+
+  /** Fit PQ codebooks with per-subspace Lloyd iterations on a BOUNDED
+    * deterministic sample (the standard PQ recipe: codebook quality
+    * saturates at a few thousand training points per centroid, so the
+    * sample cap — not the corpus — bounds the fit at any scale). The fit
+    * runs driver-side over ≤ sampleCap vectors: for m=8, ks=16, that is 8
+    * independent 16-centroid clusterings of ≤ sampleCap × dsub doubles —
+    * milliseconds, and NOT a per-row corpus operation (encoding is the
+    * distributed part). Seeded and deterministic. */
+  private def fitPq(samples: Array[Array[Double]], dim: Int, m: Int, ks: Int,
+                    seed: Long, iters: Int = 12): PqModel = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val rnd = new scala.util.Random(seed)
+    val codebooks = Array.tabulate(m) { sub =>
+      val off = sub * dsub
+      // init: ks distinct seeded sample points (FarthestFirst is overkill
+      // for 16 centroids; distinct random init + Lloyd converges here)
+      val idx = rnd.shuffle(samples.indices.toList).take(ks)
+      val cents = idx.map(i =>
+        java.util.Arrays.copyOfRange(samples(i), off, off + dsub)).toArray
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ks)(new Array[Double](dsub))
+        val counts = new Array[Int](ks)
+        samples.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ks) {
+            var d = 0.0; var j = 0
+            while (j < dsub) { val t = v(off + j) - cents(c)(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < dsub) { sums(best)(j) += v(off + j); j += 1 }
+        }
+        var c = 0
+        while (c < ks) {
+          if (counts(c) > 0) {
+            var j = 0
+            while (j < dsub) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
+          } // empty cell: keep previous centroid (deterministic)
+          c += 1
+        }
+        it += 1
+      }
+      cents
+    }
+    PqModel(m, ks, dsub, codebooks)
+  }
+
+  /** ANN via product quantization with asymmetric-distance scoring — the
+    * memory-compression half of a 100-TB IVF-PQ index ([[ivfTopK]] is the
+    * cell-pruning half). Vectors are unit-normalized, then encoded to `m`
+    * one-byte centroid ids (for dim 64, m 16: 16 bytes/vector instead of
+    * 512 — the corpus of codes fits where the raw vectors cannot). A query
+    * precomputes an m×ks lookup table of partial inner products, so
+    * scoring a candidate is m table adds over the CODES — no vector is
+    * touched until the exact re-rank of the top `rerank`·k approximate
+    * candidates (two-stage retrieve-then-rerank, recall asserted in the
+    * spec). Codebooks are sample-fit and cached under `corpusKey` like the
+    * IVF quantizer. */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             queryIds: Seq[Long], k: Int,
+             m: Int = 16, ks: Int = 16, rerank: Int = 8,
+             corpusKey: Option[String] = None,
+             sampleCap: Int = 20000): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.exprs.GraftFunctions.register(spark)
+    val data = emb.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("arr"))
+    val normed = data.as[(Long, Array[Double])].map { case (id, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      val out = new Array[Double](v.length)
+      if (n > 0) { i = 0; while (i < v.length) { out(i) = v(i) / n; i += 1 } }
+      (id, out)
+    }
+    def sampleVectors(): Array[Array[Double]] = {
+      val total = normed.count()
+      val frac = math.min(1.0, sampleCap.toDouble / math.max(total, 1L))
+      val s = if (frac >= 1.0) normed else normed.sample(withReplacement = false, frac, 42L)
+      s.map(_._2).collect()
+    }
+    val dim = normed.head()._2.length
+    val model = corpusKey match {
+      case Some(key) =>
+        val fullKey = s"$key|$idCol|$vecCol|$m|$ks|$sampleCap"
+        val cached = pqCache.get(fullKey)
+        if (cached != null) cached
+        else {
+          val fitted = fitPq(sampleVectors(), dim, m, ks, seed = 42L)
+          val prev = pqCache.putIfAbsent(fullKey, fitted)
+          if (prev != null) prev else fitted
+        }
+      case None => fitPq(sampleVectors(), dim, m, ks, seed = 42L)
+    }
+    val modelB = spark.sparkContext.broadcast(model)
+    // distributed encode: one pass, 8 argmins per row, emits byte codes
+    val codes = normed.map { case (id, v) =>
+      val pq = modelB.value
+      val code = new Array[Byte](pq.m)
+      var sub = 0
+      while (sub < pq.m) {
+        val off = sub * pq.dsub
+        val cents = pq.codebooks(sub)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var j = 0
+          while (j < pq.dsub) { val t = v(off + j) - cents(c)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        code(sub) = best.toByte
+        sub += 1
+      }
+      (id, code)
+    }
+    // per-query ADC lookup tables from the (small, broadcast) query set
+    val qSet = queryIds.toSet
+    val queryVecs = normed.filter(r => qSet.contains(r._1)).collect()
+    val luts: Array[(Long, Array[Array[Double]])] = queryVecs.map { case (qid, qv) =>
+      val pq = model
+      val lut = Array.tabulate(pq.m) { sub =>
+        val off = sub * pq.dsub
+        Array.tabulate(pq.ks) { c =>
+          var s = 0.0; var j = 0
+          while (j < pq.dsub) { s += qv(off + j) * pq.codebooks(sub)(c)(j); j += 1 }
+          s
+        }
+      }
+      (qid, lut)
+    }
+    val lutsB = spark.sparkContext.broadcast(luts)
+    val approx = codes.flatMap { case (vid, code) =>
+      lutsB.value.iterator.filter(_._1 != vid).map { case (qid, lut) =>
+        var s = 0.0; var sub = 0
+        while (sub < code.length) { s += lut(sub)(code(sub) & 0xFF); sub += 1 }
+        (qid, vid, s)
+      }
+    }.toDF("qid", "cand", "approx")
+    // stage 1: approximate top rerank·k per query by ADC score
+    val w1 = Window.partitionBy("qid").orderBy(col("approx").desc, col("cand"))
+    val shortlist = approx.withColumn("_rn", row_number().over(w1))
+      .where(col("_rn") <= k * rerank).select("qid", "cand")
+    // stage 2: exact cosine re-rank of the shortlist (same scoring/
+    // tie-break discipline as cosineTopK, so results are comparable)
+    val asDouble = data.withColumn("nrm", sqrt(dot(col("arr"), col("arr"))))
+    val queries = asDouble.where(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"), col("arr").as("qarr"), col("nrm").as("qnrm"))
+    val denom = col("qnrm") * col("nrm")
+    val scored = shortlist
+      .join(asDouble.withColumnRenamed("vid", "cand"), Seq("cand"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("cand"),
+        graft.Stable.r4(when(denom === 0.0, 0.0)
+          .otherwise(dot(col("qarr"), col("arr")) / denom)).as("cos"))
+    val w2 = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
+    scored.withColumn("rn", row_number().over(w2)).where(col("rn") <= k)
+      .select("qid", "cand", "cos", "rn")
+  }
+
   /** IVF-style ANN: k-means partitions the corpus into `nCells` inverted
     * lists; each query probes only its `nProbe` nearest centroids, so the
     * scanned fraction is ~nProbe/nCells of the corpus — the coarse

@@ -262,6 +262,12 @@ object DataQueries {
         queryIds = (0L until 10L), k = 5)
       .orderBy("qid", "rn")
 
+  def q75AnnPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryIds = (0L until 10L), k = 5,
+        corpusKey = Some(dir))
+      .orderBy("qid", "rn")
+
   def q55AnnIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryIds = (0L until 10L), k = 5,
@@ -780,6 +786,7 @@ object DataQueries {
     "q35_simhash_neardup" -> (q35SimhashNearDup _),
     "q36_ann_lsh" -> (q36AnnLsh _),
     "q55_ann_ivf" -> (q55AnnIvf _),
+    "q75_ann_pq" -> (q75AnnPq _),
     "q37_lang_id" -> (q37LangId _),
     "q38_doc_fingerprint" -> (q38DocFingerprint _),
     "q39_ml_score" -> (q39MlScore _),

@@ -107,6 +107,38 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("bucketed tables co-locate the join: no Exchange under the sort-merge join") {
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path so the assertion is about bucketing,
+      // not broadcast
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+      spark.range(0, 10000).select((col("id") % 997).as("k"), col("id").as("v"))
+        .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("graft_bucket_a")
+      spark.range(0, 5000).select((col("id") % 997).as("k"), (col("id") * 2).as("w"))
+        .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("graft_bucket_b")
+      val joined = spark.table("graft_bucket_a").join(spark.table("graft_bucket_b"), "k")
+      assert(joined.collect().length > 0)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      // co-located buckets: matching bucket counts + join key == bucket
+      // key means NO shuffle on either side — the pre-partitioning reuse
+      // SURVEY §4 relies on for repeated big-fact joins at 100 TB
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+      saved match {
+        case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("AQE splits the hot partition of a skewed sort-merge join (SURVEY §4.2 skew-join path)") {
     import org.apache.spark.sql.functions._
     val conf = spark.conf
