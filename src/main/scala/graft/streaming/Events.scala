@@ -114,6 +114,22 @@ object Events {
   }
 
   /** A closed (gap-terminated) session. */
+  /** Streaming exact dedup — the streaming twin of
+    * [[graft.ops.Dedup.exactKeepFirst]]: the first record per key wins,
+    * later duplicates are dropped across micro-batches.
+    * `dropDuplicatesWithinWatermark` bounds the per-key state by the
+    * watermark horizon (a key's dedup entry is evicted once the watermark
+    * passes it), which is what makes exact dedup viable on an unbounded
+    * stream: state scales with keys-per-horizon, not stream length.
+    * Duplicates arriving later than the horizon are the same accepted
+    * loss class as any watermark's late-data drop. */
+  def dedupedEvents(events: DataFrame,
+                    keyCols: Seq[String],
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class SessionClose(user_id: Long, start_us: Long, end_us: Long,
                                 n_ev: Long)
 

@@ -67,6 +67,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq(2L)) // the two on-time clicks; the late one is gone
   }
 
+  test("streaming dedup: cross-batch duplicates dropped, first record wins") {
+    import spark.implicits._
+    // duplicate event_ids arrive within the watermark horizon, split
+    // across micro-batches; the dup carries different payload so the
+    // output proves WHICH record won (the first)
+    val dup2 = Ev(2, ts(21), 1, "view", 99.0)   // same key, later batch
+    val dup4 = Ev(4, ts(70), 2, "click", 4.0)   // exact replay, same batch set
+    val got = runStream(Events.dedupedEvents(_, Seq("event_id")),
+        Seq(rows.take(3), Seq(dup2, dup4) ++ rows.drop(3)))
+      .where(col("event_id") =!= 999)
+      .select("event_id", "event_type", "value")
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val want = rows.map(e => (e.event_id, e.event_type, e.value))
+      .sortBy(_._1)
+    assert(got == want, s"got $got")
+  }
+
   test("session stream equals batch sessionization on same rows") {
     import spark.implicits._
     val got = runStream(Events.sessionCounts(_), Seq(rows))
