@@ -234,30 +234,33 @@ object Similarity {
     * deterministic sample (the standard PQ recipe: codebook quality
     * saturates at a few thousand training points per centroid, so the
     * sample cap — not the corpus — bounds the fit at any scale). The fit
-    * runs driver-side over ≤ sampleCap vectors: for m=8, ks=16, that is 8
-    * independent 16-centroid clusterings of ≤ sampleCap × dsub doubles —
-    * milliseconds, and NOT a per-row corpus operation (encoding is the
+    * runs driver-side over ≤ sampleCap vectors: for m=16, ks=16, that is
+    * 16 independent 16-centroid clusterings of ≤ sampleCap × dsub doubles
+    * — milliseconds, and NOT a per-row corpus operation (encoding is the
     * distributed part). Seeded and deterministic. */
   private def fitPq(samples: Array[Array[Double]], dim: Int, m: Int, ks: Int,
                     seed: Long, iters: Int = 12): PqModel = {
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    require(ks <= 256, s"ks=$ks centroids cannot be coded in one byte")
     val dsub = dim / m
     val rnd = new scala.util.Random(seed)
     val codebooks = Array.tabulate(m) { sub =>
       val off = sub * dsub
-      // init: ks distinct seeded sample points (FarthestFirst is overkill
-      // for 16 centroids; distinct random init + Lloyd converges here)
+      // init: up to ks distinct seeded sample points (a tiny corpus gets
+      // fewer centroids — a degraded codebook, never an out-of-bounds);
+      // distinct random init + Lloyd converges at 16 centroids
       val idx = rnd.shuffle(samples.indices.toList).take(ks)
       val cents = idx.map(i =>
         java.util.Arrays.copyOfRange(samples(i), off, off + dsub)).toArray
+      val nc = cents.length
       var it = 0
       while (it < iters) {
-        val sums = Array.fill(ks)(new Array[Double](dsub))
-        val counts = new Array[Int](ks)
+        val sums = Array.fill(nc)(new Array[Double](dsub))
+        val counts = new Array[Int](nc)
         samples.foreach { v =>
           var best = 0; var bestD = Double.MaxValue
           var c = 0
-          while (c < ks) {
+          while (c < nc) {
             var d = 0.0; var j = 0
             while (j < dsub) { val t = v(off + j) - cents(c)(j); d += t * t; j += 1 }
             if (d < bestD) { bestD = d; best = c }
@@ -268,7 +271,7 @@ object Similarity {
           while (j < dsub) { sums(best)(j) += v(off + j); j += 1 }
         }
         var c = 0
-        while (c < ks) {
+        while (c < nc) {
           if (counts(c) > 0) {
             var j = 0
             while (j < dsub) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
@@ -311,27 +314,42 @@ object Similarity {
       if (n > 0) { i = 0; while (i < v.length) { out(i) = v(i) / n; i += 1 } }
       (id, out)
     }
+    // fit-path only (cache hits skip every action here): persist so the
+    // sizing count and the sampled collect share one normalization pass,
+    // like the IVF fitQuantizer's bounded count+sample
     def sampleVectors(): Array[Array[Double]] = {
-      val total = normed.count()
-      val frac = math.min(1.0, sampleCap.toDouble / math.max(total, 1L))
-      val s = if (frac >= 1.0) normed else normed.sample(withReplacement = false, frac, 42L)
-      s.map(_._2).collect()
+      val cached = normed.persist()
+      try {
+        val total = cached.count()
+        val frac = math.min(1.0, sampleCap.toDouble / math.max(total, 1L))
+        val s = if (frac >= 1.0) cached else cached.sample(withReplacement = false, frac, 42L)
+        s.map(_._2).collect()
+      } finally cached.unpersist()
     }
-    val dim = normed.head()._2.length
-    val model = corpusKey match {
+    def fitFromSample(): Option[PqModel] = {
+      val samples = sampleVectors()
+      if (samples.isEmpty) None
+      else Some(fitPq(samples, samples(0).length, m, ks, seed = 42L))
+    }
+    val modelOpt = corpusKey match {
       case Some(key) =>
         val fullKey = s"$key|$idCol|$vecCol|$m|$ks|$sampleCap"
         val cached = pqCache.get(fullKey)
-        if (cached != null) cached
-        else {
-          val fitted = fitPq(sampleVectors(), dim, m, ks, seed = 42L)
+        if (cached != null) Some(cached)
+        else fitFromSample().map { fitted =>
           val prev = pqCache.putIfAbsent(fullKey, fitted)
           if (prev != null) prev else fitted
         }
-      case None => fitPq(sampleVectors(), dim, m, ks, seed = 42L)
+      case None => fitFromSample()
     }
+    if (modelOpt.isEmpty) // empty corpus: empty result, not a crash
+      return spark.emptyDataFrame
+        .select(lit(0L).as("qid"), lit(0L).as("cand"),
+          lit(0.0).as("cos"), lit(0).as("rn"))
+        .where(lit(false))
+    val model = modelOpt.get
     val modelB = spark.sparkContext.broadcast(model)
-    // distributed encode: one pass, 8 argmins per row, emits byte codes
+    // distributed encode: one pass, m argmins per row, emits byte codes
     val codes = normed.map { case (id, v) =>
       val pq = modelB.value
       val code = new Array[Byte](pq.m)
@@ -351,16 +369,30 @@ object Similarity {
       }
       (id, code)
     }
-    // per-query ADC lookup tables from the (small, broadcast) query set
-    val qSet = queryIds.toSet
-    val queryVecs = normed.filter(r => qSet.contains(r._1)).collect()
+    // per-query ADC lookup tables from the (small, broadcast) query set;
+    // fetched with a pushdown-friendly Column predicate (an opaque typed
+    // filter would force a full-corpus deserialize to pull |Q| rows) and
+    // normalized driver-side — |Q| rows, trivial
+    val queryVecs = data.where(col("vid").isin(queryIds: _*))
+      .as[(Long, Array[Double])].collect()
+      .map { case (qid, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val n = math.sqrt(s)
+        val out = new Array[Double](v.length)
+        if (n > 0) { i = 0; while (i < v.length) { out(i) = v(i) / n; i += 1 } }
+        (qid, out)
+      }
     val luts: Array[(Long, Array[Array[Double]])] = queryVecs.map { case (qid, qv) =>
       val pq = model
       val lut = Array.tabulate(pq.m) { sub =>
+        val cents = pq.codebooks(sub)
         val off = sub * pq.dsub
-        Array.tabulate(pq.ks) { c =>
+        // sized by the ACTUAL centroid count (a tiny corpus may fit fewer
+        // than ks); codes only ever reference existing centroids
+        Array.tabulate(cents.length) { c =>
           var s = 0.0; var j = 0
-          while (j < pq.dsub) { s += qv(off + j) * pq.codebooks(sub)(c)(j); j += 1 }
+          while (j < pq.dsub) { s += qv(off + j) * cents(c)(j); j += 1 }
           s
         }
       }

@@ -113,7 +113,6 @@ object Events {
       }
   }
 
-  /** A closed (gap-terminated) session. */
   /** Streaming exact dedup — the streaming twin of
     * [[graft.ops.Dedup.exactKeepFirst]]: the first record per key wins,
     * later duplicates are dropped across micro-batches.
@@ -130,6 +129,7 @@ object Events {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** A closed (gap-terminated) session. */
   final case class SessionClose(user_id: Long, start_us: Long, end_us: Long,
                                 n_ev: Long)
 

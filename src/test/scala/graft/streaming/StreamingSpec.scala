@@ -69,13 +69,18 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming dedup: cross-batch duplicates dropped, first record wins") {
     import spark.implicits._
-    // duplicate event_ids arrive within the watermark horizon, split
-    // across micro-batches; the dup carries different payload so the
-    // output proves WHICH record won (the first)
-    val dup2 = Ev(2, ts(21), 1, "view", 99.0)   // same key, later batch
-    val dup4 = Ev(4, ts(70), 2, "click", 4.0)   // exact replay, same batch set
+    // batch 1 = events 1-3 (max ts 01:05 -> watermark 00:55 for batch 2).
+    // dup3 is the load-bearing case: ON-TIME (01:06 >= 00:55) duplicate of
+    // key 3 whose dedup state (expires 01:15) survives into batch 2 — only
+    // cross-batch state can drop it, and its different payload proves the
+    // FIRST record won. dup2 covers the late-arrival path (below the
+    // watermark, removed by the lateness filter before state is consulted)
+    // and dup4 a same-batch exact replay.
+    val dup3 = Ev(3, ts(66), 2, "click", 99.0)
+    val dup2 = Ev(2, ts(21), 1, "view", 99.0)
+    val dup4 = Ev(4, ts(70), 2, "click", 4.0)
     val got = runStream(Events.dedupedEvents(_, Seq("event_id")),
-        Seq(rows.take(3), Seq(dup2, dup4) ++ rows.drop(3)))
+        Seq(rows.take(3), Seq(dup3, dup2, dup4) ++ rows.drop(3)))
       .where(col("event_id") =!= 999)
       .select("event_id", "event_type", "value")
       .orderBy("event_id")
