@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.ml.clustering.KMeans
@@ -222,6 +222,28 @@ object Similarity {
     km.fit(fitInput).clusterCenters.map(_.toArray)
   }
 
+  /** Get-or-fit coarse centroids for a (…, arr) frame. The full fit
+    * config is part of the cache key: a call with a different column pair
+    * or sample cap must not silently reuse centroids fit under other
+    * parameters. Get-then-putIfAbsent, NOT computeIfAbsent: the fit is a
+    * distributed Spark job and must not run while holding a CHM bin lock
+    * (worst case here is a rare duplicate fit, not a stall). */
+  private def coarseCentersFor(data: DataFrame, nCells: Int,
+                               corpusKey: Option[String], keySuffix: String,
+                               sampleCap: Long): Array[Array[Double]] =
+    corpusKey match {
+      case Some(key) =>
+        val fullKey = s"$key|$keySuffix|$nCells|$sampleCap"
+        val cached = quantizerCache.get(fullKey)
+        if (cached != null) cached
+        else {
+          val fitted = fitQuantizer(data, nCells, sampleCap)
+          val prev = quantizerCache.putIfAbsent(fullKey, fitted)
+          if (prev != null) prev else fitted
+        }
+      case None => fitQuantizer(data, nCells, sampleCap)
+    }
+
   /** Product-quantization codebooks: `m` subspaces × `ks` centroids ×
     * (dim/m) doubles. Small by construction (m·ks·dsub doubles). */
   final case class PqModel(m: Int, ks: Int, dsub: Int,
@@ -296,17 +318,11 @@ object Similarity {
     * candidates (two-stage retrieve-then-rerank, recall asserted in the
     * spec). Codebooks are sample-fit and cached under `corpusKey` like the
     * IVF quantizer. */
-  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
-             queryIds: Seq[Long], k: Int,
-             m: Int = 16, ks: Int = 16, rerank: Int = 8,
-             corpusKey: Option[String] = None,
-             sampleCap: Int = 20000): DataFrame = {
-    val spark = emb.sparkSession
+  /** Unit-normalize a (vid, arr) frame into a typed Dataset. */
+  private def normalized(data: DataFrame): Dataset[(Long, Array[Double])] = {
+    val spark = data.sparkSession
     import spark.implicits._
-    graft.exprs.GraftFunctions.register(spark)
-    val data = emb.select(col(idCol).cast("long").as("vid"),
-      col(vecCol).cast("array<double>").as("arr"))
-    val normed = data.as[(Long, Array[Double])].map { case (id, v) =>
+    data.as[(Long, Array[Double])].map { case (id, v) =>
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i) * v(i); i += 1 }
       val n = math.sqrt(s)
@@ -314,9 +330,17 @@ object Similarity {
       if (n > 0) { i = 0; while (i < v.length) { out(i) = v(i) / n; i += 1 } }
       (id, out)
     }
-    // fit-path only (cache hits skip every action here): persist so the
-    // sizing count and the sampled collect share one normalization pass,
-    // like the IVF fitQuantizer's bounded count+sample
+  }
+
+  /** Get-or-fit the PQ model for a normalized corpus. Fit-path only
+    * actions (cache hits skip everything): persist so the sizing count and
+    * the sampled collect share one normalization pass, like the IVF
+    * fitQuantizer's bounded count+sample. None ⇔ empty corpus. */
+  private def pqModelFor(normed: Dataset[(Long, Array[Double])],
+                         m: Int, ks: Int, corpusKey: Option[String],
+                         keySuffix: String, sampleCap: Int): Option[PqModel] = {
+    val spark = normed.sparkSession
+    import spark.implicits._
     def sampleVectors(): Array[Array[Double]] = {
       val cached = normed.persist()
       try {
@@ -331,9 +355,9 @@ object Similarity {
       if (samples.isEmpty) None
       else Some(fitPq(samples, samples(0).length, m, ks, seed = 42L))
     }
-    val modelOpt = corpusKey match {
+    corpusKey match {
       case Some(key) =>
-        val fullKey = s"$key|$idCol|$vecCol|$m|$ks|$sampleCap"
+        val fullKey = s"$key|$keySuffix|$m|$ks|$sampleCap"
         val cached = pqCache.get(fullKey)
         if (cached != null) Some(cached)
         else fitFromSample().map { fitted =>
@@ -342,15 +366,15 @@ object Similarity {
         }
       case None => fitFromSample()
     }
-    if (modelOpt.isEmpty) // empty corpus: empty result, not a crash
-      return spark.emptyDataFrame
-        .select(lit(0L).as("qid"), lit(0L).as("cand"),
-          lit(0.0).as("cos"), lit(0).as("rn"))
-        .where(lit(false))
-    val model = modelOpt.get
-    val modelB = spark.sparkContext.broadcast(model)
-    // distributed encode: one pass, m argmins per row, emits byte codes
-    val codes = normed.map { case (id, v) =>
+  }
+
+  /** Distributed PQ encode: one pass, m argmins per row, m-byte codes. */
+  private def encodeCodes(normed: Dataset[(Long, Array[Double])],
+                          modelB: org.apache.spark.broadcast.Broadcast[PqModel])
+      : Dataset[(Long, Array[Byte])] = {
+    val spark = normed.sparkSession
+    import spark.implicits._
+    normed.map { case (id, v) =>
       val pq = modelB.value
       val code = new Array[Byte](pq.m)
       var sub = 0
@@ -369,11 +393,15 @@ object Similarity {
       }
       (id, code)
     }
-    // per-query ADC lookup tables from the (small, broadcast) query set;
-    // fetched with a pushdown-friendly Column predicate (an opaque typed
-    // filter would force a full-corpus deserialize to pull |Q| rows) and
-    // normalized driver-side — |Q| rows, trivial
-    val queryVecs = data.where(col("vid").isin(queryIds: _*))
+  }
+
+  /** Query vectors fetched with a pushdown-friendly Column predicate (an
+    * opaque typed filter would force a full-corpus deserialize to pull
+    * |Q| rows) and unit-normalized driver-side — |Q| rows, trivial. */
+  private def queryVectors(data: DataFrame, queryIds: Seq[Long]): Array[(Long, Array[Double])] = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    data.where(col("vid").isin(queryIds: _*))
       .as[(Long, Array[Double])].collect()
       .map { case (qid, v) =>
         var s = 0.0; var i = 0
@@ -383,13 +411,17 @@ object Similarity {
         if (n > 0) { i = 0; while (i < v.length) { out(i) = v(i) / n; i += 1 } }
         (qid, out)
       }
-    val luts: Array[(Long, Array[Array[Double]])] = queryVecs.map { case (qid, qv) =>
-      val pq = model
+  }
+
+  /** Per-query ADC lookup tables: lut(sub)(c) = ⟨query_sub, centroid_c⟩.
+    * Sized by the ACTUAL centroid count (a tiny corpus may fit fewer than
+    * ks); codes only ever reference existing centroids. */
+  private def adcLuts(queryVecs: Array[(Long, Array[Double])],
+                      pq: PqModel): Array[(Long, Array[Array[Double]])] =
+    queryVecs.map { case (qid, qv) =>
       val lut = Array.tabulate(pq.m) { sub =>
         val cents = pq.codebooks(sub)
         val off = sub * pq.dsub
-        // sized by the ACTUAL centroid count (a tiny corpus may fit fewer
-        // than ks); codes only ever reference existing centroids
         Array.tabulate(cents.length) { c =>
           var s = 0.0; var j = 0
           while (j < pq.dsub) { s += qv(off + j) * cents(c)(j); j += 1 }
@@ -398,7 +430,49 @@ object Similarity {
       }
       (qid, lut)
     }
-    val lutsB = spark.sparkContext.broadcast(luts)
+
+  /** Exact cosine re-rank of a (qid, cand) shortlist — same scoring and
+    * tie-break discipline as [[cosineTopK]], so results are comparable. */
+  private def exactRerank(shortlist: DataFrame, data: DataFrame,
+                          queryIds: Seq[Long], k: Int): DataFrame = {
+    val asDouble = data.withColumn("nrm", sqrt(dot(col("arr"), col("arr"))))
+    val queries = asDouble.where(col("vid").isin(queryIds: _*))
+      .select(col("vid").as("qid"), col("arr").as("qarr"), col("nrm").as("qnrm"))
+    val denom = col("qnrm") * col("nrm")
+    val scored = shortlist
+      .join(asDouble.withColumnRenamed("vid", "cand"), Seq("cand"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("cand"),
+        graft.Stable.r4(when(denom === 0.0, 0.0)
+          .otherwise(dot(col("qarr"), col("arr")) / denom)).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select("qid", "cand", "cos", "rn")
+  }
+
+  private def emptyTopK(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.emptyDataFrame
+      .select(lit(0L).as("qid"), lit(0L).as("cand"),
+        lit(0.0).as("cos"), lit(0).as("rn"))
+      .where(lit(false))
+
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             queryIds: Seq[Long], k: Int,
+             m: Int = 16, ks: Int = 16, rerank: Int = 8,
+             corpusKey: Option[String] = None,
+             sampleCap: Int = 20000): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.exprs.GraftFunctions.register(spark)
+    val data = emb.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("arr"))
+    val normed = normalized(data)
+    val modelOpt = pqModelFor(normed, m, ks, corpusKey, s"$idCol|$vecCol", sampleCap)
+    if (modelOpt.isEmpty) return emptyTopK(spark) // empty corpus, not a crash
+    val model = modelOpt.get
+    val modelB = spark.sparkContext.broadcast(model)
+    val codes = encodeCodes(normed, modelB)
+    val lutsB = spark.sparkContext.broadcast(adcLuts(queryVectors(data, queryIds), model))
     val approx = codes.flatMap { case (vid, code) =>
       lutsB.value.iterator.filter(_._1 != vid).map { case (qid, lut) =>
         var s = 0.0; var sub = 0
@@ -410,21 +484,94 @@ object Similarity {
     val w1 = Window.partitionBy("qid").orderBy(col("approx").desc, col("cand"))
     val shortlist = approx.withColumn("_rn", row_number().over(w1))
       .where(col("_rn") <= k * rerank).select("qid", "cand")
-    // stage 2: exact cosine re-rank of the shortlist (same scoring/
-    // tie-break discipline as cosineTopK, so results are comparable)
-    val asDouble = data.withColumn("nrm", sqrt(dot(col("arr"), col("arr"))))
-    val queries = asDouble.where(col("vid").isin(queryIds: _*))
-      .select(col("vid").as("qid"), col("arr").as("qarr"), col("nrm").as("qnrm"))
-    val denom = col("qnrm") * col("nrm")
-    val scored = shortlist
-      .join(asDouble.withColumnRenamed("vid", "cand"), Seq("cand"))
-      .join(broadcast(queries), Seq("qid"))
-      .select(col("qid"), col("cand"),
-        graft.Stable.r4(when(denom === 0.0, 0.0)
-          .otherwise(dot(col("qarr"), col("arr")) / denom)).as("cos"))
-    val w2 = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
-    scored.withColumn("rn", row_number().over(w2)).where(col("rn") <= k)
-      .select("qid", "cand", "cos", "rn")
+    // stage 2: exact cosine re-rank
+    exactRerank(shortlist, data, queryIds, k)
+  }
+
+  /** The composed 100-TB serving design: IVF cells prune WHAT is scanned
+    * (~nProbe/nCells of the corpus per query), PQ codes compress what the
+    * scan touches (m bytes/vector + an m-table-add score), and the exact
+    * re-rank restores precision on the shortlist. Both models are
+    * sample-fit and cached per corpus; candidate generation joins the
+    * (qid, cell) probe pairs against the coded corpus on cell — a pure
+    * shuffle join with no corpus broadcast. Recall vs [[cosineTopK]]
+    * asserted in the spec. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                queryIds: Seq[Long], k: Int,
+                nCells: Int = 16, nProbe: Int = 6,
+                m: Int = 16, ks: Int = 16, rerank: Int = 8,
+                corpusKey: Option[String] = None,
+                sampleCap: Int = 20000): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    graft.exprs.GraftFunctions.register(spark)
+    val data = emb.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("arr"))
+    val normed = normalized(data)
+    val modelOpt = pqModelFor(normed, m, ks, corpusKey, s"$idCol|$vecCol", sampleCap)
+    if (modelOpt.isEmpty) return emptyTopK(spark)
+    val model = modelOpt.get
+    // coarse quantizer over the NORMALIZED vectors (cells partition the
+    // unit sphere, matching the inner-product geometry PQ scores)
+    val centers = coarseCentersFor(normed.toDF("vid", "arr"), nCells, corpusKey,
+      s"$idCol|$vecCol|normed", sampleCap.toLong)
+    val centersB = spark.sparkContext.broadcast(centers)
+    val modelB = spark.sparkContext.broadcast(model)
+    // one distributed pass: cell assignment + PQ encode per row
+    val coded = normed.map { case (id, v) =>
+      val cs = centersB.value
+      var best = 0; var bestD = Double.MaxValue; var ci = 0
+      while (ci < cs.length) {
+        var d = 0.0; var j = 0
+        val c = cs(ci)
+        while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = ci }
+        ci += 1
+      }
+      val pq = modelB.value
+      val code = new Array[Byte](pq.m)
+      var sub = 0
+      while (sub < pq.m) {
+        val off = sub * pq.dsub
+        val cents = pq.codebooks(sub)
+        var b = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var j = 0
+          while (j < pq.dsub) { val t = v(off + j) - cents(c)(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; b = c }
+          c += 1
+        }
+        code(sub) = b.toByte
+        sub += 1
+      }
+      (id, best, code)
+    }.toDF("vid", "cell", "code")
+    val qVecs = queryVectors(data, queryIds)
+    val lutByQid = adcLuts(qVecs, model).toMap
+    val lutB = spark.sparkContext.broadcast(lutByQid)
+    // (qid, cell) probe pairs: each query scans only its nProbe cells
+    val probes = qVecs.toSeq.flatMap { case (qid, qv) =>
+      centers.indices.sortBy { ci =>
+        var d = 0.0; var j = 0
+        val c = centers(ci)
+        while (j < c.length) { val t = qv(j) - c(j); d += t * t; j += 1 }
+        d
+      }.take(nProbe).map(cell => (qid, cell))
+    }.toDF("qid", "cell")
+    val scoreAdc = udf((qid: Long, code: Array[Byte]) => {
+      val lut = lutB.value(qid)
+      var s = 0.0; var sub = 0
+      while (sub < code.length) { s += lut(sub)(code(sub) & 0xFF); sub += 1 }
+      s
+    })
+    val approx = coded.join(broadcast(probes), Seq("cell"))
+      .where(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid").as("cand"),
+        scoreAdc(col("qid"), col("code")).as("approx"))
+    val w1 = Window.partitionBy("qid").orderBy(col("approx").desc, col("cand"))
+    val shortlist = approx.withColumn("_rn", row_number().over(w1))
+      .where(col("_rn") <= k * rerank).select("qid", "cand")
+    exactRerank(shortlist, data, queryIds, k)
   }
 
   /** IVF-style ANN: k-means partitions the corpus into `nCells` inverted
@@ -450,24 +597,8 @@ object Similarity {
     graft.exprs.GraftFunctions.register(spark)
     val data = emb.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("arr"))
-    val centers = corpusKey match {
-      case Some(key) =>
-        // the full fit config is part of the key: a call with a different
-        // column pair or sample cap must not silently reuse centroids fit
-        // under other parameters
-        val fullKey = s"$key|$idCol|$vecCol|$nCells|$sampleCap"
-        // get-then-putIfAbsent, NOT computeIfAbsent: the fit is a
-        // distributed Spark job and must not run while holding a CHM bin
-        // lock (worst case here is a rare duplicate fit, not a stall)
-        val cached = quantizerCache.get(fullKey)
-        if (cached != null) cached
-        else {
-          val fitted = fitQuantizer(data, nCells, sampleCap)
-          val prev = quantizerCache.putIfAbsent(fullKey, fitted)
-          if (prev != null) prev else fitted
-        }
-      case None => fitQuantizer(data, nCells, sampleCap)
-    }
+    val centers = coarseCentersFor(data, nCells, corpusKey,
+      s"$idCol|$vecCol", sampleCap)
     val centersB = spark.sparkContext.broadcast(centers)
     def cellDist(a: Seq[Double], c: Array[Double]): Double = {
       var d = 0.0; var i = 0

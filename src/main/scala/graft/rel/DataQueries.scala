@@ -268,6 +268,12 @@ object DataQueries {
         corpusKey = Some(dir))
       .orderBy("qid", "rn")
 
+  def q76AnnIvfPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryIds = (0L until 10L), k = 5,
+        corpusKey = Some(dir))
+      .orderBy("qid", "rn")
+
   def q55AnnIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryIds = (0L until 10L), k = 5,
@@ -787,6 +793,7 @@ object DataQueries {
     "q36_ann_lsh" -> (q36AnnLsh _),
     "q55_ann_ivf" -> (q55AnnIvf _),
     "q75_ann_pq" -> (q75AnnPq _),
+    "q76_ann_ivfpq" -> (q76AnnIvfPq _),
     "q37_lang_id" -> (q37LangId _),
     "q38_doc_fingerprint" -> (q38DocFingerprint _),
     "q39_ml_score" -> (q39MlScore _),

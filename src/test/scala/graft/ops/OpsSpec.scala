@@ -180,6 +180,16 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"PQ recall $recall")
   }
 
+  test("IVF-PQ ANN recall >= 0.6 of brute-force top-5 (cells prune, codes score, exact re-rank)") {
+    val qids = (0L until 10L)
+    val bf = Similarity.cosineTopK(embs, "vec_id", "embedding", qids, 5)
+      .select("qid", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.ivfPqTopK(embs, "vec_id", "embedding", qids, 5)
+      .select("qid", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(ivfpq.contains).toDouble / bf.size
+    assert(recall >= 0.6, s"IVF-PQ recall $recall")
+  }
+
   test("multimodal: stub kernels deterministic; extractFeatures end-to-end") {
     import spark.implicits._
     val f1 = Multimodal.MediaKernels.featurize("hello world".getBytes("UTF-8"))
