@@ -107,6 +107,16 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("q76: IVF-PQ candidate join broadcasts the probe pairs; no cartesian product") {
+    val p = plan("q76_ann_ivfpq")
+    // candidate generation must be the (qid, cell) probe pairs joined on
+    // cell — tiny broadcast side — never an all-pairs product, and the
+    // re-rank shortlist joins stay broadcast too
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(5).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"IVF-PQ must never go all-pairs:\n$p")
+  }
+
   test("bucketed tables co-locate the join: no Exchange under the sort-merge join") {
     import org.apache.spark.sql.functions._
     val conf = spark.conf
