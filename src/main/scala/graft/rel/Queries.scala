@@ -509,6 +509,33 @@ object Queries {
        CAST(json_extract_string(props, '$.k') AS INT) AS k_map
        FROM events ORDER BY event_id"""
 
+  // ---- B19b semi-structured VARIANT (Spark 4) ---------------------------------
+
+  /** The Spark 4 semi-structured path: `parse_json` into a VARIANT,
+    * typed extraction with `variant_get`, and a parse→serialize
+    * round-trip. VARIANT is the engine-native form for schema-on-read
+    * JSON at scale (binary-encoded, shredded-ready) — the modern
+    * replacement for string-typed `get_json_object` chains (q19).
+    * The oracle extracts the same paths with DuckDB's JSON functions;
+    * the round-trip re-serialization is normalized identically by both
+    * engines for this single-key integer payload. */
+  def q77VariantJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k_int"),
+        expr("variant_get(parse_json(props), '$.k', 'string')").as("k_str"),
+        expr("variant_get(parse_json(props), '$.missing', 'int')").as("k_missing"),
+        expr("to_json(parse_json(props))").as("roundtrip"))
+      .orderBy("event_id")
+
+  val q77Oracle: String =
+    """SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(NULL AS INT) AS k_missing,
+       '{"k":' || json_extract_string(props, '$.k') || '}' AS roundtrip
+       FROM events ORDER BY event_id"""
+
   // ---- B20 generators: explode / posexplode -----------------------------------
 
   def q20ExplodeTokens(s: SparkSession, dir: String): DataFrame =
@@ -607,6 +634,7 @@ object Queries {
     "q17_math_funcs" -> (q17MathFuncs _),
     "q18_array_funcs" -> (q18ArrayFuncs _),
     "q19_json_funcs" -> (q19JsonFuncs _),
+    "q77_variant_json" -> (q77VariantJson _),
     "q20_explode_tokens" -> (q20ExplodeTokens _),
     "q26_sessionize" -> (q26Sessionize _),
     "q27_tumbling_window" -> (q27TumblingWindow _),
@@ -634,6 +662,7 @@ object Queries {
     "q17_math_funcs" -> q17Oracle,
     "q18_array_funcs" -> q18Oracle,
     "q19_json_funcs" -> q19Oracle,
+    "q77_variant_json" -> q77Oracle,
     "q20_explode_tokens" -> q20Oracle,
     "q26_sessionize" -> q26Oracle,
     "q27_tumbling_window" -> q27Oracle,
