@@ -376,6 +376,68 @@ object ExtraQueries {
        FROM ids JOIN pix USING (media_id) JOIN wav USING (media_id)
        ORDER BY media_id"""
 
+  // ---- lateral correlated subquery (B-extra) ----------------------------------
+
+  /** LATERAL derived-table join (Spark 3.2+ / SQL:1999): per nation, the
+    * top-2 customers by account balance via a correlated ORDER BY/LIMIT
+    * subquery in FROM — the "top-n per outer row" idiom that otherwise
+    * needs a window + filter. Catalyst rewrites the lateral into a
+    * ranked join, so it scales like q11's window form. */
+  def q78LateralTopn(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("graft_nation")
+    t(s, dir, "customer").createOrReplaceTempView("graft_customer")
+    s.sql(
+      """SELECT n.n_name, t.c_custkey, CAST(t.c_acctbal AS DOUBLE) AS acctbal
+         FROM graft_nation n,
+         LATERAL (SELECT c_custkey, c_acctbal FROM graft_customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+         ORDER BY n.n_name, t.c_custkey""")
+  }
+
+  val q78Oracle: String =
+    """SELECT n.n_name, t.c_custkey, CAST(t.c_acctbal AS DOUBLE) AS acctbal
+       FROM nation n,
+       LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+                WHERE c.c_nationkey = n.n_nationkey
+                ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+       ORDER BY n.n_name, t.c_custkey"""
+
+  // ---- RANGE window frame (B-extra; q12 covers ROWS frames) -------------------
+
+  /** Value-range moving aggregate: spend per customer over the trailing
+    * 30 DAYS (RANGE frame over a day-number ordering), vs q12's
+    * row-count frame. RANGE includes all ordering peers symmetrically in
+    * both engines, so tie days need no extra tie-break to stay
+    * deterministic. */
+  def q79RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("o_custkey")
+      .orderBy(col("day_num"))
+      .rangeBetween(-30, 0)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+          .cast("long").as("day_num"),
+        col("o_totalprice"))
+      .withColumn("trailing_30d_spend",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(order)
+          .cast("double"))
+      .select("o_custkey", "o_orderkey", "day_num", "trailing_30d_spend")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q79Oracle: String =
+    """WITH t AS (
+         SELECT o_custkey, o_orderkey,
+           datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+           o_totalprice
+         FROM orders)
+       SELECT o_custkey, o_orderkey, day_num,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY day_num
+           RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d_spend
+       FROM t ORDER BY o_custkey, o_orderkey"""
+
   // ---- registry ---------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -390,6 +452,8 @@ object ExtraQueries {
     "q71_gap_fill" -> (q71GapFill _),
     "q72_media_resize_frames" -> (q72MediaResizeFrames _),
     "q74_media_decode" -> (q74MediaDecode _),
+    "q78_lateral_topn" -> (q78LateralTopn _),
+    "q79_range_frame" -> (q79RangeFrame _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -403,5 +467,7 @@ object ExtraQueries {
     "q71_gap_fill" -> q71Oracle,
     "q72_media_resize_frames" -> q72Oracle,
     "q74_media_decode" -> q74Oracle,
+    "q78_lateral_topn" -> q78Oracle,
+    "q79_range_frame" -> q79Oracle,
   )
 }
