@@ -13,7 +13,12 @@ ds.load_metric = lambda *a, **k: None
 sys.modules['datasets'] = ds
 import utils  # noqa: E402
 
-rnd = random.Random(20260812)
+# optional overrides: make_parity_cases.py [seed] [out_path] — used for
+# fresh-seed sanity sweeps against the Scala kernels; the committed fixture
+# always uses the default seed/path.
+SEED = int(sys.argv[1]) if len(sys.argv) > 1 else 20260812
+OUT = sys.argv[2] if len(sys.argv) > 2 else "src/test/resources/parity_cases.jsonl"
+rnd = random.Random(SEED)
 words = ["the", "a", "an", "quick", "brown", "fox", "naïve", "café", "thé",
          "中文", "测试", "x1", "2024", "or", "keep", "discard", "Answer",
          "Evidence", "probability", "", "  ", "don't", "it's", "U.S.A.",
@@ -108,7 +113,7 @@ for i in range(2500):
         cases.append({"fn": "contain", "answers": answers, "text": text,
                       "exp": bool(utils.has_answer(answers, text, "string"))})
 
-with open("src/test/resources/parity_cases.jsonl", "w") as f:
+with open(OUT, "w") as f:
     for c in cases:
         f.write(json.dumps(c, ensure_ascii=False) + "\n")
 print(f"wrote {len(cases)} cases")
