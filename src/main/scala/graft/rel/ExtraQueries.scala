@@ -438,6 +438,29 @@ object ExtraQueries {
            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d_spend
        FROM t ORDER BY o_custkey, o_orderkey"""
 
+  // ---- edit-distance scalar (fuzzy-dedup surface) -----------------------------
+
+  /** Levenshtein distance between neighboring documents' 80-char
+    * prefixes — the fuzzy-match scalar of the dedup toolbox (exact =
+    * q21, set-based = q23, sketch = q34/q35; edit distance covers the
+    * typo/OCR class those miss). Prefix-capped because Levenshtein is
+    * O(len²) per pair: at scale this runs AFTER candidate pruning
+    * (LSH/minhash), never on the full pair space. */
+  def q80EditDistance(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.as("a").join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        levenshtein(substring(col("a.text"), 1, 80),
+          substring(col("b.text"), 1, 80)).as("edit_dist"))
+      .orderBy("d1")
+  }
+
+  val q80Oracle: String =
+    """SELECT a.doc_id AS d1, b.doc_id AS d2,
+       levenshtein(substring(a.text, 1, 80), substring(b.text, 1, 80)) AS edit_dist
+       FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+       ORDER BY d1"""
+
   // ---- registry ---------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -454,6 +477,7 @@ object ExtraQueries {
     "q74_media_decode" -> (q74MediaDecode _),
     "q78_lateral_topn" -> (q78LateralTopn _),
     "q79_range_frame" -> (q79RangeFrame _),
+    "q80_edit_distance" -> (q80EditDistance _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -469,5 +493,6 @@ object ExtraQueries {
     "q74_media_decode" -> q74Oracle,
     "q78_lateral_topn" -> q78Oracle,
     "q79_range_frame" -> q79Oracle,
+    "q80_edit_distance" -> q80Oracle,
   )
 }
