@@ -117,6 +117,42 @@ class PlanDisciplineSpec extends AnyFunSuite {
       s"IVF-PQ must never go all-pairs:\n$p")
   }
 
+  test("runtime Bloom-filter pruning: selective dim filter injects might_contain on the fact side") {
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      // thresholds lowered so the fixture-scale join qualifies; broadcast
+      // disabled because the runtime filter targets shuffle joins (a
+      // broadcast join already prunes via the build side)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val orders = Tables.load(spark, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT") // selective dim-ish side
+        .select("o_orderkey", "o_totalprice")
+      val lineitem = Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val joined = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      // the injected runtime filter shows as might_contain(bloom) on the
+      // large (application) side — scan rows are pruned BEFORE the shuffle,
+      // the 100-TB benefit AQE alone does not give
+      assert(p.contains("might_contain"),
+        s"expected an injected bloom runtime filter in the optimized plan:\n$p")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("bucketed tables co-locate the join: no Exchange under the sort-merge join") {
     import org.apache.spark.sql.functions._
     val conf = spark.conf
