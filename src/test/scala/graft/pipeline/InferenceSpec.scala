@@ -154,6 +154,21 @@ class InferenceSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] { Stages.fuse("probability")(df) }
   }
 
+  test("Monitor.observeResults: quality metrics ride the action, no second scan") {
+    val results = spark.read.schema(Schemas.resultRecord)
+      .json(SparkTestBase.FixtureJsonl)
+    val (instrumented, obs) = Monitor.observeResults(results)
+    val nRows = instrumented.count() // the ONE action; metrics accumulate inside it
+    val m = obs.get
+    assert(m("n_rows") == nRows)
+    // fixture invariants (FIXTURES.md §B2: 24 rows, golden keep counts)
+    assert(m("n_rows") == 24L)
+    val expectedKeep = results.where(org.apache.spark.sql.functions.col("label_decision") === "keep").count()
+    assert(m("n_label_keep") == expectedKeep)
+    val expectedRejects = results.where(org.apache.spark.sql.functions.col("rag.reject")).count()
+    assert(m("n_rejects") == expectedRejects)
+  }
+
   test("A2 sink: append-mode JSONL accumulates records") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString + "/out"
