@@ -333,22 +333,19 @@ object Similarity {
   }
 
   /** Get-or-fit the PQ model for a normalized corpus. Fit-path only
-    * actions (cache hits skip everything): persist so the sizing count and
-    * the sampled collect share one normalization pass, like the IVF
-    * fitQuantizer's bounded count+sample. None ⇔ empty corpus. */
+    * actions (cache hits skip everything). CALLERS that may also fit a
+    * coarse quantizer should persist `normed` around this call so both
+    * fits share one normalization pass. None ⇔ empty corpus. */
   private def pqModelFor(normed: Dataset[(Long, Array[Double])],
                          m: Int, ks: Int, corpusKey: Option[String],
                          keySuffix: String, sampleCap: Int): Option[PqModel] = {
     val spark = normed.sparkSession
     import spark.implicits._
     def sampleVectors(): Array[Array[Double]] = {
-      val cached = normed.persist()
-      try {
-        val total = cached.count()
-        val frac = math.min(1.0, sampleCap.toDouble / math.max(total, 1L))
-        val s = if (frac >= 1.0) cached else cached.sample(withReplacement = false, frac, 42L)
-        s.map(_._2).collect()
-      } finally cached.unpersist()
+      val total = normed.count()
+      val frac = math.min(1.0, sampleCap.toDouble / math.max(total, 1L))
+      val s = if (frac >= 1.0) normed else normed.sample(withReplacement = false, frac, 42L)
+      s.map(_._2).collect()
     }
     def fitFromSample(): Option[PqModel] = {
       val samples = sampleVectors()
@@ -368,31 +365,48 @@ object Similarity {
     }
   }
 
+  /** Argmin centroid for a full vector (offset 0, full length). */
+  private[ops] def nearestCenter(centers: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var ci = 0
+    while (ci < centers.length) {
+      var d = 0.0; var j = 0
+      val c = centers(ci)
+      while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** PQ-encode one vector: per-subspace argmin over the codebook —
+    * the ONE encode kernel shared by [[pqTopK]] and [[ivfPqTopK]] so the
+    * two paths can never silently diverge. */
+  private[ops] def encodeOne(pq: PqModel, v: Array[Double]): Array[Byte] = {
+    val code = new Array[Byte](pq.m)
+    var sub = 0
+    while (sub < pq.m) {
+      val off = sub * pq.dsub
+      val cents = pq.codebooks(sub)
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var j = 0
+        while (j < pq.dsub) { val t = v(off + j) - cents(c)(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      code(sub) = best.toByte
+      sub += 1
+    }
+    code
+  }
+
   /** Distributed PQ encode: one pass, m argmins per row, m-byte codes. */
   private def encodeCodes(normed: Dataset[(Long, Array[Double])],
                           modelB: org.apache.spark.broadcast.Broadcast[PqModel])
       : Dataset[(Long, Array[Byte])] = {
     val spark = normed.sparkSession
     import spark.implicits._
-    normed.map { case (id, v) =>
-      val pq = modelB.value
-      val code = new Array[Byte](pq.m)
-      var sub = 0
-      while (sub < pq.m) {
-        val off = sub * pq.dsub
-        val cents = pq.codebooks(sub)
-        var best = 0; var bestD = Double.MaxValue; var c = 0
-        while (c < cents.length) {
-          var d = 0.0; var j = 0
-          while (j < pq.dsub) { val t = v(off + j) - cents(c)(j); d += t * t; j += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        code(sub) = best.toByte
-        sub += 1
-      }
-      (id, code)
-    }
+    normed.map { case (id, v) => (id, encodeOne(modelB.value, v)) }
   }
 
   /** Query vectors fetched with a pushdown-friendly Column predicate (an
@@ -467,7 +481,12 @@ object Similarity {
     val data = emb.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("arr"))
     val normed = normalized(data)
-    val modelOpt = pqModelFor(normed, m, ks, corpusKey, s"$idCol|$vecCol", sampleCap)
+    // persist only around the fit (count + sampled collect share one
+    // normalization pass); released before returning the lazy plan
+    val cached = normed.persist()
+    val modelOpt =
+      try pqModelFor(cached, m, ks, corpusKey, s"$idCol|$vecCol", sampleCap)
+      finally cached.unpersist()
     if (modelOpt.isEmpty) return emptyTopK(spark) // empty corpus, not a crash
     val model = modelOpt.get
     val modelB = spark.sparkContext.broadcast(model)
@@ -508,55 +527,42 @@ object Similarity {
     val data = emb.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("arr"))
     val normed = normalized(data)
-    val modelOpt = pqModelFor(normed, m, ks, corpusKey, s"$idCol|$vecCol", sampleCap)
+    // BOTH fits (PQ codebooks + coarse quantizer) read the normalized
+    // corpus: persist across them so the fit path pays one normalization
+    // pass, not two; cache hits see a persist/unpersist no-op
+    val cached = normed.persist()
+    val (modelOpt, centers) =
+      try {
+        val mo = pqModelFor(cached, m, ks, corpusKey, s"$idCol|$vecCol", sampleCap)
+        val cs =
+          if (mo.isEmpty) Array.empty[Array[Double]]
+          // coarse quantizer over the NORMALIZED vectors (cells partition
+          // the unit sphere, matching the inner-product geometry PQ scores)
+          else coarseCentersFor(cached.toDF("vid", "arr"), nCells, corpusKey,
+            s"$idCol|$vecCol|normed", sampleCap.toLong)
+        (mo, cs)
+      } finally cached.unpersist()
     if (modelOpt.isEmpty) return emptyTopK(spark)
     val model = modelOpt.get
-    // coarse quantizer over the NORMALIZED vectors (cells partition the
-    // unit sphere, matching the inner-product geometry PQ scores)
-    val centers = coarseCentersFor(normed.toDF("vid", "arr"), nCells, corpusKey,
-      s"$idCol|$vecCol|normed", sampleCap.toLong)
     val centersB = spark.sparkContext.broadcast(centers)
     val modelB = spark.sparkContext.broadcast(model)
-    // one distributed pass: cell assignment + PQ encode per row
+    // one distributed pass: cell assignment + PQ encode per row, both via
+    // the shared kernels so q75/q76 can never silently diverge
     val coded = normed.map { case (id, v) =>
-      val cs = centersB.value
-      var best = 0; var bestD = Double.MaxValue; var ci = 0
-      while (ci < cs.length) {
-        var d = 0.0; var j = 0
-        val c = cs(ci)
-        while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
-        if (d < bestD) { bestD = d; best = ci }
-        ci += 1
-      }
-      val pq = modelB.value
-      val code = new Array[Byte](pq.m)
-      var sub = 0
-      while (sub < pq.m) {
-        val off = sub * pq.dsub
-        val cents = pq.codebooks(sub)
-        var b = 0; var bd = Double.MaxValue; var c = 0
-        while (c < cents.length) {
-          var d = 0.0; var j = 0
-          while (j < pq.dsub) { val t = v(off + j) - cents(c)(j); d += t * t; j += 1 }
-          if (d < bd) { bd = d; b = c }
-          c += 1
-        }
-        code(sub) = b.toByte
-        sub += 1
-      }
-      (id, best, code)
+      (id, nearestCenter(centersB.value, v), encodeOne(modelB.value, v))
     }.toDF("vid", "cell", "code")
     val qVecs = queryVectors(data, queryIds)
     val lutByQid = adcLuts(qVecs, model).toMap
     val lutB = spark.sparkContext.broadcast(lutByQid)
     // (qid, cell) probe pairs: each query scans only its nProbe cells
+    def sqDist(a: Array[Double], c: Array[Double]): Double = {
+      var d = 0.0; var j = 0
+      while (j < c.length) { val t = a(j) - c(j); d += t * t; j += 1 }
+      d
+    }
     val probes = qVecs.toSeq.flatMap { case (qid, qv) =>
-      centers.indices.sortBy { ci =>
-        var d = 0.0; var j = 0
-        val c = centers(ci)
-        while (j < c.length) { val t = qv(j) - c(j); d += t * t; j += 1 }
-        d
-      }.take(nProbe).map(cell => (qid, cell))
+      centers.indices.sortBy(ci => sqDist(qv, centers(ci)))
+        .take(nProbe).map(cell => (qid, cell))
     }.toDF("qid", "cell")
     val scoreAdc = udf((qid: Long, code: Array[Byte]) => {
       val lut = lutB.value(qid)

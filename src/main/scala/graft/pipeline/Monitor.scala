@@ -13,18 +13,27 @@ import org.apache.spark.sql.functions._
   * metrics riding the job, not a second pass. */
 object Monitor {
 
+  private def qualityMetrics = Seq(
+    count(lit(1)).as("n_rows"),
+    sum(when(col("rag.answer").isNull || length(col("rag.answer")) === 0, 1L)
+      .otherwise(0L)).as("n_empty_answers"),
+    sum(when(col("rag.reject"), 1L).otherwise(0L)).as("n_rejects"),
+    sum(when(col("label_decision") === "keep", 1L).otherwise(0L)).as("n_label_keep"),
+    sum(coalesce(col("rag.EM").cast("long"), lit(0L))).as("sum_em"))
+
   /** Attach branch-quality metrics to a result-record frame (post-
     * annotation schema, SURVEY §1.1). Returns the instrumented frame and
     * the `Observation`; read `obs.get` AFTER an action has run. */
   def observeResults(df: DataFrame, name: String = "graft_quality"): (DataFrame, Observation) = {
     val obs = Observation(name)
-    val instrumented = df.observe(obs,
-      count(lit(1)).as("n_rows"),
-      sum(when(col("rag.answer").isNull || length(col("rag.answer")) === 0, 1L)
-        .otherwise(0L)).as("n_empty_answers"),
-      sum(when(col("rag.reject"), 1L).otherwise(0L)).as("n_rejects"),
-      sum(when(col("label_decision") === "keep", 1L).otherwise(0L)).as("n_label_keep"),
-      sum(coalesce(col("rag.EM").cast("long"), lit(0L))).as("sum_em"))
-    (instrumented, obs)
+    (df.observe(obs, qualityMetrics.head, qualityMetrics.tail: _*), obs)
   }
+
+  /** Named-observation form for declared queries: metrics land in the
+    * query's `QueryExecution.observedMetrics` (readable by any
+    * `QueryExecutionListener`) with no per-call `Observation` listener to
+    * manage — the right shape for a query invoked repeatedly by the
+    * bench/verify harnesses. Plan- and result-transparent. */
+  def instrument(df: DataFrame, name: String = "graft_quality"): DataFrame =
+    df.observe(name, qualityMetrics.head, qualityMetrics.tail: _*)
 }

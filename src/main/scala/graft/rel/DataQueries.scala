@@ -406,8 +406,11 @@ object DataQueries {
     * fusion/override branch); golden counts AK=3 AD=10 UK=2 UD=9 are
     * additionally asserted in the spec. */
   def q40RagEvalPipeline(s: SparkSession, dir: String): DataFrame = {
-    val results = s.read.schema(graft.pipeline.Schemas.resultRecord)
-      .json("/root/repo/src/test/resources/rag_results.jsonl")
+    // quality telemetry rides the same job (Dataset.observe — zero extra
+    // scans); metrics surface in observedMetrics for any listener
+    val results = graft.pipeline.Monitor.instrument(
+      s.read.schema(graft.pipeline.Schemas.resultRecord)
+        .json("/root/repo/src/test/resources/rag_results.jsonl"))
     graft.pipeline.Stages.evalPipeline(results, "safety")
       .select(graft.Stable.r4(col("risk")).as("risk"),
         graft.Stable.r4(col("overcaution")).as("overcaution"),

@@ -17,6 +17,12 @@ import utils  # noqa: E402
 # fresh-seed sanity sweeps against the Scala kernels; the committed fixture
 # always uses the default seed/path.
 SEED = int(sys.argv[1]) if len(sys.argv) > 1 else 20260812
+if len(sys.argv) > 1 and len(sys.argv) < 3:
+    # a custom seed MUST name its own output: otherwise a forgotten path
+    # silently clobbers the committed default-seed fixture (and the sweep
+    # still passes, so the clobber could be committed unnoticed)
+    sys.exit("custom seed requires an explicit out_path: "
+             "make_parity_cases.py <seed> <out_path>")
 OUT = sys.argv[2] if len(sys.argv) > 2 else "src/test/resources/parity_cases.jsonl"
 rnd = random.Random(SEED)
 words = ["the", "a", "an", "quick", "brown", "fox", "naïve", "café", "thé",
