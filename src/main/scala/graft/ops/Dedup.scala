@@ -338,4 +338,70 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Connected components over a near-dup pair list: the transitive-
+    * closure step that turns pairwise matches into dedup CLUSTERS (A~B,
+    * B~C ⇒ {A,B,C} share one representative even when A and C never
+    * matched directly). Hash-Min label propagation: every vertex starts
+    * labeled with its own id; each round every vertex takes the min of its
+    * label and its neighbors' labels; fixpoint = each component uniformly
+    * carries its min vertex id.
+    *
+    * Scale shape: per round, ONE shuffle join (edges × labels) + one
+    * groupBy — no driver-side graph. Rounds needed = graph diameter, and
+    * near-dup components are dense/shallow (diameter 2-4 in practice), so
+    * 3-5 rounds close real corpora. `localCheckpoint` after each round
+    * truncates the lineage that iterative DataFrame loops otherwise
+    * accumulate (cluster deployments with HA requirements should swap in
+    * reliable `checkpoint`). For adversarially long path-graphs, the
+    * round count is the large-star/small-star algorithm's log-diameter
+    * territory (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — maxIter bounds the loop and overflow throws
+    * rather than silently mislabeling.
+    *
+    * Returns (id, cluster): every vertex that appears in `pairs`, labeled
+    * by the min id of its component. Vertices with no pair (singletons)
+    * are absent — callers left-join and coalesce to the vertex's own id.
+    */
+  def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    // symmetric, deduped edge list — persist: re-read every round
+    val edges = pairs.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .union(pairs.select(col(dstCol).cast("long").as("src"),
+        col(srcCol).cast("long").as("dst")))
+      .distinct()
+      .persist()
+    try {
+      // round 0 fused into init: label(v) = min(v, min neighbor) from ONE
+      // groupBy — replaces the vertex-distinct shuffle plus a whole
+      // propagation round (clique-like near-dup components converge here
+      // immediately; the loop then just confirms the fixpoint)
+      var labels = edges.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("m"))
+        .select(col("id"), least(col("id"), col("m")).as("cluster"))
+        .localCheckpoint()
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        // min neighbor label per vertex (map-side partial agg), then take
+        // the min of (own, neighbors') — one shuffle join + one groupBy
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("cluster").as("nlbl")), "dst")
+          .groupBy(col("src").as("id")).agg(min(col("nlbl")).as("nmin"))
+        val step = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("cluster"),
+            least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("next"))
+          .localCheckpoint() // eager: one job materializes both next + delta
+        converged = step.where(col("next") < col("cluster")).isEmpty
+        labels = step.select(col("id"), col("next").as("cluster"))
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds — " +
+            "pathological graph diameter; raise maxIter or switch to large-star/small-star")
+      labels
+    } finally edges.unpersist()
+  }
 }

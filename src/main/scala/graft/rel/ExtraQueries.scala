@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.ops.Dedup
+
 /** Third relational batch (round 3): distribution window functions, map
   * higher-order functions, CSV source/sink round-trip, oracle-checked
   * salted skew aggregation, and the native `session_window` operator on
@@ -447,19 +449,89 @@ object ExtraQueries {
     * O(len²) per pair: at scale this runs AFTER candidate pruning
     * (LSH/minhash), never on the full pair space. */
   def q80EditDistance(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    // ASCII-projected before the distance: DuckDB's levenshtein counts
+    // BYTES while Spark's counts code points, so any non-ASCII character
+    // in the prefix would diverge the oracle (café vs cafe: Spark 1,
+    // DuckDB 2). The [ -~] strip is the identical projection in both
+    // engines; the multilingual fuzzy path stays with the parity-scored
+    // kernels (q23/q34), which never cross engines.
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      regexp_replace(col("text"), "[^ -~]", "").as("ascii_text"))
     docs.as("a").join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        levenshtein(substring(col("a.text"), 1, 80),
-          substring(col("b.text"), 1, 80)).as("edit_dist"))
+        levenshtein(substring(col("a.ascii_text"), 1, 80),
+          substring(col("b.ascii_text"), 1, 80)).as("edit_dist"))
       .orderBy("d1")
   }
 
   val q80Oracle: String =
-    """SELECT a.doc_id AS d1, b.doc_id AS d2,
-       levenshtein(substring(a.text, 1, 80), substring(b.text, 1, 80)) AS edit_dist
-       FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    """WITH d AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS ascii_text
+                  FROM documents)
+       SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(levenshtein(substring(a.ascii_text, 1, 80),
+                          substring(b.ascii_text, 1, 80)) AS INT) AS edit_dist
+       FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
        ORDER BY d1"""
+
+  // ---- dedup clustering (transitive closure over near-dup pairs) --------------
+
+  /** End-to-end dedup clustering: exact Jaccard pairs (the q23 operator)
+    * → connected components (transitive closure: A~B, B~C ⇒ one cluster
+    * even though A,C never matched) → per-doc cluster id, cluster size,
+    * and a deterministic representative flag (min doc_id keeps). This is
+    * the step a real corpus dedup needs BETWEEN pair generation and
+    * filtering — dropping only pairwise matches leaves chains of near-dups
+    * in the corpus. Singleton docs keep themselves (cluster = own id).
+    *
+    * Oracle: same pair CTE as q23, then a recursive CTE computes min
+    * reachable id per vertex — DuckDB's closure form of the Hash-Min
+    * fixpoint [[graft.ops.Dedup.connectedComponents]] runs distributed. */
+  def q81DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"))
+    val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, tau = 0.8).select("d1", "d2")
+    val comp = Dedup.connectedComponents(pairs, "d1", "d2")
+    val labeled = docs
+      .join(comp.select(col("id").as("doc_id"), col("cluster")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val q81Oracle: String =
+    """WITH RECURSIVE toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+         FROM documents),
+       sh AS (
+         SELECT doc_id, tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       dt AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id),
+       pr AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         FROM dt a JOIN dt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id),
+       np AS (
+         SELECT d1, d2 FROM pr
+         JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         WHERE inter * 1.0 / (s1.sz + s2.sz - inter) >= 0.8),
+       edges AS (SELECT d1 AS src, d2 AS dst FROM np
+                 UNION SELECT d2 AS src, d1 AS dst FROM np),
+       reach(id, lbl) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+       comp AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+       cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY cluster_id)
+       SELECT c.doc_id, c.cluster_id, cs.cluster_size,
+              CAST(c.doc_id = c.cluster_id AS INT) AS keep
+       FROM comp c JOIN cs USING (cluster_id)
+       ORDER BY c.doc_id"""
 
   // ---- registry ---------------------------------------------------------------
 
@@ -478,6 +550,7 @@ object ExtraQueries {
     "q78_lateral_topn" -> (q78LateralTopn _),
     "q79_range_frame" -> (q79RangeFrame _),
     "q80_edit_distance" -> (q80EditDistance _),
+    "q81_dedup_clusters" -> (q81DedupClusters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -494,5 +567,6 @@ object ExtraQueries {
     "q78_lateral_topn" -> q78Oracle,
     "q79_range_frame" -> q79Oracle,
     "q80_edit_distance" -> q80Oracle,
+    "q81_dedup_clusters" -> q81Oracle,
   )
 }

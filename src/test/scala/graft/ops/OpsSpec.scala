@@ -298,4 +298,41 @@ class OpsSpec extends AnyFunSuite {
     val q = df.select(TextAnalysis.qualityScore(col("text"))).as[Double].collect()
     assert(q.forall(x => x >= 0.0 && x <= 1.0))
   }
+
+  test("connectedComponents: chain transitivity beyond one hop") {
+    import spark.implicits._
+    // 1-2, 2-3, 3-4 is a 3-hop chain (diameter 3 > one propagation round);
+    // 10-11 a separate pair; 20-21 + 21-22 a vee. Min-id labels expected.
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (11L, 10L), (20L, 21L), (22L, 21L))
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents matches brute-force union-find on a seeded random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 60
+    val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // driver-side union-find oracle
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> {
+        // min vertex id in v's component, among vertices present in edges
+        val root = find(v.toInt)
+        edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .filter(u => find(u.toInt) == root).min
+      }).toMap
+    val got = Dedup.connectedComponents(edges.toDF("x", "y"), "x", "y")
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
 }
