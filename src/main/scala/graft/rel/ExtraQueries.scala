@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.Dedup
+import graft.ops.{Dedup, TextAnalysis}
 
 /** Third relational batch (round 3): distribution window functions, map
   * higher-order functions, CSV source/sink round-trip, oracle-checked
@@ -533,6 +533,48 @@ object ExtraQueries {
        FROM comp c JOIN cs USING (cluster_id)
        ORDER BY c.doc_id"""
 
+  // ---- corpus prep: token-budget shard packing --------------------------------
+
+  /** End-to-end training-corpus prep: exact dedup (keep min doc_id per
+    * normalized-text group) → whitespace token count → pack each
+    * language's documents into ~4000-token shards by cumulative position
+    * (a doc lands in the shard where it BEGINS — the greedy sequential
+    * packing a shard writer does). Composition of the dedup, text-stats
+    * and window surfaces into the pipeline step that actually materializes
+    * training shards.
+    *
+    * Scale: dedup is one shuffle on the text hash; the packing window is
+    * one shuffle on lang + in-partition sort — per-language state only,
+    * no global sort until the final (declared-output) ORDER BY. Long-
+    * integer `div` arithmetic end-to-end: no fp in the oracle hash. */
+  def q82ShardPack(s: SparkSession, dir: String): DataFrame = {
+    val dd = Dedup.exactKeepFirst(
+        t(s, dir, "documents").withColumn("_k", md5(lower(col("text")))),
+        Seq("_k"), Seq(col("doc_id")))
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dd.withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr("(cum - n_tokens) div 4000").as("shard_id"))
+      .orderBy("doc_id")
+  }
+
+  val q82Oracle: String =
+    """WITH dd AS (
+         SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+         FROM documents
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) = 1),
+       c AS (
+         SELECT doc_id, lang, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         FROM dd)
+       SELECT doc_id, lang, n_tokens,
+              CAST((cum - n_tokens) // 4000 AS BIGINT) AS shard_id
+       FROM c ORDER BY doc_id"""
+
   // ---- registry ---------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -551,6 +593,7 @@ object ExtraQueries {
     "q79_range_frame" -> (q79RangeFrame _),
     "q80_edit_distance" -> (q80EditDistance _),
     "q81_dedup_clusters" -> (q81DedupClusters _),
+    "q82_shard_pack" -> (q82ShardPack _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -568,5 +611,6 @@ object ExtraQueries {
     "q79_range_frame" -> q79Oracle,
     "q80_edit_distance" -> q80Oracle,
     "q81_dedup_clusters" -> q81Oracle,
+    "q82_shard_pack" -> q82Oracle,
   )
 }
