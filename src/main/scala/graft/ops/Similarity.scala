@@ -643,4 +643,31 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select("qid", "cand", "cos", "rn")
   }
+
+  /** Max-abs int8 quantization stats for one vector: (maxabs, sum of the
+    * int8 codes, zero-code count). code = floor(x·(127/maxabs) + 0.5) —
+    * the symmetric-scale scheme vector stores use to cut embedding memory
+    * 8× (a float64 corpus serves from int8 + one scale per vector). Every
+    * step is a deterministic IEEE-754 double op, so an engine running the
+    * identical formula (the DuckDB oracle) lands on identical codes; the
+    * declared outputs are integers + one r4-rounded scale — no fp-sum-
+    * order hazard. Zero vector ⇒ (0, 0, n): scale 0 instead of a 127/0
+    * division. Per-row Scala kernel (not HOF lambdas): CollapseProject
+    * would re-inline the maxabs aggregate into the per-element lambda
+    * (SURVEY §7.3 — observed 64× re-evaluation on this shape). */
+  def int8QuantStats(v: Seq[Double]): (Double, Long, Long) = {
+    if (v == null || v.isEmpty) return (0.0, 0L, 0L)
+    var maxabs = 0.0
+    v.foreach { x => val a = math.abs(x); if (a > maxabs) maxabs = a }
+    if (maxabs == 0.0) return (0.0, 0L, v.size.toLong)
+    val scale = 127.0 / maxabs
+    var sum = 0L; var zeros = 0L
+    v.foreach { x =>
+      val c = math.floor(x * scale + 0.5).toLong
+      sum += c; if (c == 0L) zeros += 1
+    }
+    (maxabs, sum, zeros)
+  }
+
+  val int8QuantStatsUdf = udf((v: Seq[Double]) => int8QuantStats(v))
 }

@@ -575,6 +575,70 @@ object ExtraQueries {
               CAST((cum - n_tokens) // 4000 AS BIGINT) AS shard_id
        FROM c ORDER BY doc_id"""
 
+  // ---- deterministic stratified sampling (mixture weighting) ------------------
+
+  /** Training-mixture sampling: per-language keep rates applied via a
+    * DETERMINISTIC hash bucket — `(doc_id * 40503) % 65536` (16-bit
+    * Fibonacci hashing) < rate·65536. Unlike `df.sample`, the kept set is
+    * a pure function of the row, so it is reproducible across engines,
+    * partitionings, and reruns (and hence oracle-checkable). Map-only:
+    * no shuffle until the declared-output ORDER BY; at 100 TB this is a
+    * single scan with the filter evaluated in the scan stage. The
+    * multiplier product stays < 2^56 for ids up to 2^40 — no BIGINT
+    * overflow in either engine (DuckDB's checked arithmetic would throw,
+    * not wrap). Rates: en 50%, zh 30%, rest 10%. */
+  def q83StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(40503L), lit(65536L))
+    val thr = when(col("lang") === "en", lit(32768L))
+      .when(col("lang") === "zh", lit(19661L))
+      .otherwise(lit(6554L))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .where(col("bucket") < thr)
+      .orderBy("doc_id")
+  }
+
+  val q83Oracle: String =
+    """SELECT doc_id, lang, (doc_id * 40503) % 65536 AS bucket
+       FROM documents
+       WHERE (doc_id * 40503) % 65536 <
+         CASE WHEN lang = 'en' THEN 32768 WHEN lang = 'zh' THEN 19661 ELSE 6554 END
+       ORDER BY doc_id"""
+
+  // ---- int8 embedding quantization (vector-store compression) -----------------
+
+  /** Symmetric max-abs int8 quantization over the embeddings table — the
+    * compression step that serves a float corpus from int8 codes + one
+    * scale per vector (8× memory; the codes are what an ANN scan like
+    * q75/q76 would stream at 100 TB). Declared outputs are the per-vector
+    * scale (r4) plus two pure-integer functionals of the full code array
+    * (sum, zero count) so the oracle hash checks every code with no
+    * fp-sum-order hazard. Map-only scan; kernel documented in
+    * [[graft.ops.Similarity.int8QuantStats]]. */
+  def q84Int8Quant(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        graft.ops.Similarity.int8QuantStatsUdf(
+          col("embedding").cast("array<double>")).as("st"))
+      .select(col("vec_id"), graft.Stable.r4(col("st._1")).as("max_abs"),
+        col("st._2").as("code_sum"), col("st._3").as("n_zero"))
+      .orderBy("vec_id")
+
+  val q84Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       m AS (SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+       c AS (SELECT vec_id, maxabs,
+               list_transform(v, x -> CAST(floor(
+                 x * (CASE WHEN maxabs = 0 THEN 0 ELSE 127.0 / maxabs END)
+                 + 0.5) AS BIGINT)) AS codes
+             FROM m)
+       SELECT vec_id,
+         floor(maxabs * 10000.0 + 0.5) / 10000.0 AS max_abs,
+         CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+         CAST(len(list_filter(codes, x -> x = 0)) AS BIGINT) AS n_zero
+       FROM c ORDER BY vec_id"""
+
   // ---- registry ---------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -594,6 +658,8 @@ object ExtraQueries {
     "q80_edit_distance" -> (q80EditDistance _),
     "q81_dedup_clusters" -> (q81DedupClusters _),
     "q82_shard_pack" -> (q82ShardPack _),
+    "q83_stratified_sample" -> (q83StratifiedSample _),
+    "q84_int8_quant" -> (q84Int8Quant _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -612,5 +678,7 @@ object ExtraQueries {
     "q80_edit_distance" -> q80Oracle,
     "q81_dedup_clusters" -> q81Oracle,
     "q82_shard_pack" -> q82Oracle,
+    "q83_stratified_sample" -> q83Oracle,
+    "q84_int8_quant" -> q84Oracle,
   )
 }

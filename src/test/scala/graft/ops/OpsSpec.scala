@@ -299,6 +299,14 @@ class OpsSpec extends AnyFunSuite {
     assert(q.forall(x => x >= 0.0 && x <= 1.0))
   }
 
+  test("int8QuantStats: hand-computed codes, zero vector, negative halves") {
+    // maxabs 1.0 -> scale 127; codes: 127, floor(-127+0.5)=-127,
+    // floor(63.5+0.5)=64, floor(0.5)=0 -> sum 64, one zero
+    assert(Similarity.int8QuantStats(Seq(1.0, -1.0, 0.5, 0.0)) == (1.0, 64L, 1L))
+    assert(Similarity.int8QuantStats(Seq(0.0, 0.0)) == (0.0, 0L, 2L))
+    assert(Similarity.int8QuantStats(Seq.empty) == (0.0, 0L, 0L))
+  }
+
   test("connectedComponents: chain transitivity beyond one hop") {
     import spark.implicits._
     // 1-2, 2-3, 3-4 is a 3-hop chain (diameter 3 > one propagation round);
