@@ -339,6 +339,39 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Incremental ingestion dedup: keep the rows of `batch` whose key does
+    * NOT already exist in `corpus`, with a Bloom-filter pre-filter so the
+    * expensive exact check only touches possible duplicates. The result
+    * is EXACT — the Bloom filter admits false positives but never false
+    * negatives, so `mightContain = false` rows are definitely new (kept
+    * with no join at all) and only the positive subset pays the anti-join
+    * verification.
+    *
+    * Scale shape: the filter is built with one `treeAggregate` pass over
+    * the corpus keys (`DataFrameStatFunctions.bloomFilter` — mergeable
+    * per-partition sketches, driver holds only the ~`1.2·n·ln(1/fpp)/ln2²`
+    * bits), broadcast once, and evaluated map-side over the batch. For a
+    * mostly-new batch (the common ingestion case) this removes almost the
+    * whole anti-join shuffle: only `fpp` of the truly-new rows plus the
+    * actual duplicates ever reach the exchange. `expectedItems` sizes the
+    * filter; callers that know the corpus cardinality should pass it
+    * (the default pays a count action).
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, keyCol: String,
+                       expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val keys = corpus.select(col(keyCol)).where(col(keyCol).isNotNull)
+    val n = if (expectedItems > 0) expectedItems else math.max(keys.count(), 1L)
+    val bf = keys.stat.bloomFilter(keyCol, n, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val maybeDup = udf((k: String) => k != null && bfB.value.mightContainString(k))
+    val flagged = batch.withColumn("_maybe", maybeDup(col(keyCol)))
+    val definiteNew = flagged.where(!col("_maybe")).drop("_maybe")
+    val verifiedNew = flagged.where(col("_maybe")).drop("_maybe")
+      .join(keys.distinct(), Seq(keyCol), "left_anti")
+    definiteNew.unionByName(verifiedNew)
+  }
+
   /** Connected components over a near-dup pair list: the transitive-
     * closure step that turns pairwise matches into dedup CLUSTERS (A~B,
     * B~C ⇒ {A,B,C} share one representative even when A and C never

@@ -639,6 +639,35 @@ object ExtraQueries {
          CAST(len(list_filter(codes, x -> x = 0)) AS BIGINT) AS n_zero
        FROM c ORDER BY vec_id"""
 
+  // ---- Bloom-filter incremental ingestion dedup -------------------------------
+
+  /** Ingestion-time dedup of a new batch against an existing corpus
+    * ([[graft.ops.Dedup.incrementalDedup]]): corpus = docs with
+    * `doc_id % 3 != 0`, batch = the rest, key = normalized-text md5. The
+    * Bloom pre-filter is result-transparent (false positives are exactly
+    * verified, false negatives impossible), so the DuckDB oracle is the
+    * plain NOT EXISTS anti-join — the hash check proves the sketch path
+    * changes nothing while removing the anti-join shuffle for the
+    * definitely-new majority. */
+  def q85IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), md5(lower(col("text"))).as("text_hash"))
+    val corpus = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+    Dedup.incrementalDedup(corpus.select("text_hash"), batch, "text_hash")
+      .select("doc_id", "lang", "text_hash")
+      .orderBy("doc_id")
+  }
+
+  val q85Oracle: String =
+    """WITH d AS (SELECT doc_id, lang, md5(lower(text)) AS text_hash FROM documents)
+       SELECT b.doc_id, b.lang, b.text_hash
+       FROM d b
+       WHERE b.doc_id % 3 = 0
+         AND NOT EXISTS (SELECT 1 FROM d c
+                         WHERE c.doc_id % 3 <> 0 AND c.text_hash = b.text_hash)
+       ORDER BY b.doc_id"""
+
   // ---- registry ---------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -660,6 +689,7 @@ object ExtraQueries {
     "q82_shard_pack" -> (q82ShardPack _),
     "q83_stratified_sample" -> (q83StratifiedSample _),
     "q84_int8_quant" -> (q84Int8Quant _),
+    "q85_incremental_dedup" -> (q85IncrementalDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -680,5 +710,6 @@ object ExtraQueries {
     "q82_shard_pack" -> q82Oracle,
     "q83_stratified_sample" -> q83Oracle,
     "q84_int8_quant" -> q84Oracle,
+    "q85_incremental_dedup" -> q85Oracle,
   )
 }

@@ -307,6 +307,23 @@ class OpsSpec extends AnyFunSuite {
     assert(Similarity.int8QuantStats(Seq.empty) == (0.0, 0L, 0L))
   }
 
+  test("incrementalDedup equals the plain anti-join (bloom path is result-transparent)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // keys drawn from a small pool so the batch contains real duplicates
+    // of the corpus, plus definitely-new keys
+    val corpus = Seq.fill(200)(f"k${rnd.nextInt(150)}%03d").toDF("k")
+    val batch = (Seq.fill(100)(f"k${rnd.nextInt(150)}%03d") ++
+      Seq.fill(50)(f"new${rnd.nextInt(1000)}%04d")).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val got = Dedup.incrementalDedup(corpus, batch, "k")
+      .select("id").as[Long].collect().toSet
+    val expected = batch.join(corpus.distinct(), Seq("k"), "left_anti")
+      .select("id").as[Long].collect().toSet
+    assert(got == expected)
+    assert(expected.nonEmpty && expected.size < 150) // dups existed AND survived rows exist
+  }
+
   test("connectedComponents: chain transitivity beyond one hop") {
     import spark.implicits._
     // 1-2, 2-3, 3-4 is a 3-hop chain (diameter 3 > one propagation round);
