@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming jobs over the events stream (SURVEY B28). The
   * reference's only streaming analog is its append-only JSONL sink
@@ -111,6 +112,49 @@ object Events {
           state.update(next)
           next
       }
+  }
+
+  /** State API v2 processor behind [[runningUserTotalsV2]]. Top-level
+    * class (not an anonymous closure) so the checkpoint can re-instantiate
+    * it; `ValueState` is fetched in `init` per the API contract. TTL is
+    * NONE to keep parity with the v1 twin's NoTimeout; production would
+    * pass `TTLConfig(Duration.ofDays(...))` to bound idle-user state. */
+  final class RunningTotalsProcessor
+      extends StatefulProcessor[Long, (Long, Long, Double), UserState] {
+    @transient private var state: ValueState[UserState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserState]("userTotals",
+        org.apache.spark.sql.Encoders.product[UserState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Double)],
+                                 timers: TimerValues): Iterator[UserState] = {
+      val prev =
+        if (state.exists()) state.get()
+        else UserState(key, 0L, 0.0, Long.MinValue)
+      var n = prev.n_events
+      var tot = prev.total_value
+      var last = prev.last_ts_us
+      rows.foreach { case (_, tsUs, v) =>
+        n += 1; tot += v; if (tsUs > last) last = tsUs
+      }
+      val next = UserState(key, n, tot, last)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[runningUserTotals]] on the Spark 4 arbitrary-state API
+    * (`transformWithState` + `StatefulProcessor`): same per-user running
+    * snapshot, but state lives in named, typed, TTL-capable stores
+    * (RocksDB state store provider required) instead of a single opaque
+    * `GroupState` value — the API tier that adds per-state TTL, timers,
+    * and multiple named states per key. The spec asserts output parity
+    * with the v1 twin across identical micro-batch sequences. */
+  def runningUserTotalsV2(events: Dataset[(Long, Long, Double)]): Dataset[UserState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Streaming exact dedup — the streaming twin of

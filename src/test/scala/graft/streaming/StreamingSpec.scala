@@ -290,4 +290,38 @@ class StreamingSpec extends AnyFunSuite {
       .sortBy(_._1).toSeq
     assert(last == Seq((1L, 3L, 7.0, 300L), (2L, 1L, 5.0, 150L)))
   }
+
+  test("transformWithState (state API v2) matches the mapGroupsWithState twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // state API v2 requires the RocksDB provider; scope it to this query
+    // and restore the session default afterwards
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Long, Double)]
+      val name = s"tws_out_${System.nanoTime()}"
+      val q = Events.runningUserTotalsV2(mem.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("update").start()
+      mem.addData((1L, 100L, 1.0), (1L, 200L, 2.0), (2L, 150L, 5.0))
+      q.processAllAvailable()
+      mem.addData((1L, 300L, 4.0)) // cross-batch: user 1 state must carry over
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table(name)
+        .groupBy("user_id")
+        .agg(max_by(struct("n_events", "total_value", "last_ts_us"),
+          col("n_events")).as("s"))
+        .select("user_id", "s.n_events", "s.total_value", "s.last_ts_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      // identical snapshots to the v1 (mapGroupsWithState) test above
+      assert(last == Seq((1L, 3L, 7.0, 300L), (2L, 1L, 5.0, 150L)))
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
