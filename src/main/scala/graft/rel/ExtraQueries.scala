@@ -668,6 +668,52 @@ object ExtraQueries {
                          WHERE c.doc_id % 3 <> 0 AND c.text_hash = b.text_hash)
        ORDER BY b.doc_id"""
 
+  // ---- shingle novelty (contamination / memorization check) -------------------
+
+  /** Per-document novelty: the fraction of a doc's distinct 3-gram
+    * shingles NOT already present in any earlier document (first
+    * occurrence ordered by doc_id — in a dated corpus this is ingestion
+    * order). Low novelty flags boilerplate and train/test contamination —
+    * the decontamination signal run over candidate training corpora.
+    *
+    * Shape: explode distinct shingles, min-over-shingle window (ONE
+    * shuffle on the shingle — a groupBy+join twin would pay two), then
+    * re-aggregate per doc. String shingles here so the DuckDB oracle can
+    * reproduce them; the 100-TB path works in the 64-bit hash domain like
+    * [[graft.ops.Dedup.jaccardPairs]] (4× smaller exchanges, same
+    * counts). Docs under 3 tokens have no shingles and are absent, in
+    * both engines. */
+  def q86ShingleNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = t(s, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("sh"))
+    val w = Window.partitionBy("sh")
+    sh.withColumn("first_doc", min("doc_id").over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+      .withColumn("novelty", graft.Stable.r4(
+        lit(1.0) - col("n_seen").cast("double") / col("n_shingles")))
+      .orderBy("doc_id")
+  }
+
+  val q86Oracle: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+         FROM documents),
+       sh AS (
+         SELECT doc_id, tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       dt AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+       f AS (SELECT doc_id, shingle,
+               MIN(doc_id) OVER (PARTITION BY shingle) AS first_doc FROM dt)
+       SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+         floor((1.0 - CAST(SUM(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS novelty
+       FROM f GROUP BY doc_id ORDER BY doc_id"""
+
   // ---- registry ---------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -690,6 +736,7 @@ object ExtraQueries {
     "q83_stratified_sample" -> (q83StratifiedSample _),
     "q84_int8_quant" -> (q84Int8Quant _),
     "q85_incremental_dedup" -> (q85IncrementalDedup _),
+    "q86_shingle_novelty" -> (q86ShingleNovelty _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -711,5 +758,6 @@ object ExtraQueries {
     "q83_stratified_sample" -> q83Oracle,
     "q84_int8_quant" -> q84Oracle,
     "q85_incremental_dedup" -> q85Oracle,
+    "q86_shingle_novelty" -> q86Oracle,
   )
 }
