@@ -97,6 +97,85 @@ object Multimodal {
       out
     }
 
+    /** Decode an uncompressed 24-bit BMP (BITMAPINFOHEADER or longer):
+      * `BM` magic, pixel rows BGR-interleaved and padded to 4-byte
+      * boundaries, bottom-up by default (negative height = top-down, per
+      * the spec). Returns a top-down RGB [[DecodedImage]] — the row
+      * reversal, per-row padding walk, and BGR→RGB swap are exactly the
+      * bugs a checksum can't see, which is why q87's oracle checks an
+      * order-sensitive functional of the decoded raster. None for
+      * non-BMP, compressed, non-24-bit, or truncated payloads; dimension
+      * arithmetic in Long space like [[decodePpm]]. */
+    def decodeBmp(bytes: Array[Byte]): Option[DecodedImage] = {
+      if (bytes == null || bytes.length < 54 ||
+          bytes(0) != 'B' || bytes(1) != 'M') return None
+      def u16(off: Int) = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+      def u32(off: Int): Long =
+        (bytes(off) & 0xFFL) | ((bytes(off + 1) & 0xFFL) << 8) |
+        ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
+      val dataOff = u32(10)
+      val hdrSize = u32(14)
+      if (hdrSize < 40L) return None // BITMAPCOREHEADER not supported
+      val w = u32(18).toInt // i32: width must be positive anyway
+      val hRaw = u32(22).toInt // i32: negative = top-down row order
+      val planes = u16(26); val bpp = u16(28); val comp = u32(30)
+      if (w <= 0 || hRaw == 0 || planes != 1 || bpp != 24 || comp != 0L) return None
+      val topDown = hRaw < 0
+      val h = math.abs(hRaw)
+      val rowL = ((w.toLong * 3L + 3L) / 4L) * 4L // padded row stride
+      val pixL = w.toLong * h.toLong * 3L
+      if (pixL > Int.MaxValue.toLong) return None
+      if (dataOff < 14L + hdrSize || dataOff + rowL * h > bytes.length.toLong) return None
+      val rowSize = rowL.toInt
+      val pixels = new Array[Byte](pixL.toInt)
+      var r = 0
+      while (r < h) {
+        val srcRow = if (topDown) r else h - 1 - r
+        val base = dataOff.toInt + srcRow * rowSize
+        var x = 0
+        while (x < w) {
+          val d = 3 * (r * w + x)
+          pixels(d) = bytes(base + 3 * x + 2)     // R (stored as BGR)
+          pixels(d + 1) = bytes(base + 3 * x + 1) // G
+          pixels(d + 2) = bytes(base + 3 * x)     // B
+          x += 1
+        }
+        r += 1
+      }
+      Some(DecodedImage(w, h, 255, pixels))
+    }
+
+    /** Encode a top-down RGB raster as a standard bottom-up 24-bit BMP
+      * (54-byte headers, BGR, 4-byte-padded rows) — the writer half;
+      * round-trips through [[decodeBmp]]. */
+    def encodeBmp(img: DecodedImage): Array[Byte] = {
+      val w = img.width; val h = img.height
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      val dataLen = rowSize * h
+      val out = java.nio.ByteBuffer.allocate(54 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+        .putInt(0).putInt(54)
+        .putInt(40).putInt(w).putInt(h) // positive height: bottom-up
+        .putShort(1).putShort(24).putInt(0).putInt(dataLen)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      val arr = out.array()
+      var r = 0
+      while (r < h) {
+        val dstBase = 54 + (h - 1 - r) * rowSize // bottom-up
+        var x = 0
+        while (x < w) {
+          val s = 3 * (r * w + x)
+          arr(dstBase + 3 * x) = img.pixels(s + 2)     // B
+          arr(dstBase + 3 * x + 1) = img.pixels(s + 1) // G
+          arr(dstBase + 3 * x + 2) = img.pixels(s)     // R
+          x += 1
+        }
+        r += 1
+      }
+      arr
+    }
+
     /** Decode a RIFF/WAVE container with a PCM (format 1) `fmt ` chunk and
       * 8- or 16-bit samples. Walks the chunk list (chunks are word-aligned:
       * odd-size chunks carry a pad byte), so extra chunks like LIST/INFO

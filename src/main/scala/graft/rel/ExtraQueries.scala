@@ -714,6 +714,63 @@ object ExtraQueries {
                 / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS novelty
        FROM f GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---- BMP media decode (third real codec, order-sensitive oracle) ------------
+
+  /** BMP twin of [[q74MediaDecode]]: per doc, synthesize a top-down RGB
+    * raster (pixel i = (id·31 + i·7) mod 256, widths 3-6 so the 4-byte
+    * row padding is hit in every phase), encode as standard bottom-up BGR
+    * BMP, decode back, emit content stats. `weighted_sum` (Σ i·pixel[i])
+    * is ORDER-sensitive: a row-reversal or BGR-swap bug that preserves
+    * per-channel sums still diverges the oracle hash. */
+  def q87BmpDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.Multimodal
+    import graft.ops.Multimodal.MediaKernels
+    val ids = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (3 + id % 4).toInt
+        val h = (2 + id % 3).toInt
+        val px = Array.tabulate[Byte](w * h * 3)(i => ((id * 31 + i.toLong * 7) % 256).toByte)
+        val img = MediaKernels.decodeBmp(
+          MediaKernels.encodeBmp(Multimodal.DecodedImage(w, h, 255, px))).get
+        var rs = 0L; var gs = 0L; var bs = 0L; var ws = 0L
+        var i = 0
+        while (i < img.pixels.length) {
+          val v = img.pixels(i) & 0xFF
+          (i % 3: @annotation.switch) match {
+            case 0 => rs += v
+            case 1 => gs += v
+            case _ => bs += v
+          }
+          ws += i.toLong * v
+          i += 1
+        }
+        (id, img.width, img.height, rs, gs, bs, ws)
+      }
+    }.toDF("media_id", "img_w", "img_h", "r_sum", "g_sum", "b_sum", "weighted_sum")
+      .orderBy("media_id")
+  }
+
+  val q87Oracle: String =
+    """WITH ids AS (
+         SELECT doc_id AS media_id, 3 + doc_id % 4 AS w, 2 + doc_id % 3 AS h
+         FROM documents),
+       v AS (
+         SELECT media_id, i, (media_id*31 + i*7) % 256 AS val
+         FROM (SELECT media_id, unnest(generate_series(0, w*h*3 - 1)) AS i FROM ids)),
+       agg AS (
+         SELECT media_id,
+           CAST(SUM(CASE WHEN i % 3 = 0 THEN val END) AS BIGINT) AS r_sum,
+           CAST(SUM(CASE WHEN i % 3 = 1 THEN val END) AS BIGINT) AS g_sum,
+           CAST(SUM(CASE WHEN i % 3 = 2 THEN val END) AS BIGINT) AS b_sum,
+           CAST(SUM(i * val) AS BIGINT) AS weighted_sum
+         FROM v GROUP BY media_id)
+       SELECT ids.media_id, CAST(w AS INT) AS img_w, CAST(h AS INT) AS img_h,
+              r_sum, g_sum, b_sum, weighted_sum
+       FROM ids JOIN agg USING (media_id)
+       ORDER BY ids.media_id"""
+
   // ---- registry ---------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -737,6 +794,7 @@ object ExtraQueries {
     "q84_int8_quant" -> (q84Int8Quant _),
     "q85_incremental_dedup" -> (q85IncrementalDedup _),
     "q86_shingle_novelty" -> (q86ShingleNovelty _),
+    "q87_bmp_decode" -> (q87BmpDecode _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -759,5 +817,6 @@ object ExtraQueries {
     "q84_int8_quant" -> q84Oracle,
     "q85_incremental_dedup" -> q85Oracle,
     "q86_shingle_novelty" -> q86Oracle,
+    "q87_bmp_decode" -> q87Oracle,
   )
 }

@@ -224,6 +224,32 @@ class OpsSpec extends AnyFunSuite {
     assert(MediaKernels.decodePpm(("P6\n99999999999999999 2\n255\n").getBytes("US-ASCII") ++ px).isEmpty)
   }
 
+  test("BMP codec: round-trip with row padding, top-down variant, malformed → None") {
+    import Multimodal.{DecodedImage, MediaKernels}
+    // w=3 -> 9-byte rows padded to 12: the padding walk is exercised
+    val px = Array.tabulate[Byte](3 * 2 * 3)(i => (i * 13 + 7).toByte)
+    val img = DecodedImage(3, 2, 255, px)
+    val bmp = MediaKernels.encodeBmp(img)
+    val rt = MediaKernels.decodeBmp(bmp).get
+    assert(rt.width == 3 && rt.height == 2)
+    assert(rt.pixels.toSeq == px.toSeq) // bottom-up + BGR undone exactly
+    // top-down variant: negative height in the info header
+    val td = bmp.clone()
+    // height i32 at offset 22 = -2 little-endian; rows already bottom-up in
+    // the buffer, so decoding top-down must yield the REVERSED row order
+    td(22) = (-2 & 0xFF).toByte; td(23) = 0xFF.toByte; td(24) = 0xFF.toByte; td(25) = 0xFF.toByte
+    val tdImg = MediaKernels.decodeBmp(td).get
+    val rows = px.grouped(3 * 3).toSeq
+    assert(tdImg.pixels.toSeq == (rows(1) ++ rows(0)).toSeq)
+    assert(MediaKernels.decodeBmp("XX".getBytes("US-ASCII")).isEmpty)
+    assert(MediaKernels.decodeBmp(bmp.take(40).toArray).isEmpty) // truncated header
+    assert(MediaKernels.decodeBmp(bmp.take(60).toArray).isEmpty) // truncated raster
+    val bpp8 = bmp.clone(); bpp8(28) = 8 // non-24-bit
+    assert(MediaKernels.decodeBmp(bpp8).isEmpty)
+    val rle = bmp.clone(); rle(30) = 1 // compressed
+    assert(MediaKernels.decodeBmp(rle).isEmpty)
+  }
+
   test("WAV codec: PCM16 round-trip, chunk skipping + odd-size padding, 8-bit") {
     import Multimodal.{DecodedAudio, MediaKernels}
     val smp = Array.tabulate[Short](10)(i => ((i - 5) * 1000).toShort)
