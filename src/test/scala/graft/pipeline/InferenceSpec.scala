@@ -169,6 +169,21 @@ class InferenceSpec extends AnyFunSuite {
     assert(m("n_rejects") == expectedRejects)
   }
 
+  test("Monitor.instrument: named observation lands in observedMetrics") {
+    val results = spark.read.schema(Schemas.resultRecord)
+      .json(SparkTestBase.FixtureJsonl)
+    val instrumented = Monitor.instrument(results, "spec_quality")
+    // collect() runs the Dataset's OWN queryExecution (count() would plan
+    // a separate aggregate execution whose metrics land elsewhere)
+    instrumented.collect()
+    val metrics = instrumented.queryExecution.observedMetrics
+    assert(metrics.contains("spec_quality"))
+    val row = metrics("spec_quality")
+    assert(row.getAs[Long]("n_rows") == 24L)
+    assert(row.getAs[Long]("n_label_keep") ==
+      results.where(org.apache.spark.sql.functions.col("label_decision") === "keep").count())
+  }
+
   test("A2 sink: append-mode JSONL accumulates records") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString + "/out"
