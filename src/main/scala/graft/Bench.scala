@@ -25,7 +25,10 @@ object Bench {
     // real regression from shuffle/GC jitter at sub-second magnitudes.
     // Repetitions iterate OVER the whole suite (rep-major), not per query,
     // so one rep's GC pause cannot inflate all 3 samples of one query.
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    // toIntOption: a malformed env value falls back to the default
+    // instead of aborting the whole bench before any query runs
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).getOrElse(3))
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     for (_ <- 1 to reps; (name, fn) <- names) {
       val t0 = System.nanoTime()

@@ -360,15 +360,25 @@ object Dedup {
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, keyCol: String,
                        expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
     val spark = corpus.sparkSession
+    // ONE corpus pass: distinct keys materialized eagerly, then the
+    // sizing count, the bloomFilter aggregate, and the verification join
+    // all read the checkpointed blocks instead of re-scanning the source
+    // (3 scans otherwise — on the operator whose point is cutting
+    // ingestion I/O)
     val keys = corpus.select(col(keyCol)).where(col(keyCol).isNotNull)
+      .distinct().localCheckpoint()
     val n = if (expectedItems > 0) expectedItems else math.max(keys.count(), 1L)
     val bf = keys.stat.bloomFilter(keyCol, n, fpp)
     val bfB = spark.sparkContext.broadcast(bf)
     val maybeDup = udf((k: String) => k != null && bfB.value.mightContainString(k))
+    // eager too: both output branches read `flagged`, so without it the
+    // batch source and the Bloom probe evaluate twice — and a
+    // non-deterministic source could flip rows between branches
     val flagged = batch.withColumn("_maybe", maybeDup(col(keyCol)))
+      .localCheckpoint()
     val definiteNew = flagged.where(!col("_maybe")).drop("_maybe")
     val verifiedNew = flagged.where(col("_maybe")).drop("_maybe")
-      .join(keys.distinct(), Seq(keyCol), "left_anti")
+      .join(keys, Seq(keyCol), "left_anti")
     definiteNew.unionByName(verifiedNew)
   }
 

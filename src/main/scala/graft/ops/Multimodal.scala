@@ -287,7 +287,11 @@ object Multimodal {
         case None => ()
       }
       decodeWav(bytes) match {
-        case Some(a) if a.samples.nonEmpty =>
+        case Some(a) =>
+          // a VALID but empty-data WAV is still audio: emit zeroed signal
+          // stats with the real metadata dims, never the byte-histogram
+          // fallback (which would embed 44 header bytes as if they were
+          // arbitrary binary content)
           var sum = 0.0; var sq = 0.0; var zc = 0; var peak = 0.0
           var i = 0
           while (i < a.samples.length) {
@@ -297,16 +301,17 @@ object Multimodal {
             if (i > 0 && (a.samples(i) >= 0) != (a.samples(i - 1) >= 0)) zc += 1
             i += 1
           }
-          val n = a.samples.length
+          val n = math.max(1, a.samples.length)
           if (dim > 0) out(0) = (sum / n).toFloat
           if (dim > 1) out(1) = math.sqrt(sq / n).toFloat
           if (dim > 2) out(2) = zc.toFloat / n
           if (dim > 3) out(3) = peak.toFloat
           if (dim > 4) out(4) = a.sampleRate / 48000.0f
           if (dim > 5) out(5) = a.numChannels.toFloat
-          if (dim > 6) out(6) = n.toFloat / math.max(1, a.sampleRate * a.numChannels)
+          if (dim > 6) out(6) = a.samples.length.toFloat /
+            math.max(1, a.sampleRate * a.numChannels)
           return out
-        case _ => ()
+        case None => ()
       }
       // fallback: byte-histogram moments (unrecognized container)
       var i = 0

@@ -318,18 +318,33 @@ object Similarity {
     * candidates (two-stage retrieve-then-rerank, recall asserted in the
     * spec). Codebooks are sample-fit and cached under `corpusKey` like the
     * IVF quantizer. */
+  /** The ONE unit-normalize kernel (zero vector stays zero) — shared by
+    * the distributed [[normalized]] pass and the driver-side
+    * [[queryVectors]] fetch so the two sides can never scale apart. */
+  private[ops] def normalizeOne(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    val out = new Array[Double](v.length)
+    if (n > 0) { i = 0; while (i < v.length) { out(i) = v(i) / n; i += 1 } }
+    out
+  }
+
+  /** The ONE centroid squared-distance kernel — every cell assignment and
+    * probe ranking (ivfTopK, ivfPqTopK, nearestCenter) goes through this,
+    * so a future change (early-exit bound, tie-break) cannot desync cell
+    * geometry between the IVF and IVF-PQ paths. */
+  private[ops] def sqDist(a: Array[Double], c: Array[Double]): Double = {
+    var d = 0.0; var j = 0
+    while (j < c.length) { val t = a(j) - c(j); d += t * t; j += 1 }
+    d
+  }
+
   /** Unit-normalize a (vid, arr) frame into a typed Dataset. */
   private def normalized(data: DataFrame): Dataset[(Long, Array[Double])] = {
     val spark = data.sparkSession
     import spark.implicits._
-    data.as[(Long, Array[Double])].map { case (id, v) =>
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      val n = math.sqrt(s)
-      val out = new Array[Double](v.length)
-      if (n > 0) { i = 0; while (i < v.length) { out(i) = v(i) / n; i += 1 } }
-      (id, out)
-    }
+    data.as[(Long, Array[Double])].map { case (id, v) => (id, normalizeOne(v)) }
   }
 
   /** Get-or-fit the PQ model for a normalized corpus. Fit-path only
@@ -365,17 +380,32 @@ object Similarity {
     }
   }
 
-  /** Argmin centroid for a full vector (offset 0, full length). */
+  /** Argmin centroid for a full vector, via the shared [[sqDist]]. */
   private[ops] def nearestCenter(centers: Array[Array[Double]], v: Array[Double]): Int = {
     var best = 0; var bestD = Double.MaxValue; var ci = 0
     while (ci < centers.length) {
-      var d = 0.0; var j = 0
-      val c = centers(ci)
-      while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+      val d = sqDist(v, centers(ci))
       if (d < bestD) { bestD = d; best = ci }
       ci += 1
     }
     best
+  }
+
+  /** The ONE ADC scoring kernel (m table adds over the byte codes) —
+    * shared by [[pqTopK]] and [[ivfPqTopK]] like [[encodeOne]]. */
+  private[ops] def adcScore(lut: Array[Array[Double]], code: Array[Byte]): Double = {
+    var s = 0.0; var sub = 0
+    while (sub < code.length) { s += lut(sub)(code(sub) & 0xFF); sub += 1 }
+    s
+  }
+
+  /** Approximate-stage shortlist: top rerank·k per query by ADC score,
+    * deterministic cand tie-break — the shared stage-1 cut both PQ paths
+    * feed into [[exactRerank]]. */
+  private def adcShortlist(approx: DataFrame, k: Int, rerank: Int): DataFrame = {
+    val w1 = Window.partitionBy("qid").orderBy(col("approx").desc, col("cand"))
+    approx.withColumn("_rn", row_number().over(w1))
+      .where(col("_rn") <= k * rerank).select("qid", "cand")
   }
 
   /** PQ-encode one vector: per-subspace argmin over the codebook —
@@ -417,14 +447,7 @@ object Similarity {
     import spark.implicits._
     data.where(col("vid").isin(queryIds: _*))
       .as[(Long, Array[Double])].collect()
-      .map { case (qid, v) =>
-        var s = 0.0; var i = 0
-        while (i < v.length) { s += v(i) * v(i); i += 1 }
-        val n = math.sqrt(s)
-        val out = new Array[Double](v.length)
-        if (n > 0) { i = 0; while (i < v.length) { out(i) = v(i) / n; i += 1 } }
-        (qid, out)
-      }
+      .map { case (qid, v) => (qid, normalizeOne(v)) }
   }
 
   /** Per-query ADC lookup tables: lut(sub)(c) = ⟨query_sub, centroid_c⟩.
@@ -494,17 +517,11 @@ object Similarity {
     val lutsB = spark.sparkContext.broadcast(adcLuts(queryVectors(data, queryIds), model))
     val approx = codes.flatMap { case (vid, code) =>
       lutsB.value.iterator.filter(_._1 != vid).map { case (qid, lut) =>
-        var s = 0.0; var sub = 0
-        while (sub < code.length) { s += lut(sub)(code(sub) & 0xFF); sub += 1 }
-        (qid, vid, s)
+        (qid, vid, adcScore(lut, code))
       }
     }.toDF("qid", "cand", "approx")
-    // stage 1: approximate top rerank·k per query by ADC score
-    val w1 = Window.partitionBy("qid").orderBy(col("approx").desc, col("cand"))
-    val shortlist = approx.withColumn("_rn", row_number().over(w1))
-      .where(col("_rn") <= k * rerank).select("qid", "cand")
-    // stage 2: exact cosine re-rank
-    exactRerank(shortlist, data, queryIds, k)
+    // stage 1: approximate top rerank·k by ADC; stage 2: exact re-rank
+    exactRerank(adcShortlist(approx, k, rerank), data, queryIds, k)
   }
 
   /** The composed 100-TB serving design: IVF cells prune WHAT is scanned
@@ -555,29 +572,17 @@ object Similarity {
     val lutByQid = adcLuts(qVecs, model).toMap
     val lutB = spark.sparkContext.broadcast(lutByQid)
     // (qid, cell) probe pairs: each query scans only its nProbe cells
-    def sqDist(a: Array[Double], c: Array[Double]): Double = {
-      var d = 0.0; var j = 0
-      while (j < c.length) { val t = a(j) - c(j); d += t * t; j += 1 }
-      d
-    }
     val probes = qVecs.toSeq.flatMap { case (qid, qv) =>
       centers.indices.sortBy(ci => sqDist(qv, centers(ci)))
         .take(nProbe).map(cell => (qid, cell))
     }.toDF("qid", "cell")
-    val scoreAdc = udf((qid: Long, code: Array[Byte]) => {
-      val lut = lutB.value(qid)
-      var s = 0.0; var sub = 0
-      while (sub < code.length) { s += lut(sub)(code(sub) & 0xFF); sub += 1 }
-      s
-    })
+    val scoreAdc = udf((qid: Long, code: Array[Byte]) =>
+      adcScore(lutB.value(qid), code))
     val approx = coded.join(broadcast(probes), Seq("cell"))
       .where(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid").as("cand"),
         scoreAdc(col("qid"), col("code")).as("approx"))
-    val w1 = Window.partitionBy("qid").orderBy(col("approx").desc, col("cand"))
-    val shortlist = approx.withColumn("_rn", row_number().over(w1))
-      .where(col("_rn") <= k * rerank).select("qid", "cand")
-    exactRerank(shortlist, data, queryIds, k)
+    exactRerank(adcShortlist(approx, k, rerank), data, queryIds, k)
   }
 
   /** IVF-style ANN: k-means partitions the corpus into `nCells` inverted
@@ -606,27 +611,16 @@ object Similarity {
     val centers = coarseCentersFor(data, nCells, corpusKey,
       s"$idCol|$vecCol", sampleCap)
     val centersB = spark.sparkContext.broadcast(centers)
-    def cellDist(a: Seq[Double], c: Array[Double]): Double = {
-      var d = 0.0; var i = 0
-      while (i < c.length) { val t = a(i) - c(i); d += t * t; i += 1 }
-      d
-    }
-    // corpus-side assignment: argmin over centroids, one map-side pass
-    val assignCell = udf((a: Seq[Double]) => {
-      val cs = centersB.value
-      var best = 0; var bestD = Double.MaxValue; var ci = 0
-      while (ci < cs.length) {
-        val d = cellDist(a, cs(ci))
-        if (d < bestD) { bestD = d; best = ci }
-        ci += 1
-      }
-      best
-    })
+    // corpus-side assignment: argmin over centroids via the shared
+    // kernels — identical geometry to ivfPqTopK's coded pass
+    val assignCell = udf((a: Seq[Double]) =>
+      nearestCenter(centersB.value, a.toArray))
     val assigned = data.withColumn("cell", assignCell(col("arr")))
     // each query probes its nProbe nearest cells
     val probeCells = udf((a: Seq[Double]) => {
       val cs = centersB.value
-      cs.indices.sortBy(ci => cellDist(a, cs(ci))).take(nProbe)
+      val arr = a.toArray
+      cs.indices.sortBy(ci => sqDist(arr, cs(ci))).take(nProbe)
     })
     // norms once per vector (not per pair — see cosineTopK), zero-guarded
     val withNrm = assigned.withColumn("nrm", sqrt(dot(col("arr"), col("arr"))))

@@ -620,8 +620,10 @@ object DataQueries {
              r -> string_split(r, ' or ')))))) AS n_refs,
          1 AS n_msgs,
          $fixedLen + length(j.question)
-           + CAST(list_aggregate(list_transform(pb.p3, x -> length(x)), 'sum') AS BIGINT)
-           + 9 * len(pb.p3) + (len(pb.p3) - 1) AS prompt_len
+           + CAST(COALESCE(
+               list_aggregate(list_transform(pb.p3, x -> length(x)), 'sum')
+                 + 9 * len(pb.p3) + (len(pb.p3) - 1),
+               0) AS BIGINT) AS prompt_len
        FROM j JOIN pb ON j.id = pb.id
        ORDER BY j.id"""
   }

@@ -634,9 +634,9 @@ object ExtraQueries {
                  + 0.5) AS BIGINT)) AS codes
              FROM m)
        SELECT vec_id,
-         floor(maxabs * 10000.0 + 0.5) / 10000.0 AS max_abs,
-         CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
-         CAST(len(list_filter(codes, x -> x = 0)) AS BIGINT) AS n_zero
+         floor(COALESCE(maxabs, 0) * 10000.0 + 0.5) / 10000.0 AS max_abs,
+         CAST(COALESCE(list_aggregate(codes, 'sum'), 0) AS BIGINT) AS code_sum,
+         CAST(COALESCE(len(list_filter(codes, x -> x = 0)), 0) AS BIGINT) AS n_zero
        FROM c ORDER BY vec_id"""
 
   // ---- Bloom-filter incremental ingestion dedup -------------------------------
