@@ -771,6 +771,40 @@ object ExtraQueries {
        FROM ids JOIN agg USING (media_id)
        ORDER BY ids.media_id"""
 
+  // ---- partitioned write + partition-pruned read ------------------------------
+
+  /** Hive-style partitioned layout round-trip: write documents
+    * partitioned by `lang`, read back with a lang predicate, aggregate.
+    * At 100 TB this is THE storage-layout lever — the lang filter prunes
+    * whole directories before any I/O (the plan shows it under
+    * `PartitionFilters`, pinned in PlanDisciplineSpec), so a two-language
+    * query reads 2/5 of the corpus instead of scanning and filtering.
+    * The oracle aggregates the ORIGINAL parquet with the same predicate:
+    * any fidelity or pruning-semantics bug diverges the hash. */
+  def q88PartitionedPrune(s: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_part_docs_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+    t(s, dir, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+      .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    s.read.parquet(tmp)
+      .where(col("lang").isin("en", "zh"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("lang", "source")
+  }
+
+  val q88Oracle: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS first_doc
+       FROM documents
+       WHERE lang IN ('en', 'zh')
+       GROUP BY lang, source
+       ORDER BY lang, source"""
+
   // ---- registry ---------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -795,6 +829,7 @@ object ExtraQueries {
     "q85_incremental_dedup" -> (q85IncrementalDedup _),
     "q86_shingle_novelty" -> (q86ShingleNovelty _),
     "q87_bmp_decode" -> (q87BmpDecode _),
+    "q88_partitioned_prune" -> (q88PartitionedPrune _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -818,5 +853,6 @@ object ExtraQueries {
     "q85_incremental_dedup" -> q85Oracle,
     "q86_shingle_novelty" -> q86Oracle,
     "q87_bmp_decode" -> q87Oracle,
+    "q88_partitioned_prune" -> q88Oracle,
   )
 }

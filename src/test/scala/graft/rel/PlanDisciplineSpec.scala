@@ -62,6 +62,17 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"))
   }
 
+  test("q88: lang predicate prunes hive partitions (PartitionFilters, not a data filter)") {
+    val p = plan("q88_partitioned_prune")
+    // the lang IN filter must land on the partitioning layer — whole
+    // directories skipped before I/O — not as a post-scan Filter
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("lang"), s"lang filter not in PartitionFilters: $pf")
+    // partition column carries no data pages; scan schema is data cols only
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang"), readSchema)
+  }
+
   test("q09: HLL approx distinct within 5% of exact (B9 no-oracle bound)") {
     import org.apache.spark.sql.functions._
     val events = Tables.load(spark, dir, "events")
