@@ -333,6 +333,34 @@ class OpsSpec extends AnyFunSuite {
     assert(Similarity.int8QuantStats(Seq.empty) == (0.0, 0L, 0L))
   }
 
+  test("connectedComponents throws (not mislabels) when maxIter is too small") {
+    import spark.implicits._
+    // 5-vertex path graph needs >1 round; maxIter=1 must fail loudly
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(chain, "a", "b", maxIter = 1).collect()
+    }
+  }
+
+  test("stratified sample is invariant under repartitioning (unlike df.sample)") {
+    val docs = Tables.load(spark, SparkTestBase.Sf0001, "documents")
+    val base = graft.rel.ExtraQueries.q83StratifiedSample(spark, SparkTestBase.Sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // same rows, different physical layout -> identical kept set
+    val repart = docs.repartition(7)
+    val bucket = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("doc_id") * org.apache.spark.sql.functions.lit(40503L),
+      org.apache.spark.sql.functions.lit(65536L))
+    val thr = org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("lang") === "en", 32768L)
+      .when(org.apache.spark.sql.functions.col("lang") === "zh", 19661L)
+      .otherwise(6554L)
+    val again = repart.where(bucket < thr).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(again == base)
+    assert(base.nonEmpty)
+  }
+
   test("incrementalDedup equals the plain anti-join (bloom path is result-transparent)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
