@@ -805,6 +805,47 @@ object ExtraQueries {
        GROUP BY lang, source
        ORDER BY lang, source"""
 
+  // ---- vocabulary coverage (OOV-rate analysis) --------------------------------
+
+  /** Corpus-derived vocabulary + per-document out-of-vocabulary rate: the
+    * top-1000 tokens by frequency (deterministic tie-break: freq desc,
+    * token asc) form the vocab; each doc reports how much of it falls
+    * outside — the coverage signal that sizes a tokenizer's vocab against
+    * a corpus. Shape: one explode+groupBy builds the vocab (TakeOrdered,
+    * no global sort), then the tiny vocab BROADCASTS back onto the token
+    * stream — the derived-small-table join pattern; per-doc re-agg is the
+    * only other shuffle. */
+  def q89VocabOov(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+    val vocab = tok.groupBy("tk").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tk")).limit(1000)
+      .select(col("tk"), lit(true).as("iv"))
+    tok.join(broadcast(vocab), Seq("tk"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", graft.Stable.r4(
+        col("n_oov").cast("double") / col("n_tokens")))
+      .orderBy("doc_id")
+  }
+
+  val q89Oracle: String =
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+       vocab AS (
+         SELECT tk FROM (
+           SELECT tk, COUNT(*) AS n FROM tok GROUP BY tk
+           ORDER BY n DESC, tk LIMIT 1000)),
+       j AS (SELECT t.doc_id, (v.tk IS NOT NULL) AS iv
+             FROM tok t LEFT JOIN vocab v USING (tk))
+       SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(count_if(NOT iv) AS BIGINT) AS n_oov,
+         floor((CAST(count_if(NOT iv) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5)
+           / 10000.0 AS oov_rate
+       FROM j GROUP BY doc_id ORDER BY doc_id"""
+
   // ---- registry ---------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -830,6 +871,7 @@ object ExtraQueries {
     "q86_shingle_novelty" -> (q86ShingleNovelty _),
     "q87_bmp_decode" -> (q87BmpDecode _),
     "q88_partitioned_prune" -> (q88PartitionedPrune _),
+    "q89_vocab_oov" -> (q89VocabOov _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -854,5 +896,6 @@ object ExtraQueries {
     "q86_shingle_novelty" -> q86Oracle,
     "q87_bmp_decode" -> q87Oracle,
     "q88_partitioned_prune" -> q88Oracle,
+    "q89_vocab_oov" -> q89Oracle,
   )
 }
