@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Structured Streaming jobs over the events stream (SURVEY B28). The
   * reference's only streaming analog is its append-only JSONL sink
@@ -218,5 +219,78 @@ object Events {
           cur.foreach(state.update)
           closes.reverseIterator
       }
+  }
+
+  /** Open-session snapshot for [[SessionTimerProcessor]]. */
+  final case class OpenSession(start_us: Long, end_us: Long, n_ev: Long)
+
+  /** Event-time-timer processor behind [[sessionCloseEventsV2]]: the
+    * watermark-driven flush [[sessionCloseEvents]] deliberately omits
+    * (its sessions close only when a successor arrives; a user who never
+    * returns leaks an open session). Each batch (re)registers a timer at
+    * session_end + gap; when the WATERMARK passes that point the runtime
+    * calls [[handleExpiredTimer]] and the session closes with no
+    * successor needed. Stale timers (from a since-extended session) fire
+    * with an expiry below the current end+gap and are ignored by the
+    * guard rather than individually deleted — the bookkeeping-free form.
+    * Same in-batch merge/too-late semantics as the v1 twin. */
+  final class SessionTimerProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp), SessionClose] {
+    @transient private var open: ValueState[OpenSession] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("openSession",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+    private def timerMsFor(o: OpenSession): Long = (o.end_us + gapUs) / 1000L
+    override def handleInputRows(key: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+                                 timers: TimerValues): Iterator[SessionClose] = {
+      var cur = if (open.exists()) Some(open.get()) else None
+      var closes = List.empty[SessionClose]
+      rows.map(r => r._2.getTime * 1000L).toSeq.sorted.foreach { t =>
+        cur match {
+          case Some(o) if t >= o.start_us - gapUs && t <= o.end_us + gapUs =>
+            cur = Some(OpenSession(math.min(o.start_us, t), math.max(o.end_us, t), o.n_ev + 1))
+          case Some(o) if t < o.start_us - gapUs =>
+            closes = SessionClose(key, t, t, 1L) :: closes
+          case Some(o) => // t > end + gap: close and roll over
+            closes = SessionClose(key, o.start_us, o.end_us, o.n_ev) :: closes
+            cur = Some(OpenSession(t, t, 1L))
+          case None =>
+            cur = Some(OpenSession(t, t, 1L))
+        }
+      }
+      cur.foreach { o =>
+        open.update(o)
+        getHandle.registerTimer(timerMsFor(o))
+      }
+      closes.reverseIterator
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[SessionClose] = {
+      if (open.exists()) {
+        val o = open.get()
+        // a stale timer (session extended since it was set) expires BEFORE
+        // the current end+gap — ignore it; only the live timer closes
+        if (expired.getExpiryTimeInMs >= timerMsFor(o)) {
+          open.clear()
+          return Iterator.single(SessionClose(key, o.start_us, o.end_us, o.n_ev))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Session closes with WATERMARK-driven flush — the state API v2 form
+    * of [[sessionCloseEvents]] using event-time timers: a session closes
+    * either when a successor arrives past the gap (same as v1) or when
+    * the watermark passes session_end + gap (the flush v1 cannot do).
+    * Input: (user_id, ts) with the watermark already set on `ts` by the
+    * caller. RocksDB state store provider required. */
+  def sessionCloseEventsV2(events: Dataset[(Long, java.sql.Timestamp)],
+                           gapUs: Long = 1800000000L): Dataset[SessionClose] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -200,6 +200,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("transformWithState event-time timer closes a session when the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp)]
+      val name = s"timer_out_${System.nanoTime()}"
+      val withWm = mem.toDS().toDF("user_id", "ts")
+        .withWatermark("ts", "1 second")
+        .as[(Long, Timestamp)]
+      val q = Events.sessionCloseEventsV2(withWm).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      // user 1's session (05-20) gets a timer at 20min + 30min gap = 50min
+      mem.addData((1L, ts(5)), (1L, ts(20)))
+      q.processAllAvailable()
+      // flush events from OTHER users push the watermark past 50min; the
+      // third batch runs with that watermark and fires user 1's timer —
+      // the close needs NO successor event from user 1 (v1 can't do this)
+      mem.addData((99L, ts(120)))
+      q.processAllAvailable()
+      mem.addData((98L, ts(130)))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table(name)
+        .select("user_id", "start_us", "end_us", "n_ev")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val us = (m: Int) => ts(m).getTime * 1000L
+      assert(got.contains((1L, us(5), us(20), 2L)), s"timer close missing: $got")
+      // users 98/99 have open sessions whose timers never fired: no closes
+      assert(!got.exists(r => r._1 == 98L || r._1 == 99L), s"premature close: $got")
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join matches the batch join on the same rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
