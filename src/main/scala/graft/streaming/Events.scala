@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming jobs over the events stream (SURVEY B28). The
   * reference's only streaming analog is its append-only JSONL sink
@@ -277,6 +277,63 @@ object Events {
       }
       Iterator.empty
     }
+  }
+
+  /** Per-user activity snapshot emitted each micro-batch. */
+  final case class ActivitySnapshot(user_id: Long, n_types: Long,
+                                    total: Long, recent_kept: Long)
+
+  /** Multi-state processor behind [[userActivity]] — the remaining two
+    * v2 state types in one keyed processor: a `MapState[String, Long]`
+    * accumulates per-event-type counts (point lookups and single-key
+    * updates — a ValueState holding the whole map would rewrite it per
+    * event), and a `ListState[Long]` keeps the last `keepRecent` event
+    * timestamps as a capped ring (append per event; trimmed by a full
+    * rewrite only when over cap). State size per user: |event types| map
+    * entries + `keepRecent` longs, both bounded. */
+  final class ActivityProcessor(keepRecent: Int)
+      extends StatefulProcessor[Long, (Long, String, Long), ActivitySnapshot] {
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var recent: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("typeCounts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      recent = getHandle.getListState[Long]("recentTs",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String, Long)],
+                                 timers: TimerValues): Iterator[ActivitySnapshot] = {
+      rows.foreach { case (_, typ, tsUs) =>
+        val prev = if (counts.containsKey(typ)) counts.getValue(typ) else 0L
+        counts.updateValue(typ, prev + 1L)
+        recent.appendValue(tsUs)
+      }
+      val kept = recent.get().toArray
+      val trimmed =
+        if (kept.length > keepRecent) {
+          val tail = kept.takeRight(keepRecent)
+          recent.put(tail) // single rewrite, only when over cap
+          tail
+        } else kept
+      var types = 0L; var total = 0L
+      counts.iterator().foreach { case (_, n) => types += 1; total += n }
+      Iterator.single(ActivitySnapshot(key, types, total, trimmed.length.toLong))
+    }
+  }
+
+  /** Per-user running activity summary over (user_id, event_type, ts_us)
+    * rows: event-type histogram in MapState, last-N timestamps in
+    * ListState — with [[runningUserTotalsV2]] (ValueState) and
+    * [[sessionCloseEventsV2]] (timers) this covers every state primitive
+    * of the Spark 4 arbitrary-state API. RocksDB provider required. */
+  def userActivity(events: Dataset[(Long, String, Long)],
+                   keepRecent: Int = 5): Dataset[ActivitySnapshot] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .transformWithState(new ActivityProcessor(keepRecent),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Session closes with WATERMARK-driven flush — the state API v2 form

@@ -239,6 +239,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("MapState histogram and capped ListState accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String, Long)]
+      val name = s"act_out_${System.nanoTime()}"
+      val q = Events.userActivity(mem.toDS(), keepRecent = 3).writeStream
+        .format("memory").queryName(name).outputMode("update").start()
+      mem.addData((1L, "click", 10L), (1L, "view", 20L), (1L, "click", 30L))
+      q.processAllAvailable()
+      // batch 2: map must carry {click:2, view:1} over; list is at cap 3
+      // and two more events must trim it back to 3
+      mem.addData((1L, "buy", 40L), (1L, "click", 50L))
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table(name)
+        .groupBy("user_id")
+        .agg(max_by(struct("n_types", "total", "recent_kept"), col("total")).as("s"))
+        .select("user_id", "s.n_types", "s.total", "s.recent_kept")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      // 3 distinct types, 5 events total, ring capped at 3
+      assert(last == Seq((1L, 3L, 5L, 3L)))
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join matches the batch join on the same rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
