@@ -73,6 +73,12 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(!readSchema.contains("lang"), readSchema)
   }
 
+  test("q89: vocab is TakeOrdered (no global sort) and broadcasts onto the token stream") {
+    val p = plan("q89_vocab_oov")
+    assert(p.contains("TakeOrderedAndProject"), "vocab top-k lost TakeOrdered")
+    assert(p.contains("BroadcastHashJoin"), "derived vocab no longer broadcast")
+  }
+
   test("q09: HLL approx distinct within 5% of exact (B9 no-oracle bound)") {
     import org.apache.spark.sql.functions._
     val events = Tables.load(spark, dir, "events")
