@@ -271,6 +271,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("file-source stream (JSONL directory, Trigger.AvailableNow) matches the batch transform") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    // the production source shape: a directory new JSONL files land in,
+    // schema EXPLICIT (streaming sources must never infer)
+    val dir = java.nio.file.Files.createTempDirectory("graft-filestream").toString
+    val (b1, b2) = (rows.take(3), rows.drop(3))
+    b1.toDF().write.mode("append").json(dir)
+    b2.toDF().write.mode("append").json(dir)
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    val name = s"filesrc_out_${System.nanoTime()}"
+    val q = Events.tumblingCounts(
+        spark.readStream.schema(schema).json(dir))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table(name)
+      .groupBy("bucket_s", "event_type")
+      .agg(max_by(struct("n_events", "sum_value"), col("n_events")).as("s"))
+      .select("bucket_s", "event_type", "s.n_events", "s.sum_value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Events.tumblingCounts(rows.toDF())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == batch, s"file-source stream diverged: $got vs $batch")
+    assert(batch.nonEmpty)
+  }
+
   test("stream-stream interval join matches the batch join on the same rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
