@@ -298,6 +298,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("checkpointed file sink is exactly-once across query restarts") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = java.nio.file.Files.createTempDirectory("graft-ckpt-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ckpt-out").toString + "/data"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-meta").toString
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).json(src)
+        .select("event_id", "user_id", "event_type")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000); q.stop()
+    }
+    rows.take(3).toDF().write.mode("append").json(src)
+    run() // first incarnation consumes batch 1
+    rows.drop(3).toDF().write.mode("append").json(src)
+    run() // restart from the SAME checkpoint: only the new files process
+    val ids = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // every event exactly once — a re-read of batch 1 after restart (lost
+    // offset tracking) would surface as duplicate ids here
+    assert(ids == rows.map(_.event_id).sorted, s"not exactly-once: $ids")
+  }
+
   test("stream-stream interval join matches the batch join on the same rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
