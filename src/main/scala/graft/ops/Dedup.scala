@@ -390,17 +390,18 @@ object Dedup {
     * label and its neighbors' labels; fixpoint = each component uniformly
     * carries its min vertex id.
     *
-    * Scale shape: per round, ONE shuffle join (edges × labels) + one
-    * groupBy — no driver-side graph. Rounds needed = graph diameter, and
-    * near-dup components are dense/shallow (diameter 2-4 in practice), so
-    * 3-5 rounds close real corpora. `localCheckpoint` after each round
-    * truncates the lineage that iterative DataFrame loops otherwise
-    * accumulate (cluster deployments with HA requirements should swap in
-    * reliable `checkpoint`). For adversarially long path-graphs, the
-    * round count is the large-star/small-star algorithm's log-diameter
-    * territory (Kiveris et al., "Connected Components in MapReduce and
-    * Beyond", SoCC'14) — maxIter bounds the loop and overflow throws
-    * rather than silently mislabeling.
+    * Scale shape: per round, one shuffle join (edges × labels) + one
+    * groupBy for the neighbor min, plus one labels-self join that
+    * POINTER-JUMPS each label (label(v) := label(label(v))) — the
+    * shortcutting that makes rounds O(log diameter) instead of
+    * O(diameter), as in large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). Near-dup
+    * components are dense/shallow (2-3 rounds); a 64-vertex path graph
+    * closes in ~8 (spec-pinned). No driver-side graph. `localCheckpoint`
+    * after each round truncates the lineage iterative DataFrame loops
+    * otherwise accumulate (cluster deployments with HA requirements
+    * should swap in reliable `checkpoint`); maxIter bounds the loop and
+    * overflow throws rather than silently mislabeling.
     *
     * Returns (id, cluster): every vertex that appears in `pairs`, labeled
     * by the min id of its component. Vertices with no pair (singletons)
@@ -432,9 +433,28 @@ object Dedup {
         val nbrMin = edges
           .join(labels.select(col("id").as("dst"), col("cluster").as("nlbl")), "dst")
           .groupBy(col("src").as("id")).agg(min(col("nlbl")).as("nmin"))
-        val step = labels.join(nbrMin, Seq("id"), "left")
+        val stepped = labels.join(nbrMin, Seq("id"), "left")
           .select(col("id"), col("cluster"),
-            least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("next"))
+            least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("mid"))
+        // pointer jump (shortcutting): follow the label one hop — label(v)
+        // := label(label(v)). Labels are always vertex ids with their own
+        // rows, the followed label is ≤ its id, and labels only ever
+        // decrease, so this squares the propagation distance per round:
+        // O(log diameter) rounds instead of O(diameter), the property
+        // that closes adversarial path-graphs within a sane maxIter
+        // (same effect as large-star/small-star's shortcuts, one join).
+        // Skipped in the first loop round: shallow (clique-like) near-dup
+        // components have already converged at init and would pay the
+        // join only to confirm the fixpoint; deep graphs just shift the
+        // doubling one round later.
+        val jumped =
+          if (iter == 0) stepped.withColumnRenamed("mid", "next")
+          else stepped.join(
+              labels.select(col("id").as("_mid"), col("cluster").as("jlbl")),
+              col("mid") === col("_mid"), "left")
+            .select(col("id"), col("cluster"),
+              least(col("mid"), coalesce(col("jlbl"), col("mid"))).as("next"))
+        val step = jumped
           .localCheckpoint() // eager: one job materializes both next + delta
         converged = step.where(col("next") < col("cluster")).isEmpty
         labels = step.select(col("id"), col("next").as("cluster"))
@@ -443,7 +463,7 @@ object Dedup {
       if (!converged)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIter rounds — " +
-            "pathological graph diameter; raise maxIter or switch to large-star/small-star")
+            "raise maxIter (rounds needed ≈ log₂(component diameter) + 2)")
       labels
     } finally edges.unpersist()
   }

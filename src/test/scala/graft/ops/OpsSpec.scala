@@ -333,6 +333,16 @@ class OpsSpec extends AnyFunSuite {
     assert(Similarity.int8QuantStats(Seq.empty) == (0.0, 0L, 0L))
   }
 
+  test("connectedComponents closes a 64-vertex path graph in O(log d) rounds") {
+    import spark.implicits._
+    // plain Hash-Min would need ~63 rounds; pointer jumping must close it
+    // within ~log2(63)+2 — maxIter=10 both proves the speedup and pins it
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(chain, "a", "b", maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 64L).map(_ -> 1L).toMap)
+  }
+
   test("connectedComponents throws (not mislabels) when maxIter is too small") {
     import spark.implicits._
     // 5-vertex path graph needs >1 round; maxIter=1 must fail loudly
