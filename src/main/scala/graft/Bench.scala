@@ -1,5 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE final JSON line with per-query medians.
+  *
+  * Observability contract (the driver captures only the TAIL of stdout):
+  *   - each query also gets its own `BENCHQ {...}` line as it finishes, so
+  *     a crash mid-suite still leaves every completed timing in the log;
+  *   - the final JSON line is compact (3-decimal seconds) and places
+  *     `"metric":"total","value":N` at the END of the object, so even a
+  *     head-truncated capture keeps the headline total;
+  *   - a failing query never records time-to-exception as a sample: it is
+  *     reported in `"errors"` and its median is -1.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -21,35 +33,77 @@ object Bench {
     // stable name order: hash-map iteration order would shuffle which
     // query pays residual warmup/GC, adding cross-run variance
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    // n repetitions, median per query: an n=1 timing cannot distinguish a
-    // real regression from shuffle/GC jitter at sub-second magnitudes.
-    // Repetitions iterate OVER the whole suite (rep-major), not per query,
-    // so one rep's GC pause cannot inflate all 3 samples of one query.
     // toIntOption: a malformed env value falls back to the default
     // instead of aborting the whole bench before any query runs
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).getOrElse(3))
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-    for (_ <- 1 to reps; (name, fn) <- names) {
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    def runOnce(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      samples(name) = dt :: samples.getOrElse(name, Nil)
+      try {
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        samples(name) = dt :: samples.getOrElse(name, Nil)
+      } catch {
+        case e: Throwable =>
+          // record the failure, NOT the time-to-exception: a crashing
+          // query must not masquerade as a plausible fast median
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+      }
     }
+    // n repetitions, median per query: an n=1 timing cannot distinguish a
+    // real regression from shuffle/GC jitter at sub-second magnitudes.
+    // Repetitions iterate OVER the whole suite (rep-major), not per query,
+    // so one rep's GC pause cannot inflate all 3 samples of one query.
+    for (_ <- 1 to reps; (name, fn) <- names) runOnce(name, fn)
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val results = names.map { case (name, _) => name -> median(samples(name)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Stabilization phase: sub-second queries are the ones whose 3-rep
+    // medians showed 9x-100x cross-run swings on identical binaries
+    // (page cache / GC / JIT jitter dominates at that magnitude). Give
+    // them extra samples under a global time budget so the median is
+    // taken over >=7 observations; the budget caps worst-case cost.
+    val extraBudgetSec =
+      sys.env.get("SPARK_GRAFT_EXTRA_BUDGET").flatMap(_.toDoubleOption).getOrElse(60.0)
+    val stabilizeBelow = 1.0
+    var budget = extraBudgetSec
+    val want = 7
+    for (round <- (reps + 1) to want; (name, fn) <- names) {
+      val xs = samples.getOrElse(name, Nil)
+      if (budget > 0 && xs.nonEmpty && xs.size < want && median(xs) < stabilizeBelow
+          && !errors.contains(name)) {
+        val t0 = System.nanoTime()
+        runOnce(name, fn)
+        budget -= (System.nanoTime() - t0) / 1e9
+      }
+    }
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val results = names.map { case (name, _) =>
+      val xs = samples.getOrElse(name, Nil)
+      name -> (if (xs.isEmpty) -1.0 else median(xs))
+    }
+    // per-query lines: survive tail capture / mid-suite crashes, and carry
+    // the full spread + sample count that the compact final line omits
+    results.foreach { case (name, med) =>
+      val xs = samples.getOrElse(name, Nil)
+      val spread = if (xs.isEmpty) -1.0 else xs.max - xs.min
+      val err = errors.get(name).map(e => s""","err":"$e"""").getOrElse("")
+      println(s"""BENCHQ {"name":"$name","median":${r3(med)},"spread":${r3(spread)},"n":${xs.size}$err}""")
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    // spread = max-min across reps, the falsifiability bound for regressions
-    val spread = names.map { case (name, _) =>
-      val xs = samples(name)
-      s"\"" + name + "\":" + (xs.max - xs.min)
-    }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"sf":"$sfDir"}""")
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // total LAST in the object: a head-truncated tail capture still ends
+    // with ...,"metric":"total","value":N} so the headline is recoverable
+    println(s"""{"queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir","unit":"sec","metric":"total","value":${r3(total)}}""")
     spark.stop()
   }
 }
