@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   * opaque binary columns with typed metadata; decode / feature-extract /
   * resize / frame-sample run as batch kernels over partitions).
   *
-  * The decode kernels are STUBS — this container has no image/audio codecs
-  * — implemented as deterministic functions of the bytes so the Spark-side
-  * contract (schema, batch shape, partition-local execution, no driver
-  * collect) is real and tested. A production deployment swaps
-  * [[MediaKernels]] for codec-backed ones; nothing else changes.
+  * Decode kernels: PPM/BMP/WAV are REAL pure-JVM codecs, and
+  * JPEG/PNG/GIF decode through the JDK's own `javax.imageio` — all real
+  * header-parse + pixel/PCM walks with no third-party dependencies. Only
+  * video demux / audio-compression codecs remain deterministic stand-ins
+  * (this container ships no such libraries); a production deployment
+  * swaps those two in [[MediaKernels]] and nothing else changes.
   */
 object Multimodal {
 
@@ -31,13 +32,21 @@ object Multimodal {
   final case class DecodedAudio(sampleRate: Int, numChannels: Int,
                                 bitsPerSample: Int, samples: Array[Short])
 
-  /** Codec kernels. PPM (binary P6) and WAV (RIFF PCM16) are REAL pure-JVM
-    * decoders — header parse + payload decode, no library dependencies;
-    * other formats fall back to deterministic byte-level stand-ins (this
-    * container has no image/audio codec libraries). All kernels are
-    * partition-local and stateless, so a production deployment swaps the
-    * fallback for codec-backed impls without touching the operators. */
+  /** Codec kernels. PPM (binary P6), BMP (24-bit) and WAV (RIFF PCM16)
+    * are REAL hand-rolled pure-JVM decoders; JPEG/PNG/GIF are REAL via
+    * the JDK's `javax.imageio` ([[decodeImage]]/[[encodeImage]], zero new
+    * deps). Only video demux and compressed-audio remain deterministic
+    * byte-level stand-ins. All kernels are partition-local and stateless,
+    * so a production deployment swaps the remaining stand-ins without
+    * touching the operators. */
   object MediaKernels {
+
+    // Executor-side hygiene for the ImageIO path: never touch a display
+    // (headless), and keep the decode pipeline in-memory — ImageIO's
+    // default disk-backed stream cache would add a temp-file write per
+    // decoded image, pure churn for a 100 TB scan.
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
 
     /** Decode a binary PPM (P6) image: `P6 <ws> width <ws> height <ws>
       * maxval <single-ws> raw-RGB-triples`. Full netpbm header grammar —
@@ -176,6 +185,60 @@ object Multimodal {
       arr
     }
 
+    /** Decode any container the JDK's `javax.imageio` registry reads —
+      * JPEG, PNG, GIF, and (via the JDK plugin) BMP/WBMP — to the same
+      * top-down interleaved-RGB [[DecodedImage]] the hand-rolled codecs
+      * produce. Alpha is dropped (composited against black by the ARGB
+      * read), 16-bit and palette formats are normalized to 8-bit RGB by
+      * the color model. Returns None for unrecognized or corrupt
+      * payloads instead of throwing, matching the other decoders. */
+    def decodeImage(bytes: Array[Byte]): Option[DecodedImage] = {
+      if (bytes == null || bytes.length < 4) return None
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) return None
+        val w = img.getWidth; val h = img.getHeight
+        // 3-channel output must fit an Array[Byte]; reject absurd dims
+        if (w <= 0 || h <= 0 || w.toLong * h.toLong * 3L > Int.MaxValue.toLong)
+          return None
+        // bulk ARGB read: one sample-model conversion pass, not per-pixel
+        // getRGB calls — this is the partition-local hot loop
+        val argb = img.getRGB(0, 0, w, h, null, 0, w)
+        val px = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < argb.length) {
+          val v = argb(i)
+          px(3 * i) = ((v >> 16) & 0xFF).toByte
+          px(3 * i + 1) = ((v >> 8) & 0xFF).toByte
+          px(3 * i + 2) = (v & 0xFF).toByte
+          i += 1
+        }
+        Some(DecodedImage(w, h, 255, px))
+      } catch { case _: Exception => None } // corrupt stream → None, not crash
+    }
+
+    /** Encode a top-down RGB raster via `javax.imageio` to any writer the
+      * JDK registers (`"png"`, `"jpg"`, `"gif"`, `"bmp"`). PNG/GIF/BMP
+      * round-trip [[decodeImage]] pixel-exact; JPEG is lossy by nature,
+      * so only dimensions round-trip exactly (content within quantization
+      * error — spec'd with a tolerance, oracled on dims). */
+    def encodeImage(img: DecodedImage, format: String): Array[Byte] = {
+      val bi = new java.awt.image.BufferedImage(img.width, img.height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val argb = new Array[Int](img.width * img.height)
+      var i = 0
+      while (i < argb.length) {
+        argb(i) = ((img.pixels(3 * i) & 0xFF) << 16) |
+          ((img.pixels(3 * i + 1) & 0xFF) << 8) | (img.pixels(3 * i + 2) & 0xFF)
+        i += 1
+      }
+      bi.setRGB(0, 0, img.width, img.height, argb, 0, img.width)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ok = javax.imageio.ImageIO.write(bi, format, bos)
+      require(ok, s"no ImageIO writer for format '$format'")
+      bos.toByteArray
+    }
+
     /** Decode a RIFF/WAVE container with a PCM (format 1) `fmt ` chunk and
       * 8- or 16-bit samples. Walks the chunk list (chunks are word-aligned:
       * odd-size chunks carry a pad byte), so extra chunks like LIST/INFO
@@ -255,35 +318,45 @@ object Multimodal {
       out.array()
     }
 
+    /** Image features shared by every raster decode path: per-channel
+      * mean/std of decoded pixel values (6 dims) + aspect + normalized
+      * maxval. */
+    private def imageFeatures(img: DecodedImage, dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      val sums = new Array[Double](3); val sqs = new Array[Double](3)
+      var i = 0
+      while (i < img.pixels.length) {
+        val v = (img.pixels(i) & 0xFF).toDouble / img.maxVal
+        sums(i % 3) += v; sqs(i % 3) += v * v
+        i += 1
+      }
+      val nPix = math.max(1, img.width * img.height)
+      var c = 0
+      while (c < 3 && 2 * c + 1 < dim) {
+        val mean = sums(c) / nPix
+        out(2 * c) = mean.toFloat
+        out(2 * c + 1) = math.sqrt(math.max(0, sqs(c) / nPix - mean * mean)).toFloat
+        c += 1
+      }
+      if (dim > 6) out(6) = img.width.toFloat / math.max(1, img.height)
+      if (dim > 7) out(7) = img.maxVal / 255.0f
+      out
+    }
+
     /** Decode+featurize. Recognized containers get REAL decoded features:
-      * PPM → per-channel mean/std of decoded pixel values (6 dims) + aspect
-      * + normalized maxval; WAV → mean/RMS/zero-cross-rate/peak over
-      * decoded samples + rate/channels/duration. Unrecognized payloads
-      * fall back to byte-histogram moments (deterministic stand-in for
-      * codecs this container lacks). */
+      * PPM/BMP (hand-rolled) and JPEG/PNG/GIF (ImageIO) → per-channel
+      * mean/std of decoded pixel values (6 dims) + aspect + normalized
+      * maxval; WAV → mean/RMS/zero-cross-rate/peak over decoded samples +
+      * rate/channels/duration. Unrecognized payloads fall back to
+      * byte-histogram moments (deterministic stand-in for the remaining
+      * codec-less formats, e.g. video containers). */
     def featurize(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
       val out = new Array[Float](dim)
       if (bytes == null || bytes.isEmpty) return out
-      decodePpm(bytes) match {
-        case Some(img) =>
-          val sums = new Array[Double](3); val sqs = new Array[Double](3)
-          var i = 0
-          while (i < img.pixels.length) {
-            val v = (img.pixels(i) & 0xFF).toDouble / img.maxVal
-            sums(i % 3) += v; sqs(i % 3) += v * v
-            i += 1
-          }
-          val nPix = math.max(1, img.width * img.height)
-          var c = 0
-          while (c < 3 && 2 * c + 1 < dim) {
-            val mean = sums(c) / nPix
-            out(2 * c) = mean.toFloat
-            out(2 * c + 1) = math.sqrt(math.max(0, sqs(c) / nPix - mean * mean)).toFloat
-            c += 1
-          }
-          if (dim > 6) out(6) = img.width.toFloat / math.max(1, img.height)
-          if (dim > 7) out(7) = img.maxVal / 255.0f
-          return out
+      // cheap hand-rolled magics first (no ImageIO registry probe cost),
+      // then the ImageIO registry for compressed formats
+      decodePpm(bytes).orElse(decodeBmp(bytes)).orElse(decodeImage(bytes)) match {
+        case Some(img) => return imageFeatures(img, dim)
         case None => ()
       }
       decodeWav(bytes) match {

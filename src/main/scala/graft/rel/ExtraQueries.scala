@@ -846,6 +846,89 @@ object ExtraQueries {
            / 10000.0 AS oov_rate
        FROM j GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---- compressed-image decode (JPEG/PNG via javax.imageio) -------------------
+
+  /** Compressed twin of [[q87BmpDecode]]: per doc, synthesize a known RGB
+    * raster (pixel i = (id·37 + i·11) mod 256, widths 3-7 / heights 2-5),
+    * encode it as REAL PNG through `javax.imageio`, decode it back with
+    * [[MediaKernels.decodeImage]], and emit content stats. PNG is
+    * lossless, so the decoded per-channel sums and the ORDER-sensitive
+    * `weighted_sum` (Σ i·pixel[i]) must equal the closed form the oracle
+    * computes — a channel-order, row-order, or color-model bug in the
+    * ImageIO plumbing diverges the hash. The same raster also round-trips
+    * a SMOOTH (solid-color) raster also round-trips JPEG (lossy):
+    * dimensions decode exactly and, because a solid color is pure DC, the
+    * mean absolute error vs the original must stay within DC-quantization
+    * range (≤ 8/255) — surfaced as `jpg_ok` so a stand-in (or broken)
+    * decode fails the oracle. Decode is partition-local mapPartitions —
+    * the 100 TB shape. */
+  def q90ImageioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.Multimodal
+    import graft.ops.Multimodal.MediaKernels
+    val ids = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val w = (3 + id % 5).toInt
+        val h = (2 + id % 4).toInt
+        val px = Array.tabulate[Byte](w * h * 3)(i => ((id * 37 + i.toLong * 11) % 256).toByte)
+        val src = Multimodal.DecodedImage(w, h, 255, px)
+        val png = MediaKernels.decodeImage(MediaKernels.encodeImage(src, "png")).get
+        var rs = 0L; var gs = 0L; var bs = 0L; var ws = 0L
+        var i = 0
+        while (i < png.pixels.length) {
+          val v = png.pixels(i) & 0xFF
+          (i % 3: @annotation.switch) match {
+            case 0 => rs += v
+            case 1 => gs += v
+            case _ => bs += v
+          }
+          ws += i.toLong * v
+          i += 1
+        }
+        // JPEG leg on a solid color (id-derived): pure-DC content, so a
+        // real codec decodes within tight quantization error
+        val solid = Array.tabulate[Byte](w * h * 3)(k => (k % 3 match {
+          case 0 => (id * 37) % 256
+          case 1 => (id * 91) % 256
+          case _ => (id * 53) % 256
+        }).toByte)
+        val jpg = MediaKernels.decodeImage(
+          MediaKernels.encodeImage(Multimodal.DecodedImage(w, h, 255, solid), "jpg"))
+        val jpgOk = jpg.exists { j =>
+          var err = 0L
+          var k = 0
+          while (k < j.pixels.length) {
+            err += math.abs((j.pixels(k) & 0xFF) - (solid(k) & 0xFF)); k += 1
+          }
+          j.width == w && j.height == h && err / j.pixels.length <= 8
+        }
+        (id, png.width, png.height, rs, gs, bs, ws, jpgOk)
+      }
+    }.toDF("media_id", "img_w", "img_h", "r_sum", "g_sum", "b_sum",
+        "weighted_sum", "jpg_ok")
+      .orderBy("media_id")
+  }
+
+  val q90Oracle: String =
+    """WITH ids AS (
+         SELECT doc_id AS media_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h
+         FROM documents),
+       v AS (
+         SELECT media_id, i, (media_id*37 + i*11) % 256 AS val
+         FROM (SELECT media_id, unnest(generate_series(0, w*h*3 - 1)) AS i FROM ids)),
+       agg AS (
+         SELECT media_id,
+           CAST(SUM(CASE WHEN i % 3 = 0 THEN val END) AS BIGINT) AS r_sum,
+           CAST(SUM(CASE WHEN i % 3 = 1 THEN val END) AS BIGINT) AS g_sum,
+           CAST(SUM(CASE WHEN i % 3 = 2 THEN val END) AS BIGINT) AS b_sum,
+           CAST(SUM(i * val) AS BIGINT) AS weighted_sum
+         FROM v GROUP BY media_id)
+       SELECT ids.media_id, CAST(w AS INT) AS img_w, CAST(h AS INT) AS img_h,
+              r_sum, g_sum, b_sum, weighted_sum, TRUE AS jpg_ok
+       FROM ids JOIN agg USING (media_id)
+       ORDER BY ids.media_id"""
+
   // ---- registry ---------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -872,6 +955,7 @@ object ExtraQueries {
     "q87_bmp_decode" -> (q87BmpDecode _),
     "q88_partitioned_prune" -> (q88PartitionedPrune _),
     "q89_vocab_oov" -> (q89VocabOov _),
+    "q90_imageio_decode" -> (q90ImageioDecode _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -897,5 +981,6 @@ object ExtraQueries {
     "q87_bmp_decode" -> q87Oracle,
     "q88_partitioned_prune" -> q88Oracle,
     "q89_vocab_oov" -> q89Oracle,
+    "q90_imageio_decode" -> q90Oracle,
   )
 }

@@ -302,6 +302,58 @@ class OpsSpec extends AnyFunSuite {
     assert(fRaw.exists(_ != 0f))
   }
 
+  test("ImageIO codec: PNG/GIF/BMP pixel-exact round-trip, JPEG dims + tolerance, corrupt → None") {
+    import Multimodal.{DecodedImage, MediaKernels}
+    // non-trivial raster: every channel value distinct per pixel, odd width
+    // so stride/row bugs can't cancel out
+    val px = Array.tabulate[Byte](5 * 3 * 3)(i => ((i * 53 + 11) % 256).toByte)
+    val img = DecodedImage(5, 3, 255, px)
+    for (fmt <- Seq("png", "bmp")) {
+      val rt = MediaKernels.decodeImage(MediaKernels.encodeImage(img, fmt)).get
+      assert(rt.width == 5 && rt.height == 3, fmt)
+      assert(rt.pixels.toSeq == px.toSeq, s"$fmt not pixel-exact")
+    }
+    // GIF: the JDK writer quantizes to a fixed palette (not an exact
+    // per-image one), so like JPEG it is dims-exact + bounded error
+    val rtGif = MediaKernels.decodeImage(MediaKernels.encodeImage(img, "gif")).get
+    assert(rtGif.width == 5 && rtGif.height == 3)
+    val gifMae = px.indices.map(i => math.abs((rtGif.pixels(i) & 0xFF) - (px(i) & 0xFF))).sum / px.length
+    assert(gifMae <= 48, s"GIF mean abs error $gifMae")
+    // JPEG: lossy — dims exact always; content error is small on smooth
+    // images (DC-dominated) and bounded on high-frequency noise
+    val jpgBytes = MediaKernels.encodeImage(img, "jpg")
+    val jpg = MediaKernels.decodeImage(jpgBytes).get
+    assert(jpg.width == 5 && jpg.height == 3)
+    val mae = px.indices.map(i => math.abs((jpg.pixels(i) & 0xFF) - (px(i) & 0xFF))).sum / px.length
+    assert(mae <= 64, s"JPEG mean abs error on noise $mae")
+    val solid = Array.tabulate[Byte](6 * 4 * 3)(i => (i % 3 match {
+      case 0 => 200; case 1 => 80; case _ => 140
+    }).toByte)
+    val sJpg = MediaKernels.decodeImage(
+      MediaKernels.encodeImage(DecodedImage(6, 4, 255, solid), "jpg")).get
+    val sMae = solid.indices.map(i => math.abs((sJpg.pixels(i) & 0xFF) - (solid(i) & 0xFF))).sum / solid.length
+    assert(sMae <= 8, s"JPEG mean abs error on solid color $sMae")
+    // JPEG magic (SOI marker) proves a real codec wrote it, not a stand-in
+    assert((jpgBytes(0) & 0xFF) == 0xFF && (jpgBytes(1) & 0xFF) == 0xD8)
+    // PNG magic likewise
+    val pngBytes = MediaKernels.encodeImage(img, "png")
+    assert((pngBytes(0) & 0xFF) == 0x89 && pngBytes(1) == 'P' && pngBytes(2) == 'N' && pngBytes(3) == 'G')
+    // corrupt / truncated / non-image payloads → None, never throw
+    assert(MediaKernels.decodeImage("not an image at all".getBytes("UTF-8")).isEmpty)
+    assert(MediaKernels.decodeImage(pngBytes.take(20).toArray).isEmpty)
+    assert(MediaKernels.decodeImage(null).isEmpty)
+    assert(MediaKernels.decodeImage(Array.empty[Byte]).isEmpty)
+    // featurize dispatches through ImageIO: solid-gray PNG gives the same
+    // decoded-content features as the PPM path (mean 128/255, std 0)
+    val gray = Array.fill[Byte](4 * 4 * 3)(128.toByte)
+    val fPng = MediaKernels.featurize(MediaKernels.encodeImage(DecodedImage(4, 4, 255, gray), "png"))
+    (0 until 3).foreach { c =>
+      assert(math.abs(fPng(2 * c) - 128f / 255f) < 1e-6, s"png mean ch$c")
+      assert(fPng(2 * c + 1) == 0f, s"png std ch$c")
+    }
+    assert(fPng(6) == 1.0f && fPng(7) == 1.0f)
+  }
+
   test("languageId heuristic picks signature languages, und on no signal") {
     assert(TextAnalysis.languageIdKernel("the cat and the dog is here") == "en")
     assert(TextAnalysis.languageIdKernel("这是中文的测试文本") == "zh")
