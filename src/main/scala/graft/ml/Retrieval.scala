@@ -36,18 +36,26 @@ object Retrieval {
     * the fitted document frequencies and pays only the lazy map-side
     * transform. The model is small (one double per hashed feature). */
   private val tfIdfCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), TfIdfModel]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long), TfIdfModel]()
+
+  /** Drop every fitted TF-IDF model — the explicit invalidation hook for
+    * a corpus rewritten in place with an unchanged row count (the one
+    * staleness case the count fingerprint in [[tfIdfFor]] cannot see). */
+  def clearCache(): Unit = tfIdfCache.clear()
 
   /** Fit-once / transform-many entry: fit (or fetch) the TF-IDF model for
     * `corpusKey`, then lazily transform `docs` with it — the returned
     * DataFrame is a pure projection with no fitting action in its lineage.
+    * The corpus row count is folded into the cache key as a content
+    * fingerprint: regenerated data under a reused caller key refits
+    * instead of silently scoring with stale document frequencies.
     * Get-then-putIfAbsent rather than computeIfAbsent: the IDF fit is a
     * distributed job and must not run under a CHM bin lock (worst case is
     * a rare duplicate fit, not a cross-corpus stall).
     */
   def tfIdfFor(docs: DataFrame, corpusKey: String,
                numFeatures: Int = 1 << 16): (TfIdfModel, DataFrame) = {
-    val key = (corpusKey, numFeatures)
+    val key = (corpusKey, numFeatures, docs.count())
     val model = {
       val cached = tfIdfCache.get(key)
       if (cached != null) cached

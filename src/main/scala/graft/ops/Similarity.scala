@@ -158,14 +158,14 @@ object Similarity {
     * `minCos` prunes candidate SCORING (not bucketing): on unit vectors
     * d = √(2·(1−cos)), so the join threshold √(2·(1−minCos)) discards any
     * bucket-collision pair below the floor before it reaches the top-k
-    * window. The default 0.0 (d = √2) halves the scored pair space for
-    * isotropic data at zero recall cost for any top-k whose true members
-    * have non-negative cosine; a threshold of 2.0 would admit every pair
-    * (cos ≥ −1) and make the distance filter a no-op. */
+    * window. The DEFAULT −1.0 admits every pair (the historical contract:
+    * a true top-k that contains negative-cosine neighbors still
+    * surfaces); callers whose data is known non-negative-similar opt into
+    * 0.0 (d = √2), halving the scored pair space for isotropic data. */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int,
               bucketLength: Double = 1.0, numHashTables: Int = 4,
-              minCos: Double = 0.0): DataFrame = {
+              minCos: Double = -1.0): DataFrame = {
     val toVec = udf((a: Seq[Double]) => {
       val n = math.sqrt(a.map(x => x * x).sum)
       Vectors.dense(a.map(x => if (n == 0) 0.0 else x / n).toArray)
@@ -190,14 +190,22 @@ object Similarity {
       .select("qid", "cand", "cos", "rn")
   }
 
-  /** Fitted coarse quantizers, keyed by (corpusKey, nCells): at serving
-    * scale the quantizer is FIT ONCE on a bounded sample and reused for
-    * every query batch — refitting k-means per query invocation (8
-    * iterations × a full corpus scan) was the #2 bench cost in round 3.
-    * Centroids are tiny (nCells × dim doubles), so an unbounded map is
-    * fine for any realistic number of distinct corpora per JVM. */
+  /** Fitted coarse quantizers, keyed by (corpusKey, fingerprint, nCells):
+    * at serving scale the quantizer is FIT ONCE on a bounded sample and
+    * reused for every query batch — refitting k-means per query invocation
+    * (8 iterations × a full corpus scan) was the #2 bench cost in round 3.
+    * The fingerprint (row count) is folded into every key so a REGENERATED
+    * corpus under a reused caller key refits instead of silently serving
+    * stale centroids; [[clearCaches]] is the explicit hook for same-count
+    * rewrites. Centroids are tiny (nCells × dim doubles), so an unbounded
+    * map is fine for any realistic number of distinct corpora per JVM. */
   private val quantizerCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  /** Drop every fitted quantizer/PQ model. The explicit invalidation hook
+    * for the one staleness case the count fingerprint cannot see: a
+    * corpus REWRITTEN in place with the same row count. */
+  def clearCaches(): Unit = { quantizerCache.clear(); pqCache.clear() }
 
   /** Fit the IVF coarse quantizer on a bounded deterministic sample.
     * `sampleCap` bounds the rows seen by k-means — at 100 TB the quantizer
@@ -208,8 +216,7 @@ object Similarity {
     * cheap parquet-metadata-shaped aggregate, paid once per (corpus,
     * nCells) thanks to [[quantizerCache]]. */
   private def fitQuantizer(data: DataFrame, nCells: Int,
-                           sampleCap: Long): Array[Array[Double]] = {
-    val n = data.count()
+                           sampleCap: Long, n: Long): Array[Array[Double]] = {
     val sample =
       if (n <= sampleCap) data
       else data.sample(withReplacement = false, sampleCap.toDouble / n, seed = 42L)
@@ -230,19 +237,26 @@ object Similarity {
     * (worst case here is a rare duplicate fit, not a stall). */
   private def coarseCentersFor(data: DataFrame, nCells: Int,
                                corpusKey: Option[String], keySuffix: String,
-                               sampleCap: Long): Array[Array[Double]] =
+                               sampleCap: Long): Array[Array[Double]] = {
+    // the count is both the sampling denominator AND the cache
+    // fingerprint: a regenerated corpus under a reused key almost always
+    // changes cardinality, so the stale-centroid hazard collapses to the
+    // same-count rewrite (covered by the clearCaches hook). One cheap
+    // count-shaped job per call is the price of falsifiable caching.
+    val n = data.count()
     corpusKey match {
       case Some(key) =>
-        val fullKey = s"$key|$keySuffix|$nCells|$sampleCap"
+        val fullKey = s"$key|$keySuffix|$nCells|$sampleCap|n=$n"
         val cached = quantizerCache.get(fullKey)
         if (cached != null) cached
         else {
-          val fitted = fitQuantizer(data, nCells, sampleCap)
+          val fitted = fitQuantizer(data, nCells, sampleCap, n)
           val prev = quantizerCache.putIfAbsent(fullKey, fitted)
           if (prev != null) prev else fitted
         }
-      case None => fitQuantizer(data, nCells, sampleCap)
+      case None => fitQuantizer(data, nCells, sampleCap, n)
     }
+  }
 
   /** Product-quantization codebooks: `m` subspaces × `ks` centroids ×
     * (dim/m) doubles. Small by construction (m·ks·dsub doubles). */
@@ -268,12 +282,17 @@ object Similarity {
     val rnd = new scala.util.Random(seed)
     val codebooks = Array.tabulate(m) { sub =>
       val off = sub * dsub
-      // init: up to ks distinct seeded sample points (a tiny corpus gets
-      // fewer centroids — a degraded codebook, never an out-of-bounds);
-      // distinct random init + Lloyd converges at 16 centroids
-      val idx = rnd.shuffle(samples.indices.toList).take(ks)
-      val cents = idx.map(i =>
-        java.util.Arrays.copyOfRange(samples(i), off, off + dsub)).toArray
+      // init: up to ks distinct seeded sample SUBVECTORS — distinct by
+      // content, not by index: duplicate sample vectors would otherwise
+      // seed coincident centroids that Lloyd can never separate (empty
+      // cells keep their centroid), quietly degrading the codebook. A
+      // corpus with < ks distinct subvectors gets fewer centroids — a
+      // smaller codebook, never out-of-bounds.
+      val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+      val cents = rnd.shuffle(samples.indices.toList).iterator
+        .map(i => java.util.Arrays.copyOfRange(samples(i), off, off + dsub))
+        .filter(c => seen.add(c.toSeq))
+        .take(ks).toArray
       val nc = cents.length
       var it = 0
       while (it < iters) {
@@ -356,8 +375,9 @@ object Similarity {
                          keySuffix: String, sampleCap: Int): Option[PqModel] = {
     val spark = normed.sparkSession
     import spark.implicits._
+    // count doubles as the cache fingerprint (see coarseCentersFor)
+    val total = normed.count()
     def sampleVectors(): Array[Array[Double]] = {
-      val total = normed.count()
       val frac = math.min(1.0, sampleCap.toDouble / math.max(total, 1L))
       val s = if (frac >= 1.0) normed else normed.sample(withReplacement = false, frac, 42L)
       s.map(_._2).collect()
@@ -369,7 +389,7 @@ object Similarity {
     }
     corpusKey match {
       case Some(key) =>
-        val fullKey = s"$key|$keySuffix|$m|$ks|$sampleCap"
+        val fullKey = s"$key|$keySuffix|$m|$ks|$sampleCap|n=$total"
         val cached = pqCache.get(fullKey)
         if (cached != null) Some(cached)
         else fitFromSample().map { fitted =>

@@ -20,6 +20,16 @@ object ExtraQueries {
 
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
 
+  /** Scratch dir for write-then-read round-trip queries: keyed by query
+    * name + sfDir (so repeated Verify/Bench calls in one session reuse one
+    * directory, mode=overwrite) AND the Spark applicationId — two
+    * concurrent runs on one machine must not race overwrite-vs-read on a
+    * shared path. */
+  private def sessionTmp(s: SparkSession, name: String, dir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      name + "_" + s.sparkContext.applicationId + "_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+
   // ---- distribution window functions (ntile / percent_rank / cume_dist) -----
 
   /** B11/B12 completion: the distribution-function class. Ordering is made
@@ -86,10 +96,7 @@ object ExtraQueries {
     * the oracle aggregates the original parquet, so any sink/source
     * fidelity loss fails the hash. */
   def q65CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    // fixed per-sfDir path (mode=overwrite), so repeated Verify/Bench runs
-    // reuse one directory instead of leaking a fresh temp copy per call
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_csv_roundtrip_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+    val tmp = sessionTmp(s, "graft_csv_roundtrip", dir)
     t(s, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")
@@ -119,8 +126,7 @@ object ExtraQueries {
     * aggregated columns (p_brand, p_retailprice, p_size) fails the hash —
     * the other written columns ride along unchecked. */
   def q69OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_orc_roundtrip_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+    val tmp = sessionTmp(s, "graft_orc_roundtrip", dir)
     t(s, dir, "part")
       .select("p_partkey", "p_brand", "p_type", "p_size", "p_retailprice")
       .write.mode("overwrite").orc(tmp)
@@ -782,8 +788,7 @@ object ExtraQueries {
     * The oracle aggregates the ORIGINAL parquet with the same predicate:
     * any fidelity or pruning-semantics bug diverges the hash. */
   def q88PartitionedPrune(s: SparkSession, dir: String): DataFrame = {
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_part_docs_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+    val tmp = sessionTmp(s, "graft_part_docs", dir)
     t(s, dir, "documents")
       .select("doc_id", "lang", "source", "n_chars")
       .write.mode("overwrite").partitionBy("lang").parquet(tmp)

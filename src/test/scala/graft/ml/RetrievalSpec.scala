@@ -29,6 +29,27 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("tfIdfFor cache: hit on identical corpus, refit when the corpus changes under a reused key") {
+    import spark.implicits._
+    val corpusA = Seq((1L, "apple banana"), (2L, "banana cherry")).toDF("doc_id", "text")
+    val corpusB = Seq((1L, "apple banana"), (2L, "banana cherry"),
+      (3L, "cherry date"), (4L, "date egg")).toDF("doc_id", "text")
+    val key = "staleness-spec-" + System.nanoTime() // fresh key per run
+    val (mA1, _) = Retrieval.tfIdfFor(corpusA, key)
+    val (mA2, _) = Retrieval.tfIdfFor(corpusA, key)
+    assert(mA1 eq mA2, "identical corpus under one key must hit the cache")
+    // regenerated corpus under the SAME caller key: the row-count
+    // fingerprint must force a refit — document frequencies now reflect
+    // corpusB, not stale corpusA
+    val (mB, _) = Retrieval.tfIdfFor(corpusB, key)
+    assert(!(mB eq mA1), "changed corpus under a reused key must refit")
+    assert(mB.idf.idf != mA1.idf.idf, "refit model must carry corpusB document frequencies")
+    // explicit hook for the same-count rewrite case
+    Retrieval.clearCache()
+    val (mA3, _) = Retrieval.tfIdfFor(corpusA, key)
+    assert(!(mA3 eq mA1), "clearCache must drop cached models")
+  }
+
   test("tf-idf retrieval returns ranked overlapping docs") {
     val docs = Tables.load(spark, SparkTestBase.Sf0001, "documents")
     val (model, docsTfIdf) = Retrieval.fitTfIdf(docs)

@@ -190,6 +190,31 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF-PQ recall $recall")
   }
 
+  test("ivfTopK quantizer cache: changed corpus under a reused key matches a fresh fit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def mkCorpus(n: Int, shift: Double) = (0L until n.toLong).map { i =>
+      (i, Array.fill(8)(rnd.nextGaussian() + shift).toSeq)
+    }.toDF("vec_id", "embedding")
+    val key = "ivf-staleness-" + System.nanoTime()
+    val qids = Seq(0L, 1L)
+    val a = mkCorpus(60, 0.0)
+    Similarity.ivfTopK(a, "vec_id", "embedding", qids, 3,
+      nCells = 4, corpusKey = Some(key)).collect() // populates the cache
+    // a DIFFERENT corpus (different count) under the same caller key must
+    // not be served corpus-A centroids: results must equal a fresh fit
+    val b = mkCorpus(90, 5.0)
+    val stalePath = Similarity.ivfTopK(b, "vec_id", "embedding", qids, 3,
+      nCells = 4, corpusKey = Some(key))
+      .orderBy("qid", "rn").collect().map(_.toSeq).toSeq
+    val freshPath = Similarity.ivfTopK(b, "vec_id", "embedding", qids, 3,
+      nCells = 4, corpusKey = None)
+      .orderBy("qid", "rn").collect().map(_.toSeq).toSeq
+    assert(stalePath == freshPath,
+      "row-count fingerprint must refit the quantizer for a changed corpus")
+    Similarity.clearCaches() // the same-count-rewrite hook stays callable
+  }
+
   test("multimodal: stub kernels deterministic; extractFeatures end-to-end") {
     import spark.implicits._
     val f1 = Multimodal.MediaKernels.featurize("hello world".getBytes("UTF-8"))

@@ -36,6 +36,17 @@ class ScaleStorageSpec extends AnyFunSuite {
     spark.sql("DROP TABLE ord_bucketed")
   }
 
+  test("round-trip queries write to session-scoped scratch dirs (no cross-run races)") {
+    // two concurrent runs on one machine must not race overwrite-vs-read:
+    // the scratch path embeds the Spark applicationId
+    ExtraQueries.q65CsvRoundtrip(spark, SparkTestBase.Sf0001).count()
+    val appId = spark.sparkContext.applicationId
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val mine = tmp.listFiles().map(_.getName)
+      .filter(n => n.startsWith("graft_csv_roundtrip_") && n.contains(appId))
+    assert(mine.nonEmpty, s"expected a graft_csv_roundtrip_*$appId* dir in $tmp")
+  }
+
   test("partitioned layout prunes non-matching partitions at scan time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
     Tables.load(spark, SparkTestBase.Sf0001, "events")
