@@ -1,0 +1,99 @@
+package graft.rel
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** The SQL front door: every test table registers as a temp view and a
+  * representative slice of the declared queries re-runs through
+  * `spark.sql(...)`, asserted row-for-row equal to its DataFrame twin.
+  * This pins (a) that a SQL-first user of the engine can express the
+  * declared surface through the parser, and (b) that the committed
+  * oracle SQL is genuinely ANSI where claimed — most twins below ARE the
+  * DuckDB oracle strings, run verbatim by Spark's parser.
+  *
+  * Comparison is on sorted row multisets (not result order): Spark sorts
+  * NULLS FIRST and DuckDB NULLS LAST by default, and the twins must not
+  * have to care. Values still compare bit-exactly — both sides execute in
+  * the same engine.
+  */
+class SqlFrontDoorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = SparkTestBase.Sf0001
+
+  private def registerViews(): Unit =
+    Seq("lineitem", "orders", "customer", "part", "supplier",
+        "nation", "region", "events", "documents")
+      .foreach(n => Tables.load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Sorted multiset of rows, null-order-insensitive. */
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq.sortBy(_.mkString(""))
+
+  private def checkTwin(name: String, sql: String): Unit = {
+    registerViews()
+    val viaSql = spark.sql(sql)
+    val viaDf = graft.SparkEntry.queries(name)(spark, dir)
+    assert(viaSql.columns.toSeq == viaDf.columns.toSeq,
+      s"$name: SQL twin columns ${viaSql.columns.toSeq} != DataFrame ${viaDf.columns.toSeq}")
+    val a = canon(viaSql); val b = canon(viaDf)
+    assert(a == b, s"$name: SQL twin diverges from DataFrame result " +
+      s"(${a.size} vs ${b.size} rows; first diff: " +
+      s"${a.zip(b).find { case (x, y) => x != y }.orElse(Some((a.headOption, b.headOption)))})")
+  }
+
+  // Oracle strings that are pure ANSI run verbatim through spark.sql —
+  // the strongest possible portability claim for the committed oracles.
+  private val verbatim = Seq(
+    "q01_scan_filter_project",
+    "q03_join_5way",
+    "q04_semi_anti",
+    "q05_outer_join_agg",
+    "q08_distinct_agg",
+    "q10_rollup",
+    "q13_topk",
+    "q14_set_ops",
+    "q43_cube",
+  )
+
+  verbatim.foreach { name =>
+    test(s"$name: the committed oracle SQL runs through spark.sql and matches the DataFrame twin") {
+      checkTwin(name, graft.SparkEntry.oracleSql(name))
+    }
+  }
+
+  // q02's oracle leans on DuckDB's floor(double) -> double; Spark's floor
+  // returns BIGINT, whose division by a decimal literal re-types the
+  // column. The front-door spelling pins the avg columns to DOUBLE
+  // explicitly — the one dialect adaptation a SQL user would make.
+  test("q02_pricing_summary: Spark-SQL twin (explicit DOUBLE avgs) matches the DataFrame twin") {
+    checkTwin("q02_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+         CAST(floor((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS avg_qty,
+         CAST(floor((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS avg_price,
+         CAST(floor((CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS avg_disc,
+         COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""")
+  }
+
+  // The as-of query: DuckDB spells it QUALIFY; Spark spells the same
+  // plan as a windowed subquery — the canonical front-door rewrite.
+  test("q07_asof_latest_order: Spark-SQL windowed-subquery twin matches the DataFrame twin") {
+    checkTwin("q07_asof_latest_order",
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS asof_date, o_totalprice
+         FROM (
+           SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM orders
+           WHERE o_orderdate <= TIMESTAMP '1998-01-01') t
+         WHERE rn = 1
+         ORDER BY o_custkey""")
+  }
+}
