@@ -507,9 +507,15 @@ object DataQueries {
          AK, AD, UK, UD
        FROM conf"""
 
-  // ---- entry point 1 end-to-end on the committed QA fixture (no-oracle:
-  // stub LLM output is not SQL-derivable; goldens live in InferenceSpec) -------
+  // ---- entry point 1 end-to-end on the committed QA fixture ------------------
 
+  /** The stub ChatModel is fully deterministic, so entry point 1's output
+    * is reproducible byte-for-byte: the committed expected-output fixture
+    * (`q46_expected.parquet`, generated by this very pipeline and
+    * eyeball-audited) serves as the oracle — the same golden-file
+    * discipline as q40's fixture, closing the last reference entry point
+    * without a hash-match. Branch-level goldens (keep/discard per fusion
+    * case) live in InferenceSpec. */
   def q46RagAnnotateStub(s: SparkSession, dir: String): DataFrame = {
     val samples = s.read.schema(graft.pipeline.Schemas.qaSample)
       .json("/root/repo/src/test/resources/qa_samples.jsonl")
@@ -524,6 +530,62 @@ object DataQueries {
         col("rag.answer").as("rag_answer"))
       .orderBy("id")
   }
+
+  val q46Oracle: String =
+    """SELECT id, label_decision, pred_decision, rag_answer
+       FROM read_parquet('/root/repo/src/test/resources/q46_expected.parquet')
+       ORDER BY id"""
+
+  /** A25's iteration loop end-to-end with `numIteration = 2`
+    * (`run_llm_ours.py:104-137`): the stub model is ITERATION-AWARE — it
+    * keys on the branch template AND the number of assistant turns
+    * already in the conversation, with per-row variation derived from the
+    * first user prompt (the question text), so every loop path actually
+    * executes: some rows discard in round 1 and exit early (skipping
+    * round-2 LLM cost), the rest re-enter round 2 and split keep/discard
+    * there, and the two branches disagree on some rows so safety fusion
+    * runs. Fully deterministic → committed expected-output fixture
+    * (`q91_expected.parquet`, q46-style golden) is the oracle. */
+  def q91IterativeCounterfactual(s: SparkSession, dir: String): DataFrame = {
+    val samples = s.read.schema(graft.pipeline.Schemas.qaSample)
+      .json("/root/repo/src/test/resources/qa_samples.jsonl")
+    val model = new graft.pipeline.ChatModel.Model {
+      import graft.pipeline.ChatModel.Message
+      private def answer(a: String) = Some(s"Answer: $a.\nEvidence: ## Passage-0 ##.")
+      override def complete(batch: Seq[Seq[Message]]): Seq[Option[String]] =
+        batch.map { messages =>
+          val lastUser = messages.reverseIterator.find(_.role == "user")
+            .map(_.content).getOrElse("")
+          val firstUser = messages.find(_.role == "user").map(_.content).getOrElse("")
+          val round = messages.count(_.role == "assistant") // 1 = first cf round
+          if (lastUser.contains("Question:")) answer("apple") // rag turn
+          else if (lastUser.contains("improper use")) { // cf_use branch
+            if (round <= 1) { if (firstUser.length % 3 == 0) answer("orange") else answer("apple") }
+            else { if (firstUser.length % 2 == 0) answer("banana") else answer("apple") }
+          } else { // cf_quality branch
+            if (round <= 1) { if (firstUser.length % 5 == 0) answer("orange") else answer("apple") }
+            else { if (firstUser.length % 7 < 2) answer("banana") else answer("apple") }
+          }
+        }
+    }
+    val cfg = graft.pipeline.Inference.Config(
+      numIteration = 2, fusionStrategy = "safety")
+    val annotated = graft.pipeline.Inference.ragAnnotate(samples, model, cfg)
+    graft.pipeline.Inference.inferDecideFuse(annotated, model, cfg)
+      .select(col("id"), col("label_decision"),
+        col("cf_use.pred_decision").as("use_decision"),
+        col("cf_use.answer").as("use_answer"),
+        col("cf_quality.pred_decision").as("quality_decision"),
+        col("cf_quality.answer").as("quality_answer"),
+        col("pred_decision"))
+      .orderBy("id")
+  }
+
+  val q91Oracle: String =
+    """SELECT id, label_decision, use_decision, use_answer,
+              quality_decision, quality_answer, pred_decision
+       FROM read_parquet('/root/repo/src/test/resources/q91_expected.parquet')
+       ORDER BY id"""
 
   /** Prompt-strategy re-fusion (A26/A28 `run_llm_ours.py:152-164` + the
     * dead-regex live semantics, quirk 1): the fusion completion is
@@ -819,6 +881,7 @@ object DataQueries {
     "q60_ngrams" -> (q60Ngrams _),
     "q61_text_scrub" -> (q61TextScrub _),
     "q62_sliding_window" -> (q62SlidingWindow _),
+    "q91_iterative_counterfactual" -> (q91IterativeCounterfactual _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -839,6 +902,8 @@ object DataQueries {
     "q41_rag_eval_probability" -> q41Oracle,
     "q44_dedup_embedding" -> q44Oracle,
     "q45_custom_expr_normalize" -> q45Oracle,
+    "q46_rag_annotate_stub" -> q46Oracle,
+    "q91_iterative_counterfactual" -> q91Oracle,
     "q57_stream_batch_parity" -> q57Oracle,
     "q58_parse_extract" -> q58Oracle,
     "q73_reuse_annotations" -> q73Oracle,
