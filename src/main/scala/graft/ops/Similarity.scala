@@ -551,11 +551,20 @@ object Similarity {
     * sample-fit and cached per corpus; candidate generation joins the
     * (qid, cell) probe pairs against the coded corpus on cell — a pure
     * shuffle join with no corpus broadcast. Recall vs [[cosineTopK]]
-    * asserted in the spec. */
+    * asserted ≥0.8 in the spec.
+    *
+    * Default nProbe=8 / rerank=16 comes from the round-6 sweep
+    * ([[graft.tools.RecallSweep]], top-5 over 20 queries): at sf0.1
+    * recall is 0.61 (probe 4 / rerank 8), 0.68 (6/8), 0.78 (6/16), 0.86
+    * (8/16), and the plain-IVF cell recall at nProbe=8 is 0.89 — i.e.
+    * rerank=16 nearly saturates what the probed cells admit, so more
+    * rerank without more probes is wasted. The trade-off is linear:
+    * candidates scale with nProbe/nCells, and only the rerank·k
+    * shortlist ever touches raw vectors. */
   def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
                 queryIds: Seq[Long], k: Int,
-                nCells: Int = 16, nProbe: Int = 6,
-                m: Int = 16, ks: Int = 16, rerank: Int = 8,
+                nCells: Int = 16, nProbe: Int = 8,
+                m: Int = 16, ks: Int = 16, rerank: Int = 16,
                 corpusKey: Option[String] = None,
                 sampleCap: Int = 20000): DataFrame = {
     val spark = emb.sparkSession
@@ -621,7 +630,7 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int,
-              nCells: Int = 16, nProbe: Int = 4,
+              nCells: Int = 16, nProbe: Int = 6,
               corpusKey: Option[String] = None,
               sampleCap: Long = 100000L): DataFrame = {
     val spark = emb.sparkSession

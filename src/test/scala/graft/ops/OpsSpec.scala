@@ -160,14 +160,14 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"ANN recall $recall")
   }
 
-  test("IVF ANN recall >= 0.6 of brute-force top-5; probes only nProbe/nCells") {
+  test("IVF ANN recall >= 0.7 of brute-force top-5; probes only nProbe/nCells") {
     val qids = (0L until 10L)
     val bf = Similarity.cosineTopK(embs, "vec_id", "embedding", qids, 5)
       .select("qid", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivf = Similarity.ivfTopK(embs, "vec_id", "embedding", qids, 5)
       .select("qid", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = bf.count(ivf.contains).toDouble / bf.size
-    assert(recall >= 0.6, s"IVF recall $recall")
+    assert(recall >= 0.7, s"IVF recall $recall")
   }
 
   test("PQ ANN recall >= 0.6 of brute-force top-5 (retrieve-then-rerank)") {
@@ -180,14 +180,16 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"PQ recall $recall")
   }
 
-  test("IVF-PQ ANN recall >= 0.6 of brute-force top-5 (cells prune, codes score, exact re-rank)") {
+  // bound from the RecallSweep table (sf0.001: 0.84, sf0.1: 0.86 at the
+  // nProbe=8/rerank=16 defaults) — see ivfPqTopK's Scaladoc
+  test("IVF-PQ ANN recall >= 0.8 of brute-force top-5 (cells prune, codes score, exact re-rank)") {
     val qids = (0L until 10L)
     val bf = Similarity.cosineTopK(embs, "vec_id", "embedding", qids, 5)
       .select("qid", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivfpq = Similarity.ivfPqTopK(embs, "vec_id", "embedding", qids, 5)
       .select("qid", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = bf.count(ivfpq.contains).toDouble / bf.size
-    assert(recall >= 0.6, s"IVF-PQ recall $recall")
+    assert(recall >= 0.8, s"IVF-PQ recall $recall")
   }
 
   test("ivfTopK quantizer cache: changed corpus under a reused key matches a fresh fit") {
