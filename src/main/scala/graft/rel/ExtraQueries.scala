@@ -934,6 +934,87 @@ object ExtraQueries {
        FROM ids JOIN agg USING (media_id)
        ORDER BY ids.media_id"""
 
+  // ---- compressed text source (gzip JSONL) ------------------------------------
+
+  /** The compressed-text ingestion path every web-corpus pipeline hits
+    * first: write documents as GZIP-compressed JSONL, read back with an
+    * EXPLICIT schema (inference on 100 TB of text is a second full scan),
+    * aggregate per lang including a content functional (Σ length(text))
+    * so any round-trip mojibake/escaping loss diverges the oracle, which
+    * aggregates the ORIGINAL parquet. Gzip is splittable-per-file (not
+    * within a file), so at scale the writer's task count — not file size
+    * — sets read parallelism; the spec pins the .json.gz layout. */
+  def q92GzipJsonl(s: SparkSession, dir: String): DataFrame = {
+    val tmp = sessionTmp(s, "graft_gz_jsonl", dir)
+    t(s, dir, "documents")
+      .select("doc_id", "lang", "source", "n_chars", "text")
+      .write.mode("overwrite").option("compression", "gzip").json(tmp)
+    s.read
+      .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG, text STRING")
+      .json(tmp)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        sum(length(col("text"))).cast("long").as("total_text_len"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("lang")
+  }
+
+  val q92Oracle: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_len,
+       MIN(doc_id) AS first_doc
+       FROM documents GROUP BY lang ORDER BY lang"""
+
+  // ---- URL parsing / per-domain analytics -------------------------------------
+
+  /** Web-corpus provenance analytics: synthesize a deterministic URL per
+    * doc (closed form of doc_id), dissect it with Spark's native
+    * `parse_url` (HOST / PATH / per-key QUERY — codegen'd, no UDF), and
+    * aggregate per host. The oracle recomputes every extracted component
+    * from the same closed form, so a parse_url semantics drift (host
+    * casing, query-key extraction, path boundaries) fails the hash. Shape:
+    * pure projection + one agg shuffle — the per-domain crawl-stats job. */
+  def q93UrlParse(s: SparkSession, dir: String): DataFrame = {
+    val host = element_at(
+      array(lit("alpha.example.com"), lit("beta.example.org"),
+        lit("gamma.example.net"), lit("delta.example.io")),
+      (col("doc_id") % 4 + 1).cast("int"))
+    val url = concat(lit("https://"), host,
+      lit("/docs/"), (col("doc_id") % 50).cast("string"),
+      lit("/view?rank="), (col("doc_id") % 7).cast("string"),
+      lit("&shard="), (col("doc_id") % 13).cast("string"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("rank")).cast("int").as("rank"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("path")).as("n_paths"),
+        sum(col("rank")).cast("long").as("rank_sum"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("host")
+  }
+
+  val q93Oracle: String =
+    """WITH u AS (
+         SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'alpha.example.com'
+                           WHEN 1 THEN 'beta.example.org'
+                           WHEN 2 THEN 'gamma.example.net'
+                           ELSE 'delta.example.io' END AS host,
+           '/docs/' || CAST(doc_id % 50 AS VARCHAR) || '/view' AS path,
+           CAST(doc_id % 7 AS INT) AS rank
+         FROM documents)
+       SELECT host, COUNT(*) AS n_urls,
+         CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths,
+         CAST(SUM(rank) AS BIGINT) AS rank_sum,
+         MIN(doc_id) AS first_doc
+       FROM u GROUP BY host ORDER BY host"""
+
   // ---- registry ---------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -961,6 +1042,8 @@ object ExtraQueries {
     "q88_partitioned_prune" -> (q88PartitionedPrune _),
     "q89_vocab_oov" -> (q89VocabOov _),
     "q90_imageio_decode" -> (q90ImageioDecode _),
+    "q92_gzip_jsonl" -> (q92GzipJsonl _),
+    "q93_url_parse" -> (q93UrlParse _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -987,5 +1070,7 @@ object ExtraQueries {
     "q88_partitioned_prune" -> q88Oracle,
     "q89_vocab_oov" -> q89Oracle,
     "q90_imageio_decode" -> q90Oracle,
+    "q92_gzip_jsonl" -> q92Oracle,
+    "q93_url_parse" -> q93Oracle,
   )
 }

@@ -47,6 +47,22 @@ class ScaleStorageSpec extends AnyFunSuite {
     assert(mine.nonEmpty, s"expected a graft_csv_roundtrip_*$appId* dir in $tmp")
   }
 
+  test("q92 writes genuinely gzip-compressed JSONL part files") {
+    ExtraQueries.q92GzipJsonl(spark, SparkTestBase.Sf0001).count()
+    val appId = spark.sparkContext.applicationId
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val outDir = tmp.listFiles()
+      .find(f => f.getName.startsWith("graft_gz_jsonl_") && f.getName.contains(appId))
+      .getOrElse(fail("no gzip JSONL output dir"))
+    val parts = outDir.listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".json.gz")),
+      s"expected .json.gz parts, got ${parts.map(_.getName).toSeq}")
+    // gzip magic: the compression option must actually compress
+    val in = new java.io.FileInputStream(parts.head)
+    val magic = try { val b = new Array[Byte](2); in.read(b); b } finally in.close()
+    assert((magic(0) & 0xFF) == 0x1F && (magic(1) & 0xFF) == 0x8B, "missing gzip magic")
+  }
+
   test("partitioned layout prunes non-matching partitions at scan time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
     Tables.load(spark, SparkTestBase.Sf0001, "events")
