@@ -1015,6 +1015,113 @@ object ExtraQueries {
          MIN(doc_id) AS first_doc
        FROM u GROUP BY host ORDER BY host"""
 
+  // ---- benchmark decontamination ----------------------------------------------
+
+  /** The GPT-3-style decontamination pass: an eval/benchmark slice (here
+    * the deterministic doc_id % 97 == 0 subset standing in for a held-out
+    * benchmark file) contributes its distinct 5-gram shingles; every
+    * TRAINING doc reports how many of its own distinct 5-grams collide
+    * and a contaminated flag. Shape: the eval shingle table is tiny by
+    * construction, so Spark broadcasts it into the join against the
+    * exploded training shingles (no corpus shuffle — checked by the
+    * broadcast() hint being valid); per-doc re-agg is the only shuffle.
+    * At 100 TB the eval set stays fixed-size, so the plan is a map-side
+    * membership probe plus one aggregation — the cheapest possible
+    * full-corpus pass. */
+  def q94Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val evalSh = docs.where(col("doc_id") % 97 === 0)
+      .select(explode(Dedup.shingles(col("text"), 5)).as("shingle"))
+      .distinct()
+    val trainSh = docs.where(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 5)).as("shingle"))
+    trainSh
+      .join(broadcast(evalSh.withColumn("_hit", lit(1))), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+      .withColumn("contaminated", (col("n_contaminated") > 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val q94Oracle: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+         FROM documents),
+       sh AS (
+         SELECT doc_id, tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w
+                || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS shingle
+         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       dt AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+       ev AS (SELECT DISTINCT shingle FROM dt WHERE doc_id % 97 = 0),
+       tr AS (SELECT * FROM dt WHERE doc_id % 97 <> 0)
+       SELECT tr.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         CAST(MAX(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS contaminated
+       FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
+       GROUP BY tr.doc_id ORDER BY tr.doc_id"""
+
+  // ---- dedup rewrite: quality-based cluster representative --------------------
+
+  /** The step AFTER clustering that actually rewrites the corpus: within
+    * each near-dup cluster (q81's connected components over exact-Jaccard
+    * pairs) keep the highest-quality member — here the longest text, the
+    * standard keep-the-most-complete-version heuristic — with min doc_id
+    * as the deterministic tie-break. Output is per-doc provenance (every
+    * doc, its cluster, its quality, kept flag) so the rewrite is
+    * auditable, not a silent filter. One extra shuffle over q81 (the
+    * per-cluster argmax window). */
+  def q95DedupRewrite(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), length(col("text")).as("quality"))
+    val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      n = 3, tau = 0.8).select("d1", "d2")
+    val comp = Dedup.connectedComponents(pairs, "d1", "d2")
+    val labeled = docs
+      .join(comp.select(col("id").as("doc_id"), col("cluster")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id"))
+    labeled.withColumn("kept", (row_number().over(w) === 1).cast("int"))
+      .select("doc_id", "cluster_id", "quality", "kept")
+      .orderBy("doc_id")
+  }
+
+  val q95Oracle: String =
+    """WITH RECURSIVE toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+         FROM documents),
+       sh AS (
+         SELECT doc_id, tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       dt AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id),
+       pr AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+         FROM dt a JOIN dt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id),
+       np AS (
+         SELECT d1, d2 FROM pr
+         JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         WHERE inter * 1.0 / (s1.sz + s2.sz - inter) >= 0.8),
+       edges AS (SELECT d1 AS src, d2 AS dst FROM np
+                 UNION SELECT d2 AS src, d1 AS dst FROM np),
+       reach(id, lbl) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst),
+       comp AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+       q AS (SELECT doc_id, length(text) AS quality FROM documents)
+       SELECT q.doc_id, comp.cluster_id, CAST(q.quality AS INT) AS quality,
+         CAST(ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
+                ORDER BY q.quality DESC, q.doc_id) = 1 AS INT) AS kept
+       FROM q JOIN comp USING (doc_id)
+       ORDER BY q.doc_id"""
+
   // ---- registry ---------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1044,6 +1151,8 @@ object ExtraQueries {
     "q90_imageio_decode" -> (q90ImageioDecode _),
     "q92_gzip_jsonl" -> (q92GzipJsonl _),
     "q93_url_parse" -> (q93UrlParse _),
+    "q94_decontaminate" -> (q94Decontaminate _),
+    "q95_dedup_rewrite" -> (q95DedupRewrite _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1072,5 +1181,7 @@ object ExtraQueries {
     "q90_imageio_decode" -> q90Oracle,
     "q92_gzip_jsonl" -> q92Oracle,
     "q93_url_parse" -> q93Oracle,
+    "q94_decontaminate" -> q94Oracle,
+    "q95_dedup_rewrite" -> q95Oracle,
   )
 }
