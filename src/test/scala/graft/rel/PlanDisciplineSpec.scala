@@ -79,6 +79,22 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "derived vocab no longer broadcast")
   }
 
+  test("q94: eval shingles broadcast into the membership probe; no sort-merge, pruned scan") {
+    val p = plan("q94_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "eval shingle set must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "a fixed-size benchmark must never shuffle the training corpus for the probe")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("lang"), readSchema)
+  }
+
+  test("q92: gzip JSONL read prunes to the aggregated columns") {
+    val p = plan("q92_gzip_jsonl")
+    // the json read must carry the explicit schema, not re-infer
+    assert(p.contains("ReadSchema"), p.linesIterator.take(5).mkString("\n"))
+  }
+
   test("q09: HLL approx distinct within 5% of exact (B9 no-oracle bound)") {
     import org.apache.spark.sql.functions._
     val events = Tables.load(spark, dir, "events")
