@@ -1122,6 +1122,48 @@ object ExtraQueries {
        FROM q JOIN comp USING (doc_id)
        ORDER BY q.doc_id"""
 
+  // ---- sequence packing (concat-and-chunk) ------------------------------------
+
+  /** The concat-and-chunk step that turns a document stream into
+    * fixed-length training sequences (L = 512 tokens): per language, each
+    * doc's exclusive cumulative token offset places it in the packed
+    * stream; the query emits which sequence the doc STARTS in, which it
+    * ENDS in, and how many sequences it spans — the document-boundary
+    * bookkeeping an attention-mask/packing writer needs (q82 is the
+    * shard-assignment sibling; this is the within-shard chunker). All
+    * arithmetic is BIGINT (`DIV`), so the oracle hash is fp-free. Shape:
+    * one window shuffle on lang (in-partition running sum), no joins. */
+  def q96SequencePack(s: SparkSession, dir: String): DataFrame = {
+    val L = 512L
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tok.withColumn("off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("seq_first", expr(s"off DIV $L"))
+      .withColumn("seq_last", expr(s"(off + n_tok - 1) DIV $L"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("off"),
+        col("seq_first"), col("seq_last"),
+        (col("seq_last") - col("seq_first") + 1L).as("n_seqs"))
+      .orderBy("doc_id")
+  }
+
+  val q96Oracle: String =
+    """WITH tok AS (
+         SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         FROM documents),
+       o AS (
+         SELECT doc_id, lang, n_tok,
+           CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         FROM tok)
+       SELECT doc_id, lang, n_tok, off,
+         off // 512 AS seq_first,
+         (off + n_tok - 1) // 512 AS seq_last,
+         (off + n_tok - 1) // 512 - off // 512 + 1 AS n_seqs
+       FROM o ORDER BY doc_id"""
+
   // ---- registry ---------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1153,6 +1195,7 @@ object ExtraQueries {
     "q93_url_parse" -> (q93UrlParse _),
     "q94_decontaminate" -> (q94Decontaminate _),
     "q95_dedup_rewrite" -> (q95DedupRewrite _),
+    "q96_sequence_pack" -> (q96SequencePack _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1183,5 +1226,6 @@ object ExtraQueries {
     "q93_url_parse" -> q93Oracle,
     "q94_decontaminate" -> q94Oracle,
     "q95_dedup_rewrite" -> q95Oracle,
+    "q96_sequence_pack" -> q96Oracle,
   )
 }
