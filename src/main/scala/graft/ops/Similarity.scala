@@ -535,10 +535,43 @@ object Similarity {
     val modelB = spark.sparkContext.broadcast(model)
     val codes = encodeCodes(normed, modelB)
     val lutsB = spark.sparkContext.broadcast(adcLuts(queryVectors(data, queryIds), model))
-    val approx = codes.flatMap { case (vid, code) =>
-      lutsB.value.iterator.filter(_._1 != vid).map { case (qid, lut) =>
-        (qid, vid, adcScore(lut, code))
+    // Partition-local top-(rerank·k) BEFORE the shuffle: the naive form
+    // shuffles the full |corpus|×|Q| ADC cross product into the global
+    // top-k window — the one flat-PQ cost that grows linearly with the
+    // corpus. A bounded heap per query inside each partition cuts the
+    // shuffled rows to numPartitions·|Q|·(rerank·k), and the union of
+    // per-partition top-m (under the SAME total order the window uses:
+    // approx desc, cand asc) provably contains the global top-m, so the
+    // final shortlist — and therefore the declared result — is unchanged.
+    val capacity = math.max(1, k * rerank)
+    val approx = codes.mapPartitions { it =>
+      val luts = lutsB.value
+      // heap head = the WORST retained entry under (approx desc, cand asc)
+      val worstFirst = new Ordering[(Long, Double)] {
+        def compare(x: (Long, Double), y: (Long, Double)): Int = {
+          val c = java.lang.Double.compare(y._2, x._2) // lower score = worse
+          if (c != 0) c else java.lang.Long.compare(x._1, y._1) // higher cand = worse
+        }
       }
+      val heaps = luts.map { case (qid, _) =>
+        qid -> new scala.collection.mutable.PriorityQueue[(Long, Double)]()(worstFirst)
+      }
+      it.foreach { case (vid, code) =>
+        var i = 0
+        while (i < luts.length) {
+          val (qid, lut) = luts(i)
+          if (qid != vid) {
+            val s = adcScore(lut, code)
+            val h = heaps(i)._2
+            if (h.size < capacity) h.enqueue((vid, s))
+            else if (worstFirst.compare((vid, s), h.head) < 0) {
+              h.dequeue(); h.enqueue((vid, s))
+            }
+          }
+          i += 1
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (c, s) => (qid, c, s) } }
     }.toDF("qid", "cand", "approx")
     // stage 1: approximate top rerank·k by ADC; stage 2: exact re-rank
     exactRerank(adcShortlist(approx, k, rerank), data, queryIds, k)
