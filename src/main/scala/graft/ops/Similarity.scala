@@ -535,14 +535,17 @@ object Similarity {
     val modelB = spark.sparkContext.broadcast(model)
     val codes = encodeCodes(normed, modelB)
     val lutsB = spark.sparkContext.broadcast(adcLuts(queryVectors(data, queryIds), model))
-    // Partition-local top-(rerank·k) BEFORE the shuffle: the naive form
-    // shuffles the full |corpus|×|Q| ADC cross product into the global
-    // top-k window — the one flat-PQ cost that grows linearly with the
-    // corpus. A bounded heap per query inside each partition cuts the
-    // shuffled rows to numPartitions·|Q|·(rerank·k), and the union of
-    // per-partition top-m (under the SAME total order the window uses:
-    // approx desc, cand asc) provably contains the global top-m, so the
-    // final shortlist — and therefore the declared result — is unchanged.
+    // Partition-local top-(rerank·k) via bounded heaps. Spark's own
+    // InferWindowGroupLimit already caps what the downstream rank window
+    // SHUFFLES, but its partial mode must first SORT each partition's
+    // full |corpus|×|Q| ADC cross product (O(n log n) rows materialized
+    // per partition) — the one flat-PQ cost that grows linearly with the
+    // corpus. The heaps replace that sort with an O(n log m) streaming
+    // pass (m = rerank·k) that never materializes the cross product; the
+    // union of per-partition top-m under the SAME total order the window
+    // uses (approx desc, cand asc) provably contains the global top-m, so
+    // the final shortlist — and the declared result — is unchanged
+    // (verified bit-identical).
     val capacity = math.max(1, k * rerank)
     val approx = codes.mapPartitions { it =>
       val luts = lutsB.value
