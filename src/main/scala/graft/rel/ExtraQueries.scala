@@ -1164,6 +1164,38 @@ object ExtraQueries {
          (off + n_tok - 1) // 512 - off // 512 + 1 AS n_seqs
        FROM o ORDER BY doc_id"""
 
+  // ---- sketch-routed exact heavy hitters --------------------------------------
+
+  /** Corpus heavy hitters (tokens with freq ≥ 200) by the sketch-route-
+    * then-verify pattern q85 uses for Bloom: one treeAggregate pass builds
+    * a Count-Min sketch (bounded memory at ANY corpus size), the
+    * broadcast sketch prunes the token stream map-side to candidates —
+    * CMS only OVERestimates, so the candidate set is a guaranteed
+    * superset and the final exact count over survivors makes the result
+    * oracle-able against a plain GROUP BY ... HAVING. At 100 TB the
+    * long-tail vocabulary (the expensive part of a naive full groupBy)
+    * never reaches the shuffle; only near-threshold tokens do. */
+  def q97HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val threshold = 200L
+    val tok = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tk"))
+    // eps 5e-4 → ~5.4k counters/row, 5 rows (~220 KB broadcast); over-
+    // estimate bounded by eps·N keeps the candidate superset tight
+    val cms = tok.stat.countMinSketch("tk", eps = 0.0005, confidence = 0.99, seed = 42)
+    val cmsB = s.sparkContext.broadcast(cms)
+    val isCand = udf((tk: String) => cmsB.value.estimateCount(tk) >= threshold)
+    tok.where(isCand(col("tk")))
+      .groupBy("tk").agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= threshold)
+      .orderBy(col("freq").desc, col("tk"))
+  }
+
+  val q97Oracle: String =
+    """SELECT tk, COUNT(*) AS freq
+       FROM (SELECT unnest(string_split(text, ' ')) AS tk FROM documents)
+       GROUP BY tk HAVING COUNT(*) >= 200
+       ORDER BY freq DESC, tk"""
+
   // ---- registry ---------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1196,6 +1228,7 @@ object ExtraQueries {
     "q94_decontaminate" -> (q94Decontaminate _),
     "q95_dedup_rewrite" -> (q95DedupRewrite _),
     "q96_sequence_pack" -> (q96SequencePack _),
+    "q97_heavy_hitters" -> (q97HeavyHitters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1227,5 +1260,6 @@ object ExtraQueries {
     "q94_decontaminate" -> q94Oracle,
     "q95_dedup_rewrite" -> q95Oracle,
     "q96_sequence_pack" -> q96Oracle,
+    "q97_heavy_hitters" -> q97Oracle,
   )
 }
