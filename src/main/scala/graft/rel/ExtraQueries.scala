@@ -1196,6 +1196,39 @@ object ExtraQueries {
        GROUP BY tk HAVING COUNT(*) >= 200
        ORDER BY freq DESC, tk"""
 
+  // ---- XML source/sink round-trip ---------------------------------------------
+
+  /** Same contract as [[q65CsvRoundtrip]]/[[q69OrcRoundtrip]] for Spark 4's
+    * NATIVE XML source (the spark-xml donation — no extra jars): write
+    * supplier as row-tagged XML, read back with an explicit schema (XML
+    * inference is a full extra scan at corpus scale), aggregate per
+    * nation. The oracle aggregates the original parquet, so any
+    * serialization fidelity loss (escaping, numeric text forms) fails the
+    * hash — doubles survive because Spark writes the shortest
+    * round-trippable decimal text. Completes the source/sink matrix:
+    * parquet, JSONL, gzip-JSONL, CSV, ORC, XML, partitioned, bucketed. */
+  def q98XmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = sessionTmp(s, "graft_xml_roundtrip", dir)
+    t(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite")
+      .option("rootTag", "suppliers").option("rowTag", "supplier").xml(tmp)
+    s.read
+      .schema("s_suppkey LONG, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+      .option("rowTag", "supplier").xml(tmp)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        dsum(col("s_acctbal")).as("total_acctbal"),
+        min(col("s_name")).as("first_name"))
+      .orderBy("s_nationkey")
+  }
+
+  val q98Oracle: String =
+    """SELECT s_nationkey, COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal,
+       MIN(s_name) AS first_name
+       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""
+
   // ---- registry ---------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1229,6 +1262,7 @@ object ExtraQueries {
     "q95_dedup_rewrite" -> (q95DedupRewrite _),
     "q96_sequence_pack" -> (q96SequencePack _),
     "q97_heavy_hitters" -> (q97HeavyHitters _),
+    "q98_xml_roundtrip" -> (q98XmlRoundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1261,5 +1295,6 @@ object ExtraQueries {
     "q95_dedup_rewrite" -> q95Oracle,
     "q96_sequence_pack" -> q96Oracle,
     "q97_heavy_hitters" -> q97Oracle,
+    "q98_xml_roundtrip" -> q98Oracle,
   )
 }
