@@ -1006,7 +1006,7 @@ object ExtraQueries {
                            WHEN 1 THEN 'beta.example.org'
                            WHEN 2 THEN 'gamma.example.net'
                            ELSE 'delta.example.io' END AS host,
-           '/docs/' || CAST(doc_id % 50 AS VARCHAR) || '/view' AS path,
+           '/docs/' || CAST(doc_id % 50 AS STRING) || '/view' AS path,
            CAST(doc_id % 7 AS INT) AS rank
          FROM documents)
        SELECT host, COUNT(*) AS n_urls,

@@ -53,6 +53,11 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     "q13_topk",
     "q14_set_ops",
     "q43_cube",
+    "q47_grouping_sets",
+    "q51_conditional_agg",
+    "q92_gzip_jsonl",
+    "q93_url_parse", // oracle uses the STRING type alias both dialects accept
+    "q98_xml_roundtrip",
   )
 
   verbatim.foreach { name =>
@@ -80,6 +85,16 @@ class SqlFrontDoorSpec extends AnyFunSuite {
          WHERE l_shipdate <= TIMESTAMP '2000-09-02'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""")
+  }
+
+  // Token explosion: DuckDB spells it unnest(string_split(...)); Spark
+  // spells the same relation explode(split(...)) — the canonical rewrite.
+  test("q97_heavy_hitters: Spark-SQL explode twin matches the DataFrame twin") {
+    checkTwin("q97_heavy_hitters",
+      """SELECT tk, COUNT(*) AS freq
+         FROM (SELECT explode(split(text, ' ')) AS tk FROM documents)
+         GROUP BY tk HAVING COUNT(*) >= 200
+         ORDER BY freq DESC, tk""")
   }
 
   // The as-of query: DuckDB spells it QUALIFY; Spark spells the same
