@@ -9,9 +9,11 @@ object SparkEntry {
     rel.DataQueries.q40RagEvalPipeline(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    rel.Queries.all ++ rel.DataQueries.all ++ rel.MoreQueries.all ++ rel.ExtraQueries.all
+    rel.Queries.all ++ rel.DataQueries.all ++ rel.MoreQueries.all ++
+      rel.ExtraQueries.all ++ rel.CurationQueries.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    rel.Queries.oracles ++ rel.DataQueries.oracles ++ rel.MoreQueries.oracles ++ rel.ExtraQueries.oracles
+    rel.Queries.oracles ++ rel.DataQueries.oracles ++ rel.MoreQueries.oracles ++
+      rel.ExtraQueries.oracles ++ rel.CurationQueries.oracles
 }

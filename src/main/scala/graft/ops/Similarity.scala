@@ -729,4 +729,71 @@ object Similarity {
   }
 
   val int8QuantStatsUdf = udf((v: Seq[Double]) => int8QuantStats(v))
+
+  /** SemDeDup-style embedding-cluster near-dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): kmeans cells bound the candidate pair space to
+    * same-cell pairs (the exact all-pairs scan of [[cosinePairs]] is the
+    * thing that cannot survive a 100-TB corpus), exact cosine verifies
+    * every candidate on the true vectors, and a vector is dropped iff an
+    * EARLIER (lower-id) same-cell vector scores >= minCos against it —
+    * the deterministic keep-first rule the exact dedup queries use.
+    *
+    * Returns one row per input vector: (id, cell, dropped, witness,
+    * wit_cos), witness = the LOWEST-id qualifying earlier neighbor (null
+    * when kept), wit_cos its r4-rounded cosine.
+    *
+    * Scale shape: centroids broadcast (nCells x dim doubles), assignment
+    * is map-side, the self-join shuffles on `cell` only — pair work is
+    * sum of per-cell n_c^2, corpus never broadcast, no driver state.
+    * Precision is exact by construction (witness cosines are computed on
+    * the raw vectors, not sketches); recall misses only pairs whose
+    * nProbe-nearest-cell sets are disjoint — the knobs are nCells (cell
+    * granularity) and nProbe (probe overlap; recall 0.40 -> 0.94 going
+    * from 1 to 3 at nCells=16 on the sf0.001 corpus), pinned by
+    * SemDedupSpec against the brute-force q44 pair set. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               nCells: Int = 16, minCos: Double = 0.4, nProbe: Int = 3,
+               corpusKey: Option[String] = None,
+               sampleCap: Long = 100000L): DataFrame = {
+    val spark = emb.sparkSession
+    graft.exprs.GraftFunctions.register(spark)
+    val data = emb.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("arr"))
+    val centers = coarseCentersFor(data, nCells, corpusKey,
+      s"$idCol|$vecCol|semdedup", sampleCap)
+    val centersB = spark.sparkContext.broadcast(centers)
+    // multi-probe assignment: each vector lands in its nProbe nearest
+    // cells, so a pair is candidate iff the two probe sets intersect —
+    // closes the single-assignment recall cliff (boundary pairs split
+    // across adjacent cells) for <= nProbe^2 x pair work, never a
+    // corpus scan
+    val probeCellsU = udf((a: Seq[Double]) => {
+      val cs = centersB.value
+      val arr = a.toArray
+      cs.indices.sortBy(ci => sqDist(arr, cs(ci))).take(nProbe)
+    })
+    // norms once per vector; zero-norm guard as in cosineTopK
+    val withCells = data.withColumn("cells", probeCellsU(col("arr")))
+      .withColumn("nrm", sqrt(dot(col("arr"), col("arr"))))
+    val exploded = withCells.select(col("vid"), col("arr"), col("nrm"),
+      explode(col("cells")).as("cell"))
+    val earlier = exploded.select(col("cell"), col("vid").as("wid"),
+      col("arr").as("warr"), col("nrm").as("wnrm"))
+    val denom = col("wnrm") * col("nrm")
+    val qualifying = exploded.join(earlier, Seq("cell"))
+      .where(col("wid") < col("vid"))
+      .select(col("vid"), col("wid"),
+        when(denom === 0.0, 0.0)
+          .otherwise(dot(col("warr"), col("arr")) / denom).as("cos_raw"))
+      .where(col("cos_raw") >= minCos)
+    // lexicographic struct-min = lowest witness id (its cosine rides
+    // along); the same groupBy dedupes pairs that met in several cells
+    val drops = qualifying.groupBy("vid")
+      .agg(min(struct(col("wid"), graft.Stable.r4(col("cos_raw")).as("cos"))).as("w"))
+      .select(col("vid"), col("w.wid").as("witness"), col("w.cos").as("wit_cos"))
+    withCells.select(col("vid"), col("cells").getItem(0).cast("long").as("cell"))
+      .join(drops, Seq("vid"), "left")
+      .select(col("vid").as(idCol), col("cell"),
+        col("witness").isNotNull.as("dropped"), col("witness"), col("wit_cos"))
+  }
 }

@@ -58,6 +58,7 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     "q92_gzip_jsonl",
     "q93_url_parse", // oracle uses the STRING type alias both dialects accept
     "q98_xml_roundtrip",
+    "q101_zorder_layout", // bitwise >>/& and NTILE parse identically in both
   )
 
   verbatim.foreach { name =>
@@ -110,5 +111,42 @@ class SqlFrontDoorSpec extends AnyFunSuite {
            WHERE o_orderdate <= TIMESTAMP '1998-01-01') t
          WHERE rn = 1
          ORDER BY o_custkey""")
+  }
+
+  // q99's oracle measures UTF-8 bytes as DuckDB strlen; Spark spells the
+  // same byte count octet_length. (The SQL twin reads the source table
+  // directly — the digest/length identity is exactly what the binaryFile
+  // round-trip preserves, so the results coincide row-for-row.)
+  test("q99_binaryfile_source: Spark-SQL octet_length twin matches the DataFrame twin") {
+    checkTwin("q99_binaryfile_source",
+      """SELECT doc_id, CAST(octet_length(text) AS BIGINT) AS byte_len,
+                md5(text) AS digest
+         FROM documents WHERE doc_id < 500 ORDER BY doc_id""")
+  }
+
+  // q100's oracle builds grams with DuckDB's generate_series/unnest; the
+  // Spark spelling uses the same slice+transform lambda the DataFrame
+  // twin uses — higher-order array functions through the parser.
+  test("q100_repetition_signals: Spark-SQL higher-order-function twin matches the DataFrame twin") {
+    checkTwin("q100_repetition_signals",
+      """WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+         g2 AS (SELECT doc_id, explode(transform(slice(t, 1, greatest(size(t)-1, 0)),
+                  (w, i) -> concat(w, ' ', t[i+1]))) AS g FROM toks),
+         g3 AS (SELECT doc_id, explode(transform(slice(t, 1, greatest(size(t)-2, 0)),
+                  (w, i) -> concat(w, ' ', t[i+1], ' ', t[i+2]))) AS g FROM toks),
+         c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+         a2 AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM c2 GROUP BY 1),
+         c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+         a3 AS (SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+                       SUM(c) AS tot FROM c3 GROUP BY 1)
+         SELECT d.doc_id, CAST(size(split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           floor(COALESCE(CAST(a2.mx AS DOUBLE) / NULLIF(a2.tot, 0), 0.0) * 1e4 + 5e-1) / 1e4 AS top2_frac,
+           floor(COALESCE(CAST(a3.dup AS DOUBLE) / NULLIF(a3.tot, 0), 0.0) * 1e4 + 5e-1) / 1e4 AS dup3_frac,
+           (floor(COALESCE(CAST(a2.mx AS DOUBLE) / NULLIF(a2.tot, 0), 0.0) * 1e4 + 5e-1) / 1e4 <= 5e-2
+            AND floor(COALESCE(CAST(a3.dup AS DOUBLE) / NULLIF(a3.tot, 0), 0.0) * 1e4 + 5e-1) / 1e4 <= 1e-1) AS keep
+         FROM documents d
+         LEFT JOIN a2 ON d.doc_id = a2.doc_id
+         LEFT JOIN a3 ON d.doc_id = a3.doc_id
+         ORDER BY d.doc_id""")
   }
 }
