@@ -213,14 +213,117 @@ object CurationQueries {
       nCells = 16, minCos = 0.4, nProbe = 3)
       .orderBy("vec_id")
 
+  // ---- q103: passage chunking with overlap -----------------------------------
+
+  /** RAG ingestion primitive: split each document into fixed-width
+    * token-window passages with overlap (window W=32, stride S=24 — 8
+    * tokens of context shared between neighbors), the step that turns a
+    * document corpus into the passage table a retriever indexes (the
+    * reference's `ra_dict` passages are exactly this shape). Pure per-row
+    * array expansion — transform over a start-index sequence, slice per
+    * window, explode — so the operator is embarrassingly parallel: no
+    * shuffle at all until the declared deterministic ORDER BY. Passage
+    * count per doc = 1 + floor((n-1)/S); the final window is allowed to
+    * run short (slice clamps at n).
+    */
+  def q103PassageChunks(s: SparkSession, dir: String): DataFrame = {
+    val (w, st) = (32, 24)
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, (n-1) div $st),
+              k -> struct(k AS p_idx, slice(t, k*$st+1, $w) AS p))""")).as("pp"))
+      .select(col("doc_id"),
+        col("pp.p_idx").cast("long").as("p_idx"),
+        (col("pp.p_idx") * st).cast("long").as("start_tok"),
+        size(col("pp.p")).cast("long").as("n_tok"),
+        array_join(col("pp.p"), " ").as("p_text"))
+      .orderBy("doc_id", "p_idx")
+  }
+
+  val q103Oracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t,
+                            len(string_split(text, ' ')) AS n FROM documents),
+       p AS (SELECT doc_id, k AS p_idx, k*24 AS start_tok,
+               array_to_string(t[k*24+1 : least(k*24+32, n)], ' ') AS p_text,
+               least(k*24+32, n) - k*24 AS n_tok
+             FROM toks, unnest(generate_series(0, (n-1)//24)) AS u(k))
+       SELECT doc_id, CAST(p_idx AS BIGINT) AS p_idx,
+              CAST(start_tok AS BIGINT) AS start_tok,
+              CAST(n_tok AS BIGINT) AS n_tok, p_text
+       FROM p ORDER BY doc_id, p_idx"""
+
+  // ---- q104: distributed BM25 scoring ----------------------------------------
+
+  /** Okapi BM25 (k1=1.2, b=0.75, Lucene's +1 idf smoothing) for a fixed
+    * query over the corpus — the lexical-retrieval scoring the TF-IDF
+    * path (q42) approximates, here fully oracle-checked: every factor is
+    * rational arithmetic over exact integer counts (tf, df, doc length;
+    * the doc-length sum is integer-valued so even the avgdl mean is
+    * order-insensitive), ln is the only transcendental.
+    *
+    * Scale shape: query terms filter the exploded token stream MAP-SIDE
+    * (isin on a literal list) so only matching postings shuffle; df and
+    * the corpus stats are tiny aggregates broadcast back; final score is
+    * one groupBy(doc_id) + TakeOrdered(20). No global index is built —
+    * this is the scan-side scoring pattern; a served system would bucket
+    * by term instead (same arithmetic).
+    */
+  def q104Bm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "join", "merge")
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val dl = toks.select(col("doc_id"), size(col("t")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = toks.select(col("doc_id"), explode(col("t")).as("tk"))
+      .where(col("tk").isin(terms: _*))
+      .groupBy("doc_id", "tk").agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("tk")
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val score = tf.join(broadcast(df), Seq("tk"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(sum(
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * col("tf") * 2.2
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      ).as("score"))
+    score.select(col("doc_id"), graft.Stable.r4(col("score")).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+  }
+
+  val q104Oracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+       stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+       tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS DOUBLE) AS tf
+              FROM (SELECT doc_id, unnest(t) AS tk FROM toks)
+              WHERE tk IN ('spark', 'join', 'merge') GROUP BY 1, 2),
+       df AS (SELECT tk, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       scored AS (
+         SELECT tf.doc_id,
+           SUM( ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+         FROM tf JOIN df USING (tk) JOIN dl USING (doc_id) CROSS JOIN stats s
+         GROUP BY 1)
+       SELECT doc_id, floor(score * 10000.0 + 0.5) / 10000.0 AS bm25
+       FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_binaryfile_source" -> (q99BinaryfileSource _),
     "q100_repetition_signals" -> (q100RepetitionSignals _),
     "q101_zorder_layout" -> (q101ZorderLayout _),
-    "q102_semdedup" -> (q102SemDedup _))
+    "q102_semdedup" -> (q102SemDedup _),
+    "q103_passage_chunks" -> (q103PassageChunks _),
+    "q104_bm25" -> (q104Bm25 _))
 
   val oracles: Map[String, String] = Map(
     "q99_binaryfile_source" -> q99Oracle,
     "q100_repetition_signals" -> q100Oracle,
-    "q101_zorder_layout" -> q101Oracle)
+    "q101_zorder_layout" -> q101Oracle,
+    "q103_passage_chunks" -> q103Oracle,
+    "q104_bm25" -> q104Oracle)
 }

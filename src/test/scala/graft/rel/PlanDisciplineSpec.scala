@@ -95,6 +95,25 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema"), p.linesIterator.take(5).mkString("\n"))
   }
 
+  test("q103: passage chunking is shuffle-free until the declared sort") {
+    val p = plan("q103_passage_chunks")
+    // one Exchange total — the rangepartitioning for the deterministic
+    // ORDER BY; the chunk expansion itself must stay a per-row projection
+    val exchanges = p.linesIterator.count(l => l.contains(") Exchange"))
+    assert(exchanges == 1, s"expected exactly the sort Exchange, got $exchanges:\n$p")
+    assert(p.contains("Generate"), "explode of the window structs must plan as Generate")
+  }
+
+  test("q104: BM25 tops out via TakeOrdered; df/corpus stats broadcast, not shuffled") {
+    val p = plan("q104_bm25")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not be a global sort")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "df + corpus stats must broadcast back onto the postings")
+    // the query-term filter runs before the groupBy — map-side pruning of
+    // the exploded token stream (tk IN (...) below the first aggregate)
+    assert(p.contains("spark,join,merge") || p.contains("spark, join, merge"), p)
+  }
+
   test("q09: HLL approx distinct within 5% of exact (B9 no-oracle bound)") {
     import org.apache.spark.sql.functions._
     val events = Tables.load(spark, dir, "events")

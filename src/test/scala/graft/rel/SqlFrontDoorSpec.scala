@@ -149,4 +149,42 @@ class SqlFrontDoorSpec extends AnyFunSuite {
          LEFT JOIN a3 ON d.doc_id = a3.doc_id
          ORDER BY d.doc_id""")
   }
+
+  // q103's oracle slices DuckDB lists with t[a:b]; Spark spells the same
+  // window slice(t, start, len) inside a transform lambda.
+  test("q103_passage_chunks: Spark-SQL slice/transform twin matches the DataFrame twin") {
+    checkTwin("q103_passage_chunks",
+      """WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+         p AS (SELECT doc_id, pp.p_idx AS p_idx, pp.p AS p
+               FROM (SELECT doc_id, explode(transform(sequence(0, (size(t)-1) div 24),
+                       k -> struct(k AS p_idx, slice(t, k*24+1, 32) AS p))) AS pp
+                     FROM toks))
+         SELECT doc_id, CAST(p_idx AS BIGINT) AS p_idx,
+                CAST(p_idx * 24 AS BIGINT) AS start_tok,
+                CAST(size(p) AS BIGINT) AS n_tok,
+                array_join(p, ' ') AS p_text
+         FROM p ORDER BY doc_id, p_idx""")
+  }
+
+  // q104's oracle is near-ANSI; the Spark spelling renames the three
+  // DuckDB-isms (string_split/unnest/len) and types the r4 literals as
+  // DOUBLE via scientific notation (Spark parses 10000.0 as DECIMAL).
+  test("q104_bm25: Spark-SQL twin matches the DataFrame twin") {
+    checkTwin("q104_bm25",
+      """WITH toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+         dl AS (SELECT doc_id, CAST(size(t) AS DOUBLE) AS dl FROM toks),
+         stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS DOUBLE) AS tf
+                FROM (SELECT doc_id, explode(t) AS tk FROM toks)
+                WHERE tk IN ('spark', 'join', 'merge') GROUP BY 1, 2),
+         df AS (SELECT tk, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         scored AS (
+           SELECT tf.doc_id,
+             SUM( ln((s.n_docs - df.df + 5e-1) / (df.df + 5e-1) + 1e0)
+                  * tf.tf * 2.2e0 / (tf.tf + 1.2e0 * (2.5e-1 + 7.5e-1 * dl.dl / s.avgdl)) ) AS score
+           FROM tf JOIN df USING (tk) JOIN dl USING (doc_id) CROSS JOIN stats s
+           GROUP BY 1)
+         SELECT doc_id, floor(score * 1e4 + 5e-1) / 1e4 AS bm25
+         FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20""")
+  }
 }
