@@ -312,18 +312,86 @@ object CurationQueries {
        SELECT doc_id, floor(score * 10000.0 + 0.5) / 10000.0 AS bm25
        FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20"""
 
+  // ---- q105: PageRank (iterative distributed graph compute) ------------------
+
+  /** Three unrolled power iterations of PageRank (damping 0.85, no
+    * dangling-mass redistribution — the formula both engines run
+    * verbatim) over a deterministic graph derived from the event stream:
+    * an edge src→dst whenever dst's event directly follows src's within
+    * an event_type (lead window over (epoch-ms, event_id) — millisecond
+    * flooring because the engines disagree below the microsecond, see
+    * [[Tables]]). Complements q81's connected components as the second
+    * iterative-fixpoint operator class: per iteration one join-agg
+    * shuffle (contributions grouped by dst) + the nodes left-join; at
+    * real iteration counts the loop persists + localCheckpoints each
+    * rank frame exactly like `Dedup.clusterPairs` — 3 unrolled rounds
+    * keep the lineage trivially bounded here. Ranks round at 1e-7 (finer
+    * than Stable.r4: rank mass per node is ~1/N ≈ 6e-3, so 4 decimals
+    * would erase the ordering the query exists to compute).
+    */
+  def q105PageRank(s: SparkSession, dir: String): DataFrame = {
+    val r7 = (c: Column) => floor(c * 1e7 + 0.5) / 1e7
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"), col("event_id"))
+    val w = Window.partitionBy("event_type").orderBy("ms", "event_id")
+    val edges = ev
+      .select(col("user_id").as("src"), lead(col("user_id"), 1).over(w).as("dst"))
+      .where(col("dst").isNotNull && col("dst") =!= col("src"))
+      .distinct()
+    val nodes = ev.select(col("user_id")).distinct()
+    val n = nodes.count().toDouble
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("od"))
+    val withOd = edges.join(outdeg, Seq("src"))
+    var rank = nodes.select(col("user_id"), (lit(1e0) / n).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = withOd.join(rank, col("src") === rank("user_id"))
+        .groupBy("dst").agg(sum(col("r") / col("od")).as("s"))
+      rank = nodes.join(contrib, nodes("user_id") === contrib("dst"), "left")
+        .select(nodes("user_id"),
+          (lit(1.5e-1) / n + lit(8.5e-1) * coalesce(col("s"), lit(0e0))).as("r"))
+    }
+    rank.select(col("user_id"), r7(col("r")).as("pr")).orderBy("user_id")
+  }
+
+  val q105Oracle: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms, event_id FROM events),
+       nb AS (SELECT user_id AS src,
+                lead(user_id) OVER (PARTITION BY event_type ORDER BY ms, event_id) AS dst
+              FROM ev),
+       edges AS (SELECT DISTINCT src, dst FROM nb WHERE dst IS NOT NULL AND dst <> src),
+       nodes AS (SELECT DISTINCT user_id FROM ev),
+       n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM edges GROUP BY 1),
+       r0 AS (SELECT user_id, 1e0 / (SELECT n FROM n) AS r FROM nodes),
+       c1 AS (SELECT e.dst, SUM(r0.r / o.od) AS s FROM edges e
+              JOIN r0 ON e.src = r0.user_id JOIN outdeg o ON e.src = o.src GROUP BY 1),
+       r1 AS (SELECT nodes.user_id, 1.5e-1 / (SELECT n FROM n) + 8.5e-1 * COALESCE(c1.s, 0e0) AS r
+              FROM nodes LEFT JOIN c1 ON nodes.user_id = c1.dst),
+       c2 AS (SELECT e.dst, SUM(r1.r / o.od) AS s FROM edges e
+              JOIN r1 ON e.src = r1.user_id JOIN outdeg o ON e.src = o.src GROUP BY 1),
+       r2 AS (SELECT nodes.user_id, 1.5e-1 / (SELECT n FROM n) + 8.5e-1 * COALESCE(c2.s, 0e0) AS r
+              FROM nodes LEFT JOIN c2 ON nodes.user_id = c2.dst),
+       c3 AS (SELECT e.dst, SUM(r2.r / o.od) AS s FROM edges e
+              JOIN r2 ON e.src = r2.user_id JOIN outdeg o ON e.src = o.src GROUP BY 1),
+       r3 AS (SELECT nodes.user_id, 1.5e-1 / (SELECT n FROM n) + 8.5e-1 * COALESCE(c3.s, 0e0) AS r
+              FROM nodes LEFT JOIN c3 ON nodes.user_id = c3.dst)
+       SELECT user_id, floor(r * 1e7 + 5e-1) / 1e7 AS pr FROM r3 ORDER BY user_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_binaryfile_source" -> (q99BinaryfileSource _),
     "q100_repetition_signals" -> (q100RepetitionSignals _),
     "q101_zorder_layout" -> (q101ZorderLayout _),
     "q102_semdedup" -> (q102SemDedup _),
     "q103_passage_chunks" -> (q103PassageChunks _),
-    "q104_bm25" -> (q104Bm25 _))
+    "q104_bm25" -> (q104Bm25 _),
+    "q105_pagerank" -> (q105PageRank _))
 
   val oracles: Map[String, String] = Map(
     "q99_binaryfile_source" -> q99Oracle,
     "q100_repetition_signals" -> q100Oracle,
     "q101_zorder_layout" -> q101Oracle,
     "q103_passage_chunks" -> q103Oracle,
-    "q104_bm25" -> q104Oracle)
+    "q104_bm25" -> q104Oracle,
+    "q105_pagerank" -> q105Oracle)
 }
