@@ -378,6 +378,57 @@ object CurationQueries {
               FROM nodes LEFT JOIN c3 ON nodes.user_id = c3.dst)
        SELECT user_id, floor(r * 1e7 + 5e-1) / 1e7 AS pr FROM r3 ORDER BY user_id"""
 
+  // ---- q106/q107: embedding post-processing batteries ------------------------
+
+  /** Per-label element-wise centroid of the embedding corpus — the class
+    * prototype vectors semantic curation uses (cluster labeling, nearest-
+    * centroid classification, SemDeDup's own cell seeds). Relational
+    * shape: posexplode to (label, pos, val) and ONE shuffle on
+    * (label, pos) — at any corpus size the state per reducer is a single
+    * running mean, and the output is nLabels x dim rows, never a
+    * collected matrix. */
+  def q106LabelCentroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos0", "val")))
+      .groupBy(col("label"), (col("pos0") + 1).cast("long").as("pos"))
+      .agg((floor(avg(col("val")) * 1e4 + 0.5) / 1e4).as("c"),
+        count(lit(1)).as("n"))
+      .orderBy("label", "pos")
+
+  val q106Oracle: String =
+    """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+       x AS (SELECT label, i AS pos, v[i] AS val
+             FROM e, unnest(generate_series(1, len(v))) AS u(i))
+       SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+         floor(AVG(val) * 1e4 + 5e-1) / 1e4 AS c, COUNT(*) AS n
+       FROM x GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Per-vector norm battery: L2 norm and Matryoshka prefix energy (the
+    * fraction of squared mass in the first 16 of 64 dims — the number
+    * that says whether truncating the embedding to a cheaper prefix,
+    * MRL-style, preserves geometry). Pure per-row kernels over the
+    * shared [[graft.ops.Similarity.dot]] expression; sqrt is exactly
+    * rounded in IEEE-754 so both engines land on identical doubles. */
+  def q107EmbeddingNorms(s: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val d = graft.ops.Similarity.dot _
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), v.as("v"))
+      .select(col("vec_id"),
+        (floor(sqrt(d(col("v"), col("v"))) * 1e4 + 0.5) / 1e4).as("l2"),
+        (floor(d(slice(col("v"), 1, 16), slice(col("v"), 1, 16))
+          / d(col("v"), col("v")) * 1e4 + 0.5) / 1e4).as("prefix16_energy"))
+      .orderBy("vec_id")
+  }
+
+  val q107Oracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       SELECT vec_id,
+         floor(sqrt(list_inner_product(v, v)) * 1e4 + 5e-1) / 1e4 AS l2,
+         floor((list_inner_product(v[1:16], v[1:16]) / list_inner_product(v, v)) * 1e4 + 5e-1) / 1e4 AS prefix16_energy
+       FROM e ORDER BY vec_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_binaryfile_source" -> (q99BinaryfileSource _),
     "q100_repetition_signals" -> (q100RepetitionSignals _),
@@ -385,7 +436,9 @@ object CurationQueries {
     "q102_semdedup" -> (q102SemDedup _),
     "q103_passage_chunks" -> (q103PassageChunks _),
     "q104_bm25" -> (q104Bm25 _),
-    "q105_pagerank" -> (q105PageRank _))
+    "q105_pagerank" -> (q105PageRank _),
+    "q106_label_centroids" -> (q106LabelCentroids _),
+    "q107_embedding_norms" -> (q107EmbeddingNorms _))
 
   val oracles: Map[String, String] = Map(
     "q99_binaryfile_source" -> q99Oracle,
@@ -393,5 +446,7 @@ object CurationQueries {
     "q101_zorder_layout" -> q101Oracle,
     "q103_passage_chunks" -> q103Oracle,
     "q104_bm25" -> q104Oracle,
-    "q105_pagerank" -> q105Oracle)
+    "q105_pagerank" -> q105Oracle,
+    "q106_label_centroids" -> q106Oracle,
+    "q107_embedding_norms" -> q107Oracle)
 }
