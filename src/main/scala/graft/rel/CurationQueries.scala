@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   *          2023): kmeans cells prune the pair space, exact cosine
   *          verifies candidates — the 100-TB scale path whose exact twin
   *          is q44.
+  *   - q103 passage chunking with overlap (the RAG passage table).
+  *   - q104 distributed Okapi BM25, fully oracle-checked.
+  *   - q105 PageRank (iterative fixpoint #2 next to q81's CC).
+  *   - q106/q107 embedding post-processing (label centroids; L2 +
+  *          Matryoshka prefix energy).
+  *   - q108 MERGE-style corpus upsert (incremental ingestion rewrite).
+  *   - q109 per-group median-threshold adaptive filter.
   *
   * Oracle discipline as in [[Queries]] (BIGINT casts, Stable.r4 rounding,
   * deterministic ORDER BY over a unique key).
@@ -429,6 +436,94 @@ object CurationQueries {
          floor((list_inner_product(v[1:16], v[1:16]) / list_inner_product(v, v)) * 1e4 + 5e-1) / 1e4 AS prefix16_energy
        FROM e ORDER BY vec_id"""
 
+  // ---- q108: MERGE-style corpus upsert ---------------------------------------
+
+  /** Incremental corpus maintenance: a batch of revised/new documents
+    * merges into the corpus — matched ids take the new text, unmatched
+    * base rows survive, unmatched updates insert (Delta/Iceberg MERGE
+    * semantics spelled as the full-outer-join + coalesce rewrite every
+    * engine without a MERGE operator uses). The update batch is
+    * synthesized deterministically from the corpus itself (a revision
+    * marker; half on existing ids, half offset onto fresh ids) so both
+    * engines derive identical inputs and all three MERGE arms fire.
+    * One shuffle on the join key; per-row provenance (`action`) makes the
+    * rewrite auditable like q95. At scale the same join runs partitioned
+    * on doc_id and writes partition-aligned — no driver state.
+    */
+  def q108MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+    // half the batch revises existing ids, half lands on fresh ids (offset
+    // past any corpus) so the update/insert/keep arms all fire at every SF
+    val updates = base
+      .where(col("doc_id") < 500)
+      .select(
+        when(col("doc_id") < 250, col("doc_id") + 100000)
+          .otherwise(col("doc_id")).as("doc_id"),
+        concat(lit("rev2 "), col("text")).as("u_text"))
+    base.join(updates, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("u_text").isNotNull && col("text").isNotNull, lit("update"))
+          .when(col("u_text").isNotNull, lit("insert"))
+          .otherwise(lit("keep")).as("action"),
+        coalesce(col("u_text"), col("text")).as("text_out"),
+        col("lang"))
+      .select(col("doc_id"), col("action"),
+        length(col("text_out")).cast("long").as("n_chars_out"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val q108Oracle: String =
+    """WITH updates AS (
+         SELECT CASE WHEN doc_id < 250 THEN doc_id + 100000 ELSE doc_id END AS doc_id,
+                'rev2 ' || text AS u_text
+         FROM documents WHERE doc_id < 500)
+       SELECT COALESCE(b.doc_id, u.doc_id) AS doc_id,
+         CASE WHEN u.u_text IS NOT NULL AND b.text IS NOT NULL THEN 'update'
+              WHEN u.u_text IS NOT NULL THEN 'insert'
+              ELSE 'keep' END AS action,
+         CAST(strlen(COALESCE(u.u_text, b.text)) AS BIGINT) AS n_chars_out,
+         b.lang
+       FROM documents b FULL OUTER JOIN updates u ON b.doc_id = u.doc_id
+       ORDER BY doc_id"""
+
+  // ---- q109: per-group adaptive median filter --------------------------------
+
+  /** Adaptive quality gate: keep a document iff its token count reaches
+    * its OWN language's median — thresholds derived from the data, not
+    * configured, the way curation pipelines normalize quality cutoffs
+    * across heterogeneous subcorpora. Median is the discrete lower
+    * median (row_number = (cnt+1) div 2 over (n_tokens, doc_id)) —
+    * integer arithmetic, so both engines agree exactly with no
+    * interpolation formula to reconcile. Shape: one window shuffle on
+    * lang + a broadcast of the tiny per-lang threshold table.
+    */
+  def q109MedianFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    val med = docs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+      .where(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("lang"), col("n_tokens").as("med"))
+    docs.join(broadcast(med), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("med"),
+        (col("n_tokens") >= col("med")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val q109Oracle: String =
+    """WITH docs AS (SELECT doc_id, lang,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+       ranked AS (SELECT lang, n_tokens,
+            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+            COUNT(*) OVER (PARTITION BY lang) AS cnt FROM docs),
+       med AS (SELECT lang, n_tokens AS med FROM ranked WHERE rn = (cnt + 1) // 2)
+       SELECT d.doc_id, d.lang, d.n_tokens, m.med, d.n_tokens >= m.med AS kept
+       FROM docs d JOIN med m ON d.lang = m.lang
+       ORDER BY d.doc_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_binaryfile_source" -> (q99BinaryfileSource _),
     "q100_repetition_signals" -> (q100RepetitionSignals _),
@@ -438,7 +533,9 @@ object CurationQueries {
     "q104_bm25" -> (q104Bm25 _),
     "q105_pagerank" -> (q105PageRank _),
     "q106_label_centroids" -> (q106LabelCentroids _),
-    "q107_embedding_norms" -> (q107EmbeddingNorms _))
+    "q107_embedding_norms" -> (q107EmbeddingNorms _),
+    "q108_merge_upsert" -> (q108MergeUpsert _),
+    "q109_median_filter" -> (q109MedianFilter _))
 
   val oracles: Map[String, String] = Map(
     "q99_binaryfile_source" -> q99Oracle,
@@ -448,5 +545,7 @@ object CurationQueries {
     "q104_bm25" -> q104Oracle,
     "q105_pagerank" -> q105Oracle,
     "q106_label_centroids" -> q106Oracle,
-    "q107_embedding_norms" -> q107Oracle)
+    "q107_embedding_norms" -> q107Oracle,
+    "q108_merge_upsert" -> q108Oracle,
+    "q109_median_filter" -> q109Oracle)
 }
