@@ -22,7 +22,7 @@ class SqlFrontDoorSpec extends AnyFunSuite {
 
   private def registerViews(): Unit =
     Seq("lineitem", "orders", "customer", "part", "supplier",
-        "nation", "region", "events", "documents")
+        "nation", "region", "events", "documents", "embeddings")
       .foreach(n => Tables.load(spark, dir, n).createOrReplaceTempView(n))
 
   /** Sorted multiset of rows, null-order-insensitive. */
@@ -186,5 +186,41 @@ class SqlFrontDoorSpec extends AnyFunSuite {
            GROUP BY 1)
          SELECT doc_id, floor(score * 1e4 + 5e-1) / 1e4 AS bm25
          FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20""")
+  }
+
+  // q105's oracle is the unrolled-CTE power iteration; the Spark spelling
+  // only renames epoch_ms -> unix_millis (scalar subqueries, lead windows
+  // and the iteration algebra parse identically).
+  test("q105_pagerank: Spark-SQL unrolled-CTE twin matches the DataFrame twin") {
+    checkTwin("q105_pagerank",
+      graft.rel.CurationQueries.q105Oracle.replace("epoch_ms(ts)", "unix_millis(ts)"))
+  }
+
+  // q106's oracle indexes DuckDB lists via generate_series; Spark spells
+  // the same relation with posexplode (1-based via pos+1).
+  test("q106_label_centroids: Spark-SQL posexplode twin matches the DataFrame twin") {
+    checkTwin("q106_label_centroids",
+      """WITH x AS (SELECT CAST(label AS BIGINT) AS label, posexplode(CAST(embedding AS ARRAY<DOUBLE>)) AS (pos0, val)
+                    FROM embeddings)
+         SELECT label, CAST(pos0 + 1 AS BIGINT) AS pos,
+           floor(AVG(val) * 1e4 + 5e-1) / 1e4 AS c, COUNT(*) AS n
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""")
+  }
+
+  // q108's oracle is ANSI except DuckDB strlen; Spark spells the byte
+  // count octet_length (the q99 adaptation).
+  test("q108_merge_upsert: Spark-SQL full-outer-join twin matches the DataFrame twin") {
+    checkTwin("q108_merge_upsert",
+      graft.SparkEntry.oracleSql("q108_merge_upsert")
+        .replace("strlen(", "octet_length("))
+  }
+
+  // q109's oracle is ANSI except len(string_split(...)) and DuckDB's //
+  // integer division; Spark spells them size(split(...)) and div.
+  test("q109_median_filter: Spark-SQL windowed-median twin matches the DataFrame twin") {
+    checkTwin("q109_median_filter",
+      graft.SparkEntry.oracleSql("q109_median_filter")
+        .replace("len(string_split(text, ' '))", "size(split(text, ' '))")
+        .replace("(cnt + 1) // 2", "(cnt + 1) div 2"))
   }
 }
