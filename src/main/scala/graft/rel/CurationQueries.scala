@@ -26,6 +26,7 @@ import org.apache.spark.sql.functions._
   *          Matryoshka prefix energy).
   *   - q108 MERGE-style corpus upsert (incremental ingestion rewrite).
   *   - q109 per-group median-threshold adaptive filter.
+  *   - q110 exponential time-decay engagement weighting.
   *
   * Oracle discipline as in [[Queries]] (BIGINT casts, Stable.r4 rounding,
   * deterministic ORDER BY over a unique key).
@@ -524,6 +525,48 @@ object CurationQueries {
        FROM docs d JOIN med m ON d.lang = m.lang
        ORDER BY d.doc_id"""
 
+  // ---- q110: exponential time-decay engagement -------------------------------
+
+  /** Freshness-weighted per-user engagement: each event contributes
+    * value * exp(-ln2 * age/halflife) with a 7-day half-life, anchored at
+    * the corpus max timestamp (a deterministic anchor both engines
+    * derive — never wall-clock, which would unpin the oracle). The
+    * standard recency-weighting for sampling weights / user features;
+    * ages are epoch-ms integer differences (exact), the decay literal is
+    * spelled identically in both dialects, and exp is the only
+    * transcendental (same ulp posture as q104's ln). Shape: the 1-row
+    * anchor broadcasts; one groupBy(user_id) shuffle does the rest. */
+  def q110DecayedEngagement(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("value"))
+    val anchor = ev.agg(max(col("ms")).as("mx"))
+    ev.crossJoin(broadcast(anchor))
+      .groupBy("user_id")
+      .agg(
+        sum(col("value") * exp(lit(-6.93147180559945e-1)
+          * ((col("mx") - col("ms")).cast("double") / lit(6.048e8)))).as("dec_sum"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("mx") - col("ms") <= 604800000L, 1L).otherwise(0L)).as("recent"))
+      .select(col("user_id"),
+        (floor(col("dec_sum") * 1e4 + 0.5) / 1e4).as("decayed_value"),
+        col("n_events"), col("recent"))
+      .orderBy("user_id")
+  }
+
+  val q110Oracle: String =
+    """WITH ev AS (SELECT user_id, epoch_ms(ts) AS ms, value FROM events),
+       anchor AS (SELECT MAX(ms) AS mx FROM ev),
+       scored AS (
+         SELECT user_id,
+           SUM(value * exp(-6.93147180559945e-1
+               * (CAST((SELECT mx FROM anchor) - ms AS DOUBLE) / 6.048e8))) AS dec_sum,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN (SELECT mx FROM anchor) - ms <= 604800000 THEN 1 ELSE 0 END) AS BIGINT) AS recent
+         FROM ev GROUP BY 1)
+       SELECT user_id, floor(dec_sum * 1e4 + 5e-1) / 1e4 AS decayed_value,
+              n_events, recent
+       FROM scored ORDER BY user_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_binaryfile_source" -> (q99BinaryfileSource _),
     "q100_repetition_signals" -> (q100RepetitionSignals _),
@@ -535,7 +578,8 @@ object CurationQueries {
     "q106_label_centroids" -> (q106LabelCentroids _),
     "q107_embedding_norms" -> (q107EmbeddingNorms _),
     "q108_merge_upsert" -> (q108MergeUpsert _),
-    "q109_median_filter" -> (q109MedianFilter _))
+    "q109_median_filter" -> (q109MedianFilter _),
+    "q110_decayed_engagement" -> (q110DecayedEngagement _))
 
   val oracles: Map[String, String] = Map(
     "q99_binaryfile_source" -> q99Oracle,
@@ -547,5 +591,6 @@ object CurationQueries {
     "q106_label_centroids" -> q106Oracle,
     "q107_embedding_norms" -> q107Oracle,
     "q108_merge_upsert" -> q108Oracle,
-    "q109_median_filter" -> q109Oracle)
+    "q109_median_filter" -> q109Oracle,
+    "q110_decayed_engagement" -> q110Oracle)
 }
