@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * opaque binary columns with typed metadata; decode / feature-extract /
   * resize / frame-sample run as batch kernels over partitions).
   *
-  * Decode kernels: PPM/BMP/WAV are REAL pure-JVM codecs, and
-  * JPEG/PNG/GIF decode through the JDK's own `javax.imageio` — all real
-  * header-parse + pixel/PCM walks with no third-party dependencies. Only
-  * video demux / audio-compression codecs remain deterministic stand-ins
-  * (this container ships no such libraries); a production deployment
-  * swaps those two in [[MediaKernels]] and nothing else changes.
+  * Decode kernels: PPM/BMP/WAV are REAL pure-JVM codecs, JPEG/PNG/GIF
+  * decode through the JDK's own `javax.imageio`, and RIFF/AVI video
+  * DEMUX ([[MediaKernels.demuxAvi]]) is a real container walk — all real
+  * header-parse + pixel/PCM/chunk walks with no third-party
+  * dependencies. Only compressed-audio and video-frame CODECS remain
+  * deterministic stand-ins (this container ships no such libraries); a
+  * production deployment swaps those in [[MediaKernels]] and nothing
+  * else changes.
   */
 object Multimodal {
 
@@ -32,13 +34,14 @@ object Multimodal {
   final case class DecodedAudio(sampleRate: Int, numChannels: Int,
                                 bitsPerSample: Int, samples: Array[Short])
 
-  /** Codec kernels. PPM (binary P6), BMP (24-bit) and WAV (RIFF PCM16)
-    * are REAL hand-rolled pure-JVM decoders; JPEG/PNG/GIF are REAL via
+  /** Codec kernels. PPM (binary P6), BMP (24-bit), WAV (RIFF PCM16) and
+    * the RIFF/AVI container demux ([[muxAvi]]/[[demuxAvi]]) are REAL
+    * hand-rolled pure-JVM implementations; JPEG/PNG/GIF are REAL via
     * the JDK's `javax.imageio` ([[decodeImage]]/[[encodeImage]], zero new
-    * deps). Only video demux and compressed-audio remain deterministic
-    * byte-level stand-ins. All kernels are partition-local and stateless,
-    * so a production deployment swaps the remaining stand-ins without
-    * touching the operators. */
+    * deps). Only compressed-audio and video-frame codecs remain
+    * deterministic byte-level stand-ins. All kernels are partition-local
+    * and stateless, so a production deployment swaps the remaining
+    * stand-ins without touching the operators. */
   object MediaKernels {
 
     // Executor-side hygiene for the ImageIO path: never touch a display
@@ -396,10 +399,111 @@ object Multimodal {
     }
 
     /** STUB frame-sample: byte offsets of evenly spaced "frames".
-      * (Real: demux video, decode every k-th keyframe.) */
+      * (Real: demux video, decode every k-th keyframe — see
+      * [[demuxAvi]] for the real container walk.) */
     def framePositions(nBytes: Long, nFrames: Int): Seq[Long] =
       if (nBytes <= 0 || nFrames <= 0) Nil
       else (0 until nFrames).map(i => i * nBytes / nFrames)
+
+    /** A demuxed video: container metadata + raw per-frame payloads
+      * (codec bytes — decoding them is the codec's job, splitting them
+      * out of the container is the demuxer's, and only the latter is
+      * needed for frame sampling / shard packing / per-frame routing). */
+    final case class DemuxedVideo(width: Int, height: Int, usPerFrame: Int,
+                                  frames: Array[Array[Byte]])
+
+    /** REAL RIFF/AVI video-container mux: writes a minimal standard AVI —
+      * LIST hdrl (avih main header + one 'vids' stream with strh/strf
+      * BITMAPINFOHEADER) and LIST movi holding one '00dc' chunk per
+      * frame, word-aligned per the RIFF rule. Round-trips through
+      * [[demuxAvi]]. */
+    def muxAvi(width: Int, height: Int, usPerFrame: Int,
+               frames: Array[Array[Byte]]): Array[Byte] = {
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      val moviPayload = frames.map(f => 8 + f.length + (f.length & 1)).sum + 4
+      val hdrlPayload = 4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40)))
+      val riffPayload = 4 + (8 + hdrlPayload) + (8 + moviPayload)
+      val out = java.nio.ByteBuffer.allocate(8 + riffPayload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(s: String): Unit = out.put(s.getBytes(ascii))
+      fourcc("RIFF"); out.putInt(riffPayload); fourcc("AVI ")
+      fourcc("LIST"); out.putInt(hdrlPayload); fourcc("hdrl")
+      // avih: MainAVIHeader (56 bytes)
+      fourcc("avih"); out.putInt(56)
+      out.putInt(usPerFrame).putInt(0).putInt(0).putInt(0) // usPerFrame, maxBps, pad, flags
+      out.putInt(frames.length).putInt(0).putInt(1)        // totalFrames, initial, streams
+      out.putInt(frames.map(_.length).foldLeft(0)(math.max))
+      out.putInt(width).putInt(height)
+      out.putInt(0).putInt(0).putInt(0).putInt(0)          // reserved[4]
+      // LIST strl: strh + strf
+      fourcc("LIST"); out.putInt(4 + (8 + 56) + (8 + 40)); fourcc("strl")
+      fourcc("strh"); out.putInt(56)
+      fourcc("vids"); fourcc("DIB ")
+      out.putInt(0).putInt(0).putInt(0)                    // flags, prio+lang, initial
+      out.putInt(usPerFrame).putInt(1000000)               // scale, rate (fps = rate/scale)
+      out.putInt(0).putInt(frames.length)                  // start, length
+      out.putInt(frames.map(_.length).foldLeft(0)(math.max))
+      out.putInt(-1).putInt(0)                             // quality, sampleSize
+      out.putShort(0).putShort(0)
+        .putShort(width.toShort).putShort(height.toShort)  // rcFrame
+      fourcc("strf"); out.putInt(40)                       // BITMAPINFOHEADER
+      out.putInt(40).putInt(width).putInt(height)
+      out.putShort(1).putShort(24)
+      out.putInt(0).putInt(width * height * 3)
+      out.putInt(0).putInt(0).putInt(0).putInt(0)
+      // LIST movi: one 00dc chunk per frame
+      fourcc("LIST"); out.putInt(moviPayload); fourcc("movi")
+      frames.foreach { f =>
+        fourcc("00dc"); out.putInt(f.length); out.put(f)
+        if ((f.length & 1) == 1) out.put(0.toByte) // RIFF word alignment
+      }
+      out.array()
+    }
+
+    /** REAL RIFF/AVI video-container demux: validates the RIFF/'AVI '
+      * envelope, walks the chunk tree (honoring the odd-size pad rule),
+      * reads width/height/usPerFrame out of the avih main header and
+      * splits every '..dc'/'..db' frame chunk out of LIST movi. This is
+      * the container half of video decode — the part frame sampling and
+      * per-frame routing need; codec payloads pass through opaque. */
+    def demuxAvi(bytes: Array[Byte]): Option[DemuxedVideo] = {
+      if (bytes == null || bytes.length < 12) return None
+      def tag(off: Int) = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      def u32(off: Int): Long =
+        (bytes(off) & 0xFFL) | ((bytes(off + 1) & 0xFFL) << 8) |
+        ((bytes(off + 2) & 0xFFL) << 16) | ((bytes(off + 3) & 0xFFL) << 24)
+      if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+      var width = -1; var height = -1; var usPerFrame = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(from: Int, until: Int): Boolean = {
+        var pos = from
+        while (pos + 8 <= until) {
+          val id = tag(pos)
+          val sz = u32(pos + 4)
+          if (sz < 0 || pos + 8 + sz > until) return false
+          val szi = sz.toInt
+          id match {
+            case "LIST" =>
+              if (szi < 4) return false
+              // recurse into the list body past its subtype fourcc
+              if (!walk(pos + 12, pos + 8 + szi)) return false
+            case "avih" =>
+              if (szi < 56) return false
+              usPerFrame = u32(pos + 8).toInt
+              width = u32(pos + 8 + 32).toInt
+              height = u32(pos + 8 + 36).toInt
+            case _ if id.endsWith("dc") || id.endsWith("db") =>
+              frames += java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + szi)
+            case _ => () // strh/strf/idx1/JUNK… skipped
+          }
+          pos += 8 + szi + (szi & 1) // word alignment
+        }
+        true
+      }
+      if (!walk(12, bytes.length)) return None
+      if (width <= 0 || height <= 0 || usPerFrame <= 0) return None
+      Some(DemuxedVideo(width, height, usPerFrame, frames.toArray))
+    }
 
     /** STUB resize: recompute target dims preserving aspect ratio.
       * (Real: libvips/PIL resample.) */

@@ -27,6 +27,7 @@ import org.apache.spark.sql.functions._
   *   - q108 MERGE-style corpus upsert (incremental ingestion rewrite).
   *   - q109 per-group median-threshold adaptive filter.
   *   - q110 exponential time-decay engagement weighting.
+  *   - q111 REAL RIFF/AVI container demux with a content oracle.
   *
   * Oracle discipline as in [[Queries]] (BIGINT casts, Stable.r4 rounding,
   * deterministic ORDER BY over a unique key).
@@ -567,6 +568,84 @@ object CurationQueries {
               n_events, recent
        FROM scored ORDER BY user_id"""
 
+  // ---- q111: AVI container demux ---------------------------------------------
+
+  /** REAL video-container demux (q87/q90 style): per document a small
+    * AVI is synthesized from a closed-form byte generator (frame k, byte
+    * j = (doc_id*31 + k*7 + j*3) mod 256), muxed into a standard RIFF/AVI
+    * container (LIST hdrl/avih/strl + LIST movi with '00dc' chunks,
+    * word-aligned), then DEMUXED back by walking the real chunk tree —
+    * and the oracle recomputes the demuxed frame content arithmetically
+    * in SQL. The weighted checksum is order-sensitive across frames AND
+    * bytes, so a demuxer that drops a frame, misreads a chunk size, or
+    * forgets the odd-byte pad rule hash-mismatches. Decode is a
+    * partition-local kernel (mapPartitions shape like q74/q87/q90);
+    * codec payloads pass through opaque — the demux layer is exactly
+    * what frame sampling and per-frame routing need at corpus scale.
+    */
+  def q111AviDemux(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal.MediaKernels
+    val demuxStats = udf((docId: Long) => {
+      val nFrames = 1 + (docId % 4).toInt
+      val frameSize = 48 + (docId % 3).toInt * 16
+      val width = 16 + (docId % 8).toInt
+      val height = 8 + (docId % 5).toInt
+      val frames = Array.tabulate(nFrames) { k =>
+        Array.tabulate[Byte](frameSize)(j => ((docId * 31 + k * 7 + j * 3) % 256).toByte)
+      }
+      val avi = MediaKernels.muxAvi(width, height, 33333, frames)
+      MediaKernels.demuxAvi(avi) match {
+        case Some(v) =>
+          var wsum = 0L
+          var k = 0
+          while (k < v.frames.length) {
+            val f = v.frames(k); var j = 0
+            while (j < f.length) {
+              wsum += (k.toLong * frameSize + j + 1) * (f(j) & 0xFF); j += 1
+            }
+            k += 1
+          }
+          (v.width, v.height, v.usPerFrame, v.frames.length,
+            v.frames.map(_.length.toLong).sum, wsum)
+        case None => (-1, -1, -1, -1, -1L, -1L)
+      }
+    })
+    t(s, dir, "documents")
+      .select(col("doc_id"), demuxStats(col("doc_id")).as("d"))
+      .select(col("doc_id"),
+        col("d._1").cast("long").as("width"),
+        col("d._2").cast("long").as("height"),
+        col("d._3").cast("long").as("us_per_frame"),
+        col("d._4").cast("long").as("n_frames"),
+        col("d._5").as("payload_bytes"),
+        col("d._6").as("wsum"))
+      .orderBy("doc_id")
+  }
+
+  val q111Oracle: String =
+    """WITH params AS (
+         SELECT doc_id,
+           1 + doc_id % 4 AS nf,
+           48 + (doc_id % 3) * 16 AS fs,
+           16 + doc_id % 8 AS width,
+           8 + doc_id % 5 AS height
+         FROM documents),
+       cells AS (
+         SELECT doc_id, fs, k, j,
+           (CAST(k * fs + j + 1 AS BIGINT)) * ((doc_id * 31 + k * 7 + j * 3) % 256) AS w
+         FROM params,
+           unnest(generate_series(0, nf - 1)) AS uk(k),
+           unnest(generate_series(0, fs - 1)) AS uj(j))
+       SELECT p.doc_id, CAST(p.width AS BIGINT) AS width,
+         CAST(p.height AS BIGINT) AS height,
+         CAST(33333 AS BIGINT) AS us_per_frame,
+         CAST(p.nf AS BIGINT) AS n_frames,
+         CAST(p.nf * p.fs AS BIGINT) AS payload_bytes,
+         CAST(SUM(c.w) AS BIGINT) AS wsum
+       FROM params p JOIN cells c ON p.doc_id = c.doc_id
+       GROUP BY 1, 2, 3, 4, 5, 6
+       ORDER BY p.doc_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_binaryfile_source" -> (q99BinaryfileSource _),
     "q100_repetition_signals" -> (q100RepetitionSignals _),
@@ -579,7 +658,8 @@ object CurationQueries {
     "q107_embedding_norms" -> (q107EmbeddingNorms _),
     "q108_merge_upsert" -> (q108MergeUpsert _),
     "q109_median_filter" -> (q109MedianFilter _),
-    "q110_decayed_engagement" -> (q110DecayedEngagement _))
+    "q110_decayed_engagement" -> (q110DecayedEngagement _),
+    "q111_avi_demux" -> (q111AviDemux _))
 
   val oracles: Map[String, String] = Map(
     "q99_binaryfile_source" -> q99Oracle,
@@ -592,5 +672,6 @@ object CurationQueries {
     "q107_embedding_norms" -> q107Oracle,
     "q108_merge_upsert" -> q108Oracle,
     "q109_median_filter" -> q109Oracle,
-    "q110_decayed_engagement" -> q110Oracle)
+    "q110_decayed_engagement" -> q110Oracle,
+    "q111_avi_demux" -> q111Oracle)
 }
