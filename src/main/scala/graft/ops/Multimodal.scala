@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * decode through the JDK's own `javax.imageio`, and RIFF/AVI video
   * DEMUX ([[MediaKernels.demuxAvi]]) is a real container walk — all real
   * header-parse + pixel/PCM/chunk walks with no third-party
-  * dependencies. Only compressed-audio and video-frame CODECS remain
-  * deterministic stand-ins (this container ships no such libraries); a
-  * production deployment swaps those in [[MediaKernels]] and nothing
-  * else changes.
+  * dependencies, and IMA ADPCM ([[MediaKernels.decodeImaAdpcm]]) gives
+  * compressed audio a real integer-DSP decode path. Only perceptual
+  * video-frame codecs (H.264-class) and resampling remain deterministic
+  * stand-ins (this container ships no such libraries); a production
+  * deployment swaps those in [[MediaKernels]] and nothing else changes.
   */
 object Multimodal {
 
@@ -38,8 +39,9 @@ object Multimodal {
     * the RIFF/AVI container demux ([[muxAvi]]/[[demuxAvi]]) are REAL
     * hand-rolled pure-JVM implementations; JPEG/PNG/GIF are REAL via
     * the JDK's `javax.imageio` ([[decodeImage]]/[[encodeImage]], zero new
-    * deps). Only compressed-audio and video-frame codecs remain
-    * deterministic byte-level stand-ins. All kernels are partition-local
+    * deps); IMA ADPCM ([[decodeImaAdpcm]]/[[encodeImaAdpcm]]) is a REAL
+    * compressed-audio codec pair. Only perceptual video-frame codecs and
+    * resampling remain deterministic byte-level stand-ins. All kernels are partition-local
     * and stateless, so a production deployment swaps the remaining
     * stand-ins without touching the operators. */
   object MediaKernels {
@@ -503,6 +505,79 @@ object Multimodal {
       if (!walk(12, bytes.length)) return None
       if (width <= 0 || height <= 0 || usPerFrame <= 0) return None
       Some(DemuxedVideo(width, height, usPerFrame, frames.toArray))
+    }
+
+    /** IMA ADPCM quantizer step table (the published 89-entry table). */
+    private val imaStepTable: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+      41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+      190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+      724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+      2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+      6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+      16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+    /** IMA ADPCM step-index adjustment per nibble magnitude. */
+    private val imaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+    /** REAL compressed-audio decode: IMA ADPCM (DVI4) — one 4-bit nibble
+      * per sample, decoded through the published step-table state
+      * machine. Pure integer DSP (predictor/index clamps, step >> k
+      * accumulation), so decode is bit-exact on any platform. One nibble
+      * per input byte (low 4 bits) — the caller unpacks packed bytes if
+      * its container stores two nibbles per byte. */
+    def decodeImaAdpcm(nibbles: Array[Byte], initPredictor: Int = 0,
+                       initIndex: Int = 0): Array[Short] = {
+      var pred = math.max(-32768, math.min(32767, initPredictor))
+      var idx = math.max(0, math.min(88, initIndex))
+      val out = new Array[Short](if (nibbles == null) 0 else nibbles.length)
+      var i = 0
+      while (i < out.length) {
+        val n = nibbles(i) & 0xF
+        val step = imaStepTable(idx)
+        var diff = step >> 3
+        if ((n & 4) != 0) diff += step
+        if ((n & 2) != 0) diff += step >> 1
+        if ((n & 1) != 0) diff += step >> 2
+        pred = if ((n & 8) != 0) pred - diff else pred + diff
+        pred = math.max(-32768, math.min(32767, pred))
+        idx = math.max(0, math.min(88, idx + imaIndexTable(n & 7)))
+        out(i) = pred.toShort
+        i += 1
+      }
+      out
+    }
+
+    /** IMA ADPCM encode — the matching compressor (nibble chosen so the
+      * decoder's reconstruction tracks the input). Lossy by design;
+      * AviDemux/AdpcmSpec bounds the reconstruction error instead of
+      * asserting byte equality. */
+    def encodeImaAdpcm(samples: Array[Short], initPredictor: Int = 0,
+                       initIndex: Int = 0): Array[Byte] = {
+      var pred = math.max(-32768, math.min(32767, initPredictor))
+      var idx = math.max(0, math.min(88, initIndex))
+      val out = new Array[Byte](if (samples == null) 0 else samples.length)
+      var i = 0
+      while (i < out.length) {
+        val step = imaStepTable(idx)
+        var delta = samples(i) - pred
+        var n = 0
+        if (delta < 0) { n = 8; delta = -delta }
+        if (delta >= step) { n |= 4; delta -= step }
+        if (delta >= (step >> 1)) { n |= 2; delta -= step >> 1 }
+        if (delta >= (step >> 2)) n |= 1
+        // run the decoder's reconstruction so encoder state tracks it
+        var diff = step >> 3
+        if ((n & 4) != 0) diff += step
+        if ((n & 2) != 0) diff += step >> 1
+        if ((n & 1) != 0) diff += step >> 2
+        pred = if ((n & 8) != 0) pred - diff else pred + diff
+        pred = math.max(-32768, math.min(32767, pred))
+        idx = math.max(0, math.min(88, idx + imaIndexTable(n & 7)))
+        out(i) = n.toByte
+        i += 1
+      }
+      out
     }
 
     /** STUB resize: recompute target dims preserving aspect ratio.

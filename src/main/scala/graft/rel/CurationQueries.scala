@@ -28,6 +28,7 @@ import org.apache.spark.sql.functions._
   *   - q109 per-group median-threshold adaptive filter.
   *   - q110 exponential time-decay engagement weighting.
   *   - q111 REAL RIFF/AVI container demux with a content oracle.
+  *   - q112 REAL IMA ADPCM compressed-audio decode, bit-exact oracle.
   *
   * Oracle discipline as in [[Queries]] (BIGINT casts, Stable.r4 rounding,
   * deterministic ORDER BY over a unique key).
@@ -646,6 +647,80 @@ object CurationQueries {
        GROUP BY 1, 2, 3, 4, 5, 6
        ORDER BY p.doc_id"""
 
+  // ---- q112: IMA ADPCM compressed-audio decode -------------------------------
+
+  /** REAL compressed-audio decode, oracle-checked: per document a 4-bit
+    * IMA ADPCM nibble stream is synthesized closed-form (nibble k =
+    * (doc_id*7 + k*3) mod 16, initial step index doc_id mod 89) and
+    * decoded through the published step-table state machine
+    * ([[graft.ops.Multimodal.MediaKernels.decodeImaAdpcm]]). The decode
+    * is pure integer DSP — predictor/index clamps, step>>k accumulation
+    * — so DuckDB replays the EXACT recurrence as a recursive CTE (the
+    * q81 precedent) and every output column is an integer: a bit-exact
+    * oracle over a genuinely stateful codec, no fp anywhere. Decode is a
+    * per-row partition-local kernel like the other media paths.
+    */
+  def q112AdpcmDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal.MediaKernels
+    val decodeStats = udf((docId: Long) => {
+      val nn = 32 + (docId % 3).toInt * 16
+      val nibbles = Array.tabulate[Byte](nn)(k => ((docId * 7 + k * 3) % 16).toByte)
+      val pcm = MediaKernels.decodeImaAdpcm(nibbles, 0, (docId % 89).toInt)
+      var ssum = 0L; var wsum = 0L; var i = 0
+      while (i < pcm.length) {
+        ssum += pcm(i); wsum += (i + 1).toLong * pcm(i); i += 1
+      }
+      (pcm.length.toLong, pcm.last.toLong, ssum, wsum)
+    })
+    t(s, dir, "documents")
+      .where(col("doc_id") < 500)
+      .select(col("doc_id"), decodeStats(col("doc_id")).as("d"))
+      .select(col("doc_id"),
+        col("d._1").as("n_samples"), col("d._2").as("last_pred"),
+        col("d._3").as("ssum"), col("d._4").as("wsum"))
+      .orderBy("doc_id")
+  }
+
+  val q112Oracle: String = {
+    val st = "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50," +
+      "55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279," +
+      "307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282," +
+      "1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428," +
+      "4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899," +
+      "15289,16818,18500,20350,22385,24623,27086,29794,32767]"
+    val it = "[-1,-1,-1,-1,2,4,6,8]"
+    s"""WITH RECURSIVE
+       params AS (SELECT doc_id, 32 + (doc_id % 3) * 16 AS nn
+                  FROM documents WHERE doc_id < 500),
+       dec AS (
+         SELECT doc_id, nn, 0 AS k, 0 AS pred, CAST(doc_id % 89 AS INTEGER) AS idx,
+                CAST(0 AS BIGINT) AS ssum, CAST(0 AS BIGINT) AS wsum
+         FROM params
+         UNION ALL
+         SELECT doc_id, nn, k + 1, new_pred, new_idx,
+                ssum + new_pred, wsum + CAST(k + 1 AS BIGINT) * new_pred
+         FROM (
+           SELECT doc_id, nn, k, ssum, wsum, n, idx,
+             GREATEST(-32768, LEAST(32767,
+               CASE WHEN (n & 8) != 0 THEN pred - diff ELSE pred + diff END)) AS new_pred,
+             GREATEST(0, LEAST(88, idx + $it[(n % 8) + 1])) AS new_idx
+           FROM (
+             SELECT *,
+               (st >> 3)
+               + CASE WHEN (n & 4) != 0 THEN st ELSE 0 END
+               + CASE WHEN (n & 2) != 0 THEN st >> 1 ELSE 0 END
+               + CASE WHEN (n & 1) != 0 THEN st >> 2 ELSE 0 END AS diff
+             FROM (
+               SELECT doc_id, nn, k, pred, idx, ssum, wsum,
+                 CAST((doc_id * 7 + k * 3) % 16 AS INTEGER) AS n,
+                 $st[idx + 1] AS st
+               FROM dec WHERE k < nn) x) y)
+       )
+       SELECT doc_id, CAST(nn AS BIGINT) AS n_samples, CAST(pred AS BIGINT) AS last_pred,
+              ssum, wsum
+       FROM dec WHERE k = nn ORDER BY doc_id"""
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_binaryfile_source" -> (q99BinaryfileSource _),
     "q100_repetition_signals" -> (q100RepetitionSignals _),
@@ -659,7 +734,8 @@ object CurationQueries {
     "q108_merge_upsert" -> (q108MergeUpsert _),
     "q109_median_filter" -> (q109MedianFilter _),
     "q110_decayed_engagement" -> (q110DecayedEngagement _),
-    "q111_avi_demux" -> (q111AviDemux _))
+    "q111_avi_demux" -> (q111AviDemux _),
+    "q112_adpcm_decode" -> (q112AdpcmDecode _))
 
   val oracles: Map[String, String] = Map(
     "q99_binaryfile_source" -> q99Oracle,
@@ -673,5 +749,6 @@ object CurationQueries {
     "q108_merge_upsert" -> q108Oracle,
     "q109_median_filter" -> q109Oracle,
     "q110_decayed_engagement" -> q110Oracle,
-    "q111_avi_demux" -> q111Oracle)
+    "q111_avi_demux" -> q111Oracle,
+    "q112_adpcm_decode" -> q112Oracle)
 }
