@@ -580,12 +580,59 @@ object Multimodal {
       out
     }
 
-    /** STUB resize: recompute target dims preserving aspect ratio.
-      * (Real: libvips/PIL resample.) */
+    /** Target dims preserving aspect ratio (the planning half of resize;
+      * [[resizeBilinear]] is the real resampler). */
     def resizeDims(w: Int, h: Int, maxSide: Int): (Int, Int) =
       if (w <= 0 || h <= 0 || math.max(w, h) <= maxSide) (w, h)
       else if (w >= h) (maxSide, math.max(1, math.round(h.toFloat * maxSide / w)))
       else (math.max(1, math.round(w.toFloat * maxSide / h)), maxSide)
+
+    /** REAL bilinear resample in 8.8 fixed point — the integer-exact
+      * formulation image pipelines use on hardware without reliable fp:
+      * source coordinate sx = x*(srcW-1)*256/(dstW-1) (rounded down),
+      * neighbor weights are the 8-bit fractional parts, and each output
+      * sample is (v00*(256-fx)*(256-fy) + v10*fx*(256-fy) +
+      * v01*(256-fx)*fy + v11*fx*fy + 32768) >> 16. Every step is integer
+      * arithmetic, so the resample is bit-exact on any platform (and
+      * SQL-replayable — q113's oracle recomputes it closed-form).
+      * Degenerate 1-wide/1-tall targets pin the coordinate to 0. */
+    def resizeBilinear(img: DecodedImage, dstW: Int, dstH: Int): Option[DecodedImage] = {
+      if (img == null || dstW <= 0 || dstH <= 0 ||
+          img.width <= 0 || img.height <= 0 ||
+          img.pixels.length < img.width * img.height * 3) return None
+      val out = new Array[Byte](dstW * dstH * 3)
+      val sw = img.width; val sh = img.height
+      var y = 0
+      while (y < dstH) {
+        val syFix = if (dstH == 1) 0 else y.toLong * (sh - 1) * 256L / (dstH - 1)
+        val sy = (syFix >> 8).toInt
+        val fy = (syFix & 0xFF).toInt
+        val sy1 = math.min(sh - 1, sy + 1)
+        var x = 0
+        while (x < dstW) {
+          val sxFix = if (dstW == 1) 0 else x.toLong * (sw - 1) * 256L / (dstW - 1)
+          val sx = (sxFix >> 8).toInt
+          val fx = (sxFix & 0xFF).toInt
+          val sx1 = math.min(sw - 1, sx + 1)
+          var c = 0
+          while (c < 3) {
+            val v00 = img.pixels(3 * (sy * sw + sx) + c) & 0xFF
+            val v10 = img.pixels(3 * (sy * sw + sx1) + c) & 0xFF
+            val v01 = img.pixels(3 * (sy1 * sw + sx) + c) & 0xFF
+            val v11 = img.pixels(3 * (sy1 * sw + sx1) + c) & 0xFF
+            val v = (v00.toLong * (256 - fx) * (256 - fy)
+              + v10.toLong * fx * (256 - fy)
+              + v01.toLong * (256 - fx) * fy
+              + v11.toLong * fx * fy + 32768L) >> 16
+            out(3 * (y * dstW + x) + c) = v.toByte
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Some(DecodedImage(dstW, dstH, img.maxVal, out))
+    }
   }
 
   /** Batch feature extraction: partition-local iterator transform — the

@@ -29,6 +29,7 @@ import org.apache.spark.sql.functions._
   *   - q110 exponential time-decay engagement weighting.
   *   - q111 REAL RIFF/AVI container demux with a content oracle.
   *   - q112 REAL IMA ADPCM compressed-audio decode, bit-exact oracle.
+  *   - q113 REAL 8.8 fixed-point bilinear resize, bit-exact oracle.
   *
   * Oracle discipline as in [[Queries]] (BIGINT casts, Stable.r4 rounding,
   * deterministic ORDER BY over a unique key).
@@ -721,6 +722,75 @@ object CurationQueries {
        FROM dec WHERE k = nn ORDER BY doc_id"""
   }
 
+  // ---- q113: bilinear resize (real resampler) --------------------------------
+
+  /** REAL image resampling, oracle-checked: per document a gradient
+    * raster is synthesized closed-form (pixel (x,y,c) = (3x+5y+7c+doc)
+    * mod 256), resized to 8x6 through the 8.8 fixed-point bilinear
+    * kernel ([[graft.ops.Multimodal.MediaKernels.resizeBilinear]]), and
+    * the resized pixels checked via an order-sensitive weighted sum the
+    * oracle recomputes arithmetically — source coordinates, fractional
+    * weights, and the >>16 normalization are all integer ops, so the
+    * resample is bit-identical in both engines. Misaligned coordinates,
+    * swapped axes, or off-by-one edge clamps all shift the weighted sum.
+    */
+  def q113BilinearResize(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Multimodal.{DecodedImage, MediaKernels}
+    val resizeStats = udf((docId: Long) => {
+      val sw = 16 + (docId % 8).toInt
+      val sh = 8 + (docId % 5).toInt
+      val pixels = new Array[Byte](sw * sh * 3)
+      var i = 0
+      while (i < pixels.length) {
+        val c = i % 3; val x = (i / 3) % sw; val y = i / (3 * sw)
+        pixels(i) = ((3 * x + 5 * y + 7 * c + docId) % 256).toByte
+        i += 1
+      }
+      MediaKernels.resizeBilinear(DecodedImage(sw, sh, 255, pixels), 8, 6) match {
+        case Some(r) =>
+          var wsum = 0L; var j = 0
+          while (j < r.pixels.length) { wsum += (j + 1).toLong * (r.pixels(j) & 0xFF); j += 1 }
+          (r.width.toLong, r.height.toLong, wsum)
+        case None => (-1L, -1L, -1L)
+      }
+    })
+    t(s, dir, "documents")
+      .where(col("doc_id") < 500)
+      .select(col("doc_id"), resizeStats(col("doc_id")).as("d"))
+      .select(col("doc_id"), col("d._1").as("out_w"), col("d._2").as("out_h"),
+        col("d._3").as("wsum"))
+      .orderBy("doc_id")
+  }
+
+  val q113Oracle: String =
+    """WITH params AS (
+         SELECT doc_id, 16 + doc_id % 8 AS sw, 8 + doc_id % 5 AS sh
+         FROM documents WHERE doc_id < 500),
+       cells AS (
+         SELECT doc_id, sw, sh, x, y, c,
+           (x * (sw - 1) * 256) // 7 AS sxf,
+           (y * (sh - 1) * 256) // 5 AS syf
+         FROM params,
+           unnest(generate_series(0, 7)) AS ux(x),
+           unnest(generate_series(0, 5)) AS uy(y),
+           unnest(generate_series(0, 2)) AS uc(c)),
+       interp AS (
+         SELECT doc_id, x, y, c,
+           sxf // 256 AS sx, sxf % 256 AS fx, LEAST(sw - 1, sxf // 256 + 1) AS sx1,
+           syf // 256 AS sy, syf % 256 AS fy, LEAST(sh - 1, syf // 256 + 1) AS sy1
+         FROM cells),
+       vals AS (
+         SELECT doc_id, x, y, c,
+           (((3 * sx + 5 * sy + 7 * c + doc_id) % 256) * (256 - fx) * (256 - fy)
+            + ((3 * sx1 + 5 * sy + 7 * c + doc_id) % 256) * fx * (256 - fy)
+            + ((3 * sx + 5 * sy1 + 7 * c + doc_id) % 256) * (256 - fx) * fy
+            + ((3 * sx1 + 5 * sy1 + 7 * c + doc_id) % 256) * fx * fy
+            + 32768) // 65536 AS v
+         FROM interp)
+       SELECT doc_id, CAST(8 AS BIGINT) AS out_w, CAST(6 AS BIGINT) AS out_h,
+         CAST(SUM(CAST(3 * (y * 8 + x) + c + 1 AS BIGINT) * v) AS BIGINT) AS wsum
+       FROM vals GROUP BY 1 ORDER BY doc_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_binaryfile_source" -> (q99BinaryfileSource _),
     "q100_repetition_signals" -> (q100RepetitionSignals _),
@@ -735,7 +805,8 @@ object CurationQueries {
     "q109_median_filter" -> (q109MedianFilter _),
     "q110_decayed_engagement" -> (q110DecayedEngagement _),
     "q111_avi_demux" -> (q111AviDemux _),
-    "q112_adpcm_decode" -> (q112AdpcmDecode _))
+    "q112_adpcm_decode" -> (q112AdpcmDecode _),
+    "q113_bilinear_resize" -> (q113BilinearResize _))
 
   val oracles: Map[String, String] = Map(
     "q99_binaryfile_source" -> q99Oracle,
@@ -750,5 +821,6 @@ object CurationQueries {
     "q109_median_filter" -> q109Oracle,
     "q110_decayed_engagement" -> q110Oracle,
     "q111_avi_demux" -> q111Oracle,
-    "q112_adpcm_decode" -> q112Oracle)
+    "q112_adpcm_decode" -> q112Oracle,
+    "q113_bilinear_resize" -> q113Oracle)
 }
