@@ -114,6 +114,23 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(p.contains("spark,join,merge") || p.contains("spark, join, merge"), p)
   }
 
+  test("q108: MERGE upsert joins on the key (no cartesian), scan pruned to the merged columns") {
+    val p = plan("q108_merge_upsert")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "full-outer MERGE must stay a keyed join")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("source"),
+      s"merge reads only doc_id/text/lang: $readSchema")
+  }
+
+  test("q110: the 1-row decay anchor broadcasts; events scan prunes to 3 columns") {
+    val p = plan("q110_decayed_engagement")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "scalar anchor must broadcast, not shuffle")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("event_type"), readSchema)
+  }
+
   test("q09: HLL approx distinct within 5% of exact (B9 no-oracle bound)") {
     import org.apache.spark.sql.functions._
     val events = Tables.load(spark, dir, "events")
