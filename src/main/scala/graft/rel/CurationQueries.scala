@@ -30,6 +30,7 @@ import org.apache.spark.sql.functions._
   *   - q111 REAL RIFF/AVI container demux with a content oracle.
   *   - q112 REAL IMA ADPCM compressed-audio decode, bit-exact oracle.
   *   - q113 REAL 8.8 fixed-point bilinear resize, bit-exact oracle.
+  *   - q114 length-bucketed batching / padding-waste accounting.
   *
   * Oracle discipline as in [[Queries]] (BIGINT casts, Stable.r4 rounding,
   * deterministic ORDER BY over a unique key).
@@ -791,6 +792,48 @@ object CurationQueries {
          CAST(SUM(CAST(3 * (y * 8 + x) + c + 1 AS BIGINT) * v) AS BIGINT) AS wsum
        FROM vals GROUP BY 1 ORDER BY doc_id"""
 
+  // ---- q114: length-bucketed batching / padding-waste accounting -------------
+
+  /** Inference/training batching efficiency: assign each document to a
+    * power-of-two length bucket (16/32/64/128, clamped), then account
+    * per bucket how many pad tokens batching at that width costs
+    * (`waste_frac` = padded-minus-real over padded) and how many
+    * batches of 8 the bucket fills. Length bucketing is the standard
+    * trick that keeps GPU batches dense — the waste metric is what you
+    * tune bucket boundaries against. Bucket assignment is a pure CASE
+    * projection (no transcendentals), one groupBy(bucket) shuffle. */
+  def q114LengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        least(lit(128L), size(split(col("text"), " ")).cast("long")).as("n"))
+      .withColumn("bucket",
+        when(col("n") <= 16, 16L).when(col("n") <= 32, 32L)
+          .when(col("n") <= 64, 64L).otherwise(128L))
+    docs.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"))
+      .withColumn("padded_tokens", col("bucket") * col("n_docs"))
+      .withColumn("waste_frac", graft.Stable.r4(
+        lit(1.0) - col("total_tokens").cast("double") / col("padded_tokens")))
+      .withColumn("n_batches", (col("n_docs") + 7L) / lit(8L) cast "long")
+      .orderBy("bucket")
+  }
+
+  val q114Oracle: String =
+    """WITH docs AS (
+         SELECT doc_id, LEAST(128, CAST(len(string_split(text, ' ')) AS BIGINT)) AS n
+         FROM documents),
+       bucketed AS (
+         SELECT n, CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                        WHEN n <= 64 THEN 64 ELSE 128 END AS bucket
+         FROM docs)
+       SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS total_tokens,
+         CAST(bucket * COUNT(*) AS BIGINT) AS padded_tokens,
+         floor((1.0 - CAST(SUM(n) AS DOUBLE) / (bucket * COUNT(*))) * 1e4 + 5e-1) / 1e4 AS waste_frac,
+         CAST((COUNT(*) + 7) // 8 AS BIGINT) AS n_batches
+       FROM bucketed GROUP BY bucket ORDER BY bucket"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_binaryfile_source" -> (q99BinaryfileSource _),
     "q100_repetition_signals" -> (q100RepetitionSignals _),
@@ -806,7 +849,8 @@ object CurationQueries {
     "q110_decayed_engagement" -> (q110DecayedEngagement _),
     "q111_avi_demux" -> (q111AviDemux _),
     "q112_adpcm_decode" -> (q112AdpcmDecode _),
-    "q113_bilinear_resize" -> (q113BilinearResize _))
+    "q113_bilinear_resize" -> (q113BilinearResize _),
+    "q114_length_buckets" -> (q114LengthBuckets _))
 
   val oracles: Map[String, String] = Map(
     "q99_binaryfile_source" -> q99Oracle,
@@ -822,5 +866,6 @@ object CurationQueries {
     "q110_decayed_engagement" -> q110Oracle,
     "q111_avi_demux" -> q111Oracle,
     "q112_adpcm_decode" -> q112Oracle,
-    "q113_bilinear_resize" -> q113Oracle)
+    "q113_bilinear_resize" -> q113Oracle,
+    "q114_length_buckets" -> q114Oracle)
 }
