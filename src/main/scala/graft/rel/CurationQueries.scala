@@ -792,6 +792,113 @@ object CurationQueries {
          CAST(SUM(CAST(3 * (y * 8 + x) + c + 1 AS BIGINT) * v) AS BIGINT) AS wsum
        FROM vals GROUP BY 1 ORDER BY doc_id"""
 
+  // ---- q115: Motion-JPEG video-frame decode (full AVI pipeline) --------------
+
+  /** REAL video-frame decode end to end: per document a short clip is
+    * synthesized (frame k, pixel i = (doc_id*37 + k*13 + i*11) mod 256),
+    * each frame ImageIO-encoded and packed as a '00dc' chunk into a real
+    * RIFF/AVI container ([[graft.ops.Multimodal.MediaKernels.muxAvi]]),
+    * then the clip is DEMUXED and every frame payload DECODED back to a
+    * raster ([[graft.ops.Multimodal.MediaKernels.decodeImage]]) — the
+    * Motion-JPEG pipeline shape (codec-in-container), composed from the
+    * same demux (q111) and image-decode (q90) halves this engine already
+    * oracles separately. Two codec legs, one oracle:
+    *
+    *   - PNG frames are lossless, so the decoded rasters must equal the
+    *     closed form bit-for-bit — the oracle recomputes the
+    *     order-sensitive weighted sum over frames AND pixels (Σ_k Σ_i
+    *     (k·w·h·3 + i + 1)·v), which a dropped frame, frame-order swap,
+    *     chunk misread, or channel/row-order bug all diverge.
+    *   - JPEG frames (true MJPEG) are lossy by spec, so that leg uses
+    *     q90's DC trick: solid-color frames are pure DC, and a real JPEG
+    *     decode must land within quantization error (MAE ≤ 8/255, dims
+    *     exact) on every frame — surfaced as `mjpeg_ok` in the hash.
+    *
+    * Decode is a per-row partition-local kernel (mapPartitions shape):
+    * each task decodes its own clips, nothing crosses partitions — the
+    * embarrassingly-parallel 100-TB video-corpus shape.
+    */
+  def q115MjpegFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.Multimodal.{DecodedImage, MediaKernels}
+    val ids = t(s, dir, "documents")
+      .where(col("doc_id") < 500)
+      .select(col("doc_id").cast("long")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val nf = 2 + (id % 3).toInt
+        val w = (3 + id % 5).toInt
+        val h = (2 + id % 4).toInt
+        val fb = w * h * 3
+        // lossless leg: PNG-encoded gradient frames through the AVI mux
+        val pngFrames = Array.tabulate(nf) { k =>
+          val px = Array.tabulate[Byte](fb)(i => ((id * 37 + k * 13 + i.toLong * 11) % 256).toByte)
+          MediaKernels.encodeImage(DecodedImage(w, h, 255, px), "png")
+        }
+        val demuxed = MediaKernels.demuxAvi(MediaKernels.muxAvi(w, h, 40000, pngFrames))
+        val (nFrames, wsum) = demuxed match {
+          case Some(v) if v.width == w && v.height == h =>
+            var ws = 0L; var ok = true
+            var k = 0
+            while (k < v.frames.length) {
+              MediaKernels.decodeImage(v.frames(k)) match {
+                case Some(img) if img.width == w && img.height == h =>
+                  var i = 0
+                  while (i < img.pixels.length) {
+                    ws += (k.toLong * fb + i + 1) * (img.pixels(i) & 0xFF); i += 1
+                  }
+                case _ => ok = false
+              }
+              k += 1
+            }
+            if (ok) (v.frames.length.toLong, ws) else (-1L, -1L)
+          case _ => (-1L, -1L)
+        }
+        // lossy leg (true Motion-JPEG): solid-color frames are pure DC, so
+        // a real JPEG decode stays within quantization error per frame
+        val jpgFrames = Array.tabulate(nf) { k =>
+          val solid = Array.tabulate[Byte](fb)(i => (i % 3 match {
+            case 0 => (id * 37 + k * 29) % 256
+            case 1 => (id * 91 + k * 17) % 256
+            case _ => (id * 53 + k * 23) % 256
+          }).toByte)
+          (solid, MediaKernels.encodeImage(DecodedImage(w, h, 255, solid), "jpg"))
+        }
+        val mjpegOk = MediaKernels.demuxAvi(
+            MediaKernels.muxAvi(w, h, 40000, jpgFrames.map(_._2))).exists { v =>
+          v.frames.length == nf && v.frames.indices.forall { k =>
+            MediaKernels.decodeImage(v.frames(k)).exists { img =>
+              var err = 0L; var i = 0
+              val solid = jpgFrames(k)._1
+              while (i < img.pixels.length) {
+                err += math.abs((img.pixels(i) & 0xFF) - (solid(i) & 0xFF)); i += 1
+              }
+              img.width == w && img.height == h && err / math.max(1, img.pixels.length) <= 8
+            }
+          }
+        }
+        (id, nFrames, w.toLong, h.toLong, wsum, mjpegOk)
+      }
+    }.toDF("doc_id", "n_frames", "img_w", "img_h", "wsum", "mjpeg_ok")
+      .orderBy("doc_id")
+  }
+
+  val q115Oracle: String =
+    """WITH params AS (
+         SELECT doc_id, 2 + doc_id % 3 AS nf, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h
+         FROM documents WHERE doc_id < 500),
+       cells AS (
+         SELECT doc_id,
+           CAST(k * (w*h*3) + i + 1 AS BIGINT) * ((doc_id*37 + k*13 + i*11) % 256) AS wv
+         FROM params,
+           unnest(generate_series(0, nf - 1)) AS uk(k),
+           unnest(generate_series(0, w*h*3 - 1)) AS ui(i))
+       SELECT p.doc_id, CAST(p.nf AS BIGINT) AS n_frames,
+         CAST(p.w AS BIGINT) AS img_w, CAST(p.h AS BIGINT) AS img_h,
+         CAST(SUM(c.wv) AS BIGINT) AS wsum, TRUE AS mjpeg_ok
+       FROM params p JOIN cells c USING (doc_id)
+       GROUP BY 1, 2, 3, 4 ORDER BY p.doc_id"""
+
   // ---- q114: length-bucketed batching / padding-waste accounting -------------
 
   /** Inference/training batching efficiency: assign each document to a
@@ -850,7 +957,8 @@ object CurationQueries {
     "q111_avi_demux" -> (q111AviDemux _),
     "q112_adpcm_decode" -> (q112AdpcmDecode _),
     "q113_bilinear_resize" -> (q113BilinearResize _),
-    "q114_length_buckets" -> (q114LengthBuckets _))
+    "q114_length_buckets" -> (q114LengthBuckets _),
+    "q115_mjpeg_frames" -> (q115MjpegFrames _))
 
   val oracles: Map[String, String] = Map(
     "q99_binaryfile_source" -> q99Oracle,
@@ -867,5 +975,6 @@ object CurationQueries {
     "q111_avi_demux" -> q111Oracle,
     "q112_adpcm_decode" -> q112Oracle,
     "q113_bilinear_resize" -> q113Oracle,
-    "q114_length_buckets" -> q114Oracle)
+    "q114_length_buckets" -> q114Oracle,
+    "q115_mjpeg_frames" -> q115Oracle)
 }

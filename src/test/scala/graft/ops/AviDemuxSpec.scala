@@ -29,6 +29,45 @@ class AviDemuxSpec extends AnyFunSuite {
     assert(none.frames.isEmpty && none.width == 16)
   }
 
+  test("Motion-PNG pipeline: ImageIO frames in AVI decode back pixel-exact, in order") {
+    // the q115 composition: encode rasters -> mux -> demux -> decode. PNG
+    // is lossless, so every decoded frame must equal its source raster
+    // and arrive in mux order (frame identity is encoded in the pixels).
+    val w = 7; val h = 5
+    val rasters = Array.tabulate(4) { k =>
+      Array.tabulate[Byte](w * h * 3)(i => ((k * 13 + i * 11) % 256).toByte)
+    }
+    val frames = rasters.map(px =>
+      MediaKernels.encodeImage(Multimodal.DecodedImage(w, h, 255, px), "png"))
+    val v = MediaKernels.demuxAvi(MediaKernels.muxAvi(w, h, 40000, frames)).get
+    assert(v.frames.length == 4)
+    v.frames.zip(rasters).foreach { case (payload, src) =>
+      val img = MediaKernels.decodeImage(payload).get
+      assert(img.width == w && img.height == h)
+      assert(img.pixels.sameElements(src))
+    }
+  }
+
+  test("Motion-JPEG pipeline: solid-color JPEG frames in AVI decode within DC error") {
+    // true MJPEG is lossy; solid frames are pure DC so a real decode must
+    // keep per-frame mean absolute error within quantization range
+    val w = 6; val h = 4
+    val solids = Array.tabulate(3) { k =>
+      Array.tabulate[Byte](w * h * 3)(i => ((i % 3) * 40 + k * 29 + 30).toByte)
+    }
+    val frames = solids.map(px =>
+      MediaKernels.encodeImage(Multimodal.DecodedImage(w, h, 255, px), "jpg"))
+    val v = MediaKernels.demuxAvi(MediaKernels.muxAvi(w, h, 40000, frames)).get
+    assert(v.frames.length == 3)
+    v.frames.zip(solids).foreach { case (payload, src) =>
+      val img = MediaKernels.decodeImage(payload).get
+      assert(img.width == w && img.height == h)
+      val mae = img.pixels.indices.map(i =>
+        math.abs((img.pixels(i) & 0xFF) - (src(i) & 0xFF)).toLong).sum / img.pixels.length
+      assert(mae <= 8, s"JPEG frame MAE $mae exceeds DC quantization bound")
+    }
+  }
+
   test("corrupt inputs reject as None, never throw") {
     assert(MediaKernels.demuxAvi(null).isEmpty)
     assert(MediaKernels.demuxAvi(Array.empty[Byte]).isEmpty)
