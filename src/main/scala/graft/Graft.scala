@@ -40,8 +40,10 @@ object Graft {
       .getOrCreate()
   }
 
-  /** Register `graft_normalize` / `graft_dot` on an EXISTING session that
-    * was built without the extensions class. */
+  /** Register the full `graft_*` SQL function catalog (normalize/dot plus
+    * the reference's scoring/parsing kernels — tokens_contain, em,
+    * token_f1, rougel, fusion, probability, deal_prediction, expand_refs)
+    * on an EXISTING session that was built without the extensions class. */
   def registerFunctions(spark: SparkSession): Unit =
     exprs.GraftFunctions.register(spark)
 

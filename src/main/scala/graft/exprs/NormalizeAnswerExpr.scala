@@ -50,28 +50,50 @@ case class NormalizeAnswerExpr(child: Expression) extends UnaryExpression {
   * `--conf spark.sql.extensions=graft.exprs.GraftExtensions`). */
 object GraftFunctions {
 
+  private type Builder = Seq[Expression] => Expression
+
+  /** The full SQL function catalog: the two codegen'd expressions plus the
+    * reference's scoring/parsing kernel surface ([[KernelBridge]] — the
+    * whole Part-A eval pipeline is expressible from `spark.sql` with
+    * these; `SqlEvalPipelineSpec` runs it end to end). */
+  private val catalog: Seq[(String, Class[_], Builder)] = Seq(
+    ("graft_normalize", classOf[NormalizeAnswerExpr],
+      (e: Seq[Expression]) => NormalizeAnswerExpr(e.head)),
+    ("graft_dot", classOf[DotProductExpr],
+      (e: Seq[Expression]) => DotProductExpr(e(0), e(1))),
+    ("graft_tokens_contain", classOf[TokensContainExpr],
+      (e: Seq[Expression]) => TokensContainExpr(e(0), e(1))),
+    ("graft_em", classOf[EmExpr], (e: Seq[Expression]) => EmExpr(e(0), e(1))),
+    ("graft_token_f1", classOf[TokenF1Expr],
+      (e: Seq[Expression]) => TokenF1Expr(e(0), e(1))),
+    ("graft_rougel", classOf[RougeLExpr],
+      (e: Seq[Expression]) => RougeLExpr(e(0), e(1))),
+    ("graft_fusion", classOf[FusionExpr],
+      (e: Seq[Expression]) => FusionExpr(e.head)),
+    ("graft_probability", classOf[ProbabilityExpr],
+      (e: Seq[Expression]) => ProbabilityExpr(e.head)),
+    ("graft_deal_prediction", classOf[DealPredictionExpr],
+      (e: Seq[Expression]) => DealPredictionExpr(e.head)),
+    ("graft_expand_refs", classOf[ExpandRefsExpr],
+      (e: Seq[Expression]) => ExpandRefsExpr(e.head)))
+
   // 3-arg constructor: the usage-string overloads are deprecated since 3.0
-  private val normalizeInfo = new ExpressionInfo(
-    classOf[NormalizeAnswerExpr].getName, null, "graft_normalize")
+  private def info(name: String, cls: Class[_]) =
+    new ExpressionInfo(cls.getName, null, name)
 
-  private val dotInfo = new ExpressionInfo(
-    classOf[DotProductExpr].getName, null, "graft_dot")
+  def register(spark: SparkSession): Unit =
+    catalog.foreach { case (name, cls, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info(name, cls), builder)
+    }
 
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_normalize"), normalizeInfo,
-      (exprs: Seq[Expression]) => NormalizeAnswerExpr(exprs.head))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_dot"), dotInfo,
-      (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1)))
-  }
+  def inject(ext: SparkSessionExtensions): Unit =
+    catalog.foreach { case (name, cls, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, cls), builder))
+    }
 
-  def inject(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("graft_normalize"), normalizeInfo,
-      (exprs: Seq[Expression]) => NormalizeAnswerExpr(exprs.head)))
-    ext.injectFunction((FunctionIdentifier("graft_dot"), dotInfo,
-      (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1))))
-  }
+  /** Registered function names (spec surface). */
+  def names: Seq[String] = catalog.map(_._1)
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
