@@ -31,8 +31,9 @@ import graft.text.{ParseKernels, TextKernels}
 object KernelBridge {
 
   /** ArrayData of strings → Seq[String] without an encoder round-trip.
-    * Null elements pass through as null (kernels treat them per the
-    * reference's list semantics). */
+    * Null elements pass through as null; each expression decides its own
+    * null-element policy (e.g. [[TokensContainExpr]] filters them out,
+    * the scoring kernels let `normalizeAnswer(null)` score 0). */
   def strings(a: ArrayData): Seq[String] = {
     val n = a.numElements()
     val out = new Array[String](n)
@@ -59,7 +60,11 @@ trait RefsPredInputs { self: BinaryExpression =>
 
 /** A10 `has_answer` token-sequence containment (`utils.py:16-199`):
   * `graft_tokens_contain(answers, text)`. Null/empty text ⇒ false (the
-  * reference's guard), never null. */
+  * reference's guard), never null. NULL *elements* in the answers array
+  * are skipped (no-match): the reference would raise on a `None` answer,
+  * so a null element must not score — in particular it must NOT take the
+  * empty-tokenization ⇒ trivially-contained branch reserved for genuine
+  * punctuation-only answers. */
 case class TokensContainExpr(left: Expression, right: Expression)
     extends BinaryExpression with RefsPredInputs with CodegenFallback {
   override def fnName: String = "graft_tokens_contain"
@@ -69,7 +74,8 @@ case class TokensContainExpr(left: Expression, right: Expression)
     val answers = left.eval(input)
     val text = KernelBridge.str(right.eval(input))
     if (answers == null || text == null) false
-    else TextKernels.tokensContain(KernelBridge.strings(answers.asInstanceOf[ArrayData]), text)
+    else TextKernels.tokensContain(
+      KernelBridge.strings(answers.asInstanceOf[ArrayData]).filter(_ != null), text)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): TokensContainExpr =
     copy(left = l, right = r)

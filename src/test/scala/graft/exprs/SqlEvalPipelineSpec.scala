@@ -184,6 +184,21 @@ class SqlEvalPipelineSpec extends AnyFunSuite {
     assert(r.getBoolean(6))
   }
 
+  test("graft_tokens_contain skips NULL answer elements (no trivial-containment footgun)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_tokens_contain(array(CAST(NULL AS STRING)), 'some text') AS only_null,
+                graft_tokens_contain(array(NULL, 'text'), 'some text') AS null_plus_hit,
+                graft_tokens_contain(array(NULL, 'absent'), 'some text') AS null_plus_miss,
+                graft_tokens_contain(array('   '), 'some text') AS empty_tokenization""").head()
+    // A NULL element is a no-match (the reference raises on None answers;
+    // it must NOT take the trivially-contained empty-tokenization branch)…
+    assert(!r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2))
+    // …while a genuine whitespace-only answer (tokenizes to zero tokens)
+    // still matches trivially (utils.py's range(0, len+1) loop semantics).
+    assert(r.getBoolean(3))
+  }
+
   test("graft_expand_refs equals RcFunctions.expandReferences (extend-not-replace, dedup)") {
     import spark.implicits._
     GraftFunctions.register(spark)

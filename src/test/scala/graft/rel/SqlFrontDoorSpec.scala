@@ -52,7 +52,10 @@ object SqlFrontDoorSpec {
   )
 
   /** Queries with a hand-adapted twin asserted IN THIS SUITE (each test
-    * below documents its dialect adaptation). */
+    * below documents its dialect adaptation). [[SqlFrontDoorWideSpec]]'s
+    * ledger test consumes this list: together with `verbatim`, its
+    * mechanically-adapted set, and its named gaps, every committed
+    * oracle must be classified exactly once. */
   val adaptedHere: Seq[String] = Seq(
     "q02_pricing_summary", "q97_heavy_hitters", "q07_asof_latest_order",
     "q99_binaryfile_source", "q100_repetition_signals", "q103_passage_chunks",

@@ -1,0 +1,372 @@
+package graft.rel
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Mechanical DuckDB→Spark dialect rewriter for the committed oracle SQL.
+  *
+  * The committed oracles are near-ANSI; what keeps most of them from
+  * running verbatim through `spark.sql` is a SMALL, closed set of
+  * dialect spellings (DuckDB's `string_split`/`len`/`unnest`/`epoch*`,
+  * `//` integer division, `list_*` lambda functions, 1-based `[i]`
+  * indexing, `read_parquet` TVF, DECIMAL-typed fraction literals). Each
+  * rule below renames ONE such spelling to Spark's; rules are applied in
+  * order (prefix-sensitive: `epoch_ms(` before `epoch(`, `10000.0`
+  * before `100.0`). Structural differences that one token rename can't
+  * express (QUALIFY, zipping parallel `unnest`s, lateral
+  * `generate_series`) are per-query patches in
+  * [[SqlFrontDoorWideSpec.patches]], each documented where applied.
+  *
+  * Regex/translate literals are parsed with
+  * `spark.sql.parser.escapedStringLiterals=true` for the twin run —
+  * DuckDB string literals treat backslash literally, and that Spark conf
+  * (public, built for exactly this compatibility) makes Spark's parser
+  * agree, so `'\b(a|an|the)\b'` means the same pattern in both dialects.
+  */
+object Duck2Spark {
+
+  /** Ordered mechanical renames. Every rule is a plain-text or regex
+    * substitution whose left side cannot occur inside the oracles' data
+    * literals (checked by the twins themselves: a bad rewrite fails the
+    * row-for-row assertion). */
+  val rules: Seq[(String, String)] = Seq(
+    // file-scan TVF → Spark's path-table syntax
+    ("""read_parquet\('([^']+)'\)""", "parquet.`$1`"),
+    // tokenize / list functions
+    ("string_split\\(", "split("),
+    ("\\blen\\(", "size("),
+    ("strlen\\(", "octet_length("),
+    ("list_transform\\(", "transform("),
+    ("list_filter\\(", "filter("),
+    ("list_contains\\(", "array_contains("),
+    ("list_distinct\\(", "array_distinct("),
+    ("list_sort\\(", "array_sort("),
+    ("list_min\\(", "array_min("),
+    ("list_max\\(", "array_max("),
+    ("list_concat\\(", "concat("),
+    ("list_slice\\(", "slice("),
+    ("list_extract\\(", "element_at("),
+    ("list_prepend\\(", "array_prepend("),
+    ("array_to_string\\(", "array_join("),
+    // list_aggregate(X, 'sum') — the rename splits across the two ends
+    // of the call, so both halves are plain-text rules
+    ("list_aggregate\\(", "aggregate("),
+    (",\\s*'sum'\\)", ", 0L, (la_acc, la_el) -> la_acc + la_el)"),
+    // JSON
+    ("json_extract_string\\(", "get_json_object("),
+    // epoch family (longest prefix first)
+    ("""epoch_ns\(([A-Za-z_.]+)\)""", "(unix_micros($1) * 1000)"),
+    ("epoch_ms\\(", "unix_millis("),
+    ("epoch\\(", "unix_seconds("),
+    // DuckDB integer division
+    ("\\s//\\s", " div "),
+    // types
+    ("AS VARCHAR\\)", "AS STRING)"),
+    ("""::DOUBLE\[\]""", " :: ARRAY<DOUBLE>"),
+    // regexp_replace global flag: Spark's 3-arg form IS global
+    (",\\s*'g'\\)", ")"),
+    // DuckDB regexp_extract_all defaults to group 0, Spark to group 1
+    ("""regexp_extract_all\(([^,]+), ('[^']+')\)""", "regexp_extract_all($1, $2, 0)"),
+    // exact quantile → Spark's interpolating exact percentile
+    ("quantile_cont\\(", "percentile("),
+    // generators: single-column unnest → explode (parallel/zipping
+    // unnests need the posexplode patch, applied per query BEFORE rules);
+    // any generate_series left after the lateral patch is select-position
+    ("unnest\\(", "explode("),
+    ("generate_series\\(", "sequence("),
+    // DECIMAL-typed fraction literals → DOUBLE scientific literals, so
+    // BIGINT/DECIMAL division doesn't retype the rounded columns
+    ("10000\\.0", "1e4"), ("\\b100\\.0", "1e2"), ("\\b0\\.5\\b", "5e-1"),
+    ("\\b1\\.0\\b", "1e0"))
+
+  def mechanical(sql: String): String =
+    rules.foldLeft(sql) { case (s, (from, to)) => s.replaceAll(from, to) }
+
+  /** DuckDB `FROM t, unnest(generate_series(a, b)) AS u(i)` (lateral,
+    * per-row) → Spark `FROM t LATERAL VIEW explode(sequence(a, b)) u AS
+    * i`. Applied BEFORE [[mechanical]] (which would otherwise turn the
+    * TVF `unnest` into a non-lateral `explode`). */
+  def lateralSeries(sql: String): String =
+    sql.replaceAll(
+      """,\s*unnest\(generate_series\((.+?)\)\)\s+AS\s+(\w+)\((\w+)\)""",
+      " LATERAL VIEW explode(sequence($1)) $2 AS $3")
+
+  /** The committed zip-unnest tokenizer CTE (q23/q86/q94 and friends):
+    * DuckDB zips two parallel `unnest`s positionally; Spark spells that
+    * relation `posexplode` (1-based via pos+1). */
+  val zipToksDuck: String =
+    """SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+         FROM documents"""
+  val zipToksSpark: String =
+    """SELECT doc_id, tok, CAST(pos0 + 1 AS BIGINT) AS pos
+         FROM (SELECT doc_id, posexplode(split(text, ' ')) AS (pos0, tok) FROM documents)"""
+}
+
+/** Full-catalog SQL-front-door ledger ([[SqlFrontDoorSpec]]'s scaladoc
+  * names this suite): every key in `SparkEntry.oracleSql` is classified
+  * exactly once as (a) verbatim-ANSI (asserted in [[SqlFrontDoorSpec]]),
+  * (b) hand-adapted there, (c) mechanically adapted HERE via
+  * [[Duck2Spark]] (+ a documented per-query patch where the difference
+  * is structural), or (d) a NAMED dialect gap with the blocking feature
+  * spelled out. The ledger test fails on any unclassified or
+  * doubly-classified oracle, so a new query cannot land without a
+  * front-door story.
+  */
+object SqlFrontDoorWideSpec {
+
+  /** name → (patch applied before the mechanical rules, note). An
+    * identity patch means the mechanical rules alone suffice. */
+  val adapted: Map[String, (String => String, String)] = {
+    def id(s: String): String = s
+    def m(pairs: (String, (String => String, String))*) = Map(pairs: _*)
+    m(
+      "q06_range_join" -> (id _, "epoch_ns + // div"),
+      "q15_string_funcs" -> ((s: String) =>
+        s.replace("regexp_matches(p_name, 'bolt|ring')", "(p_name RLIKE 'bolt|ring')"),
+        "regexp_matches → RLIKE"),
+      "q16_date_funcs" -> ((s: String) => s
+        .replace("(isodow(o_orderdate) - 1)", "weekday(o_orderdate)")
+        .replace("datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')",
+                 "datediff(DATE '2000-01-01', CAST(o_orderdate AS DATE))"),
+        "isodow→weekday; datediff('day',a,b)→datediff(b,a)"),
+      "q17_math_funcs" -> (id _, "fraction-literal typing only"),
+      "q18_array_funcs" -> ((s: String) => s
+        .replace("string_split(p_name, ' ')[1]", "string_split(p_name, ' ')[0]"),
+        "1-based [i] → 0-based"),
+      "q19_json_funcs" -> (id _, "json_extract_string → get_json_object"),
+      "q20_explode_tokens" -> ((s: String) =>
+        """SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok
+           FROM (SELECT doc_id, posexplode(split(text, ' ')) AS (pos, tok)
+                 FROM documents WHERE doc_id < 50)
+           ORDER BY doc_id, pos""",
+        "parallel unnest zip → posexplode (0-based in both)"),
+      "q22_dedup_keyed" -> ((s: String) =>
+        """SELECT user_id, event_type, event_id, ts_us FROM (
+             SELECT user_id, event_type, event_id, (unix_micros(ts) * 1000) div 1000 AS ts_us,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+             FROM events) WHERE rn = 1
+           ORDER BY user_id, event_type""",
+        "QUALIFY → windowed subquery"),
+      "q23_dedup_near_jaccard" -> ((s: String) =>
+        s.replace(Duck2Spark.zipToksDuck, Duck2Spark.zipToksSpark),
+        "zip-unnest tokenizer → posexplode"),
+      "q24_knn_cosine" -> ((s: String) => s
+        .replace("embedding::DOUBLE[]", "CAST(embedding AS ARRAY<DOUBLE>)")
+        .replaceAll("""list_cosine_similarity\(qv, v\)""",
+          "(aggregate(zip_with(qv, v, (x, y) -> x * y), 0d, (s, t) -> s + t) " +
+          "/ (sqrt(aggregate(qv, 0d, (s, t) -> s + t * t)) " +
+          "* sqrt(aggregate(v, 0d, (s, t) -> s + t * t))))"),
+        "list_cosine_similarity → zip_with/aggregate algebra"),
+      "q25_text_stats" -> (id _, "len/string_split renames"),
+      "q26_sessionize" -> (id _, "epoch_ns + // div"),
+      "q27_tumbling_window" -> (id _, "epoch → unix_seconds"),
+      "q28_top_terms" -> (id _, "unnest → explode"),
+      "q29_text_quality" -> ((s: String) => s
+        .replace("['a','an','the','of','in','on','and','or','to','is','are','was','it']",
+                 "array('a','an','the','of','in','on','and','or','to','is','are','was','it')"),
+        "[..] array literal → array(..)"),
+      "q30_fusion_parse" -> (id _, "VARCHAR → STRING (regex parses raw via escapedStringLiterals)"),
+      "q31_normalize_em" -> (id _, "4-arg regexp_replace 'g' flag → Spark 3-arg global"),
+      "q33_token_count" -> (id _, "list_aggregate sum → aggregate lambda; group-0 regexp_extract_all"),
+      "q37_lang_id" -> (id _, "// div"),
+      "q40_rag_eval_pipeline" -> (id _, "read_parquet → parquet.`path`"),
+      "q41_rag_eval_probability" -> (id _, "read_parquet + VARCHAR"),
+      "q44_dedup_embedding" -> ((s: String) => s
+        .replace("embedding::DOUBLE[]", "CAST(embedding AS ARRAY<DOUBLE>)")
+        .replaceAll("""list_cosine_similarity\(a\.v, b\.v\)""",
+          "(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0d, (s, t) -> s + t) " +
+          "/ (sqrt(aggregate(a.v, 0d, (s, t) -> s + t * t)) " +
+          "* sqrt(aggregate(b.v, 0d, (s, t) -> s + t * t))))"),
+        "list_cosine_similarity → zip_with/aggregate algebra"),
+      "q45_custom_expr_normalize" -> (id _, "4-arg regexp_replace 'g' flag → 3-arg global"),
+      "q46_rag_annotate_stub" -> (id _, "read_parquet → parquet.`path`"),
+      "q49_percentiles" -> (id _, "quantile_cont → percentile"),
+      "q50_stats" -> (id _, "fraction-literal typing only"),
+      "q52_string_agg" -> ((s: String) =>
+        """SELECT p_type, listagg(b, ',') WITHIN GROUP (ORDER BY b) AS brands,
+                  COUNT(*) AS n_brands
+           FROM (SELECT DISTINCT p_type, p_brand AS b FROM part)
+           GROUP BY p_type ORDER BY p_type""",
+        "string_agg(x, sep ORDER BY x) → listagg WITHIN GROUP"),
+      "q56_null_safety" -> ((s: String) =>
+        s.replace("o_totalprice / (o_custkey % 3)",
+                  "try_divide(o_totalprice, o_custkey % 3)"),
+        "ANSI ÷0 → try_divide (DuckDB NULLs a 0 divisor the same way)"),
+      "q57_stream_batch_parity" -> (id _, "epoch → unix_seconds"),
+      "q59_rag_eval_prompt" -> (id _, "read_parquet → parquet.`path`"),
+      "q58_parse_extract" -> ((s: String) => s
+        .replace("string_split(text, ' ')[1]", "string_split(text, ' ')[0]"),
+        "1-based [i] → 0-based; element_at(-1) keeps DuckDB's tail pick"),
+      "q60_ngrams" -> ((s: String) => Duck2Spark.lateralSeries(s)
+        .replace("SELECT doc_id, unnest(t) AS g FROM toks",
+                 "SELECT doc_id, explode(t) AS g FROM toks")
+        .replaceAll("""t\[i\]""", "element_at(t, i)")
+        .replaceAll("""t\[i\+1\]""", "element_at(t, i+1)")
+        .replaceAll("""t\[i \+ 1\]""", "element_at(t, i + 1)")
+        .replaceAll("""t\[i\+2\]""", "element_at(t, i+2)")
+        .replaceAll("""t\[i \+ 2\]""", "element_at(t, i + 2)"),
+        "lateral generate_series → LATERAL VIEW explode(sequence); [i] → element_at"),
+      "q61_text_scrub" -> ((s: String) => Duck2Spark.lateralSeries(s)
+        .replaceAll("""t\[i\]""", "element_at(t, i)")
+        .replaceAll("""t\[i\+1\]""", "element_at(t, i+1)")
+        .replaceAll("""t\[i\+2\]""", "element_at(t, i+2)"),
+        "lateral generate_series + [i] → element_at"),
+      "q62_sliding_window" -> ((s: String) => Duck2Spark.lateralSeries(s)
+        .replace("epoch(ts - date_trunc('hour', ts))",
+                 "(unix_seconds(ts) - unix_seconds(date_trunc('hour', ts)))"),
+        "epoch(interval) → unix_seconds difference; lateral series"),
+      "q63_window_distribution" -> (id _, "fraction-literal typing only"),
+      "q64_map_funcs" -> ((s: String) => s
+        .replace("list_sum(list_transform(toks, x -> length(x)))",
+                 "aggregate(transform(toks, x -> length(x)), 0L, (a, b) -> a + b)"),
+        "list_sum → aggregate lambda"),
+      "q65_csv_roundtrip" -> ((s: String) =>
+        s.replace("MAX(o_orderdate) AS last_date",
+                  "CAST(MAX(o_orderdate) AS DATE) AS last_date"),
+        "the CSV round-trip types the date column DATE; DuckDB keeps parquet TIMESTAMP"),
+      "q67_session_window" -> (id _, "epoch_ns + // div"),
+      "q71_gap_fill" -> ((s: String) => s.replace(
+        """FROM generate_series(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY) t(d)""",
+        """FROM (SELECT explode(sequence(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY)) AS d)"""),
+        "generate_series TVF → explode(sequence)"),
+      "q72_media_resize_frames" -> ((s: String) =>
+        s.replace("octet_length(CAST(text AS BLOB))", "octet_length(CAST(text AS BINARY))"),
+        "BLOB → BINARY; // div"),
+      "q73_reuse_annotations" -> (id _, "read_parquet + list_* renames"),
+      "q74_media_decode" -> ((s: String) => Duck2Spark.lateralSeries(s),
+        "lateral generate_series → LATERAL VIEW explode(sequence)"),
+      "q77_variant_json" -> (id _, "json_extract_string → get_json_object"),
+      "q79_range_frame" -> ((s: String) => s
+        .replace("datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))",
+                 "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01')"),
+        "datediff('day',a,b) → datediff(b,a)"),
+      "q80_edit_distance" -> (id _, "4-arg regexp_replace 'g' flag → 3-arg global"),
+      "q82_shard_pack" -> ((s: String) =>
+        """WITH dd AS (
+             SELECT doc_id, lang, size(split(text, ' ')) AS n_tokens FROM (
+               SELECT doc_id, lang, text,
+                 ROW_NUMBER() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+               FROM documents) WHERE rn = 1),
+           c AS (
+             SELECT doc_id, lang, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             FROM dd)
+           SELECT doc_id, lang, n_tokens,
+                  CAST((cum - n_tokens) div 4000 AS BIGINT) AS shard_id
+           FROM c ORDER BY doc_id""",
+        "QUALIFY → windowed subquery"),
+      "q84_int8_quant" -> (id _, "embedding cast + list_* renames"),
+      "q86_shingle_novelty" -> ((s: String) =>
+        s.replace(Duck2Spark.zipToksDuck, Duck2Spark.zipToksSpark),
+        "zip-unnest tokenizer → posexplode"),
+      "q87_bmp_decode" -> ((s: String) => Duck2Spark.lateralSeries(s),
+        "lateral generate_series"),
+      "q89_vocab_oov" -> (id _, "unnest → explode; count_if is shared"),
+      "q90_imageio_decode" -> ((s: String) => Duck2Spark.lateralSeries(s),
+        "lateral generate_series"),
+      "q91_iterative_counterfactual" -> (id _, "read_parquet → parquet.`path`"),
+      "q94_decontaminate" -> ((s: String) =>
+        s.replace(Duck2Spark.zipToksDuck, Duck2Spark.zipToksSpark),
+        "zip-unnest tokenizer → posexplode"),
+      "q96_sequence_pack" -> (id _, "// div"),
+      "q107_embedding_norms" -> ((s: String) => s
+        .replace("embedding::DOUBLE[]", "CAST(embedding AS ARRAY<DOUBLE>)")
+        .replaceAll("""list_inner_product\(v\[1:16\], v\[1:16\]\)""",
+          "aggregate(slice(v, 1, 16), 0d, (s, t) -> s + t * t)")
+        .replaceAll("""list_inner_product\(v, v\)""",
+          "aggregate(v, 0d, (s, t) -> s + t * t)"),
+        "list_inner_product/[1:16] → aggregate/slice"),
+      "q110_decayed_engagement" -> (id _, "epoch_ms → unix_millis"),
+      "q111_avi_demux" -> ((s: String) => Duck2Spark.lateralSeries(s),
+        "two stacked lateral series"),
+      "q112_adpcm_decode" -> ((s: String) => s
+        .replaceAll("""\[-1,-1,-1,-1,2,4,6,8\]\[\(n % 8\) \+ 1\]""",
+          "array(-1,-1,-1,-1,2,4,6,8)[(n % 8)]")
+        .replaceAll("""\[7,8,9,([0-9,]+),32767\]\[idx \+ 1\]""",
+          "array(7,8,9,$1,32767)[idx]")
+        // Spark parser quirk: an `array(...)` call earlier in the same
+        // statement makes a later `>>` mis-lex as a type bracket, so the
+        // shifts get the function spelling
+        .replace("(st >> 3)", "shiftright(st, 3)")
+        .replace("st >> 1", "shiftright(st, 1)")
+        .replace("st >> 2", "shiftright(st, 2)"),
+        "UNION ALL recursive CTE runs on Spark 4; [..][i+1] → array(..)[i] (0-based); >> → shiftright"),
+      "q113_bilinear_resize" -> ((s: String) => Duck2Spark.lateralSeries(s),
+        "three stacked lateral series + // div"),
+      "q114_length_buckets" -> (id _, "// div"),
+      "q115_mjpeg_frames" -> ((s: String) => Duck2Spark.lateralSeries(s),
+        "two stacked lateral series"))
+  }
+
+  /** Oracles with NO Spark-SQL twin, each blocked by a named engine
+    * feature (not by laziness): the DataFrame catalog remains the front
+    * door for these four. */
+  val gaps: Map[String, String] = Map(
+    "q32_multimodal_features" -> ("DuckDB BLOB synthesis: octet_length(CAST(text AS BLOB)) is " +
+      "UTF-8 byte length; Spark can spell it (q72 adapts it) but q32's DataFrame twin returns " +
+      "binary `content` — BINARY columns can't round-trip through a text-only SQL literal twin"),
+    "q38_doc_fingerprint" -> ("128-bit modular hash: DuckDB HUGEINT carries (acc*131+ch) past " +
+      "2^63 before % 2^61-ish; Spark has no INT128 and DECIMAL(38,0) lambdas lose the exact " +
+      "wraparound the committed fingerprints pin"),
+    "q53_union_by_name" -> ("UNION ALL BY NAME is DuckDB-only syntax; Spark exposes by-name " +
+      "union solely through Dataset.unionByName (the DataFrame twin)"),
+    "q81_dedup_clusters" -> ("WITH RECURSIVE ... UNION (distinct) fixpoint: Spark 4 recursive " +
+      "CTEs require UNION ALL; the distinct-union transitive closure does not terminate under " +
+      "UNION ALL on a cyclic edge set"),
+    "q95_dedup_rewrite" -> "same UNION-distinct recursive closure as q81 (q95 composes it)")
+}
+
+class SqlFrontDoorWideSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = SparkTestBase.Sf0001
+
+  private def registerViews(): Unit =
+    Seq("lineitem", "orders", "customer", "part", "supplier",
+        "nation", "region", "events", "documents", "embeddings")
+      .foreach(n => Tables.load(spark, dir, n).createOrReplaceTempView(n))
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq.sortBy(_.mkString(""))
+
+  /** Parse the twin with DuckDB's literal-backslash string semantics
+    * (see [[Duck2Spark]]), restoring the session conf afterwards. */
+  private def sqlRaw(sql: String): org.apache.spark.sql.DataFrame = {
+    val key = "spark.sql.parser.escapedStringLiterals"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try spark.sql(sql) finally spark.conf.set(key, prev)
+  }
+
+  SqlFrontDoorWideSpec.adapted.toSeq.sortBy(_._1).foreach { case (name, (patch, note)) =>
+    test(s"$name: mechanically adapted twin matches the DataFrame result ($note)") {
+      registerViews()
+      val twin = Duck2Spark.mechanical(patch(graft.SparkEntry.oracleSql(name)))
+      val viaSql = sqlRaw(twin)
+      val viaDf = graft.SparkEntry.queries(name)(spark, dir)
+      assert(viaSql.columns.toSeq == viaDf.columns.toSeq,
+        s"$name: twin columns ${viaSql.columns.toSeq} != DataFrame ${viaDf.columns.toSeq}")
+      val a = canon(viaSql); val b = canon(viaDf)
+      assert(a == b, s"$name: twin diverges (${a.size} vs ${b.size} rows; first diff: " +
+        s"${a.zip(b).find { case (x, y) => x != y }.orElse(Some((a.headOption, b.headOption)))})")
+    }
+  }
+
+  test("ledger: every committed oracle is classified exactly once " +
+       "(verbatim / adapted-here / adapted-wide / named gap)") {
+    val verbatim = SqlFrontDoorSpec.verbatim.toSet
+    val adaptedNarrow = SqlFrontDoorSpec.adaptedHere.toSet
+    val adaptedWide = SqlFrontDoorWideSpec.adapted.keySet
+    val gaps = SqlFrontDoorWideSpec.gaps.keySet
+    val all = graft.SparkEntry.oracleSql.keySet
+    val classes = Seq(verbatim, adaptedNarrow, adaptedWide, gaps)
+    for (Seq(a, b) <- classes.combinations(2))
+      assert((a intersect b).isEmpty, s"doubly classified: ${a intersect b}")
+    val classified = classes.reduce(_ union _)
+    assert((all diff classified).isEmpty,
+      s"oracles with no front-door story: ${(all diff classified).toSeq.sorted}")
+    assert((classified diff all).isEmpty,
+      s"ledger names unknown oracles: ${(classified diff all).toSeq.sorted}")
+  }
+}
