@@ -109,7 +109,30 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // total LAST in the object: even a head-truncated capture still ends
     // with ...,"metric":"total","value":N} so the headline is recoverable
-    println(s"""{"queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir","unit":"sec","metric":"total","value":${r3(total)}}""")
+    val finalJson =
+      s"""{"queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir","unit":"sec","metric":"total","value":${r3(total)}}"""
+    println(finalJson)
+    // Belt and suspenders: the artifact also lands in a file, so the
+    // round record no longer depends on the driver's stdout tail-capture
+    // at all (round 7's BENCH json arrived "parsed": null from the tail).
+    // The file holds the same final line plus every BENCHQ line.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_latest.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      val benchqLines = results.map { case (name, med) =>
+        val xs = samples.getOrElse(name, Nil)
+        val spread = if (xs.isEmpty) -1.0 else xs.max - xs.min
+        val err = errors.get(name).map(e => s""","err":"$e"""").getOrElse("")
+        s"""{"name":"$name","median":${r3(med)},"spread":${r3(spread)},"n":${xs.size}$err}"""
+      }
+      val fileJson = benchqLines.mkString(
+        s"""{"final":$finalJson,\n"benchq":[\n""", ",\n", "\n]}\n")
+      java.nio.file.Files.write(p, fileJson.getBytes("UTF-8"))
+      println(s"BENCH_FILE $outPath")
+    } catch {
+      case e: Throwable => println(s"BENCH_FILE_ERR ${e.getMessage}")
+    }
     spark.stop()
   }
 }
