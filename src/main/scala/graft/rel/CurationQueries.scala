@@ -964,6 +964,7 @@ object CurationQueries {
     "q99_binaryfile_source" -> q99Oracle,
     "q100_repetition_signals" -> q100Oracle,
     "q101_zorder_layout" -> q101Oracle,
+    "q102_semdedup" -> DataQueries.fixtureOracle("q102_semdedup"),
     "q103_passage_chunks" -> q103Oracle,
     "q104_bm25" -> q104Oracle,
     "q105_pagerank" -> q105Oracle,

@@ -247,7 +247,18 @@ object DataQueries {
        len(regexp_extract_all(text, '[a-z0-9]+')) AS n_alpha_tokens
        FROM documents ORDER BY doc_id"""
 
-  // ---- scale paths: no-oracle (engine-specific hashing), spec-verified -------
+  // ---- scale paths: spec-verified + committed regression fixtures ------------
+
+  /** Committed regression-fixture oracle (the q46 pattern) for the
+    * seeded-deterministic sketch/ANN/ML queries: reads back the expected
+    * parquet generated by [[graft.tools.MakeAnnFixtures]] at the driver
+    * gate's sf0.01. The recall/accuracy specs remain the SF-independent
+    * semantic bound; this row is the change detector the ≥τ specs can't
+    * be — any drift in hashing, seeding, quantization or tie-breaking
+    * flips the driver's hash compare red. SF-pinned by construction:
+    * only meaningful against /root/testdata/sf0.01. */
+  def fixtureOracle(name: String): String =
+    s"SELECT * FROM read_parquet('/root/repo/src/test/resources/annfix/${name}_expected_sf001.parquet')"
 
   def q34MinhashNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text", n = 3, tau = 0.8)
@@ -896,6 +907,14 @@ object DataQueries {
     "q31_normalize_em" -> q31Oracle,
     "q32_multimodal_features" -> q32Oracle,
     "q33_token_count" -> q33Oracle,
+    "q34_minhash_neardup" -> fixtureOracle("q34_minhash_neardup"),
+    "q35_simhash_neardup" -> fixtureOracle("q35_simhash_neardup"),
+    "q36_ann_lsh" -> fixtureOracle("q36_ann_lsh"),
+    "q39_ml_score" -> fixtureOracle("q39_ml_score"),
+    "q42_tfidf_retrieval" -> fixtureOracle("q42_tfidf_retrieval"),
+    "q55_ann_ivf" -> fixtureOracle("q55_ann_ivf"),
+    "q75_ann_pq" -> fixtureOracle("q75_ann_pq"),
+    "q76_ann_ivfpq" -> fixtureOracle("q76_ann_ivfpq"),
     "q37_lang_id" -> q37Oracle,
     "q38_doc_fingerprint" -> q38Oracle,
     "q40_rag_eval_pipeline" -> q40Oracle,

@@ -652,6 +652,9 @@ object Queries {
     "q06_range_join" -> q06Oracle,
     "q07_asof_latest_order" -> q07Oracle,
     "q08_distinct_agg" -> q08Oracle,
+    // HLL register merge is commutative, so the sketch output is exactly
+    // reproducible — fixture-pinned at the gate SF (DataQueries scaladoc)
+    "q09_approx_distinct" -> DataQueries.fixtureOracle("q09_approx_distinct"),
     "q10_rollup" -> q10Oracle,
     "q11_window_rank" -> q11Oracle,
     "q12_window_frame" -> q12Oracle,

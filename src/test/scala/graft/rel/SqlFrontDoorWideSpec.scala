@@ -300,6 +300,18 @@ object SqlFrontDoorWideSpec {
         "two stacked lateral series"))
   }
 
+  /** Regression-fixture oracles (the q46 pattern, SF-pinned at the
+    * driver gate's sf0.01 — see `DataQueries.fixtureOracle`): the oracle
+    * is a committed expected-result read, not a semantic SQL spelling of
+    * the computation, so there is no twin to assert — the DataFrame
+    * catalog (and for ANN the recall specs) is the front door. q46/q91
+    * differ: their DataFrame queries also read committed inputs, so they
+    * carry real twins above. */
+  val fixtureOracles: Set[String] = Set(
+    "q09_approx_distinct", "q34_minhash_neardup", "q35_simhash_neardup",
+    "q36_ann_lsh", "q39_ml_score", "q42_tfidf_retrieval", "q55_ann_ivf",
+    "q75_ann_pq", "q76_ann_ivfpq", "q102_semdedup")
+
   /** Oracles with NO Spark-SQL twin, each blocked by a named engine
     * feature (not by laziness): the DataFrame catalog remains the front
     * door for these four. */
@@ -354,13 +366,14 @@ class SqlFrontDoorWideSpec extends AnyFunSuite {
   }
 
   test("ledger: every committed oracle is classified exactly once " +
-       "(verbatim / adapted-here / adapted-wide / named gap)") {
+       "(verbatim / adapted-here / adapted-wide / fixture / named gap)") {
     val verbatim = SqlFrontDoorSpec.verbatim.toSet
     val adaptedNarrow = SqlFrontDoorSpec.adaptedHere.toSet
     val adaptedWide = SqlFrontDoorWideSpec.adapted.keySet
     val gaps = SqlFrontDoorWideSpec.gaps.keySet
+    val fixtures = SqlFrontDoorWideSpec.fixtureOracles
     val all = graft.SparkEntry.oracleSql.keySet
-    val classes = Seq(verbatim, adaptedNarrow, adaptedWide, gaps)
+    val classes = Seq(verbatim, adaptedNarrow, adaptedWide, gaps, fixtures)
     for (Seq(a, b) <- classes.combinations(2))
       assert((a intersect b).isEmpty, s"doubly classified: ${a intersect b}")
     val classified = classes.reduce(_ union _)
