@@ -176,10 +176,7 @@ object CurationQueries {
       .select(col("event_id"),
         (col("user_id") % 256).cast("long").as("x"),
         least(lit(255L), floor(col("value") / 2.2).cast("long")).as("y"))
-      .withColumn("z", (0 until 8).map { i =>
-        shiftright(col("x"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
-          shiftright(col("y"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
-      }.reduce(_ + _))
+      .withColumn("z", graft.ops.ZOrderLayout.mortonZ(col("x"), col("y"), 8))
     zed
       .withColumn("file_id",
         ntile(32).over(Window.orderBy(col("z"), col("event_id"))).cast("long"))
