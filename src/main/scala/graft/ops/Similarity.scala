@@ -580,6 +580,15 @@ object Similarity {
     exactRerank(adcShortlist(approx, k, rerank), data, queryIds, k)
   }
 
+  /** Subtract a centroid from a vector — the residual the IVF-PQ
+    * codebooks are trained on and encode. */
+  private[ops] def residual(v: Array[Double], c: Array[Double]): Array[Double] = {
+    val out = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) { out(i) = v(i) - c(i); i += 1 }
+    out
+  }
+
   /** The composed 100-TB serving design: IVF cells prune WHAT is scanned
     * (~nProbe/nCells of the corpus per query), PQ codes compress what the
     * scan touches (m bytes/vector + an m-table-add score), and the exact
@@ -587,19 +596,33 @@ object Similarity {
     * sample-fit and cached per corpus; candidate generation joins the
     * (qid, cell) probe pairs against the coded corpus on cell — a pure
     * shuffle join with no corpus broadcast. Recall vs [[cosineTopK]]
-    * asserted ≥0.8 in the spec.
+    * asserted ≥0.85 in the spec.
     *
-    * Default nProbe=8 / rerank=16 comes from the round-6 sweep
-    * ([[graft.tools.RecallSweep]], top-5 over 20 queries): at sf0.1
-    * recall is 0.61 (probe 4 / rerank 8), 0.68 (6/8), 0.78 (6/16), 0.86
-    * (8/16), and the plain-IVF cell recall at nProbe=8 is 0.89 — i.e.
-    * rerank=16 nearly saturates what the probed cells admit, so more
-    * rerank without more probes is wasted. The trade-off is linear:
-    * candidates scale with nProbe/nCells, and only the rerank·k
-    * shortlist ever touches raw vectors. */
+    * PQ codes are fit on and encode RESIDUALS x − c(cell(x)) — the
+    * standard FAISS IVFPQ formulation — not the raw vectors. Residuals
+    * within a cell are centered near the origin, so the m·ks codebook
+    * budget quantizes the small within-cell displacement instead of the
+    * whole sphere: materially lower quantization error at identical
+    * 16-byte codes. The ADC identity splits per probed cell:
+    * ⟨q, x̂⟩ = ⟨q, c_cell⟩ + Σ_sub lut(sub)(code_sub), so scoring adds one
+    * per-(query, cell) scalar offset — precomputed on the driver and
+    * carried on the broadcast probe pairs — to the same m table adds.
+    *
+    * Defaults nProbe=10 / rerank=16 from the round-8
+    * [[graft.tools.RecallSweep]] (top-5, 20 queries): sf0.1 recall 0.84
+    * (8/16), 0.87 (8/32), 0.92 (10/16), 0.95 (12/16); sf0.001 0.86 /
+    * 0.95 / 1.00 at 8/10/12 probes with rerank=16. The code-quality A/B
+    * (admission removed: nProbe=nCells vs flat plain-code PQ) shows the
+    * residual win directly — sf0.001 rerank=8: residual 0.93 vs plain
+    * 0.86; rerank=16: 1.00 vs 0.94; sf0.1 rerank=16: 0.95 vs 0.92. The
+    * trade-off is linear: candidates scale with nProbe/nCells, and only
+    * the rerank·k shortlist ever touches raw vectors. At production
+    * scale nCells grows as √n (4k–64k cells), so the same nProbe/nCells
+    * admission ratio scans a far smaller corpus fraction than the
+    * test-scale 10/16. */
   def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
                 queryIds: Seq[Long], k: Int,
-                nCells: Int = 16, nProbe: Int = 8,
+                nCells: Int = 16, nProbe: Int = 10,
                 m: Int = 16, ks: Int = 16, rerank: Int = 16,
                 corpusKey: Option[String] = None,
                 sampleCap: Int = 20000): DataFrame = {
@@ -609,44 +632,60 @@ object Similarity {
     val data = emb.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("arr"))
     val normed = normalized(data)
-    // BOTH fits (PQ codebooks + coarse quantizer) read the normalized
-    // corpus: persist across them so the fit path pays one normalization
-    // pass, not two; cache hits see a persist/unpersist no-op
+    // BOTH fits (coarse quantizer, then PQ codebooks on its residuals)
+    // read the normalized corpus: persist across them so the fit path
+    // pays one normalization pass; cache hits see a persist/unpersist
+    // no-op
     val cached = normed.persist()
     val (modelOpt, centers) =
       try {
-        val mo = pqModelFor(cached, m, ks, corpusKey, s"$idCol|$vecCol", sampleCap)
-        val cs =
-          if (mo.isEmpty) Array.empty[Array[Double]]
-          // coarse quantizer over the NORMALIZED vectors (cells partition
-          // the unit sphere, matching the inner-product geometry PQ scores)
-          else coarseCentersFor(cached.toDF("vid", "arr"), nCells, corpusKey,
-            s"$idCol|$vecCol|normed", sampleCap.toLong)
+        // coarse quantizer first over the NORMALIZED vectors (cells
+        // partition the unit sphere, matching the inner-product geometry)
+        val cs = coarseCentersFor(cached.toDF("vid", "arr"), nCells, corpusKey,
+          s"$idCol|$vecCol|normed", sampleCap.toLong)
+        val mo =
+          if (cs.isEmpty) None
+          else {
+            // PQ fit on RESIDUALS x − c(cell(x)): the codebooks quantize
+            // within-cell displacement, not the whole sphere (FAISS IVFPQ)
+            val csB = spark.sparkContext.broadcast(cs)
+            val resids = cached.map { case (id, v) =>
+              (id, residual(v, csB.value(nearestCenter(csB.value, v))))
+            }
+            pqModelFor(resids, m, ks, corpusKey, s"$idCol|$vecCol|resid", sampleCap)
+          }
         (mo, cs)
       } finally cached.unpersist()
     if (modelOpt.isEmpty) return emptyTopK(spark)
     val model = modelOpt.get
     val centersB = spark.sparkContext.broadcast(centers)
     val modelB = spark.sparkContext.broadcast(model)
-    // one distributed pass: cell assignment + PQ encode per row, both via
-    // the shared kernels so q75/q76 can never silently diverge
+    // one distributed pass: cell assignment + residual PQ encode per row,
+    // both via the shared kernels so q75/q76 can never silently diverge
     val coded = normed.map { case (id, v) =>
-      (id, nearestCenter(centersB.value, v), encodeOne(modelB.value, v))
+      val cs = centersB.value
+      val cell = nearestCenter(cs, v)
+      (id, cell, encodeOne(modelB.value, residual(v, cs(cell))))
     }.toDF("vid", "cell", "code")
     val qVecs = queryVectors(data, queryIds)
     val lutByQid = adcLuts(qVecs, model).toMap
     val lutB = spark.sparkContext.broadcast(lutByQid)
-    // (qid, cell) probe pairs: each query scans only its nProbe cells
+    // (qid, cell, offset) probe triples: each query scans only its nProbe
+    // cells; offset = ⟨q, c_cell⟩ completes the residual ADC identity
     val probes = qVecs.toSeq.flatMap { case (qid, qv) =>
       centers.indices.sortBy(ci => sqDist(qv, centers(ci)))
-        .take(nProbe).map(cell => (qid, cell))
-    }.toDF("qid", "cell")
+        .take(nProbe).map { cell =>
+          var dotQC = 0.0; var j = 0
+          while (j < qv.length) { dotQC += qv(j) * centers(cell)(j); j += 1 }
+          (qid, cell, dotQC)
+        }
+    }.toDF("qid", "cell", "offset")
     val scoreAdc = udf((qid: Long, code: Array[Byte]) =>
       adcScore(lutB.value(qid), code))
     val approx = coded.join(broadcast(probes), Seq("cell"))
       .where(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid").as("cand"),
-        scoreAdc(col("qid"), col("code")).as("approx"))
+        (col("offset") + scoreAdc(col("qid"), col("code"))).as("approx"))
     exactRerank(adcShortlist(approx, k, rerank), data, queryIds, k)
   }
 

@@ -22,7 +22,7 @@ object RecallSweep {
     val bf = Similarity.cosineTopK(embs, "vec_id", "embedding", qids, k)
       .select("qid", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     println(s"corpus=${embs.count()} bf_pairs=${bf.size}")
-    for (nProbe <- Seq(4, 6, 8); rerank <- Seq(8, 16)) {
+    for (nProbe <- Seq(4, 6, 8, 10, 12); rerank <- Seq(8, 16, 32)) {
       val got = Similarity.ivfPqTopK(embs, "vec_id", "embedding", qids, k,
           nProbe = nProbe, rerank = rerank)
         .select("qid", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -34,6 +34,19 @@ object RecallSweep {
         .select("qid", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = bf.count(got.contains).toDouble / bf.size
       println(f"IVF   nProbe=$nProbe recall=$recall%.3f")
+    }
+    // code-quality A/B with admission removed: nProbe=nCells admits every
+    // cell, so recall is purely (codes + rerank); flat PQ (plain codes,
+    // full scan) at the same rerank is the plain-code baseline
+    for (rerank <- Seq(4, 8, 16)) {
+      val res = Similarity.ivfPqTopK(embs, "vec_id", "embedding", qids, k,
+          nProbe = 16, rerank = rerank)
+        .select("qid", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plain = Similarity.pqTopK(embs, "vec_id", "embedding", qids, k,
+          rerank = rerank)
+        .select("qid", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"CODES rerank=$rerank residual=${bf.count(res.contains).toDouble / bf.size}%.3f" +
+        f" plain=${bf.count(plain.contains).toDouble / bf.size}%.3f")
     }
     spark.stop()
   }

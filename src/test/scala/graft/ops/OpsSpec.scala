@@ -180,16 +180,17 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"PQ recall $recall")
   }
 
-  // bound from the RecallSweep table (sf0.001: 0.84, sf0.1: 0.86 at the
-  // nProbe=8/rerank=16 defaults) — see ivfPqTopK's Scaladoc
-  test("IVF-PQ ANN recall >= 0.8 of brute-force top-5 (cells prune, codes score, exact re-rank)") {
+  // bound from the round-8 RecallSweep table (residual codes, nProbe=10/
+  // rerank=16 defaults: sf0.001 recall 0.95, sf0.1 0.92) — see ivfPqTopK's
+  // Scaladoc for the full grid and the residual-vs-plain code A/B
+  test("IVF-PQ ANN recall >= 0.85 of brute-force top-5 (cells prune, residual codes score, exact re-rank)") {
     val qids = (0L until 10L)
     val bf = Similarity.cosineTopK(embs, "vec_id", "embedding", qids, 5)
       .select("qid", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivfpq = Similarity.ivfPqTopK(embs, "vec_id", "embedding", qids, 5)
       .select("qid", "cand").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = bf.count(ivfpq.contains).toDouble / bf.size
-    assert(recall >= 0.8, s"IVF-PQ recall $recall")
+    assert(recall >= 0.85, s"IVF-PQ recall $recall")
   }
 
   test("ivfTopK quantizer cache: changed corpus under a reused key matches a fresh fit") {
