@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
+
+/** Streaming CURATION arm: incremental corpus dedup as a continuous job —
+  * the streaming twin of the batch ingestion dedup
+  * ([[graft.ops.Dedup.incrementalDedup]], declared q85). The batch op
+  * answers "which rows of this batch are new vs a fixed corpus" with a
+  * Bloom pre-filter + exact anti-join; the streaming form keeps the
+  * corpus membership as KEYED STATE, so each arriving document is admitted
+  * or dropped in-flight and the answer stays exact forever without
+  * re-scanning the corpus.
+  *
+  * Scale shape: state is one boolean per distinct key, sharded by the
+  * dedup key across the state store (RocksDB) exactly like a shuffle
+  * partition — horizontal scale comes free with
+  * `spark.sql.shuffle.partitions`, and no single node ever holds the key
+  * universe (contrast the batch Bloom filter, which is driver-built and
+  * broadcast whole). Production deployments bound retention with a
+  * `TTLConfig` horizon the same way `dedupedEvents` bounds its watermark
+  * state; parity specs use TTL NONE.
+  */
+object Curation {
+
+  /** One document arriving at the dedup gate. `is_seed` rows BOOTSTRAP
+    * state (existing-corpus members: mark the key seen, emit nothing);
+    * stream rows are admitted iff their key is unseen. Seeds are fed as
+    * the leading micro-batch(es) — the state-bootstrap phase of a
+    * deployed dedup stream; a seed sharing a micro-batch with stream
+    * rows of the same key still blocks them (corpus-first, order-free). */
+  final case class SeedableDoc(key: String, doc_id: Long, lang: String,
+                               is_seed: Boolean)
+
+  /** An admitted (novel) document. */
+  final case class AdmittedDoc(doc_id: Long, lang: String, key: String)
+
+  /** Keyed membership processor. Top-level class so a checkpoint can
+    * re-instantiate it (same contract as
+    * [[Events.RunningTotalsProcessor]]).
+    *
+    * `dedupWithinStream = true`  — keep-first curation: the first stream
+    * document per key (min doc_id inside a micro-batch, arrival order
+    * across batches) is admitted, every later one dropped — the
+    * streaming twin of q22's keyed keep-first.
+    * `dedupWithinStream = false` — q85 parity: only corpus seeds block;
+    * stream rows never mark state, so the admitted set is exactly the
+    * batch op's "all batch rows whose key is not in the corpus"
+    * (within-batch duplicates all admitted, like the anti-join). */
+  final class IncrementalDedupProcessor(dedupWithinStream: Boolean)
+      extends StatefulProcessor[String, SeedableDoc, AdmittedDoc] {
+    @transient private var seen: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seenKey",
+        Encoders.scalaBoolean, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[SeedableDoc],
+                                 timers: TimerValues): Iterator[AdmittedDoc] = {
+      // buffer this key's micro-batch slice (tiny: one key's rows) so a
+      // same-batch seed blocks stream rows regardless of iterator order
+      val buf = rows.toArray
+      val blocked = seen.exists() || buf.exists(_.is_seed)
+      val streamRows = buf.filter(!_.is_seed)
+      val admitted =
+        if (blocked || streamRows.isEmpty) Array.empty[SeedableDoc]
+        else if (dedupWithinStream) Array(streamRows.minBy(_.doc_id))
+        else streamRows
+      if (buf.exists(_.is_seed) ||
+          (dedupWithinStream && streamRows.nonEmpty)) seen.update(true)
+      admitted.iterator.map(d => AdmittedDoc(d.doc_id, d.lang, d.key))
+    }
+  }
+
+  /** Admit the novel documents of a seeded stream — see
+    * [[IncrementalDedupProcessor]] for the two modes. Requires the
+    * RocksDB state store provider (state API v2). */
+  def incrementalDedupStream(docs: Dataset[SeedableDoc],
+                             dedupWithinStream: Boolean = true): Dataset[AdmittedDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.key)
+      .transformWithState(new IncrementalDedupProcessor(dedupWithinStream),
+        TimeMode.None(), OutputMode.Append())
+  }
+}

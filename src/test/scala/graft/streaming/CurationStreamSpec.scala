@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkTestBase
+import graft.streaming.Curation.SeedableDoc
+
+/** Streaming incremental dedup (the curation arm of B28): batch-parity
+  * with declared q85 on the real documents table, plus the keep-first
+  * mode's cross-batch and same-batch-seed semantics. */
+class CurationStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  /** Run a seeded-doc stream through the dedup gate; batches fed in
+    * order, RocksDB provider scoped to the query. */
+  private def run(batches: Seq[Seq[SeedableDoc]],
+                  dedupWithinStream: Boolean): Seq[(Long, String, String)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[SeedableDoc]
+      val name = s"curation_out_${System.nanoTime()}"
+      val q = Curation.incrementalDedupStream(mem.toDS(), dedupWithinStream)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("streaming incremental dedup matches batch q85 on the documents table") {
+    import spark.implicits._
+    val docs = graft.rel.Tables.load(spark, SparkTestBase.Sf0001, "documents")
+      .select(col("doc_id"), col("lang"), md5(lower(col("text"))).as("key"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val seeds = docs.filter(_._1 % 3 != 0)
+      .map { case (id, lang, k) => SeedableDoc(k, id, lang, is_seed = true) }
+    val stream = docs.filter(_._1 % 3 == 0).sortBy(_._1)
+      .map { case (id, lang, k) => SeedableDoc(k, id, lang, is_seed = false) }
+    // bootstrap batch = corpus seeds, then the arriving docs in two chunks
+    val (s1, s2) = stream.splitAt(stream.length / 2)
+    val got = run(Seq(seeds.toSeq, s1.toSeq, s2.toSeq), dedupWithinStream = false)
+      .map { case (id, lang, k) => (id, lang, k) }.toSet
+    val batch = graft.rel.ExtraQueries
+      .q85IncrementalDedup(spark, SparkTestBase.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == batch,
+      s"stream/batch diverged: stream-only=${got -- batch}, batch-only=${batch -- got}")
+    assert(batch.nonEmpty)
+  }
+
+  test("keep-first mode: cross-batch duplicates dropped, same-batch seed blocks, min doc_id wins") {
+    val b1 = Seq(
+      SeedableDoc("kA", 100L, "en", is_seed = true),  // corpus member
+      SeedableDoc("kA", 1L, "en", is_seed = false),   // blocked by same-batch seed
+      SeedableDoc("kB", 7L, "de", is_seed = false),   // novel, admitted
+      SeedableDoc("kB", 3L, "de", is_seed = false))   // same batch: min doc_id wins
+    val b2 = Seq(
+      SeedableDoc("kB", 2L, "de", is_seed = false),   // cross-batch dup, dropped
+      SeedableDoc("kC", 9L, "fr", is_seed = false))   // novel, admitted
+    val got = run(Seq(b1, b2), dedupWithinStream = true).toSet
+    assert(got == Set((3L, "de", "kB"), (9L, "fr", "kC")), s"got $got")
+  }
+}
