@@ -31,6 +31,9 @@ import org.apache.spark.sql.functions._
   *   - q112 REAL IMA ADPCM compressed-audio decode, bit-exact oracle.
   *   - q113 REAL 8.8 fixed-point bilinear resize, bit-exact oracle.
   *   - q114 length-bucketed batching / padding-waste accounting.
+  *   - q116 PII redaction (email/phone detect + mask + audit digest).
+  *   - q117 CCNet-style unigram-LM cross-entropy head/middle/tail
+  *          quality buckets (per-language discrete terciles).
   *
   * Oracle discipline as in [[Queries]] (BIGINT casts, Stable.r4 rounding,
   * deterministic ORDER BY over a unique key).
@@ -938,6 +941,150 @@ object CurationQueries {
          CAST((COUNT(*) + 7) // 8 AS BIGINT) AS n_batches
        FROM bucketed GROUP BY bucket ORDER BY bucket"""
 
+  // ---- q116: PII redaction (emails / phone numbers) --------------------------
+
+  /** Training-corpus PII scrub: detect and mask email addresses and
+    * phone numbers, reporting per-record match counts plus a digest of
+    * the redacted text (the auditable what-changed record a compliance
+    * pass needs). Profiles are synthesized deterministically from the
+    * customer table so the PII patterns actually fire (the reference
+    * corpus carries none); the operator itself is a pure projection —
+    * regex scan + global replace per record, no shuffle at all, the
+    * embarrassingly-parallel shape a 100-TB scrub wants (contrast
+    * dedup/agg ops: a scrub touches every byte but exchanges nothing).
+    *
+    * Pattern discipline: no `\b` word boundaries (Java regex is
+    * Unicode-aware where RE2 is ASCII — the one construct that silently
+    * diverges between the engines), only character classes and bounded
+    * repetition, which Java and RE2 agree on exactly. */
+  def q116PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\d{2}-\\d{3}-\\d{3}-\\d{4}"
+    // deterministic synthetic phone (the driver's customer table carries
+    // no c_phone): 2-3-3-4 digit groups derived from the key
+    val phone = concat(
+      lpad((lit(10L) + col("c_custkey") % 90L).cast("string"), 2, "0"), lit("-"),
+      lpad((col("c_custkey") % 1000L).cast("string"), 3, "0"), lit("-"),
+      lpad(((col("c_custkey") * 7L) % 1000L).cast("string"), 3, "0"), lit("-"),
+      lpad(((col("c_custkey") * 13L) % 10000L).cast("string"), 4, "0"))
+    val prof = t(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        concat(col("c_name"), lit(" <"),
+          lower(regexp_replace(col("c_name"), "#", "")), lit("@example.com> phone "),
+          phone, lit(" seg "), col("c_mktsegment")).as("profile"))
+    prof.select(col("c_custkey"),
+        size(regexp_extract_all(col("profile"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("profile"), lit(phoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("profile"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]")).as("redacted_md5"))
+      .orderBy("c_custkey")
+  }
+
+  val q116Oracle: String =
+    """WITH prof AS (
+         SELECT c_custkey,
+           c_name || ' <' || lower(replace(c_name, '#', '')) || '@example.com> phone '
+             || lpad(CAST(10 + c_custkey % 90 AS VARCHAR), 2, '0') || '-'
+             || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+             || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+             || lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0')
+             || ' seg ' || c_mktsegment AS profile
+         FROM customer)
+       SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+         CAST(len(regexp_extract_all(profile, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(profile, '\d{2}-\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+         md5(regexp_replace(regexp_replace(profile,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\d{2}-\d{3}-\d{3}-\d{4}', '[PHONE]', 'g')) AS redacted_md5
+       FROM prof ORDER BY c_custkey"""
+
+  // ---- q117: unigram-LM cross-entropy quality buckets (CCNet) ----------------
+
+  /** CCNet-style LM-quality bucketing (Wenzek et al. 2020): score each
+    * document by its per-token cross-entropy under a unigram LM fit on
+    * the corpus itself, then split each LANGUAGE into head/middle/tail at
+    * its discrete terciles — the classic three-way quality partition used
+    * to curate CommonCrawl (low cross-entropy = fluent/boilerplate-free
+    * "head"). Self-fit makes this the repetition/boilerplate signal;
+    * production swaps the count table for one fit on a trusted corpus —
+    * same joins, same shape.
+    *
+    * Scale shape: unigram counts are ONE (lang, token) shuffle; totals
+    * broadcast (|langs| rows); scoring re-joins tokens to counts on the
+    * SAME (lang, token) key; terciles come from a per-lang window over
+    * one row per doc (partitioned — never global) and broadcast back,
+    * the q109 discrete-threshold recipe. Numeric discipline: every
+    * -ln p(tok) is rounded to 1e-6 and cast DECIMAL(18,6) BEFORE the
+    * per-doc sum, so the sum is exact integer arithmetic in both engines
+    * regardless of partition order (a raw double sum over hundreds of
+    * addends is order-sensitive); the per-doc mean is then one r4'd
+    * double division. */
+  def q117PerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tk"))
+    val vocab = toks.groupBy("lang", "tk").agg(count(lit(1)).as("cnt"))
+    val totals = vocab.groupBy("lang").agg(sum(col("cnt")).as("tot"))
+    val nll = toks.join(vocab, Seq("lang", "tk"))
+      .join(broadcast(totals), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        (floor(-log(col("cnt").cast("double") / col("tot").cast("double"))
+          * 1000000.0 + 0.5) / 1000000.0).cast("decimal(18,6)").as("nll"))
+    val scored = nll.groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll")).as("nll_sum"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        graft.Stable.r4(col("nll_sum").cast("double")
+          / col("n_tokens").cast("double")).as("xent"))
+    val wr = Window.partitionBy("lang").orderBy(col("xent"), col("doc_id"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+    val th = ranked.where(col("rn") === expr("(cnt + 2) div 3"))
+      .select(col("lang"), col("xent").as("t1"))
+      .join(ranked.where(col("rn") === expr("(2 * cnt + 2) div 3"))
+        .select(col("lang"), col("xent").as("t2")), Seq("lang"))
+    scored.join(broadcast(th), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("xent"),
+        when(col("xent") <= col("t1"), "head")
+          .when(col("xent") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val q117Oracle: String =
+    """WITH toks AS (
+         SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk FROM documents),
+       vocab AS (SELECT lang, tk, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+       totals AS (SELECT lang, SUM(cnt) AS tot FROM vocab GROUP BY 1),
+       nll AS (
+         SELECT t.doc_id, t.lang,
+           CAST(floor(-ln(CAST(v.cnt AS DOUBLE) / CAST(s.tot AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS nll
+         FROM toks t
+         JOIN vocab v ON t.lang = v.lang AND t.tk = v.tk
+         JOIN totals s ON t.lang = s.lang),
+       scored AS (
+         SELECT doc_id, lang, COUNT(*) AS n_tokens,
+           floor(CAST(SUM(nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS xent
+         FROM nll GROUP BY 1, 2),
+       ranked AS (
+         SELECT lang, doc_id, xent,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY xent, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS cnt
+         FROM scored),
+       th AS (
+         SELECT a.lang, a.xent AS t1, b.xent AS t2
+         FROM (SELECT lang, xent FROM ranked WHERE rn = (cnt + 2) // 3) a
+         JOIN (SELECT lang, xent FROM ranked WHERE rn = (2 * cnt + 2) // 3) b
+           ON a.lang = b.lang)
+       SELECT d.doc_id, d.lang, CAST(d.n_tokens AS BIGINT) AS n_tokens, d.xent,
+         CASE WHEN d.xent <= t.t1 THEN 'head'
+              WHEN d.xent <= t.t2 THEN 'middle' ELSE 'tail' END AS bucket
+       FROM scored d JOIN th t ON d.lang = t.lang
+       ORDER BY d.doc_id"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_binaryfile_source" -> (q99BinaryfileSource _),
     "q100_repetition_signals" -> (q100RepetitionSignals _),
@@ -955,7 +1102,9 @@ object CurationQueries {
     "q112_adpcm_decode" -> (q112AdpcmDecode _),
     "q113_bilinear_resize" -> (q113BilinearResize _),
     "q114_length_buckets" -> (q114LengthBuckets _),
-    "q115_mjpeg_frames" -> (q115MjpegFrames _))
+    "q115_mjpeg_frames" -> (q115MjpegFrames _),
+    "q116_pii_redact" -> (q116PiiRedact _),
+    "q117_perplexity_buckets" -> (q117PerplexityBuckets _))
 
   val oracles: Map[String, String] = Map(
     "q99_binaryfile_source" -> q99Oracle,
@@ -974,5 +1123,7 @@ object CurationQueries {
     "q112_adpcm_decode" -> q112Oracle,
     "q113_bilinear_resize" -> q113Oracle,
     "q114_length_buckets" -> q114Oracle,
-    "q115_mjpeg_frames" -> q115Oracle)
+    "q115_mjpeg_frames" -> q115Oracle,
+    "q116_pii_redact" -> q116Oracle,
+    "q117_perplexity_buckets" -> q117Oracle)
 }

@@ -297,7 +297,11 @@ object SqlFrontDoorWideSpec {
         "three stacked lateral series + // div"),
       "q114_length_buckets" -> (id _, "// div"),
       "q115_mjpeg_frames" -> ((s: String) => Duck2Spark.lateralSeries(s),
-        "two stacked lateral series"))
+        "two stacked lateral series"),
+      "q116_pii_redact" -> (id _,
+        "regexp 'g' flag → 3-arg global + group-0 regexp_extract_all + len → size"),
+      "q117_perplexity_buckets" -> (id _,
+        "string_split/len/unnest renames + // div"))
   }
 
   /** Regression-fixture oracles (the q46 pattern, SF-pinned at the
