@@ -421,12 +421,17 @@ object Similarity {
 
   /** Approximate-stage shortlist: top rerank·k per query by ADC score,
     * deterministic cand tie-break — the shared stage-1 cut both PQ paths
-    * feed into [[exactRerank]]. */
-  private def adcShortlist(approx: DataFrame, k: Int, rerank: Int): DataFrame = {
-    val w1 = Window.partitionBy("qid").orderBy(col("approx").desc, col("cand"))
-    approx.withColumn("_rn", row_number().over(w1))
-      .where(col("_rn") <= k * rerank).select("qid", "cand")
-  }
+    * feed into [[exactRerank]]. Runs on the custom
+    * [[graft.plans.TopKPerKey]] operator (partial bounded heaps →
+    * clustered exchange → final heaps) instead of a rank window: only
+    * ≤ partitions×|Q|×rerank·k candidate rows ever reach the exchange,
+    * and nothing is sorted. Same total order (approx desc, cand asc), so
+    * the shortlist SET — and the declared q75/q76 results — is
+    * unchanged (fixture-verified). */
+  private def adcShortlist(approx: DataFrame, k: Int, rerank: Int): DataFrame =
+    graft.plans.TopK.perKey(approx, Seq("qid"),
+      Seq(col("approx").desc, col("cand")), k * rerank)
+      .select("qid", "cand")
 
   /** PQ-encode one vector: per-subspace argmin over the codebook —
     * the ONE encode kernel shared by [[pqTopK]] and [[ivfPqTopK]] so the
