@@ -48,6 +48,22 @@ object Similarity {
     * vector, not per pair; ranking uses the 4-decimal stable-rounded
     * score with candidate-id tie-break so the order is reproducible
     * across engines and partitionings. */
+  /** The ONE (qid, cand, cos) → (qid, cand, cos, rn ≤ k) ranking tail
+    * shared by every ANN path: the custom [[graft.plans.TopKPerKey]]
+    * operator heap-cuts the score stream to k per query FIRST (partial
+    * heaps bound what reaches the exchange; nothing sorts the full
+    * stream), then the rank window — same total order — numbers only the
+    * k·|Q| survivors. Output is identical to ranking the full stream
+    * (same deterministic order both stages); the full-stream sort cost is
+    * what's gone. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val cut = graft.plans.TopK.perKey(scored, Seq("qid"),
+      Seq(col("cos").desc, col("cand")), k)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
+    cut.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select("qid", "cand", "cos", "rn")
+  }
+
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
                  queryIds: Seq[Long], k: Int): DataFrame = {
     graft.exprs.GraftFunctions.register(emb.sparkSession)
@@ -63,9 +79,7 @@ object Similarity {
       .select(col("qid"), col("vid").as("cand"),
         graft.Stable.r4(when(denom === 0.0, 0.0)
           .otherwise(dot(col("qv"), col("v")) / denom)).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
-      .select("qid", "cand", "cos", "rn")
+    rankTopK(scored, k)
   }
 
   /** All pairs with cosine >= tau (embedding-flavored near-dup), as a
@@ -185,9 +199,7 @@ object Similarity {
       .where(col("datasetA.vid") =!= col("datasetB.vid"))
       .select(col("datasetA.vid").as("qid"), col("datasetB.vid").as("cand"),
         graft.Stable.r4(lit(1.0) - col("dist") * col("dist") / 2.0).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
-    joined.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
-      .select("qid", "cand", "cos", "rn")
+    rankTopK(joined, k)
   }
 
   /** Fitted coarse quantizers, keyed by (corpusKey, fingerprint, nCells):
@@ -507,9 +519,7 @@ object Similarity {
       .select(col("qid"), col("cand"),
         graft.Stable.r4(when(denom === 0.0, 0.0)
           .otherwise(dot(col("qarr"), col("arr")) / denom)).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
-      .select("qid", "cand", "cos", "rn")
+    rankTopK(scored, k)
   }
 
   private def emptyTopK(spark: org.apache.spark.sql.SparkSession): DataFrame =
@@ -742,9 +752,7 @@ object Similarity {
       .select(col("qid"), col("vid").as("cand"),
         graft.Stable.r4(when(denom === 0.0, 0.0)
           .otherwise(dot(col("qarr"), col("arr")) / denom)).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
-      .select("qid", "cand", "cos", "rn")
+    rankTopK(scored, k)
   }
 
   /** Max-abs int8 quantization stats for one vector: (maxabs, sum of the
