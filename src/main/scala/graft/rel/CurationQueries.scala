@@ -34,6 +34,8 @@ import org.apache.spark.sql.functions._
   *   - q116 PII redaction (email/phone detect + mask + audit digest).
   *   - q117 CCNet-style unigram-LM cross-entropy head/middle/tail
   *          quality buckets (per-language discrete terciles).
+  *   - q118 deterministic mixture resampling (epochs-per-source up/down
+  *          sampling with integer weights and a hash-bucket fraction).
   *
   * Oracle discipline as in [[Queries]] (BIGINT casts, Stable.r4 rounding,
   * deterministic ORDER BY over a unique key).
@@ -1085,6 +1087,53 @@ object CurationQueries {
        FROM scored d JOIN th t ON d.lang = t.lang
        ORDER BY d.doc_id"""
 
+  // ---- q118: deterministic mixture resampling (epoch up/down-sampling) -------
+
+  /** Domain-mixture resampling — the Pile/Dolma "epochs per source" knob:
+    * each language carries a target weight w (en 0.5×, zh 2.25×, rest
+    * 1.0×, in exact 1/65536 units); every document is emitted
+    * floor(w) times plus one more iff its hash bucket clears frac(w), so
+    * the realized corpus hits the mixture in expectation with ZERO
+    * randomness — the same 16-bit multiplicative-hash recipe as q83's
+    * stratified sampler (different multiplier, so the two samplers'
+    * decisions are uncorrelated), reproducible across engines and
+    * partitionings. Upsampling emits real repeated rows (copy_idx
+    * numbers them) because that is what a packing/shuffling stage
+    * downstream consumes. Shape: pure projection + explode — zero
+    * shuffles before the declared ORDER BY; integer-only, no fp. */
+  def q118MixtureResample(s: SparkSession, dir: String): DataFrame = {
+    val wInt = when(col("lang") === "en", lit(32768L))
+      .when(col("lang") === "zh", lit(147456L)).otherwise(lit(65536L))
+    val bucket = pmod(col("doc_id") * lit(48271L), lit(65536L))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"), wInt.as("w"))
+      .withColumn("n_copies", expr("w div 65536")
+        + when(col("bucket") < pmod(col("w"), lit(65536L)), 1L).otherwise(0L))
+      .where(col("n_copies") >= 1L)
+      .select(col("doc_id"), col("lang"), col("n_copies").cast("long").as("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+      .select(col("doc_id"), col("lang"), col("n_copies"),
+        col("copy_idx").cast("long").as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
+  val q118Oracle: String =
+    """WITH base AS (
+         SELECT doc_id, lang,
+           (doc_id * 48271) % 65536 AS bucket,
+           CASE WHEN lang = 'en' THEN 32768
+                WHEN lang = 'zh' THEN 147456 ELSE 65536 END AS w
+         FROM documents),
+       cop AS (
+         SELECT doc_id, lang,
+           w // 65536 + CASE WHEN bucket < w % 65536 THEN 1 ELSE 0 END AS n_copies
+         FROM base)
+       SELECT c.doc_id, c.lang, CAST(c.n_copies AS BIGINT) AS n_copies,
+              CAST(u.copy_idx AS BIGINT) AS copy_idx
+       FROM cop c, unnest(generate_series(1, c.n_copies)) AS u(copy_idx)
+       WHERE c.n_copies >= 1
+       ORDER BY c.doc_id, u.copy_idx"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_binaryfile_source" -> (q99BinaryfileSource _),
     "q100_repetition_signals" -> (q100RepetitionSignals _),
@@ -1104,7 +1153,8 @@ object CurationQueries {
     "q114_length_buckets" -> (q114LengthBuckets _),
     "q115_mjpeg_frames" -> (q115MjpegFrames _),
     "q116_pii_redact" -> (q116PiiRedact _),
-    "q117_perplexity_buckets" -> (q117PerplexityBuckets _))
+    "q117_perplexity_buckets" -> (q117PerplexityBuckets _),
+    "q118_mixture_resample" -> (q118MixtureResample _))
 
   val oracles: Map[String, String] = Map(
     "q99_binaryfile_source" -> q99Oracle,
@@ -1125,5 +1175,6 @@ object CurationQueries {
     "q114_length_buckets" -> q114Oracle,
     "q115_mjpeg_frames" -> q115Oracle,
     "q116_pii_redact" -> q116Oracle,
-    "q117_perplexity_buckets" -> q117Oracle)
+    "q117_perplexity_buckets" -> q117Oracle,
+    "q118_mixture_resample" -> q118Oracle)
 }

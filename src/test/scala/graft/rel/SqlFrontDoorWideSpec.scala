@@ -301,7 +301,9 @@ object SqlFrontDoorWideSpec {
       "q116_pii_redact" -> (id _,
         "regexp 'g' flag → 3-arg global + group-0 regexp_extract_all + len → size"),
       "q117_perplexity_buckets" -> (id _,
-        "string_split/len/unnest renames + // div"))
+        "string_split/len/unnest renames + // div"),
+      "q118_mixture_resample" -> ((s: String) => Duck2Spark.lateralSeries(s),
+        "lateral generate_series + // div"))
   }
 
   /** Regression-fixture oracles (the q46 pattern, SF-pinned at the
