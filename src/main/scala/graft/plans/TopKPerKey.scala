@@ -91,8 +91,15 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
       it.foreach { row =>
         val key = keyProj(row)
-        val h = heaps.getOrElseUpdate(key.copy(),
-          new scala.collection.mutable.PriorityQueue[InternalRow]()(ord))
+        // copy the (reused) projection buffer only when the key is new —
+        // getOrElseUpdate would allocate a key copy per input row
+        val h = heaps.get(key) match {
+          case Some(existing) => existing
+          case None =>
+            val fresh = new scala.collection.mutable.PriorityQueue[InternalRow]()(ord)
+            heaps.put(key.copy(), fresh)
+            fresh
+        }
         if (h.size < limit) h.enqueue(row.copy())
         else if (ord.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(row.copy()) }
       }
