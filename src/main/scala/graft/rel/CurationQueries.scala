@@ -1029,7 +1029,13 @@ object CurationQueries {
         explode(split(col("text"), " ")).as("tk"))
     val vocab = toks.groupBy("lang", "tk").agg(count(lit(1)).as("cnt"))
     val totals = vocab.groupBy("lang").agg(sum(col("cnt")).as("tot"))
-    val nll = toks.join(vocab, Seq("lang", "tk"))
+    // the LM table broadcasts: scoring is then map-side over the token
+    // stream (one shuffle builds the counts, one aggregates per doc —
+    // the token stream is never re-shuffled on the token key). At corpus
+    // scale the table is the frequency-cutoff vocabulary, which is what
+    // keeps it broadcast-sized; if it outgrows the budget this join
+    // degrades gracefully to the shuffle form by dropping the hint.
+    val nll = toks.join(broadcast(vocab), Seq("lang", "tk"))
       .join(broadcast(totals), Seq("lang"))
       .select(col("doc_id"), col("lang"),
         (floor(-log(col("cnt").cast("double") / col("tot").cast("double"))
