@@ -79,6 +79,30 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "derived vocab no longer broadcast")
   }
 
+  test("q116: the PII scrub is a pure projection — no exchange anywhere") {
+    val p = plan("q116_pii_redact")
+    // the only allowed exchange is the declared ORDER BY's range partition
+    // (formatted explain: tree line counts, details name the partitioning)
+    val exchanges = p.linesIterator.count(_.contains("+- Exchange"))
+    assert(exchanges == 1 && p.contains("rangepartitioning"),
+      s"scrub must not shuffle data (only the declared sort may):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"), p)
+  }
+
+  test("q117: LM scoring joins are all broadcast — the token stream is never re-shuffled on the token key") {
+    val p = plan("q117_perplexity_buckets")
+    assert(!p.contains("SortMergeJoin"),
+      s"LM table join regressed to a token-stream shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q118: mixture resampling is projection + explode — no join, no aggregate") {
+    val p = plan("q118_mixture_resample")
+    assert(p.contains("Generate") && p.contains("explode"), p)
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"resampler must stay join/agg-free:\n$p")
+  }
+
   test("q94: eval shingles broadcast into the membership probe; no sort-merge, pruned scan") {
     val p = plan("q94_decontaminate")
     assert(p.contains("BroadcastHashJoin"), "eval shingle set must broadcast")
