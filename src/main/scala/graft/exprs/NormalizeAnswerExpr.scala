@@ -100,7 +100,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.inject(ext)
     // whole-operator per-key top-k (graft.plans.TopKPerKey): the planner
-    // strategy that turns the logical node into partial/final heap execs
+    // strategy that turns the logical node into partial/final heap execs,
+    // plus the optimizer rule that pre-cuts row_number()<=k rank filters
+    // with it automatically
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.InferTopKFromRankFilter)
   }
 }
