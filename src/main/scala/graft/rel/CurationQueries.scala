@@ -1140,6 +1140,38 @@ object CurationQueries {
        WHERE c.n_copies >= 1
        ORDER BY c.doc_id, u.copy_idx"""
 
+  // ---- q119: per-key top-k via the custom TopKPerKey operator ----------------
+
+  /** Top-3 events per user by value — the per-key top-k primitive running
+    * on the custom operator ([[graft.plans.TopKPerKey]]: partial bounded
+    * heaps → clustered exchange → final heaps) with the rank window
+    * numbering only the ≤ 3·|users| survivors. This puts the custom
+    * operator itself under the driver's DuckDB hash gate (the ANN
+    * queries exercise it behind PQ scoring; here the oracle is the plain
+    * windowed-subquery twin, so any retention bug in the heaps — tie
+    * handling, boundary k, per-partition merge — flips the hash red
+    * directly). Declared columns are raw (no arithmetic), so the compare
+    * is fp-hazard-free. */
+  def q119TopKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"), col("value"))
+    val cut = graft.plans.TopK.perKey(ev, Seq("user_id"),
+      Seq(col("value").desc, col("event_id")), 3)
+    val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
+    cut.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      .select(col("user_id"), col("event_id"), col("value"), col("rn"))
+      .orderBy("user_id", "rn")
+  }
+
+  val q119Oracle: String =
+    """SELECT user_id, event_id, value, CAST(rn AS INT) AS rn FROM (
+         SELECT user_id, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY value DESC, event_id) AS rn
+         FROM events)
+       WHERE rn <= 3 ORDER BY user_id, rn"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_binaryfile_source" -> (q99BinaryfileSource _),
     "q100_repetition_signals" -> (q100RepetitionSignals _),
@@ -1160,7 +1192,8 @@ object CurationQueries {
     "q115_mjpeg_frames" -> (q115MjpegFrames _),
     "q116_pii_redact" -> (q116PiiRedact _),
     "q117_perplexity_buckets" -> (q117PerplexityBuckets _),
-    "q118_mixture_resample" -> (q118MixtureResample _))
+    "q118_mixture_resample" -> (q118MixtureResample _),
+    "q119_topk_per_group" -> (q119TopKPerGroup _))
 
   val oracles: Map[String, String] = Map(
     "q99_binaryfile_source" -> q99Oracle,
@@ -1182,5 +1215,6 @@ object CurationQueries {
     "q115_mjpeg_frames" -> q115Oracle,
     "q116_pii_redact" -> q116Oracle,
     "q117_perplexity_buckets" -> q117Oracle,
-    "q118_mixture_resample" -> q118Oracle)
+    "q118_mixture_resample" -> q118Oracle,
+    "q119_topk_per_group" -> q119Oracle)
 }

@@ -303,7 +303,9 @@ object SqlFrontDoorWideSpec {
       "q117_perplexity_buckets" -> (id _,
         "string_split/len/unnest renames + // div"),
       "q118_mixture_resample" -> ((s: String) => Duck2Spark.lateralSeries(s),
-        "lateral generate_series + // div"))
+        "lateral generate_series + // div"),
+      "q119_topk_per_group" -> (id _,
+        "plain ANSI windowed subquery — runs unmodified"))
   }
 
   /** Regression-fixture oracles (the q46 pattern, SF-pinned at the
