@@ -34,6 +34,12 @@ def main(sf_dir, out_dir):
         if name not in oracles:
             print(f"[SKIP] {name}: no oracle ({len(got)} rows)")
             continue
+        # regression-fixture oracles are pinned to the driver gate's SF
+        # (sf0.01); comparing another SF's output to them is meaningless
+        if "_expected_sf001.parquet" in oracles[name] and \
+                not sf_dir.rstrip("/").endswith("sf0.01"):
+            print(f"[SKIP] {name}: fixture oracle pinned to sf0.01 ({len(got)} rows)")
+            continue
         try:
             want = con.execute(oracles[name]).df()
         except Exception as e:
