@@ -125,9 +125,13 @@ object TopK {
   def perKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
              k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    // synchronized: concurrent first-callers on one session would race the
+    // read-append (a duplicate entry is harmless but pointless)
+    TopK.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
     import org.apache.spark.sql.graftbridge.Bridge
     val keyExprs: Seq[Expression] =
       keyCols.map(n => Bridge.expression(org.apache.spark.sql.functions.col(n)))

@@ -36,6 +36,10 @@ import org.apache.spark.sql.functions._
   *          quality buckets (per-language discrete terciles).
   *   - q118 deterministic mixture resampling (epochs-per-source up/down
   *          sampling with integer weights and a hash-bucket fraction).
+  *   - q119 per-key top-k on the custom [[graft.plans.TopKPerKey]]
+  *          operator, under the driver hash gate directly.
+  *   - q120 deterministic mergeable histogram quantiles (the order-exact
+  *          alternative to q68's approx_percentile).
   *
   * Oracle discipline as in [[Queries]] (BIGINT casts, Stable.r4 rounding,
   * deterministic ORDER BY over a unique key).
@@ -1172,6 +1176,80 @@ object CurationQueries {
          FROM events)
        WHERE rn <= 3 ORDER BY user_id, rn"""
 
+  // ---- q120: deterministic mergeable histogram quantiles ---------------------
+
+  /** Approximate quantiles from an equi-width histogram sketch — the
+    * ORDER-EXACT alternative to q68's `approx_percentile`:
+    * QuantileSummaries' merge is not commutative-exact (which is why q68
+    * is the catalog's one spec-bounded row), but a fixed-bin histogram
+    * is a plain integer vector whose merge is vector addition —
+    * commutative, associative, deterministic at any partitioning, and
+    * tiny (nBins longs per partition, mergeable map-side). Estimate =
+    * linear interpolation inside the bin where the cumulative count
+    * crosses q·n, the classic streaming-histogram recipe (same family as
+    * NumPy/monitoring-system histogram_quantile). Error is bounded by
+    * bin width — set by nBins against the anchored [min, max] range,
+    * both derived from the data (broadcast 1-row anchor, the q110
+    * pattern — never config). Every step is integer counts + one
+    * closed-form interpolation, so the full estimate hash-matches DuckDB
+    * with no fp-order hazard; the declared outputs carry the bin
+    * diagnostics (bin index, in-bin offset) that make the estimate
+    * auditable. */
+  def q120HistogramQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val nBins = 128
+    val ev = t(s, dir, "events").select(col("value"))
+    val anchor = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+      count(lit(1)).as("n"))
+    // bin = clamped floor((v - lo) / width); the hi edge lands in the top bin
+    val binned = ev.crossJoin(broadcast(anchor))
+      .select(least(lit(nBins - 1), floor((col("value") - col("lo"))
+        / ((col("hi") - col("lo")) / nBins)).cast("int")).as("bin"),
+        col("lo"), col("hi"), col("n"))
+      .groupBy("bin", "lo", "hi", "n").agg(count(lit(1)).as("c"))
+    val wcum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned.withColumn("cum", sum(col("c")).over(wcum))
+      .withColumn("prev", col("cum") - col("c"))
+    val qs = Seq(0.5, 0.9, 0.99)
+    val rows = qs.map { q =>
+      // target rank q*n (double: exact product of integer and literal)
+      cum.where(col("cum") >= col("n") * q && col("prev") < col("n") * q)
+        .limit(1)
+        .select(lit(q).as("q"), col("bin"),
+          graft.Stable.r4(col("lo") + ((col("hi") - col("lo")) / nBins)
+            * (col("bin") + (col("n") * q - col("prev"))
+              / col("c"))).as("estimate"),
+          col("c").as("bin_count"), col("prev").as("below_bin"))
+    }
+    rows.reduce(_ union _).orderBy("q")
+  }
+
+  val q120Oracle: String =
+    """WITH anchor AS (
+         SELECT MIN(value) AS lo, MAX(value) AS hi, COUNT(*) AS n FROM events),
+       binned AS (
+         SELECT LEAST(127, CAST(floor((value - lo) / ((hi - lo) / 128)) AS INT)) AS bin,
+                lo, hi, n
+         FROM events CROSS JOIN anchor),
+       counted AS (
+         SELECT bin, lo, hi, n, COUNT(*) AS c
+         FROM binned GROUP BY bin, lo, hi, n),
+       cum AS (
+         SELECT *, SUM(c) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM counted),
+       edged AS (SELECT *, cum - c AS prev FROM cum),
+       -- scientific literals: DOUBLE in DuckDB (bare 0.5 would be DECIMAL,
+       -- and n*q in decimal arithmetic could disagree with Spark's double
+       -- comparison at a bin boundary)
+       qt AS (SELECT unnest([5e-1, 9e-1, 99e-2]) AS q)
+       SELECT q, bin,
+         floor((lo + ((hi - lo) / 128) * (bin + (n * q - prev) / c)) * 10000.0 + 0.5)
+           / 10000.0 AS estimate,
+         CAST(c AS BIGINT) AS bin_count, CAST(prev AS BIGINT) AS below_bin
+       FROM qt JOIN edged ON cum >= n * q AND prev < n * q
+       ORDER BY q"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_binaryfile_source" -> (q99BinaryfileSource _),
     "q100_repetition_signals" -> (q100RepetitionSignals _),
@@ -1193,7 +1271,8 @@ object CurationQueries {
     "q116_pii_redact" -> (q116PiiRedact _),
     "q117_perplexity_buckets" -> (q117PerplexityBuckets _),
     "q118_mixture_resample" -> (q118MixtureResample _),
-    "q119_topk_per_group" -> (q119TopKPerGroup _))
+    "q119_topk_per_group" -> (q119TopKPerGroup _),
+    "q120_histogram_quantiles" -> (q120HistogramQuantiles _))
 
   val oracles: Map[String, String] = Map(
     "q99_binaryfile_source" -> q99Oracle,
@@ -1216,5 +1295,6 @@ object CurationQueries {
     "q116_pii_redact" -> q116Oracle,
     "q117_perplexity_buckets" -> q117Oracle,
     "q118_mixture_resample" -> q118Oracle,
-    "q119_topk_per_group" -> q119Oracle)
+    "q119_topk_per_group" -> q119Oracle,
+    "q120_histogram_quantiles" -> q120Oracle)
 }

@@ -305,7 +305,10 @@ object SqlFrontDoorWideSpec {
       "q118_mixture_resample" -> ((s: String) => Duck2Spark.lateralSeries(s),
         "lateral generate_series + // div"),
       "q119_topk_per_group" -> (id _,
-        "plain ANSI windowed subquery — runs unmodified"))
+        "plain ANSI windowed subquery — runs unmodified"),
+      "q120_histogram_quantiles" -> ((s: String) =>
+        s.replace("unnest([5e-1, 9e-1, 99e-2])", "explode(array(5e-1, 9e-1, 99e-2))"),
+        "[..] array literal → array(..); unnest → explode"))
   }
 
   /** Regression-fixture oracles (the q46 pattern, SF-pinned at the
