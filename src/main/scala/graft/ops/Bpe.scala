@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer vocabulary induction (Sennrich et al.
+  * 2016) — the merge-learning loop every subword tokenizer's training
+  * runs, as a distributed op. No counterpart in the reference (it consumes
+  * a served LLM's tokenizer); declared under the training-data-pipeline
+  * surface like q117/q118.
+  *
+  * The scalable formulation works on the WORD FREQUENCY table, not the
+  * corpus: one corpus pass builds (word, count) — everything after
+  * touches only the vocabulary, which is bounded (a few million rows at
+  * 100 TB vs the corpus' trillions of tokens). Per merge round: explode
+  * each word's adjacent symbol pairs weighted by its count (one shuffle
+  * over the WORD table), take the global argmax under a total order
+  * (count desc, then pair lexicographic — the tie-break that makes the
+  * whole induction deterministic at any partitioning), broadcast the
+  * winning pair, and rewrite each word's symbol array map-side.
+  *
+  * Driver state is ONE row per round (the argmax pair) — bounded like
+  * q97's sketch, not corpus-dependent. Lineage is truncated with a
+  * localCheckpoint every few rounds so a deep merge loop cannot build an
+  * unbounded plan. Symbols are Unicode code points (surrogate-pair safe)
+  * with the classic end-of-word marker.
+  */
+object Bpe {
+
+  final case class WordSyms(syms: Array[String], wc: Long)
+
+  /** The end-of-word symbol (attached as its own trailing symbol). */
+  val EndOfWord = "</w>"
+
+  private[ops] def toSymbols(word: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out += EndOfWord
+    out.toArray
+  }
+
+  /** Merge every non-overlapping left-to-right (a, b) adjacency. */
+  private[ops] def applyMerge(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Learned merge, in rank order. */
+  final case class Merge(rank: Int, left: String, right: String, pair_count: Long)
+
+  /** Learn `nMerges` BPE merges from `textCol`, whitespace pre-tokenized.
+    * Stops early when no pair occurs at least `minCount` times. */
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
+                  minCount: Long = 2L): Seq[Merge] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // ONE corpus pass: word frequencies; all rounds run on this table
+    var words: Dataset[WordSyms] = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .as[(String, Long)]
+      .map { case (w, wc) => WordSyms(toSymbols(w), wc) }
+      .persist()
+    words.count() // materialize before the loop
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      // adjacent-pair counts weighted by word frequency: the ONLY shuffle
+      // per round, over the bounded word table
+      val best = words.flatMap { ws =>
+        val s = ws.syms
+        (0 until s.length - 1).iterator.map(i => ((s(i), s(i + 1)), ws.wc))
+      }.rdd.reduceByKey(_ + _)
+        // total order: count desc, then pair lexicographic — deterministic
+        // argmax at any partitioning; takeOrdered(1) is a distributed
+        // bounded-heap top-1, no global sort
+        .map { case ((a, b), c) => (c, a, b) }
+        .takeOrdered(1)(Ordering.by { case (c, a, b) => (-c, a, b) })
+      best.headOption match {
+        case Some((c, a, b)) if c >= minCount =>
+          merges += Merge(r, a, b, c)
+          val prev = words
+          words = words.map(ws => WordSyms(applyMerge(ws.syms, a, b), ws.wc))
+          // truncate lineage every few rounds; otherwise each round's map
+          // stacks on the last
+          words = if (r % 5 == 0) {
+            val cp = words.localCheckpoint(true); prev.unpersist(); cp
+          } else words
+        case _ => done = true
+      }
+      r += 1
+    }
+    words.unpersist()
+    merges.toSeq
+  }
+
+  /** Declared-query form: the merge table as a DataFrame. */
+  def merges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    learnMerges(docs, textCol, nMerges).toDF()
+      .select(col("rank"), col("left"), col("right"), col("pair_count"))
+  }
+}

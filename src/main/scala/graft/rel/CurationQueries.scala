@@ -40,6 +40,8 @@ import org.apache.spark.sql.functions._
   *          operator, under the driver hash gate directly.
   *   - q120 deterministic mergeable histogram quantiles (the order-exact
   *          alternative to q68's approx_percentile).
+  *   - q121 BPE tokenizer vocabulary induction (merge learning on the
+  *          word-frequency table; fixture oracle).
   *
   * Oracle discipline as in [[Queries]] (BIGINT casts, Stable.r4 rounding,
   * deterministic ORDER BY over a unique key).
@@ -1250,6 +1252,19 @@ object CurationQueries {
        FROM qt JOIN edged ON cum >= n * q AND prev < n * q
        ORDER BY q"""
 
+  // ---- q121: BPE tokenizer vocabulary induction ------------------------------
+
+  /** The first 24 BPE merges learned from the documents corpus
+    * ([[graft.ops.Bpe]]): the tokenizer-training op of an LLM data
+    * pipeline. Deterministic end to end (exact integer pair counts +
+    * total-order argmax), so the merge table is reproducible at any
+    * partitioning — committed-fixture oracle like the ANN set, with
+    * BpeSpec pinning the classic hand-computed example and the
+    * determinism/cross-parallelism contract. */
+  def q121BpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.merges(t(s, dir, "documents"), "text", nMerges = 24)
+      .orderBy("rank")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_binaryfile_source" -> (q99BinaryfileSource _),
     "q100_repetition_signals" -> (q100RepetitionSignals _),
@@ -1272,7 +1287,8 @@ object CurationQueries {
     "q117_perplexity_buckets" -> (q117PerplexityBuckets _),
     "q118_mixture_resample" -> (q118MixtureResample _),
     "q119_topk_per_group" -> (q119TopKPerGroup _),
-    "q120_histogram_quantiles" -> (q120HistogramQuantiles _))
+    "q120_histogram_quantiles" -> (q120HistogramQuantiles _),
+    "q121_bpe_merges" -> (q121BpeMerges _))
 
   val oracles: Map[String, String] = Map(
     "q99_binaryfile_source" -> q99Oracle,
@@ -1296,5 +1312,6 @@ object CurationQueries {
     "q117_perplexity_buckets" -> q117Oracle,
     "q118_mixture_resample" -> q118Oracle,
     "q119_topk_per_group" -> q119Oracle,
-    "q120_histogram_quantiles" -> q120Oracle)
+    "q120_histogram_quantiles" -> q120Oracle,
+    "q121_bpe_merges" -> DataQueries.fixtureOracle("q121_bpe_merges"))
 }
