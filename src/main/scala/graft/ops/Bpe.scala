@@ -60,9 +60,22 @@ object Bpe {
   final case class Merge(rank: Int, left: String, right: String, pair_count: Long)
 
   /** Learn `nMerges` BPE merges from `textCol`, whitespace pre-tokenized.
-    * Stops early when no pair occurs at least `minCount` times. */
+    * Stops early when no pair occurs at least `minCount` times.
+    *
+    * Hybrid loop: the corpus pass (the part proportional to data size) is
+    * always distributed; the merge rounds run on the word-frequency
+    * table, and when that table is small (≤ `driverVocabBound` rows — a
+    * few MB) the rounds run driver-local with the IDENTICAL kernels and
+    * tie-break order, avoiding ~3 scheduler round-trips per merge on a
+    * table that fits in one hand. Above the bound the distributed loop
+    * takes over unchanged — the 100-TB path, where the vocabulary is
+    * millions of rows but still bounded by the vocabulary, not the
+    * corpus. Both paths produce the same merge table by construction
+    * (exact integer counts + the same total-order argmax); the q121
+    * fixture pins that equivalence. */
   def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
-                  minCount: Long = 2L): Seq[Merge] = {
+                  minCount: Long = 2L,
+                  driverVocabBound: Long = 200000L): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
     // ONE corpus pass: word frequencies; all rounds run on this table
@@ -73,7 +86,12 @@ object Bpe {
       .as[(String, Long)]
       .map { case (w, wc) => WordSyms(toSymbols(w), wc) }
       .persist()
-    words.count() // materialize before the loop
+    val vocabSize = words.count() // materialize before the loop
+    if (vocabSize <= driverVocabBound) {
+      val local = words.collect().map(ws => (ws.syms, ws.wc))
+      words.unpersist()
+      return learnMergesLocal(local, nMerges, minCount)
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var r = 1
     var done = false
@@ -104,6 +122,42 @@ object Bpe {
       r += 1
     }
     words.unpersist()
+    merges.toSeq
+  }
+
+  /** The small-vocabulary loop: same kernels ([[applyMerge]]) and the
+    * same (count desc, pair lexicographic) argmax as the distributed
+    * rounds — only the execution venue differs. */
+  private def learnMergesLocal(words0: Array[(Array[String], Long)],
+                               nMerges: Int, minCount: Long): Seq[Merge] = {
+    var words = words0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (s, wc) =>
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + wc)
+          i += 1
+        }
+      }
+      val ord = Ordering.by[(Long, String, String), (Long, String, String)] {
+        case (c, a, b) => (-c, a, b)
+      }
+      val best = counts.iterator
+        .map { case ((a, b), c) => (c, a, b) }
+        .reduceOption((x, y) => ord.min(x, y))
+      best match {
+        case Some((c, a, b)) if c >= minCount =>
+          merges += Merge(r, a, b, c)
+          words = words.map { case (s, wc) => (applyMerge(s, a, b), wc) }
+        case _ => done = true
+      }
+      r += 1
+    }
     merges.toSeq
   }
 

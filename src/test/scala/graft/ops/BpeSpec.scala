@@ -44,4 +44,11 @@ class BpeSpec extends AnyFunSuite {
     val b = Bpe.learnMerges(docs.repartition(13), "text", nMerges = 8)
     assert(a == b, s"merge table depends on partitioning:\n$a\nvs\n$b")
   }
+
+  test("distributed and driver-local loops produce the identical merge table") {
+    val docs = graft.rel.Tables.load(spark, SparkTestBase.Sf0001, "documents")
+    val local = Bpe.learnMerges(docs, "text", nMerges = 8)
+    val dist = Bpe.learnMerges(docs, "text", nMerges = 8, driverVocabBound = 0L)
+    assert(local == dist, s"venue changed the result:\n$local\nvs\n$dist")
+  }
 }
