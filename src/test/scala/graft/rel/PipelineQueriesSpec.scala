@@ -48,6 +48,31 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(out(1L) == ((9L, 7L, 9L)))
   }
 
+  // ---- q123 bigramXent -------------------------------------------------------
+
+  test("bigramXent: Jelinek-Mercer interpolation matches the hand calculation") {
+    // corpus: bigrams (a,b)x2, (a,c)x1 -> c1(a)=3, c2(b)=2, c2(c)=1, T=3
+    // p(b|a) = .7*(2/3) + .3*(2/3) = 2/3 ; p(c|a) = .7*(1/3) + .3*(1/3) = 1/3
+    val out = PipelineQueries.bigramXent(
+      Seq((1L, "en", "a b"), (2L, "en", "a b"), (3L, "en", "a c"))
+        .toDF("doc_id", "lang", "text"), lambda = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    def nll6(p: Double) = math.floor(-math.log(p) * 1e6 + 0.5) / 1e6
+    assert(out(1L) == r4(nll6(2.0 / 3)) && out(2L) == out(1L))
+    assert(out(3L) == r4(nll6(1.0 / 3)))
+  }
+
+  test("bigramXent: single-token docs are excluded; languages are independent") {
+    val out = PipelineQueries.bigramXent(
+      Seq((1L, "en", "a b"), (2L, "en", "x"), (3L, "fr", "a b"))
+        .toDF("doc_id", "lang", "text"), lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSet == Set(1L, 3L))
+    // each lang has exactly one bigram (a,b): p = .7*1 + .3*1 = 1 -> nll 0
+    assert(out.forall(r => r._3 == 1L && r._4 == 0.0))
+  }
+
   test("dupSpans: docs shorter than L report zeros, not missing rows") {
     val out = spans(Seq(1L -> "a b", 2L -> "a b"), l = 4)
     assert(out(1L) == ((2L, 0L, 0L)) && out(2L) == ((2L, 0L, 0L)))
