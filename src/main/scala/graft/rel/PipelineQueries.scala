@@ -188,13 +188,120 @@ object PipelineQueries {
                * 10000.0 + 0.5) / 10000.0 AS xent2
        FROM nll GROUP BY doc_id, lang ORDER BY doc_id"""
 
+  // ---- q124: k-means cluster assignment (integer-exact Lloyd) ---------------
+
+  /** Embedding-space clustering — the grouping primitive behind corpus
+    * topic balancing, SemDeDup-style pruning (q102) and IVF coarse
+    * quantizers (q55): k=8 Lloyd iterations ×2 over the embeddings
+    * table, then the final assignment. Everything runs in integer
+    * MICRO-UNITS: each float dim is quantized once to
+    * floor(x·1e6 + 0.5) (exact on doubles, identical in both engines),
+    * so distances are exact Long arithmetic, centroid updates are
+    * integer sums with one identical-operand double division per
+    * component, and the argmin tie-break (dist², then cluster id) is a
+    * total order — the whole trajectory is bit-reproducible at any
+    * partitioning AND in DuckDB, which is what lets an iterative ML
+    * kernel sit under the driver's hash gate (same trick as q105's
+    * unrolled PageRank, one level up in state complexity).
+    *
+    * Scale shape: per round, ONE broadcast crossJoin (k rows) scores all
+    * vectors map-side, a min(struct) argmin aggregates per vector
+    * (map-side combinable), and the update aggregates (cluster, dim) —
+    * k·d rows of driver state (512 values here), bounded by model size,
+    * never by corpus size. Init = the k lowest vec_ids (deterministic;
+    * production would use k-means‖ sampling — same loop body).
+    */
+  def q124Kmeans(s: SparkSession, dir: String): DataFrame =
+    kmeansAssign(t(s, dir, "embeddings"), k = 8, iters = 2)
+
+  /** Core of q124 over any (vec_id, embedding) frame — spec entry point. */
+  def kmeansAssign(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qv = emb.select(col("vec_id").cast("long").as("vec_id"),
+        expr("""transform(cast(embedding as array<double>),
+                 x -> cast(floor(x * 1000000.0 + 0.5) as bigint))""").as("q"))
+      .persist()
+    try {
+      val d2 = expr(
+        """aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)),
+             cast(0 as bigint), (acc, v) -> acc + v)""")
+      def assign(cents: Seq[(Long, Seq[Long])]): DataFrame = {
+        val cdf = cents.toDF("cl", "c")
+        qv.crossJoin(broadcast(cdf))
+          .withColumn("d2", d2)
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("cl"))).as("m"))
+          .select(col("vec_id"), col("m.cl").as("cl"), col("m.d2").as("d2"))
+      }
+      var cents: Seq[(Long, Seq[Long])] = qv.orderBy("vec_id").limit(k).collect()
+        .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }.toSeq
+      for (_ <- 1 to iters) {
+        // centroid update: exact integer sums per (cluster, dim); k·d rows
+        // of driver state. Empty clusters drop (same rule both engines).
+        cents = assign(cents)
+          .join(qv, Seq("vec_id"))
+          .select(col("cl"), posexplode(col("q")).as(Seq("pos", "v")))
+          .groupBy("cl", "pos")
+          .agg(expr("cast(floor(cast(sum(v) as double) / cast(count(1) as double) + 0.5) as bigint)").as("cv"))
+          .collect().groupBy(_.getLong(0))
+          .map { case (cl, rows) =>
+            (cl, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq) }
+          .toSeq.sortBy(_._1)
+      }
+      assign(cents)
+        .select(col("vec_id"), col("cl").cast("long").as("cluster"),
+          col("d2").cast("long").as("dist2"))
+        .orderBy("vec_id")
+    } finally qv.unpersist()
+  }
+
+  val q124Oracle: String =
+    """WITH e AS (SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+             x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q
+         FROM embeddings),
+       x AS (SELECT vec_id, i AS pos, q[i] AS v
+             FROM e, unnest(generate_series(1, len(q))) AS u(i)),
+       c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, q
+              FROM e ORDER BY vec_id LIMIT 8),
+       c0x AS (SELECT cl, i AS pos, q[i] AS v
+               FROM c0, unnest(generate_series(1, len(q))) AS u(i)),
+       d1 AS (SELECT x.vec_id, c.cl, SUM((x.v - c.v) * (x.v - c.v)) AS d2
+              FROM x JOIN c0x c USING (pos) GROUP BY 1, 2),
+       a1 AS (SELECT vec_id, cl FROM (
+                SELECT vec_id, cl,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                FROM d1) WHERE rn = 1),
+       c1x AS (SELECT a.cl, x.pos,
+                 CAST(floor(CAST(SUM(x.v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS v
+               FROM a1 a JOIN x USING (vec_id) GROUP BY 1, 2),
+       d2_ AS (SELECT x.vec_id, c.cl, SUM((x.v - c.v) * (x.v - c.v)) AS d2
+               FROM x JOIN c1x c USING (pos) GROUP BY 1, 2),
+       a2 AS (SELECT vec_id, cl FROM (
+                SELECT vec_id, cl,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                FROM d2_) WHERE rn = 1),
+       c2x AS (SELECT a.cl, x.pos,
+                 CAST(floor(CAST(SUM(x.v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS v
+               FROM a2 a JOIN x USING (vec_id) GROUP BY 1, 2),
+       d3 AS (SELECT x.vec_id, c.cl, SUM((x.v - c.v) * (x.v - c.v)) AS d2
+              FROM x JOIN c2x c USING (pos) GROUP BY 1, 2)
+       SELECT vec_id, CAST(cl AS BIGINT) AS cluster, CAST(d2 AS BIGINT) AS dist2
+       FROM (SELECT vec_id, cl, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+             FROM d3) WHERE rn = 1
+       ORDER BY vec_id"""
+
   // ---- registry --------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_dup_spans" -> (q122DupSpans _),
-    "q123_bigram_lm" -> (q123BigramLm _))
+    "q123_bigram_lm" -> (q123BigramLm _),
+    "q124_kmeans" -> (q124Kmeans _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
-    "q123_bigram_lm" -> q123Oracle)
+    "q123_bigram_lm" -> q123Oracle,
+    "q124_kmeans" -> q124Oracle)
 }

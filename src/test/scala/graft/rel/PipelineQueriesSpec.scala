@@ -73,6 +73,29 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(out.forall(r => r._3 == 1L && r._4 == 0.0))
   }
 
+  // ---- q124 kmeansAssign -----------------------------------------------------
+
+  test("kmeansAssign: separated groups converge to separate clusters") {
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.1f, 0.0f)),
+      (2L, Array(1.0f, 1.0f)), (3L, Array(0.9f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = PipelineQueries.kmeansAssign(emb, k = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L)._1 == out(1L)._1 && out(2L)._1 == out(3L)._1)
+    assert(out(0L)._1 != out(2L)._1)
+    assert(out(0L)._2 == 0L) // v0 sits exactly on its centroid
+  }
+
+  test("kmeansAssign: result is invariant under repartitioning") {
+    val base = SparkTestBase.spark.read
+      .parquet(s"${SparkTestBase.Sf0001}/embeddings.parquet")
+    val a = PipelineQueries.kmeansAssign(base, k = 8, iters = 2).collect().toSeq
+    val b = PipelineQueries.kmeansAssign(base.repartition(7), k = 8, iters = 2)
+      .collect().toSeq
+    assert(a == b)
+  }
+
   test("dupSpans: docs shorter than L report zeros, not missing rows") {
     val out = spans(Seq(1L -> "a b", 2L -> "a b"), l = 4)
     assert(out(1L) == ((2L, 0L, 0L)) && out(2L) == ((2L, 0L, 0L)))
