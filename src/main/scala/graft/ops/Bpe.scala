@@ -59,6 +59,22 @@ object Bpe {
   /** Learned merge, in rank order. */
   final case class Merge(rank: Int, left: String, right: String, pair_count: Long)
 
+  /** Encode one word by replaying the merge table in rank order — the
+    * same sequence the learner applied while inducing it (Sennrich's
+    * apply-in-learned-order formulation), so a corpus encoded with its
+    * own merge table reproduces the learner's final symbol state.
+    * Lossless by construction: concatenating the subtokens restores
+    * word + [[EndOfWord]]. */
+  def encodeWord(word: String, merges: Array[(String, String)]): Array[String] = {
+    var syms = toSymbols(word)
+    var i = 0
+    while (i < merges.length && syms.length > 1) {
+      syms = applyMerge(syms, merges(i)._1, merges(i)._2)
+      i += 1
+    }
+    syms
+  }
+
   /** Learn `nMerges` BPE merges from `textCol`, whitespace pre-tokenized.
     * Stops early when no pair occurs at least `minCount` times.
     *

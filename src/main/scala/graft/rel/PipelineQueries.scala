@@ -293,15 +293,62 @@ object PipelineQueries {
              FROM d3) WHERE rn = 1
        ORDER BY vec_id"""
 
+  // ---- q125: BPE corpus encoding --------------------------------------------
+
+  /** THE tokenization step of an LLM data pipeline: learn a merge table
+    * on the corpus ([[graft.ops.Bpe.learnMerges]], the q121 op at 48
+    * merges) and encode every document with it, reporting per-doc
+    * subword counts, fan-out, and the encoded text itself. Deterministic
+    * end to end (exact integer pair counts, total-order argmax, and a
+    * replay-in-rank-order encoder), so the committed sf0.01 fixture is
+    * the oracle, like q121.
+    *
+    * Scale shape: learning is vocabulary-bounded (q121's contract); the
+    * encode pass is a pure map over documents with the merge table
+    * broadcast (48 rows here; ~30k for a production tokenizer — always
+    * model-sized, never corpus-sized) and a per-row word memo, so
+    * repeated words inside a document encode once. The production
+    * refinement — encode the DISTINCT word table once and dictionary-join
+    * it back — reuses the same kernel on the same bounded table; the
+    * per-row memo is its map-side degenerate case.
+    */
+  def q125BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    bpeEncodeDocs(docs, graft.ops.Bpe.learnMerges(docs, "text", nMerges = 48))
+  }
+
+  /** Core of q125: encode `docs.text` with a learned merge table. */
+  def bpeEncodeDocs(docs: DataFrame, merges: Seq[graft.ops.Bpe.Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    val pairs = merges.sortBy(_.rank).map(m => (m.left, m.right)).toArray
+    val pb = spark.sparkContext.broadcast(pairs)
+    val enc = udf((ws: Seq[String]) => {
+      val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+      ws.filter(_.nonEmpty)
+        .flatMap(w => memo.getOrElseUpdate(w, graft.ops.Bpe.encodeWord(w, pb.value)))
+    })
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("enc", enc(col("ws")))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(col("enc")).cast("long").as("n_subwords"),
+        graft.Stable.r4(size(col("enc")).cast("double")
+          / size(col("ws")).cast("double")).as("subwords_per_word"),
+        array_join(col("enc"), " ").as("bpe_text"))
+      .orderBy("doc_id")
+  }
+
   // ---- registry --------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_dup_spans" -> (q122DupSpans _),
     "q123_bigram_lm" -> (q123BigramLm _),
-    "q124_kmeans" -> (q124Kmeans _))
+    "q124_kmeans" -> (q124Kmeans _),
+    "q125_bpe_encode" -> (q125BpeEncode _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
     "q123_bigram_lm" -> q123Oracle,
-    "q124_kmeans" -> q124Oracle)
+    "q124_kmeans" -> q124Oracle,
+    "q125_bpe_encode" -> DataQueries.fixtureOracle("q125_bpe_encode"))
 }

@@ -45,6 +45,30 @@ class BpeSpec extends AnyFunSuite {
     assert(a == b, s"merge table depends on partitioning:\n$a\nvs\n$b")
   }
 
+  test("encodeWord replays merges in rank order (classic hand case)") {
+    val merges = Array(("l", "o"), ("lo", "w"), ("low", "</w>"))
+    assert(Bpe.encodeWord("low", merges).toSeq == Seq("low</w>"))
+    // partial coverage: 'lower' fuses the learned prefix, leaves the tail
+    assert(Bpe.encodeWord("lower", merges).toSeq == Seq("low", "e", "r", "</w>"))
+    // untouched word: character symbols + end-of-word survive
+    assert(Bpe.encodeWord("hi", Array.empty).toSeq == Seq("h", "i", "</w>"))
+  }
+
+  test("encoding with the corpus' own merge table is lossless") {
+    val docs = graft.rel.Tables.load(spark, SparkTestBase.Sf0001, "documents")
+    val merges = Bpe.learnMerges(docs, "text", nMerges = 48)
+    val pairs = merges.sortBy(_.rank).map(m => (m.left, m.right)).toArray
+    import spark.implicits._
+    val words = docs.select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("w"))
+      .distinct().as[String].collect()
+    assert(words.nonEmpty)
+    for (w <- words if w.nonEmpty)
+      assert(Bpe.encodeWord(w, pairs).mkString == w + Bpe.EndOfWord,
+        s"lossy encode for '$w'")
+  }
+
   test("distributed and driver-local loops produce the identical merge table") {
     val docs = graft.rel.Tables.load(spark, SparkTestBase.Sf0001, "documents")
     val local = Bpe.learnMerges(docs, "text", nMerges = 8)
