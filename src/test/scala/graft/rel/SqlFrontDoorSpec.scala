@@ -60,7 +60,8 @@ object SqlFrontDoorSpec {
     "q02_pricing_summary", "q97_heavy_hitters", "q07_asof_latest_order",
     "q99_binaryfile_source", "q100_repetition_signals", "q103_passage_chunks",
     "q104_bm25", "q105_pagerank", "q106_label_centroids",
-    "q108_merge_upsert", "q109_median_filter")
+    "q108_merge_upsert", "q109_median_filter",
+    "q122_dup_spans", "q123_bigram_lm", "q124_kmeans")
 }
 
 class SqlFrontDoorSpec extends AnyFunSuite {
@@ -249,5 +250,111 @@ class SqlFrontDoorSpec extends AnyFunSuite {
       graft.SparkEntry.oracleSql("q109_median_filter")
         .replace("len(string_split(text, ' '))", "size(split(text, ' '))")
         .replace("(cnt + 1) // 2", "(cnt + 1) div 2"))
+  }
+
+  // q122's oracle builds stride-1 windows with DuckDB's lateral
+  // generate_series + list slice t[a:b]; Spark spells the same windows
+  // with the q103 transform+slice lambda. Everything downstream (window
+  // counts, LEAD coverage sweep) parses identically.
+  test("q122_dup_spans: Spark-SQL slice/transform twin matches the DataFrame twin") {
+    checkTwin("q122_dup_spans",
+      """WITH toks AS (SELECT doc_id, split(text, ' ') AS t,
+                              size(split(text, ' ')) AS n FROM documents),
+         w AS (SELECT doc_id, ww.k AS k, ww.wt AS wt
+               FROM (SELECT doc_id, explode(transform(sequence(0, n - 16),
+                       k -> struct(k AS k, array_join(slice(t, k + 1, 16), ' ') AS wt))) AS ww
+                     FROM toks WHERE n >= 16)),
+         f AS (SELECT doc_id, k, COUNT(*) OVER (PARTITION BY wt) AS f FROM w),
+         d AS (SELECT doc_id, k,
+                 LEAD(k) OVER (PARTITION BY doc_id ORDER BY k) AS nk
+               FROM f WHERE f > 1),
+         cov AS (SELECT doc_id, COUNT(*) AS n_dup_windows,
+                   SUM(CASE WHEN nk IS NULL THEN 16
+                            ELSE LEAST(16, nk - k) END) AS dup_tokens
+                 FROM d GROUP BY doc_id)
+         SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           CAST(COALESCE(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           floor(CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE)
+                 / CAST(t.n AS DOUBLE) * 1e4 + 5e-1) / 1e4 AS dup_frac
+         FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id ORDER BY doc_id""")
+  }
+
+  // q123's oracle zips adjacent tokens via lateral generate_series with
+  // 1-based t[i+1]/t[i+2]; Spark spells the bigram expansion as a
+  // transform lambda over 0-based t[i]/t[i+1] (the DataFrame kernel).
+  // DOUBLE-typed literals spelled 7e-1/3e-1/1e6 (Spark parses 0.7 as
+  // DECIMAL); the DECIMAL(18,6) nll cast and sums parse identically.
+  test("q123_bigram_lm: Spark-SQL transform-lambda twin matches the DataFrame twin") {
+    checkTwin("q123_bigram_lm",
+      """WITH toks AS (SELECT doc_id, lang, split(text, ' ') AS t,
+                              size(split(text, ' ')) AS n FROM documents),
+         bi AS (SELECT doc_id, lang, bb.w1 AS w1, bb.w2 AS w2
+                FROM (SELECT doc_id, lang, explode(transform(sequence(0, n - 2),
+                        i -> struct(t[i] AS w1, t[i + 1] AS w2))) AS bb
+                      FROM toks WHERE n >= 2)),
+         c12 AS (SELECT lang, w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2, 3),
+         c1 AS (SELECT lang, w1, SUM(c12) AS c1 FROM c12 GROUP BY 1, 2),
+         c2 AS (SELECT lang, w2, SUM(c12) AS c2 FROM c12 GROUP BY 1, 2),
+         tot AS (SELECT lang, SUM(c12) AS tot FROM c12 GROUP BY 1),
+         nll AS (
+           SELECT bi.doc_id, bi.lang,
+             CAST(floor(-ln(
+                 7e-1 * (CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+               + 3e-1 * (CAST(c2.c2 AS DOUBLE) / CAST(tot.tot AS DOUBLE)))
+               * 1e6 + 5e-1) / 1e6 AS DECIMAL(18,6)) AS nll
+           FROM bi
+           JOIN c12 ON bi.lang = c12.lang AND bi.w1 = c12.w1 AND bi.w2 = c12.w2
+           JOIN c1 ON bi.lang = c1.lang AND bi.w1 = c1.w1
+           JOIN c2 ON bi.lang = c2.lang AND bi.w2 = c2.w2
+           JOIN tot ON bi.lang = tot.lang)
+         SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           floor(CAST(SUM(nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 * 1e4 + 5e-1) / 1e4 AS xent2
+         FROM nll GROUP BY doc_id, lang ORDER BY doc_id""")
+  }
+
+  // q124's oracle indexes centroid/vector dims via lateral
+  // generate_series + q[i]; Spark spells the dim expansion posexplode
+  // (joining on the shared 0-based pos). The unrolled Lloyd algebra —
+  // integer distance sums, ROW_NUMBER argmin, floor'd mean updates —
+  // parses identically in both dialects.
+  test("q124_kmeans: Spark-SQL unrolled-Lloyd twin matches the DataFrame twin") {
+    checkTwin("q124_kmeans",
+      """WITH e AS (SELECT vec_id, transform(CAST(embedding AS ARRAY<DOUBLE>),
+                      x -> CAST(floor(x * 1e6 + 5e-1) AS BIGINT)) AS q
+                    FROM embeddings),
+         x AS (SELECT vec_id, pos0 AS pos, v
+               FROM (SELECT vec_id, posexplode(q) AS (pos0, v) FROM e)),
+         c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, q
+                FROM e ORDER BY vec_id LIMIT 8),
+         c0x AS (SELECT cl, pos0 AS pos, v
+                 FROM (SELECT cl, posexplode(q) AS (pos0, v) FROM c0)),
+         d1 AS (SELECT x.vec_id, c.cl, SUM((x.v - c.v) * (x.v - c.v)) AS d2
+                FROM x JOIN c0x c ON x.pos = c.pos GROUP BY x.vec_id, c.cl),
+         a1 AS (SELECT vec_id, cl FROM (
+                  SELECT vec_id, cl,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                  FROM d1) WHERE rn = 1),
+         c1x AS (SELECT a.cl, x.pos,
+                   CAST(floor(CAST(SUM(x.v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 5e-1) AS BIGINT) AS v
+                 FROM a1 a JOIN x ON a.vec_id = x.vec_id GROUP BY a.cl, x.pos),
+         d2_ AS (SELECT x.vec_id, c.cl, SUM((x.v - c.v) * (x.v - c.v)) AS d2
+                 FROM x JOIN c1x c ON x.pos = c.pos GROUP BY x.vec_id, c.cl),
+         a2 AS (SELECT vec_id, cl FROM (
+                  SELECT vec_id, cl,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                  FROM d2_) WHERE rn = 1),
+         c2x AS (SELECT a.cl, x.pos,
+                   CAST(floor(CAST(SUM(x.v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 5e-1) AS BIGINT) AS v
+                 FROM a2 a JOIN x ON a.vec_id = x.vec_id GROUP BY a.cl, x.pos),
+         d3 AS (SELECT x.vec_id, c.cl, SUM((x.v - c.v) * (x.v - c.v)) AS d2
+                FROM x JOIN c2x c ON x.pos = c.pos GROUP BY x.vec_id, c.cl)
+         SELECT vec_id, CAST(cl AS BIGINT) AS cluster, CAST(d2 AS BIGINT) AS dist2
+         FROM (SELECT vec_id, cl, d2,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+               FROM d3) WHERE rn = 1
+         ORDER BY vec_id""")
   }
 }
