@@ -141,7 +141,12 @@ object PipelineQueries {
         """transform(sequence(0, n - 2),
              i -> struct(t[i] AS w1, t[i + 1] AS w2))""")).as("b"))
       .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // ONE corpus pass builds the bigram-count table; localCheckpoint
+    // materializes it so the three marginals (c1/c2/totals) and the
+    // scoring join all read the bounded table instead of each replaying
+    // the corpus scan+explode (5 corpus passes → 2, plan-pinned)
     val c12 = bi.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
     val c1 = c12.groupBy("lang", "w1").agg(sum(col("c12")).as("c1"))
     val c2 = c12.groupBy("lang", "w2").agg(sum(col("c12")).as("c2"))
     val tot = c12.groupBy("lang").agg(sum(col("c12")).as("tot"))

@@ -103,6 +103,37 @@ class PlanDisciplineSpec extends AnyFunSuite {
       s"resampler must stay join/agg-free:\n$p")
   }
 
+  test("q122: one content-keyed exchange for window counts; coverage reuses the doc_id exchange") {
+    val p = plan("q122_dup_spans")
+    // the stride-1 window table shuffles ONCE on its content key...
+    assert(p.linesIterator.count(_.contains("hashpartitioning(wt")) == 1,
+      s"window-content grouping must be a single exchange:\n$p")
+    // ...and the LEAD coverage sweep + per-doc aggregate share ONE
+    // doc_id exchange (the aggregate must not re-shuffle)
+    assert(p.linesIterator.count(_.contains("hashpartitioning(doc_id")) == 1,
+      s"coverage sweep and per-doc agg must share the doc_id exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q123: one corpus scan — marginals read the checkpointed c12 table; scoring joins broadcast") {
+    val p = plan("q123_bigram_lm")
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1,
+      s"c1/c2/totals must derive from the checkpointed c12, not replay the corpus ($scans scans):\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"the bigram stream must never shuffle on the count keys:\n$p")
+  }
+
+  test("q124: centroids broadcast into the scoring cross join; scan prunes the label column") {
+    val p = plan("q124_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the k-row centroid table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a shuffle cartesian against a model-sized table is never right:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("embedding") && !readSchema.contains("label"), readSchema)
+  }
+
   test("q94: eval shingles broadcast into the membership probe; no sort-merge, pruned scan") {
     val p = plan("q94_decontaminate")
     assert(p.contains("BroadcastHashJoin"), "eval shingle set must broadcast")
