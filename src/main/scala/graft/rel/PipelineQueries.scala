@@ -343,17 +343,106 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // ---- q126: IDF-weighted Jaccard near-dup pairs ----------------------------
+
+  /** Weighted near-duplicate detection: exact Jaccard (q23) treats every
+    * shingle equally, so boilerplate-heavy corpora drown the signal in
+    * template shingles. The standard fix weights each shingle by IDF —
+    * J_w(A,B) = Σ_{s∈A∩B} idf(s) / Σ_{s∈A∪B} idf(s) — so only CONTENT
+    * overlap counts. Weights are integer micro-units
+    * (floor(ln((N+1)/(df+1))·1e6 + 0.5), the q117 ln-rounding contract),
+    * making every sum exact integer arithmetic; the union weight is
+    * W(A)+W(B)−I by inclusion–exclusion, one identical-operand double
+    * division at the end.
+    *
+    * Scale shape: ONE exchange builds the distinct (doc, shingle) table;
+    * df reuses that shingle key; the idf table joins back on the same
+    * key. The zero-weight prune (idf == 0 ⇔ shingle in every doc) is
+    * semantics-preserving — such shingles add 0 to every I and W — and
+    * removes exactly the ubiquitous shingles that flood a similarity
+    * self-join. At 100 TB the remaining hot shingles get the q23
+    * treatment (prefix filtering under a global weight order — see
+    * [[graft.ops.Dedup.jaccardPairs]]); the declared form materializes
+    * the weighted postings once (localCheckpoint — shuffle-sized local
+    * state, the same disk the exchanges use) so df/totals/self-join all
+    * read it instead of replaying the corpus scan.
+    */
+  def q126WeightedJaccard(s: SparkSession, dir: String): DataFrame =
+    weightedJaccardPairs(t(s, dir, "documents"), n = 3, tau = 0.3)
+
+  /** Core of q126 over any (doc_id, text) frame — spec entry point. */
+  def weightedJaccardPairs(docs: DataFrame, n: Int, tau: Double): DataFrame = {
+    val sh = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("nn", size(col("t")))
+      .where(col("nn") >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, nn - $n), k -> array_join(slice(t, k + 1, $n), ' '))")).as("s"))
+      .distinct()
+      .localCheckpoint()
+    val nd = sh.agg(countDistinct(col("doc_id")).as("nn"))
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = dfreq.crossJoin(broadcast(nd))
+      .select(col("s"), expr(
+        """cast(floor(ln(cast(nn + 1 as double) / cast(df + 1 as double))
+             * 1000000.0 + 0.5) as bigint)""").as("iw"))
+      .where(col("iw") > 0)
+    val shw = sh.join(w, "s").select(col("doc_id"), col("s"), col("iw"))
+      .localCheckpoint()
+    val tw = shw.groupBy("doc_id").agg(sum(col("iw")).as("tw"))
+    val inter = shw.as("a").join(shw.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), col("a.iw").as("iw0"))
+      .groupBy("d1", "d2").agg(sum(col("iw0")).as("iw"))
+    inter
+      .join(tw.select(col("doc_id").as("d1"), col("tw").as("tw1")), "d1")
+      .join(tw.select(col("doc_id").as("d2"), col("tw").as("tw2")), "d2")
+      .withColumn("_jw", col("iw").cast("double")
+        / (col("tw1") + col("tw2") - col("iw")).cast("double"))
+      .where(col("_jw") >= tau)
+      .select(col("d1"), col("d2"), graft.Stable.r4(col("_jw")).as("jw"))
+      .orderBy("d1", "d2")
+  }
+
+  val q126Oracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t,
+                            len(string_split(text, ' ')) AS n FROM documents),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(t[k+1 : k+3], ' ') AS s
+              FROM toks, unnest(generate_series(0, n - 3)) AS u(k)
+              WHERE n >= 3),
+       nd AS (SELECT COUNT(DISTINCT doc_id) AS nn FROM sh),
+       df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+       w AS (SELECT s,
+               CAST(floor(ln(CAST((SELECT nn FROM nd) + 1 AS DOUBLE)
+                             / CAST(df + 1 AS DOUBLE))
+                 * 1000000.0 + 0.5) AS BIGINT) AS iw
+             FROM df),
+       shw AS (SELECT sh.doc_id, sh.s, w.iw
+               FROM sh JOIN w USING (s) WHERE w.iw > 0),
+       tw AS (SELECT doc_id, SUM(iw) AS tw FROM shw GROUP BY 1),
+       inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, SUM(a.iw) AS iw
+                 FROM shw a JOIN shw b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT d1, d2, floor(jw * 10000.0 + 0.5) / 10000.0 AS jw
+       FROM (SELECT i.d1, i.d2,
+               CAST(i.iw AS DOUBLE) / CAST(t1.tw + t2.tw - i.iw AS DOUBLE) AS jw
+             FROM inter i
+             JOIN tw t1 ON i.d1 = t1.doc_id
+             JOIN tw t2 ON i.d2 = t2.doc_id)
+       WHERE jw >= 0.3 ORDER BY d1, d2"""
+
   // ---- registry --------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_dup_spans" -> (q122DupSpans _),
     "q123_bigram_lm" -> (q123BigramLm _),
     "q124_kmeans" -> (q124Kmeans _),
-    "q125_bpe_encode" -> (q125BpeEncode _))
+    "q125_bpe_encode" -> (q125BpeEncode _),
+    "q126_weighted_jaccard" -> (q126WeightedJaccard _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
     "q123_bigram_lm" -> q123Oracle,
     "q124_kmeans" -> q124Oracle,
-    "q125_bpe_encode" -> DataQueries.fixtureOracle("q125_bpe_encode"))
+    "q125_bpe_encode" -> DataQueries.fixtureOracle("q125_bpe_encode"),
+    "q126_weighted_jaccard" -> q126Oracle)
 }

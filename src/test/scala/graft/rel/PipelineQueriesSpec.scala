@@ -96,6 +96,30 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ---- q126 weightedJaccardPairs ---------------------------------------------
+
+  test("weightedJaccard: a shingle present in every doc carries zero weight (boilerplate suppression)") {
+    // 'a b c' is shared by all three docs -> idf = ln(4/4) = 0 -> pruned;
+    // the remaining shingles are disjoint, so NO pair survives
+    val out = PipelineQueries.weightedJaccardPairs(Seq(
+      1L -> "a b c x1 y1 z1", 2L -> "a b c x2 y2 z2", 3L -> "a b c x3 y3 z3")
+      .toDF("doc_id", "text"), n = 3, tau = 0.01)
+    assert(out.count() == 0L)
+  }
+
+  test("weightedJaccard: rare-shingle overlap matches the hand calculation") {
+    // docs 1/2 share 'p q r' (df=2); their other shingles are unique (df=1)
+    val out = PipelineQueries.weightedJaccardPairs(Seq(
+      1L -> "p q r s", 2L -> "p q r t", 3L -> "u v w x")
+      .toDF("doc_id", "text"), n = 3, tau = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val iShared = math.floor(math.log(4.0 / 3.0) * 1e6 + 0.5).toLong
+    val iRare = math.floor(math.log(4.0 / 2.0) * 1e6 + 0.5).toLong
+    val wDoc = iShared + iRare
+    val jw = iShared.toDouble / (2 * wDoc - iShared).toDouble
+    assert(out.toSeq == Seq((1L, 2L, math.floor(jw * 1e4 + 0.5) / 1e4)))
+  }
+
   test("dupSpans: docs shorter than L report zeros, not missing rows") {
     val out = spans(Seq(1L -> "a b", 2L -> "a b"), l = 4)
     assert(out(1L) == ((2L, 0L, 0L)) && out(2L) == ((2L, 0L, 0L)))

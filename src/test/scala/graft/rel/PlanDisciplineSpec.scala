@@ -134,6 +134,17 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(readSchema.contains("embedding") && !readSchema.contains("label"), readSchema)
   }
 
+  test("q126: df/totals/self-join all read the checkpointed postings, never the corpus") {
+    val p = plan("q126_weighted_jaccard")
+    // the corpus parquet is read exactly once, during the eager postings
+    // checkpoint — by the time the final plan runs, every branch (both
+    // self-join sides, the totals agg) scans the materialized RDD
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 0 && p.contains("Scan ExistingRDD"),
+      s"final plan must read the checkpointed postings only ($scans corpus scans):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q94: eval shingles broadcast into the membership probe; no sort-merge, pruned scan") {
     val p = plan("q94_decontaminate")
     assert(p.contains("BroadcastHashJoin"), "eval shingle set must broadcast")

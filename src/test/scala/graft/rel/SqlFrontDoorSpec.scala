@@ -61,7 +61,8 @@ object SqlFrontDoorSpec {
     "q99_binaryfile_source", "q100_repetition_signals", "q103_passage_chunks",
     "q104_bm25", "q105_pagerank", "q106_label_centroids",
     "q108_merge_upsert", "q109_median_filter",
-    "q122_dup_spans", "q123_bigram_lm", "q124_kmeans")
+    "q122_dup_spans", "q123_bigram_lm", "q124_kmeans",
+    "q126_weighted_jaccard")
 }
 
 class SqlFrontDoorSpec extends AnyFunSuite {
@@ -313,6 +314,40 @@ class SqlFrontDoorSpec extends AnyFunSuite {
            floor(CAST(SUM(nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
                  * 1e4 + 5e-1) / 1e4 AS xent2
          FROM nll GROUP BY doc_id, lang ORDER BY doc_id""")
+  }
+
+  // q126's oracle builds 3-gram shingles via lateral generate_series +
+  // t[a:b] list slices; Spark spells them transform+slice (the q122
+  // adaptation). The scalar (SELECT nn FROM nd) subquery, integer idf
+  // weights and inclusion–exclusion algebra parse identically.
+  test("q126_weighted_jaccard: Spark-SQL slice/transform twin matches the DataFrame twin") {
+    checkTwin("q126_weighted_jaccard",
+      """WITH toks AS (SELECT doc_id, split(text, ' ') AS t,
+                              size(split(text, ' ')) AS n FROM documents),
+         sh AS (SELECT DISTINCT doc_id, s
+                FROM (SELECT doc_id, explode(transform(sequence(0, n - 3),
+                        k -> array_join(slice(t, k + 1, 3), ' '))) AS s
+                      FROM toks WHERE n >= 3)),
+         nd AS (SELECT COUNT(DISTINCT doc_id) AS nn FROM sh),
+         df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+         w AS (SELECT s,
+                 CAST(floor(ln(CAST((SELECT nn FROM nd) + 1 AS DOUBLE)
+                               / CAST(df + 1 AS DOUBLE))
+                   * 1e6 + 5e-1) AS BIGINT) AS iw
+               FROM df),
+         shw AS (SELECT sh.doc_id, sh.s, w.iw
+                 FROM sh JOIN w USING (s) WHERE w.iw > 0),
+         tw AS (SELECT doc_id, SUM(iw) AS tw FROM shw GROUP BY 1),
+         inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, SUM(a.iw) AS iw
+                   FROM shw a JOIN shw b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT d1, d2, floor(jw * 1e4 + 5e-1) / 1e4 AS jw
+         FROM (SELECT i.d1, i.d2,
+                 CAST(i.iw AS DOUBLE) / CAST(t1.tw + t2.tw - i.iw AS DOUBLE) AS jw
+               FROM inter i
+               JOIN tw t1 ON i.d1 = t1.doc_id
+               JOIN tw t2 ON i.d2 = t2.doc_id)
+         WHERE jw >= 3e-1 ORDER BY d1, d2""")
   }
 
   // q124's oracle indexes centroid/vector dims via lateral
