@@ -430,6 +430,99 @@ object PipelineQueries {
              JOIN tw t2 ON i.d2 = t2.doc_id)
        WHERE jw >= 0.3 ORDER BY d1, d2"""
 
+  // ---- q127: per-source dataset card ----------------------------------------
+
+  /** The "dataset card" rollup a curation pipeline publishes per source:
+    * document and token volume, mean/median length, exact-duplicate
+    * count, and language-mix entropy — the one-row-per-source summary
+    * that drives mixture decisions (q118) and flags collapsed or
+    * boilerplate sources before training. Numeric discipline: counts and
+    * sums are exact integers; the median is the q109 discrete-rank
+    * recipe (no interpolation); entropy terms are r6'd DECIMAL(18,6)
+    * BEFORE the per-source sum (≤|langs| addends, order-free exact, the
+    * q117 contract); means divide identical integer operands.
+    *
+    * Scale shape: one (source, md5) window for dup detection, one
+    * per-source length window for the median (both partition-local
+    * after their exchange), tiny (source, lang) and (source) aggregates
+    * — every intermediate is bounded by sources × langs except the
+    * per-doc stream itself, which is touched a constant number of times.
+    */
+  def q127DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("source"), col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok"),
+        md5(col("text")).as("h"))
+    val dup = d
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source", "h")))
+      .groupBy("source")
+      .agg(sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup_docs"))
+    val med = d
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("ntok"), col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
+      .where(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("source"), col("ntok").as("median_tokens"))
+    val langc = d.groupBy("source", "lang").agg(count(lit(1)).as("lc"))
+    val tot = d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+    val ent = langc.join(tot.select(col("source"), col("n_docs")), Seq("source"))
+      .select(col("source"),
+        (floor(-(col("lc").cast("double") / col("n_docs").cast("double"))
+          * log(col("lc").cast("double") / col("n_docs").cast("double"))
+          * 1000000.0 + 0.5) / 1000000.0).cast("decimal(18,6)").as("term"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_langs"), sum(col("term")).as("ent_sum"))
+    tot.join(dup, Seq("source")).join(med, Seq("source")).join(ent, Seq("source"))
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        graft.Stable.r4(col("n_tokens").cast("double")
+          / col("n_docs").cast("double")).as("mean_tokens"),
+        col("median_tokens"), col("dup_docs").cast("long").as("dup_docs"),
+        col("n_langs").cast("long").as("n_langs"),
+        graft.Stable.r4(col("ent_sum").cast("double")).as("lang_entropy"))
+      .orderBy("source")
+  }
+
+  val q127Oracle: String =
+    """WITH d AS (SELECT source, lang, doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+                    md5(text) AS h FROM documents),
+       dup AS (SELECT source,
+                 SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS dup_docs
+               FROM (SELECT source,
+                       COUNT(*) OVER (PARTITION BY source, h) AS cnt FROM d)
+               GROUP BY 1),
+       med AS (SELECT source, ntok AS median_tokens FROM (
+                 SELECT source, ntok, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY ntok, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY source) AS cnt
+                 FROM d) WHERE rn = (cnt + 1) // 2),
+       langc AS (SELECT source, lang, COUNT(*) AS lc FROM d GROUP BY 1, 2),
+       tot AS (SELECT source, COUNT(*) AS n_docs, SUM(ntok) AS n_tokens
+               FROM d GROUP BY 1),
+       ent AS (SELECT l.source, COUNT(*) AS n_langs, SUM(term) AS ent_sum
+               FROM (SELECT langc.source,
+                       CAST(floor(-(CAST(lc AS DOUBLE) / CAST(t.n_docs AS DOUBLE))
+                           * ln(CAST(lc AS DOUBLE) / CAST(t.n_docs AS DOUBLE))
+                           * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS term
+                     FROM langc JOIN tot t ON langc.source = t.source) l
+               GROUP BY 1)
+       SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+         CAST(t.n_tokens AS BIGINT) AS n_tokens,
+         floor(CAST(t.n_tokens AS DOUBLE) / CAST(t.n_docs AS DOUBLE)
+               * 10000.0 + 0.5) / 10000.0 AS mean_tokens,
+         m.median_tokens,
+         CAST(dup.dup_docs AS BIGINT) AS dup_docs,
+         CAST(e.n_langs AS BIGINT) AS n_langs,
+         floor(CAST(e.ent_sum AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS lang_entropy
+       FROM tot t
+       JOIN dup ON t.source = dup.source
+       JOIN med m ON t.source = m.source
+       JOIN ent e ON t.source = e.source
+       ORDER BY t.source"""
+
   // ---- registry --------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -437,12 +530,14 @@ object PipelineQueries {
     "q123_bigram_lm" -> (q123BigramLm _),
     "q124_kmeans" -> (q124Kmeans _),
     "q125_bpe_encode" -> (q125BpeEncode _),
-    "q126_weighted_jaccard" -> (q126WeightedJaccard _))
+    "q126_weighted_jaccard" -> (q126WeightedJaccard _),
+    "q127_dataset_card" -> (q127DatasetCard _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
     "q123_bigram_lm" -> q123Oracle,
     "q124_kmeans" -> q124Oracle,
     "q125_bpe_encode" -> DataQueries.fixtureOracle("q125_bpe_encode"),
-    "q126_weighted_jaccard" -> q126Oracle)
+    "q126_weighted_jaccard" -> q126Oracle,
+    "q127_dataset_card" -> q127Oracle)
 }

@@ -120,6 +120,30 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, math.floor(jw * 1e4 + 0.5) / 1e4)))
   }
 
+  // ---- q127 dataset card (via the declared query on a temp table) ------------
+
+  test("datasetCard arithmetic: dup count, discrete median, entropy hand case") {
+    // run the same algebra the declared query uses, on a hand corpus:
+    // source A: texts "x","x","y y" (en,en,fr)
+    val dir = java.nio.file.Files.createTempDirectory("graft_card_").toString
+    Seq((1L, "x", "en", "A"), (2L, "x", "en", "A"), (3L, "y y", "fr", "A"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = PipelineQueries.q127DatasetCard(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val ent = r4(r6(-(2.0 / 3) * math.log(2.0 / 3)) + r6(-(1.0 / 3) * math.log(1.0 / 3)))
+    assert(r.getAs[Long]("n_docs") == 3L && r.getAs[Long]("n_tokens") == 4L)
+    assert(r.getAs[Long]("dup_docs") == 2L, "both copies of 'x' count as duplicated")
+    assert(r.getAs[Long]("median_tokens") == 1L, "discrete median, no interpolation")
+    assert(r.getAs[Double]("mean_tokens") == r4(4.0 / 3))
+    assert(r.getAs[Long]("n_langs") == 2L)
+    assert(r.getAs[Double]("lang_entropy") == ent)
+  }
+
   test("dupSpans: docs shorter than L report zeros, not missing rows") {
     val out = spans(Seq(1L -> "a b", 2L -> "a b"), l = 4)
     assert(out(1L) == ((2L, 0L, 0L)) && out(2L) == ((2L, 0L, 0L)))

@@ -308,7 +308,9 @@ object SqlFrontDoorWideSpec {
         "plain ANSI windowed subquery — runs unmodified"),
       "q120_histogram_quantiles" -> ((s: String) =>
         s.replace("unnest([5e-1, 9e-1, 99e-2])", "explode(array(5e-1, 9e-1, 99e-2))"),
-        "[..] array literal → array(..); unnest → explode"))
+        "[..] array literal → array(..); unnest → explode"),
+      "q127_dataset_card" -> (id _,
+        "string_split/len renames + // div; md5/ln/windows parse identically"))
   }
 
   /** Regression-fixture oracles (the q46 pattern, SF-pinned at the
