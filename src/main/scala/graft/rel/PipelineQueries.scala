@@ -379,13 +379,21 @@ object PipelineQueries {
         s"transform(sequence(0, nn - $n), k -> array_join(slice(t, k + 1, $n), ' '))")).as("s"))
       .distinct()
       .localCheckpoint()
-    val nd = sh.agg(countDistinct(col("doc_id")).as("nn"))
+    // N = docs contributing shingles. doc_id is unique per row (table
+    // key), so a plain shuffle-free count over the length predicate
+    // equals COUNT(DISTINCT doc_id) over the postings — one cheap scan
+    // instead of a corpus-wide distinct aggregate.
+    val ndocs: Long = docs
+      .where(size(split(col("text"), " ")) >= n).count()
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    val w = dfreq.crossJoin(broadcast(nd))
+    val w = dfreq
       .select(col("s"), expr(
-        """cast(floor(ln(cast(nn + 1 as double) / cast(df + 1 as double))
+        s"""cast(floor(ln(cast(${ndocs + 1} as double) / cast(df + 1 as double))
              * 1000000.0 + 0.5) as bigint)""").as("iw"))
       .where(col("iw") > 0)
+    // the weighted-postings join shuffles on the shingle key (the
+    // shingle vocabulary is NOT broadcast-sized at corpus scale) and
+    // materializes once for its three consumers
     val shw = sh.join(w, "s").select(col("doc_id"), col("s"), col("iw"))
       .localCheckpoint()
     val tw = shw.groupBy("doc_id").agg(sum(col("iw")).as("tw"))
