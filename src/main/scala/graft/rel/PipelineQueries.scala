@@ -531,6 +531,69 @@ object PipelineQueries {
        JOIN ent e ON t.source = e.source
        ORDER BY t.source"""
 
+  // ---- q128: MMR diverse top-k selection ------------------------------------
+
+  /** Maximal-Marginal-Relevance selection (Carbonell & Goldstein 1998) —
+    * the diversity-aware subset pick a curation pipeline uses when "top
+    * k by relevance" would return k near-copies: greedily add the
+    * candidate maximizing rel(d) − max_{s∈S} sim(d, s) (λ = 0.5 up to
+    * the constant factor). All arithmetic is exact-integer: vectors are
+    * micro-unit quantized (q124's contract), rel/sim are Long dot folds,
+    * and the per-round argmax breaks ties (score desc, vec_id asc) — a
+    * total order, so the greedy trajectory is deterministic at any
+    * partitioning and the committed sf0.01 fixture is the oracle.
+    * Relevance anchor: the lowest-vec_id embedding (production would
+    * pass a query vector; same loop body).
+    *
+    * Scale shape: k distributed rounds; each scores the pool map-side
+    * against the ≤k selected vectors (model-sized literals — broadcast
+    * by value) and takes a TakeOrdered(1) argmax. Driver state = the
+    * selected set (k×d longs), never pool-sized; the pool is scanned,
+    * not collected.
+    */
+  def q128MmrSelect(s: SparkSession, dir: String): DataFrame =
+    mmrSelect(t(s, dir, "embeddings"), "vec_id", "embedding", k = 10)
+
+  /** Core of q128 over any (id, vector) frame — spec entry point. */
+  def mmrSelect(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qv = emb.select(col(idCol).cast("long").as("id"),
+        expr(s"""transform(cast($vecCol as array<double>),
+                   x -> cast(floor(x * 1000000.0 + 0.5) as bigint))""").as("q"))
+      .persist()
+    try {
+      val minId = qv.agg(min(col("id"))).head().getLong(0)
+      val qArr: Seq[Long] = qv.where(col("id") === minId).head().getSeq[Long](1)
+      def dotWith(v: Seq[Long]): org.apache.spark.sql.Column = expr(
+        s"""aggregate(zip_with(q, array(${v.mkString("L,")}L), (x, y) -> x * y),
+             cast(0 as bigint), (acc, v) -> acc + v)""")
+      val rel = qv.withColumn("rel", dotWith(qArr))
+      var selected = Vector.empty[(Long, Long, Long, Long, Seq[Long])]
+      for (rank <- 1 to k) {
+        val pool =
+          if (selected.isEmpty) rel.withColumn("maxsim", lit(0L))
+          else {
+            val sims = selected.map(t => dotWith(t._5))
+            rel
+              .where(!col("id").isin(selected.map(_._2): _*))
+              .withColumn("maxsim",
+                if (sims.size == 1) sims.head else greatest(sims: _*))
+          }
+        val top = pool
+          .withColumn("score", col("rel") - col("maxsim"))
+          .orderBy(col("score").desc, col("id"))
+          .select(col("id"), col("rel"), col("maxsim"), col("q"))
+          .head()
+        selected :+= ((rank.toLong, top.getLong(0), top.getLong(1),
+          top.getLong(2), top.getSeq[Long](3)))
+      }
+      selected.map(t => (t._1, t._2, t._3, t._4, t._3 - t._4))
+        .toDF("rank", "vec_id", "rel", "maxsim", "score")
+        .orderBy("rank")
+    } finally qv.unpersist()
+  }
+
   // ---- registry --------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -539,7 +602,8 @@ object PipelineQueries {
     "q124_kmeans" -> (q124Kmeans _),
     "q125_bpe_encode" -> (q125BpeEncode _),
     "q126_weighted_jaccard" -> (q126WeightedJaccard _),
-    "q127_dataset_card" -> (q127DatasetCard _))
+    "q127_dataset_card" -> (q127DatasetCard _),
+    "q128_mmr_select" -> (q128MmrSelect _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
@@ -547,5 +611,6 @@ object PipelineQueries {
     "q124_kmeans" -> q124Oracle,
     "q125_bpe_encode" -> DataQueries.fixtureOracle("q125_bpe_encode"),
     "q126_weighted_jaccard" -> q126Oracle,
-    "q127_dataset_card" -> q127Oracle)
+    "q127_dataset_card" -> q127Oracle,
+    "q128_mmr_select" -> DataQueries.fixtureOracle("q128_mmr_select"))
 }

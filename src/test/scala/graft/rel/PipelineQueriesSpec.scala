@@ -144,6 +144,33 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(r.getAs[Double]("lang_entropy") == ent)
   }
 
+  // ---- q128 mmrSelect --------------------------------------------------------
+
+  test("mmrSelect: greedy pick trades relevance against similarity to the selected set") {
+    // anchor = lowest id = vec 0 at (1, 0); it is its own best match, so
+    // round 1 picks it (rel = |q|^2). Round 2: every remaining vector
+    // scores rel - sim(., v0) = 0 exactly -> tie-break by id picks v1.
+    // Round 3: v2 scores 0 (maxsim via v0), v3 scores -0.09e12 (its
+    // similarity to v1 exceeds its relevance) -> v2 wins.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.8f, 0.0f)), (3L, Array(0.0f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val out = PipelineQueries.mmrSelect(emb, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 2L)),
+      s"unexpected pick order: ${out.toSeq}")
+  }
+
+  test("mmrSelect: trajectory is invariant under repartitioning") {
+    val base = SparkTestBase.spark.read
+      .parquet(s"${SparkTestBase.Sf0001}/embeddings.parquet")
+    val a = PipelineQueries.mmrSelect(base, "vec_id", "embedding", k = 6).collect().toSeq
+    val b = PipelineQueries.mmrSelect(base.repartition(7), "vec_id", "embedding", k = 6)
+      .collect().toSeq
+    assert(a == b)
+  }
+
   test("dupSpans: docs shorter than L report zeros, not missing rows") {
     val out = spans(Seq(1L -> "a b", 2L -> "a b"), l = 4)
     assert(out(1L) == ((2L, 0L, 0L)) && out(2L) == ((2L, 0L, 0L)))
