@@ -594,6 +594,83 @@ object PipelineQueries {
     } finally qv.unpersist()
   }
 
+  // ---- q129: duplicate-span REMOVAL rewrite ---------------------------------
+
+  /** The actuation half of q122: where q122 MEASURES duplicated spans,
+    * this rewrites the corpus with them surgically removed (Lee et al.
+    * 2022's ExactSubstr dedup — drop every token covered by a window
+    * whose content repeats anywhere in the corpus, keep the rest of the
+    * document intact). Same window/count machinery as q122; coverage is
+    * realized as an exploded (doc, pos) set and the clean text is the
+    * order-preserving concatenation of the surviving tokens. Everything
+    * is integer/string arithmetic — full hash oracle.
+    *
+    * Scale shape: the q122 content-keyed exchange, an L-fold bounded
+    * explode of the DUPLICATED windows only (not the corpus), one
+    * anti-join on (doc, pos), and a per-doc ordered re-assembly
+    * (array_sort over collected structs — the shuffle-safe spelling of
+    * "in token order"). A doc that loses every token yields an empty
+    * string, not a dropped row: corpus cardinality is preserved for the
+    * downstream pipeline.
+    */
+  def q129DedupRewrite(s: SparkSession, dir: String): DataFrame =
+    dedupSpanRewrite(t(s, dir, "documents"), L = 16)
+
+  /** Core of q129 over any (doc_id, text) frame — spec entry point. */
+  def dedupSpanRewrite(docs: DataFrame, L: Int): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+    val wins = toks.where(col("n") >= L)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, n - $L),
+              k -> struct(k AS k, array_join(slice(t, k + 1, $L), ' ') AS wt))""")).as("w"))
+      .select(col("doc_id"), col("w.k").as("k"), col("w.wt").as("wt"))
+    val dup = wins
+      .withColumn("f", count(lit(1)).over(Window.partitionBy("wt")))
+      .where(col("f") > 1)
+    val covered = dup
+      .select(col("doc_id"), explode(expr(s"sequence(k, k + ${L - 1})")).as("pos"))
+      .distinct()
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr("transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"),
+          " ").as("clean_text"))
+    toks.select(col("doc_id"), col("n"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val q129Oracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t,
+                            len(string_split(text, ' ')) AS n FROM documents),
+       w AS (SELECT doc_id, k, array_to_string(t[k+1 : k+16], ' ') AS wt
+             FROM toks, unnest(generate_series(0, n - 16)) AS u(k)
+             WHERE n >= 16),
+       f AS (SELECT doc_id, k, COUNT(*) OVER (PARTITION BY wt) AS f FROM w),
+       covered AS (SELECT DISTINCT doc_id, p AS pos
+                   FROM (SELECT doc_id, k FROM f WHERE f > 1),
+                        unnest(generate_series(k, k + 15)) AS u(p)),
+       tokpos AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+                  FROM toks, unnest(generate_series(1, n)) AS u(i)),
+       kept AS (SELECT tp.doc_id, COUNT(*) AS n_kept,
+                  string_agg(tp.tok, ' ' ORDER BY tp.pos) AS clean_text
+                FROM tokpos tp
+                LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+                WHERE c.doc_id IS NULL
+                GROUP BY 1)
+       SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+         CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+         COALESCE(k.clean_text, '') AS clean_text
+       FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+       ORDER BY t.doc_id"""
+
   // ---- registry --------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -603,7 +680,8 @@ object PipelineQueries {
     "q125_bpe_encode" -> (q125BpeEncode _),
     "q126_weighted_jaccard" -> (q126WeightedJaccard _),
     "q127_dataset_card" -> (q127DatasetCard _),
-    "q128_mmr_select" -> (q128MmrSelect _))
+    "q128_mmr_select" -> (q128MmrSelect _),
+    "q129_dedup_span_rewrite" -> (q129DedupRewrite _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
@@ -612,5 +690,6 @@ object PipelineQueries {
     "q125_bpe_encode" -> DataQueries.fixtureOracle("q125_bpe_encode"),
     "q126_weighted_jaccard" -> q126Oracle,
     "q127_dataset_card" -> q127Oracle,
-    "q128_mmr_select" -> DataQueries.fixtureOracle("q128_mmr_select"))
+    "q128_mmr_select" -> DataQueries.fixtureOracle("q128_mmr_select"),
+    "q129_dedup_span_rewrite" -> q129Oracle)
 }

@@ -171,6 +171,27 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // ---- q129 dedupSpanRewrite -------------------------------------------------
+
+  test("dedupSpanRewrite: removes exactly the covered positions, preserves order and cardinality") {
+    val out = PipelineQueries.dedupSpanRewrite(Seq(
+      1L -> "a b c d e x y a b c d e",
+      2L -> "z a b c d e z2 q w r t y").toDF("doc_id", "text"), L = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1: covered 0-4 and 7-11 (the q122 hand case) -> 'x y' survives
+    assert(out(1L) == ((12L, 2L, "x y")))
+    // doc 2: covered 1-5 -> everything else survives in order
+    assert(out(2L) == ((12L, 7L, "z z2 q w r t y")))
+  }
+
+  test("dedupSpanRewrite: a fully-duplicated doc becomes an empty row, not a missing one") {
+    val out = PipelineQueries.dedupSpanRewrite(Seq(
+      1L -> "a b c d", 2L -> "a b c d", 3L -> "u v").toDF("doc_id", "text"), L = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((0L, "")) && out(2L) == ((0L, "")))
+    assert(out(3L) == ((2L, "u v")), "short docs keep their text untouched")
+  }
+
   test("dupSpans: docs shorter than L report zeros, not missing rows") {
     val out = spans(Seq(1L -> "a b", 2L -> "a b"), l = 4)
     assert(out(1L) == ((2L, 0L, 0L)) && out(2L) == ((2L, 0L, 0L)))

@@ -62,7 +62,7 @@ object SqlFrontDoorSpec {
     "q104_bm25", "q105_pagerank", "q106_label_centroids",
     "q108_merge_upsert", "q109_median_filter",
     "q122_dup_spans", "q123_bigram_lm", "q124_kmeans",
-    "q126_weighted_jaccard")
+    "q126_weighted_jaccard", "q129_dedup_span_rewrite")
 }
 
 class SqlFrontDoorSpec extends AnyFunSuite {
@@ -348,6 +348,39 @@ class SqlFrontDoorSpec extends AnyFunSuite {
                JOIN tw t1 ON i.d1 = t1.doc_id
                JOIN tw t2 ON i.d2 = t2.doc_id)
          WHERE jw >= 3e-1 ORDER BY d1, d2""")
+  }
+
+  // q129's oracle re-assembles clean text with string_agg(... ORDER BY);
+  // Spark spells the same order-preserving concatenation
+  // array_join(transform(array_sort(collect_list(struct(pos, tok))))) —
+  // the shuffle-safe DataFrame idiom, through the parser. Windows and
+  // the covered-position expansion adapt as in q122 (transform/sequence).
+  test("q129_dedup_span_rewrite: Spark-SQL ordered-reassembly twin matches the DataFrame twin") {
+    checkTwin("q129_dedup_span_rewrite",
+      """WITH toks AS (SELECT doc_id, split(text, ' ') AS t,
+                              size(split(text, ' ')) AS n FROM documents),
+         w AS (SELECT doc_id, ww.k AS k, ww.wt AS wt
+               FROM (SELECT doc_id, explode(transform(sequence(0, n - 16),
+                       k -> struct(k AS k, array_join(slice(t, k + 1, 16), ' ') AS wt))) AS ww
+                     FROM toks WHERE n >= 16)),
+         f AS (SELECT doc_id, k, COUNT(*) OVER (PARTITION BY wt) AS f FROM w),
+         covered AS (SELECT DISTINCT doc_id, pos
+                     FROM (SELECT doc_id, explode(sequence(k, k + 15)) AS pos
+                           FROM f WHERE f > 1)),
+         tokpos AS (SELECT doc_id, pos, tok
+                    FROM (SELECT doc_id, posexplode(t) AS (pos, tok) FROM toks)),
+         kept AS (SELECT tp.doc_id, COUNT(*) AS n_kept,
+                    array_join(transform(array_sort(collect_list(struct(tp.pos, tp.tok))),
+                      s -> s.tok), ' ') AS clean_text
+                  FROM tokpos tp
+                  LEFT ANTI JOIN covered c
+                    ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+                  GROUP BY tp.doc_id)
+         SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(k.clean_text, '') AS clean_text
+         FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+         ORDER BY t.doc_id""")
   }
 
   // q124's oracle indexes centroid/vector dims via lateral
