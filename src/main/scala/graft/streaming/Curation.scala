@@ -82,4 +82,53 @@ object Curation {
       .transformWithState(new IncrementalDedupProcessor(dedupWithinStream),
         TimeMode.None(), OutputMode.Append())
   }
+
+  // ---- streaming dataset card ----------------------------------------------
+
+  /** One ingested document's contribution to its source's card. */
+  final case class DocStat(source: String, doc_id: Long, ntok: Long)
+
+  /** The running per-source card (the streaming half of q127): volume,
+    * token totals and the length envelope, updated per micro-batch. */
+  final case class SourceCard(source: String, n_docs: Long, n_tokens: Long,
+                              min_tokens: Long, max_tokens: Long)
+
+  /** Keyed running-card processor — the q127 rollup maintained as
+    * continuous state, so a curation deployment publishes fresh
+    * dataset-card numbers as the corpus ingests instead of re-scanning
+    * it. State is ONE fixed-size row per source (card fields only),
+    * sharded by source across the store: bounded by |sources| at any
+    * corpus size. Counts and sums are exact integers, so the final
+    * emitted card per source equals the batch aggregate over the same
+    * rows regardless of micro-batch slicing (batch-parity spec'd). */
+  final class SourceCardProcessor
+      extends StatefulProcessor[String, DocStat, SourceCard] {
+    @transient private var card: ValueState[SourceCard] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      card = getHandle.getValueState[SourceCard]("card",
+        Encoders.product[SourceCard], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[DocStat],
+                                 timers: TimerValues): Iterator[SourceCard] = {
+      var c =
+        if (card.exists()) card.get()
+        else SourceCard(key, 0L, 0L, Long.MaxValue, Long.MinValue)
+      rows.foreach { r =>
+        c = SourceCard(key, c.n_docs + 1, c.n_tokens + r.ntok,
+          math.min(c.min_tokens, r.ntok), math.max(c.max_tokens, r.ntok))
+      }
+      card.update(c)
+      Iterator.single(c)
+    }
+  }
+
+  /** Maintain running per-source dataset cards over a document stream —
+    * emits each source's updated card every micro-batch it appears in
+    * (Update mode downstream keeps the latest). */
+  def sourceCardStream(docs: Dataset[DocStat]): Dataset[SourceCard] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .transformWithState(new SourceCardProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -104,4 +104,44 @@ class CurationStreamSpec extends AnyFunSuite {
     val got = run(Seq(b1, b2), dedupWithinStream = true).toSet
     assert(got == Set((3L, "de", "kB"), (9L, "fr", "kC")), s"got $got")
   }
+
+  test("streaming dataset cards converge to the batch per-source aggregate (any micro-batch slicing)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.rel.Tables.load(spark, SparkTestBase.Sf0001, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .as[Curation.DocStat].collect().toSeq
+    val expected = docs.groupBy(_.source).map { case (s, rows) =>
+      s -> ((rows.size.toLong, rows.map(_.ntok).sum,
+        rows.map(_.ntok).min, rows.map(_.ntok).max))
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Curation.DocStat]
+      val name = s"card_out_${System.nanoTime()}"
+      val q = Curation.sourceCardStream(mem.toDS()).writeStream
+        .format("memory").queryName(name).outputMode("update").start()
+      // deliberately uneven slicing: 1 doc, then ~half, then the rest
+      val (a, rest) = docs.splitAt(1)
+      val (b, c) = rest.splitAt(rest.size / 2)
+      Seq(a, b, c).foreach { batch => mem.addData(batch: _*); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table(name)
+        .groupBy("source")
+        .agg(max_by(struct("n_docs", "n_tokens", "min_tokens", "max_tokens"),
+          col("n_docs")).as("s"))
+        .select("source", "s.n_docs", "s.n_tokens", "s.min_tokens", "s.max_tokens")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      assert(got == expected, s"streaming cards diverge from batch:\n$got\nvs\n$expected")
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
