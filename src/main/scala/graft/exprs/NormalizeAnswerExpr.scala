@@ -61,6 +61,10 @@ object GraftFunctions {
       (e: Seq[Expression]) => NormalizeAnswerExpr(e.head)),
     ("graft_dot", classOf[DotProductExpr],
       (e: Seq[Expression]) => DotProductExpr(e(0), e(1))),
+    ("graft_dot_q", classOf[LongDotProductExpr],
+      (e: Seq[Expression]) => LongDotProductExpr(e(0), e(1))),
+    ("graft_sqdist_q", classOf[LongSqDistExpr],
+      (e: Seq[Expression]) => LongSqDistExpr(e(0), e(1))),
     ("graft_tokens_contain", classOf[TokensContainExpr],
       (e: Seq[Expression]) => TokensContainExpr(e(0), e(1))),
     ("graft_em", classOf[EmExpr], (e: Seq[Expression]) => EmExpr(e(0), e(1))),

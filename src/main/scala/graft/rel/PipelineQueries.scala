@@ -27,6 +27,15 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Codegen integer-vector kernels (see [[graft.exprs.LongVecExprs]]);
+    * best-effort registration as in [[graft.ops.Similarity.dot]]. */
+  private def callQ(fn: String, a: org.apache.spark.sql.Column,
+                    b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(graft.exprs.GraftFunctions.register)
+    call_function(fn, a, b)
+  }
+
   // ---- q122: exact duplicate-span detection (substring dedup) ---------------
 
   /** Substring-level exact dedup signal (Lee et al. 2022's ExactSubstr,
@@ -228,9 +237,10 @@ object PipelineQueries {
                  x -> cast(floor(x * 1000000.0 + 0.5) as bigint))""").as("q"))
       .persist()
     try {
-      val d2 = expr(
-        """aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)),
-             cast(0 as bigint), (acc, v) -> acc + v)""")
+      // codegen integer squared distance (LongSqDistExpr) — the HOF
+      // spelling aggregate(zip_with(...)) computes the same exact fold
+      // but interprets its lambdas per element
+      val d2 = callQ("graft_sqdist_q", col("q"), col("c"))
       def assign(cents: Seq[(Long, Seq[Long])]): DataFrame = {
         val cdf = cents.toDF("cl", "c")
         qv.crossJoin(broadcast(cdf))
@@ -565,9 +575,8 @@ object PipelineQueries {
     try {
       val minId = qv.agg(min(col("id"))).head().getLong(0)
       val qArr: Seq[Long] = qv.where(col("id") === minId).head().getSeq[Long](1)
-      def dotWith(v: Seq[Long]): org.apache.spark.sql.Column = expr(
-        s"""aggregate(zip_with(q, array(${v.mkString("L,")}L), (x, y) -> x * y),
-             cast(0 as bigint), (acc, v) -> acc + v)""")
+      def dotWith(v: Seq[Long]): org.apache.spark.sql.Column =
+        callQ("graft_dot_q", col("q"), typedLit(v))
       val rel = qv.withColumn("rel", dotWith(qArr))
       var selected = Vector.empty[(Long, Long, Long, Long, Seq[Long])]
       for (rank <- 1 to k) {

@@ -70,6 +70,43 @@ class ExtensionSurfaceSpec extends AnyFunSuite {
     assert(e.eval(null) == 32.0)
   }
 
+  test("graft_dot_q / graft_sqdist_q: exact integer folds, nulls, codegen, HOF parity") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val got = spark.sql(
+      "SELECT graft_dot_q(array(2L, 3L, -4L), array(10L, 100L, 1000L))")
+      .as[Long].collect()(0)
+    assert(got == 20L + 300L - 4000L)
+    val sq = spark.sql(
+      "SELECT graft_sqdist_q(array(1L, -2L, 3L), array(4L, 2L, 3L))")
+      .as[Long].collect()(0)
+    assert(sq == 9L + 16L + 0L)
+    // null array and null element both propagate
+    assert(spark.sql("SELECT graft_sqdist_q(CAST(NULL AS ARRAY<BIGINT>), array(1L))")
+      .collect()(0).isNullAt(0))
+    assert(spark.sql(
+      "SELECT graft_dot_q(array(1L, CAST(NULL AS BIGINT)), array(2L, 5L))")
+      .collect()(0).isNullAt(0))
+    // whole-stage codegen span (the reason these exist over the HOF chain)
+    graft.rel.Tables.load(spark, SparkTestBase.Sf0001, "embeddings")
+      .selectExpr("""transform(CAST(embedding AS ARRAY<DOUBLE>),
+                       x -> CAST(floor(x * 1e6 + 5e-1) AS BIGINT)) AS q""")
+      .createOrReplaceTempView("qdot_plan_in")
+    // the projection carrying the kernel is codegen'd (leading '*'); the
+    // quantize transform HOF before it may sit in its own span
+    val plan = spark.sql("SELECT graft_sqdist_q(q, q) FROM qdot_plan_in")
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_sqdist_q") && l.trim.startsWith("*(")), plan)
+    // agrees with the HOF spelling on real vectors (both exact folds)
+    val both = spark.sql(
+      """SELECT graft_dot_q(q, q) AS a,
+           aggregate(zip_with(q, q, (x, y) -> x * y),
+             CAST(0 AS BIGINT), (acc, v) -> acc + v) AS b
+         FROM qdot_plan_in""").collect()
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("ConfusionAggregator equals Stages.confusion on the fixture") {
     import spark.implicits._
     val fixture = spark.read.schema(graft.pipeline.Schemas.resultRecord)
