@@ -680,6 +680,69 @@ object PipelineQueries {
        FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
        ORDER BY t.doc_id"""
 
+  // ---- q130: cross-source contamination matrix ------------------------------
+
+  /** Source-pair overlap audit — the corpus-level complement of q94's
+    * benchmark decontamination: for every pair of sources, how much
+    * 8-gram content do they share? Mirrored/scraped-twice feeds show up
+    * as high-overlap pairs before any training run wastes epochs on
+    * them. Overlap is symmetric Jaccard over each source's DISTINCT
+    * shingle set (inclusion–exclusion union), all-integer until one
+    * identical-operand division.
+    *
+    * Scale shape: ONE exchange builds the distinct (source, shingle)
+    * table — already a massive reduction (shingle multiplicity within a
+    * source collapses); the self-join fan-out per shingle is C(m, 2)
+    * where m = #sources containing it, bounded by the SOURCE count (a
+    * catalog-sized constant), never by corpus size — the property that
+    * makes this matrix tractable where document-pair joins need LSH.
+    * Output is |sources|² rows max: driver-safe at any corpus scale.
+    */
+  def q130SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val L = 8
+    val sh = t(s, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+      .where(col("n") >= L)
+      .select(col("source"), explode(expr(
+        s"transform(sequence(0, n - $L), k -> array_join(slice(t, k + 1, $L), ' '))")).as("sg"))
+      .distinct()
+      .localCheckpoint()
+    val sz = sh.groupBy("source").agg(count(lit(1)).as("nsh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sg") === col("b.sg") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("s1"), col("b.source").as("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+    inter
+      .join(sz.select(col("source").as("s1"), col("nsh").as("n1")), "s1")
+      .join(sz.select(col("source").as("s2"), col("nsh").as("n2")), "s2")
+      .select(col("s1"), col("s2"), col("shared").cast("long").as("shared"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        graft.Stable.r4(col("shared").cast("double")
+          / (col("n1") + col("n2") - col("shared")).cast("double")).as("overlap"))
+      .orderBy("s1", "s2")
+  }
+
+  val q130Oracle: String =
+    """WITH toks AS (SELECT source, string_split(text, ' ') AS t,
+                            len(string_split(text, ' ')) AS n FROM documents),
+       sh AS (SELECT DISTINCT source, array_to_string(t[k+1 : k+8], ' ') AS sg
+              FROM toks, unnest(generate_series(0, n - 8)) AS u(k)
+              WHERE n >= 8),
+       sz AS (SELECT source, COUNT(*) AS nsh FROM sh GROUP BY 1),
+       inter AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS shared
+                 FROM sh a JOIN sh b ON a.sg = b.sg AND a.source < b.source
+                 GROUP BY 1, 2)
+       SELECT i.s1, i.s2, CAST(i.shared AS BIGINT) AS shared,
+         CAST(z1.nsh AS BIGINT) AS n1, CAST(z2.nsh AS BIGINT) AS n2,
+         floor(CAST(i.shared AS DOUBLE)
+               / CAST(z1.nsh + z2.nsh - i.shared AS DOUBLE)
+               * 10000.0 + 0.5) / 10000.0 AS overlap
+       FROM inter i
+       JOIN sz z1 ON i.s1 = z1.source
+       JOIN sz z2 ON i.s2 = z2.source
+       ORDER BY i.s1, i.s2"""
+
   // ---- registry --------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -690,7 +753,8 @@ object PipelineQueries {
     "q126_weighted_jaccard" -> (q126WeightedJaccard _),
     "q127_dataset_card" -> (q127DatasetCard _),
     "q128_mmr_select" -> (q128MmrSelect _),
-    "q129_dedup_span_rewrite" -> (q129DedupRewrite _))
+    "q129_dedup_span_rewrite" -> (q129DedupRewrite _),
+    "q130_source_overlap" -> (q130SourceOverlap _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
@@ -700,5 +764,6 @@ object PipelineQueries {
     "q126_weighted_jaccard" -> q126Oracle,
     "q127_dataset_card" -> q127Oracle,
     "q128_mmr_select" -> DataQueries.fixtureOracle("q128_mmr_select"),
-    "q129_dedup_span_rewrite" -> q129Oracle)
+    "q129_dedup_span_rewrite" -> q129Oracle,
+    "q130_source_overlap" -> q130Oracle)
 }

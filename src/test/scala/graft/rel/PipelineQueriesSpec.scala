@@ -192,6 +192,24 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(out(3L) == ((2L, "u v")), "short docs keep their text untouched")
   }
 
+  // ---- q130 source overlap (via the declared query on a temp table) ----------
+
+  test("sourceOverlap: shared shingles produce the hand-computed Jaccard; disjoint pairs are absent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ovl_").toString
+    Seq((1L, "a b c d e f g h i", "en", "A"),
+        (2L, "a b c d e f g h X", "en", "B"),
+        (3L, "p q r s t u v w z", "en", "C"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = PipelineQueries.q130SourceOverlap(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // A/B: each has 2 distinct 8-grams, share exactly 1 -> J = 1/3
+    assert(out.toSeq == Seq(("A", "B", 1L, 2L, 2L,
+      math.floor(1.0 / 3 * 1e4 + 0.5) / 1e4)), s"got ${out.toSeq}")
+  }
+
   test("dupSpans: docs shorter than L report zeros, not missing rows") {
     val out = spans(Seq(1L -> "a b", 2L -> "a b"), l = 4)
     assert(out(1L) == ((2L, 0L, 0L)) && out(2L) == ((2L, 0L, 0L)))

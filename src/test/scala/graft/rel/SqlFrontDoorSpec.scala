@@ -62,7 +62,8 @@ object SqlFrontDoorSpec {
     "q104_bm25", "q105_pagerank", "q106_label_centroids",
     "q108_merge_upsert", "q109_median_filter",
     "q122_dup_spans", "q123_bigram_lm", "q124_kmeans",
-    "q126_weighted_jaccard", "q129_dedup_span_rewrite")
+    "q126_weighted_jaccard", "q129_dedup_span_rewrite",
+    "q130_source_overlap")
 }
 
 class SqlFrontDoorSpec extends AnyFunSuite {
@@ -381,6 +382,32 @@ class SqlFrontDoorSpec extends AnyFunSuite {
            COALESCE(k.clean_text, '') AS clean_text
          FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
          ORDER BY t.doc_id""")
+  }
+
+  // q130's oracle builds 8-gram shingles like q126 builds 3-grams; the
+  // same transform+slice adaptation applies and the pair algebra parses
+  // identically.
+  test("q130_source_overlap: Spark-SQL slice/transform twin matches the DataFrame twin") {
+    checkTwin("q130_source_overlap",
+      """WITH toks AS (SELECT source, split(text, ' ') AS t,
+                              size(split(text, ' ')) AS n FROM documents),
+         sh AS (SELECT DISTINCT source, sg
+                FROM (SELECT source, explode(transform(sequence(0, n - 8),
+                        k -> array_join(slice(t, k + 1, 8), ' '))) AS sg
+                      FROM toks WHERE n >= 8)),
+         sz AS (SELECT source, COUNT(*) AS nsh FROM sh GROUP BY 1),
+         inter AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS shared
+                   FROM sh a JOIN sh b ON a.sg = b.sg AND a.source < b.source
+                   GROUP BY 1, 2)
+         SELECT i.s1, i.s2, CAST(i.shared AS BIGINT) AS shared,
+           CAST(z1.nsh AS BIGINT) AS n1, CAST(z2.nsh AS BIGINT) AS n2,
+           floor(CAST(i.shared AS DOUBLE)
+                 / CAST(z1.nsh + z2.nsh - i.shared AS DOUBLE)
+                 * 1e4 + 5e-1) / 1e4 AS overlap
+         FROM inter i
+         JOIN sz z1 ON i.s1 = z1.source
+         JOIN sz z2 ON i.s2 = z2.source
+         ORDER BY i.s1, i.s2""")
   }
 
   // q124's oracle indexes centroid/vector dims via lateral
