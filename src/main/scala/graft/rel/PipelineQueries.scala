@@ -743,6 +743,130 @@ object PipelineQueries {
        JOIN sz z2 ON i.s2 = z2.source
        ORDER BY i.s1, i.s2"""
 
+  // ---- q131: composite multi-signal quality filter --------------------------
+
+  /** The FineWeb-style ensemble gate: no single heuristic decides —
+    * each document is ranked WITHIN ITS LANGUAGE on three independent
+    * signals and the blend decides. Signals: (1) unigram-LM
+    * cross-entropy (q117's scorer — fluency), (2) within-doc 3-gram
+    * duplication fraction (q100's repetition axis), (3) length
+    * atypicality (distance of the doc's length rank from the middle of
+    * its language's distribution). Ranks are row_number fractions
+    * (rn−1)/(cnt−1) with doc_id tie-breaks — deterministic total order,
+    * exact rational arithmetic, engine-independent (PERCENT_RANK tie
+    * semantics never enter). Composite = mean of the three fractions;
+    * keep = composite ≤ 0.5 — half the corpus per language survives, by
+    * construction of the rank blend.
+    *
+    * Scale shape: the token stream is shuffled once per signal that
+    * needs it (the q117 LM fit; the per-doc gram table), per-doc rows
+    * once per rank window (lang-partitioned, never global); every
+    * broadcast is vocabulary- or language-sized. The final projection is
+    * per-row arithmetic over one row per document.
+    */
+  def q131QualityBlend(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tk"))
+    val vocab = toks.groupBy("lang", "tk").agg(count(lit(1)).as("cnt"))
+    val totals = vocab.groupBy("lang").agg(sum(col("cnt")).as("tot"))
+    val xent = toks.join(broadcast(vocab), Seq("lang", "tk"))
+      .join(broadcast(totals), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        (floor(-log(col("cnt").cast("double") / col("tot").cast("double"))
+          * 1000000.0 + 0.5) / 1000000.0).cast("decimal(18,6)").as("nll"))
+      .groupBy("doc_id", "lang")
+      .agg(graft.Stable.r4(sum(col("nll")).cast("double")
+        / count(lit(1)).cast("double")).as("xent"))
+    val rep = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+      .where(col("n") >= 3)
+      .select(col("doc_id"), col("n"), explode(expr(
+        "transform(sequence(0, n - 3), k -> array_join(slice(t, k + 1, 3), ' '))")).as("g"))
+      .groupBy("doc_id")
+      .agg(((count(lit(1)) - countDistinct(col("g"))).cast("double")
+        / count(lit(1)).cast("double")).as("rawdup"))
+      .select(col("doc_id"), graft.Stable.r4(col("rawdup")).as("dup3"))
+    val len = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ntok"))
+    def rankFrac(c: String, out: String) = {
+      val w = Window.partitionBy("lang").orderBy(col(c), col("doc_id"))
+      val cw = Window.partitionBy("lang")
+      (df: DataFrame) => df
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(cw))
+        .withColumn(out, (col("rn") - 1).cast("double")
+          / greatest(col("cnt") - 1, lit(1)).cast("double"))
+        .drop("rn", "cnt")
+    }
+    val joined = xent
+      .join(rep, Seq("doc_id"), "left").na.fill(0.0, Seq("dup3"))
+      .join(len, Seq("doc_id"))
+    val ranked = rankFrac("ntok", "pr_len")(
+      rankFrac("dup3", "pr_rep")(rankFrac("xent", "pr_xent")(joined)))
+    ranked
+      .withColumn("len_dev",
+        abs(col("pr_len") - lit(0.5)) * 2.0)
+      .withColumn("composite",
+        (col("pr_xent") + col("pr_rep") + col("len_dev")) / 3.0)
+      .select(col("doc_id"), col("lang"), col("xent"), col("dup3"),
+        graft.Stable.r4(col("pr_xent")).as("pr_xent"),
+        graft.Stable.r4(col("pr_rep")).as("pr_rep"),
+        graft.Stable.r4(col("len_dev")).as("len_dev"),
+        graft.Stable.r4(col("composite")).as("composite"),
+        (col("composite") <= 0.5).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val q131Oracle: String =
+    """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk
+                     FROM documents),
+       vocab AS (SELECT lang, tk, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+       totals AS (SELECT lang, SUM(cnt) AS tot FROM vocab GROUP BY 1),
+       xent AS (
+         SELECT t.doc_id, t.lang,
+           floor(CAST(SUM(CAST(floor(-ln(CAST(v.cnt AS DOUBLE) / CAST(s.tot AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS xent
+         FROM toks t
+         JOIN vocab v ON t.lang = v.lang AND t.tk = v.tk
+         JOIN totals s ON t.lang = s.lang
+         GROUP BY 1, 2),
+       tk3 AS (SELECT doc_id, len(string_split(text, ' ')) AS n,
+                      string_split(text, ' ') AS t FROM documents),
+       rep AS (SELECT doc_id,
+                 floor((CAST(COUNT(*) - COUNT(DISTINCT g) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS dup3
+               FROM (SELECT doc_id, array_to_string(t[k+1 : k+3], ' ') AS g
+                     FROM tk3, unnest(generate_series(0, n - 3)) AS u(k)
+                     WHERE n >= 3)
+               GROUP BY 1),
+       lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+                FROM documents),
+       joined AS (SELECT x.doc_id, x.lang, x.xent,
+                    COALESCE(r.dup3, 0.0) AS dup3, l.ntok
+                  FROM xent x
+                  LEFT JOIN rep r ON x.doc_id = r.doc_id
+                  JOIN lens l ON x.doc_id = l.doc_id),
+       ranked AS (
+         SELECT doc_id, lang, xent, dup3, ntok,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY xent, doc_id) - 1 AS DOUBLE)
+             / CAST(GREATEST(COUNT(*) OVER (PARTITION BY lang) - 1, 1) AS DOUBLE) AS pr_xent,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY dup3, doc_id) - 1 AS DOUBLE)
+             / CAST(GREATEST(COUNT(*) OVER (PARTITION BY lang) - 1, 1) AS DOUBLE) AS pr_rep,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ntok, doc_id) - 1 AS DOUBLE)
+             / CAST(GREATEST(COUNT(*) OVER (PARTITION BY lang) - 1, 1) AS DOUBLE) AS pr_len
+         FROM joined)
+       SELECT doc_id, lang, xent, dup3,
+         floor(pr_xent * 10000.0 + 0.5) / 10000.0 AS pr_xent,
+         floor(pr_rep * 10000.0 + 0.5) / 10000.0 AS pr_rep,
+         floor(abs(pr_len - 0.5) * 2.0 * 10000.0 + 0.5) / 10000.0 AS len_dev,
+         floor((pr_xent + pr_rep + abs(pr_len - 0.5) * 2.0) / 3.0
+               * 10000.0 + 0.5) / 10000.0 AS composite,
+         ((pr_xent + pr_rep + abs(pr_len - 0.5) * 2.0) / 3.0 <= 0.5) AS keep
+       FROM ranked ORDER BY doc_id"""
+
   // ---- registry --------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -754,7 +878,8 @@ object PipelineQueries {
     "q127_dataset_card" -> (q127DatasetCard _),
     "q128_mmr_select" -> (q128MmrSelect _),
     "q129_dedup_span_rewrite" -> (q129DedupRewrite _),
-    "q130_source_overlap" -> (q130SourceOverlap _))
+    "q130_source_overlap" -> (q130SourceOverlap _),
+    "q131_quality_blend" -> (q131QualityBlend _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
@@ -765,5 +890,6 @@ object PipelineQueries {
     "q127_dataset_card" -> q127Oracle,
     "q128_mmr_select" -> DataQueries.fixtureOracle("q128_mmr_select"),
     "q129_dedup_span_rewrite" -> q129Oracle,
-    "q130_source_overlap" -> q130Oracle)
+    "q130_source_overlap" -> q130Oracle,
+    "q131_quality_blend" -> q131Oracle)
 }

@@ -210,6 +210,29 @@ class PipelineQueriesSpec extends AnyFunSuite {
       math.floor(1.0 / 3 * 1e4 + 0.5) / 1e4)), s"got ${out.toSeq}")
   }
 
+  // ---- q131 quality blend ----------------------------------------------------
+
+  test("qualityBlend: rank fractions span [0,1] per language and the gate follows the composite") {
+    val rows = PipelineQueries.q131QualityBlend(spark, SparkTestBase.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      for (c <- Seq("pr_xent", "pr_rep", "len_dev", "composite")) {
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c out of range: $v")
+      }
+      assert(r.getAs[Boolean]("keep") == (r.getAs[Double]("composite") <= 0.5))
+    }
+    // within each language the extreme xent docs pin the rank ends
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      if (rs.length > 1) {
+        assert(rs.minBy(r => (r.getAs[Double]("xent"), r.getAs[Long]("doc_id")))
+          .getAs[Double]("pr_xent") == 0.0)
+        assert(rs.maxBy(r => (r.getAs[Double]("xent"), r.getAs[Long]("doc_id")))
+          .getAs[Double]("pr_xent") == 1.0)
+      }
+    }
+  }
+
   test("dupSpans: docs shorter than L report zeros, not missing rows") {
     val out = spans(Seq(1L -> "a b", 2L -> "a b"), l = 4)
     assert(out(1L) == ((2L, 0L, 0L)) && out(2L) == ((2L, 0L, 0L)))

@@ -310,7 +310,11 @@ object SqlFrontDoorWideSpec {
         s.replace("unnest([5e-1, 9e-1, 99e-2])", "explode(array(5e-1, 9e-1, 99e-2))"),
         "[..] array literal → array(..); unnest → explode"),
       "q127_dataset_card" -> (id _,
-        "string_split/len renames + // div; md5/ln/windows parse identically"))
+        "string_split/len renames + // div; md5/ln/windows parse identically"),
+      "q131_quality_blend" -> ((s: String) => Duck2Spark.lateralSeries(
+          s.replace("array_to_string(t[k+1 : k+3], ' ')",
+            "array_join(slice(t, k + 1, 3), ' ')")),
+        "lateral series + t[a:b] → slice(); rank-fraction algebra parses identically"))
   }
 
   /** Regression-fixture oracles (the q46 pattern, SF-pinned at the
