@@ -14,6 +14,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * left folds of exact integer terms, so they are order-insensitive
   * anyway (integer addition is associative) — swapping them in cannot
   * change any fixture or oracle hash.
+  *
+  * Null/length semantics MATCH the HOF spelling they replace: arrays of
+  * different lengths yield NULL (zip_with pads the short side with
+  * nulls, which poison the fold) — no silent truncate-to-shorter — and
+  * a null array or null element yields NULL.
   */
 trait LongVecFold extends BinaryExpression {
   override def dataType: DataType = LongType
@@ -37,7 +42,8 @@ trait LongVecFold extends BinaryExpression {
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0L
     var i = 0
     while (i < n) {
@@ -53,14 +59,21 @@ trait LongVecFold extends BinaryExpression {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += ${term(s"$x.getLong($i)", s"$y.getLong($i)")};
+         |if ($x.numElements() != $y.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  int $n = $x.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $xi = $x.getLong($i);
+         |    long $yi = $y.getLong($i);
+         |    $acc += ${term(xi, yi)};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 }

@@ -91,6 +91,17 @@ object GraftFunctions {
         FunctionIdentifier(name), info(name, cls), builder)
     }
 
+  /** Best-effort-registered Column call: installs the catalog into the
+    * active (or default) session, then calls `fn`. The one home for the
+    * pattern [[graft.ops.Similarity.dot]] pioneered — bare-Column
+    * callers with no session at Column-construction time still work,
+    * DataFrame operators re-register on their own df.sparkSession. */
+  def call(fn: String, cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column = {
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(register)
+    org.apache.spark.sql.functions.call_function(fn, cols: _*)
+  }
+
   def inject(ext: SparkSessionExtensions): Unit =
     catalog.foreach { case (name, cls, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, cls), builder))

@@ -27,16 +27,8 @@ object Similarity {
     * chain evaluates its lambdas interpreted per element (~100× slower
     * on million-pair scans), and a Scala UDF pays a boxed Seq[Double]
     * conversion per call. */
-  def dot(a: Column, b: Column): Column = {
-    // best-effort registration for bare-Column callers; the DataFrame
-    // operators below also register on their own df.sparkSession, which
-    // covers multi-session and helper-thread setups where no session is
-    // active at Column-construction time
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .foreach(graft.exprs.GraftFunctions.register)
-    call_function("graft_dot", a, b)
-  }
+  def dot(a: Column, b: Column): Column =
+    graft.exprs.GraftFunctions.call("graft_dot", a, b)
 
   /** Cosine of two double-array columns (per-pair self-dots; for bulk
     * scans precompute the norms once per vector — see [[cosineTopK]]). */

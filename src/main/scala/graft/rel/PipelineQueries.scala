@@ -27,14 +27,10 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Codegen integer-vector kernels (see [[graft.exprs.LongVecExprs]]);
-    * best-effort registration as in [[graft.ops.Similarity.dot]]. */
+  /** Codegen integer-vector kernels (see [[graft.exprs.LongVecExprs]]). */
   private def callQ(fn: String, a: org.apache.spark.sql.Column,
-                    b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-      .foreach(graft.exprs.GraftFunctions.register)
-    call_function(fn, a, b)
-  }
+                    b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.exprs.GraftFunctions.call(fn, a, b)
 
   // ---- q122: exact duplicate-span detection (substring dedup) ---------------
 
@@ -61,19 +57,27 @@ object PipelineQueries {
   def q122DupSpans(s: SparkSession, dir: String): DataFrame =
     dupSpans(t(s, dir, "documents"), L = 16)
 
-  /** Core of q122 over any (doc_id, text) frame — spec entry point. */
-  def dupSpans(docs: DataFrame, L: Int): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .withColumn("n", size(col("t")))
-    val wins = toks.where(col("n") >= L)
+  /** (doc_id, token array, length) — shared by the span queries. */
+  private def tokenized(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("t"))
+    .withColumn("n", size(col("t")))
+
+  /** Start offsets of every DUPLICATED L-token window (content occurs
+    * ≥2 times corpus-wide) — the shared detection machinery of q122
+    * (measurement) and q129 (removal). One content-keyed exchange. */
+  private def dupWindowStarts(toks: DataFrame, L: Int): DataFrame =
+    toks.where(col("n") >= L)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, n - $L),
               k -> struct(k AS k, array_join(slice(t, k + 1, $L), ' ') AS wt))""")).as("w"))
       .select(col("doc_id"), col("w.k").as("k"), col("w.wt").as("wt"))
-    val dup = wins
       .withColumn("f", count(lit(1)).over(Window.partitionBy("wt")))
       .where(col("f") > 1)
+
+  /** Core of q122 over any (doc_id, text) frame — spec entry point. */
+  def dupSpans(docs: DataFrame, L: Int): DataFrame = {
+    val toks = tokenized(docs)
+    val dup = dupWindowStarts(toks, L)
     // union of [k, k+L-1] intervals per doc: sorted starts, each window
     // contributes min(L, gap to next start); the last contributes L
     val cov = dup
@@ -342,13 +346,17 @@ object PipelineQueries {
       ws.filter(_.nonEmpty)
         .flatMap(w => memo.getOrElseUpdate(w, graft.ops.Bpe.encodeWord(w, pb.value)))
     })
+    // n_words counts the NON-empty tokens — the same filter the encoder
+    // (and learnMerges) applies, so the fan-out denominator and the
+    // lossless bpe_text concatenation agree even under ragged whitespace
     docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("enc", enc(col("ws")))
+      .withColumn("nw", expr("size(filter(ws, w -> w != ''))"))
       .select(col("doc_id"),
-        size(col("ws")).cast("long").as("n_words"),
+        col("nw").cast("long").as("n_words"),
         size(col("enc")).cast("long").as("n_subwords"),
         graft.Stable.r4(size(col("enc")).cast("double")
-          / size(col("ws")).cast("double")).as("subwords_per_word"),
+          / col("nw").cast("double")).as("subwords_per_word"),
         array_join(col("enc"), " ").as("bpe_text"))
       .orderBy("doc_id")
   }
@@ -471,10 +479,13 @@ object PipelineQueries {
       .select(col("source"), col("lang"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("ntok"),
         md5(col("text")).as("h"))
+    // dup rows = Σ group sizes over groups of ≥2: a map-side-combinable
+    // groupBy (count-sized shuffle rows), not a row-preserving window
+    // over the corpus stream
     val dup = d
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source", "h")))
+      .groupBy("source", "h").agg(count(lit(1)).as("cnt"))
       .groupBy("source")
-      .agg(sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup_docs"))
+      .agg(sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_docs"))
     val med = d
       .withColumn("rn", row_number().over(
         Window.partitionBy("source").orderBy(col("ntok"), col("doc_id"))))
@@ -573,29 +584,37 @@ object PipelineQueries {
                    x -> cast(floor(x * 1000000.0 + 0.5) as bigint))""").as("q"))
       .persist()
     try {
-      val minId = qv.agg(min(col("id"))).head().getLong(0)
-      val qArr: Seq[Long] = qv.where(col("id") === minId).head().getSeq[Long](1)
-      def dotWith(v: Seq[Long]): org.apache.spark.sql.Column =
-        callQ("graft_dot_q", col("q"), typedLit(v))
-      val rel = qv.withColumn("rel", dotWith(qArr))
+      // anchor = the lowest-id vector; an empty pool yields an empty
+      // selection (no crash — the spec'd generic-frame contract)
+      val anchor = qv.orderBy("id").take(1).headOption
       var selected = Vector.empty[(Long, Long, Long, Long, Seq[Long])]
-      for (rank <- 1 to k) {
-        val pool =
-          if (selected.isEmpty) rel.withColumn("maxsim", lit(0L))
-          else {
-            val sims = selected.map(t => dotWith(t._5))
-            rel
-              .where(!col("id").isin(selected.map(_._2): _*))
-              .withColumn("maxsim",
-                if (sims.size == 1) sims.head else greatest(sims: _*))
+      anchor.foreach { a =>
+        val qArr: Seq[Long] = a.getSeq[Long](1)
+        def dotWith(v: Seq[Long]): org.apache.spark.sql.Column =
+          callQ("graft_dot_q", col("q"), typedLit(v))
+        val rel = qv.withColumn("rel", dotWith(qArr))
+        var exhausted = false
+        for (rank <- 1 to k if !exhausted) {
+          val pool =
+            if (selected.isEmpty) rel.withColumn("maxsim", lit(0L))
+            else {
+              val sims = selected.map(t => dotWith(t._5))
+              rel
+                .where(!col("id").isin(selected.map(_._2): _*))
+                .withColumn("maxsim",
+                  if (sims.size == 1) sims.head else greatest(sims: _*))
+            }
+          pool
+            .withColumn("score", col("rel") - col("maxsim"))
+            .orderBy(col("score").desc, col("id"))
+            .select(col("id"), col("rel"), col("maxsim"), col("q"))
+            .take(1).headOption match {
+            case Some(top) =>
+              selected :+= ((rank.toLong, top.getLong(0), top.getLong(1),
+                top.getLong(2), top.getSeq[Long](3)))
+            case None => exhausted = true // pool smaller than k: stop clean
           }
-        val top = pool
-          .withColumn("score", col("rel") - col("maxsim"))
-          .orderBy(col("score").desc, col("id"))
-          .select(col("id"), col("rel"), col("maxsim"), col("q"))
-          .head()
-        selected :+= ((rank.toLong, top.getLong(0), top.getLong(1),
-          top.getLong(2), top.getSeq[Long](3)))
+        }
       }
       selected.map(t => (t._1, t._2, t._3, t._4, t._3 - t._4))
         .toDF("rank", "vec_id", "rel", "maxsim", "score")
@@ -627,18 +646,8 @@ object PipelineQueries {
 
   /** Core of q129 over any (doc_id, text) frame — spec entry point. */
   def dedupSpanRewrite(docs: DataFrame, L: Int): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("t"))
-      .withColumn("n", size(col("t")))
-    val wins = toks.where(col("n") >= L)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(0, n - $L),
-              k -> struct(k AS k, array_join(slice(t, k + 1, $L), ' ') AS wt))""")).as("w"))
-      .select(col("doc_id"), col("w.k").as("k"), col("w.wt").as("wt"))
-    val dup = wins
-      .withColumn("f", count(lit(1)).over(Window.partitionBy("wt")))
-      .where(col("f") > 1)
-    val covered = dup
+    val toks = tokenized(docs)
+    val covered = dupWindowStarts(toks, L)
       .select(col("doc_id"), explode(expr(s"sequence(k, k + ${L - 1})")).as("pos"))
       .distinct()
     val kept = toks

@@ -81,7 +81,10 @@ class ExtensionSurfaceSpec extends AnyFunSuite {
       "SELECT graft_sqdist_q(array(1L, -2L, 3L), array(4L, 2L, 3L))")
       .as[Long].collect()(0)
     assert(sq == 9L + 16L + 0L)
-    // null array and null element both propagate
+    // length mismatch yields NULL (HOF zip_with parity — no silent
+    // truncate-to-shorter), as do null arrays and null elements
+    assert(spark.sql("SELECT graft_dot_q(array(1L, 2L, 3L), array(1L, 2L))")
+      .collect()(0).isNullAt(0))
     assert(spark.sql("SELECT graft_sqdist_q(CAST(NULL AS ARRAY<BIGINT>), array(1L))")
       .collect()(0).isNullAt(0))
     assert(spark.sql(

@@ -162,6 +162,14 @@ class PipelineQueriesSpec extends AnyFunSuite {
       s"unexpected pick order: ${out.toSeq}")
   }
 
+  test("mmrSelect: k larger than the pool returns the whole pool, ranked — no crash") {
+    val emb = Seq((7L, Array(1.0f, 0.0f)), (9L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = PipelineQueries.mmrSelect(emb, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 7L), (2L, 9L)))
+  }
+
   test("mmrSelect: trajectory is invariant under repartitioning") {
     val base = SparkTestBase.spark.read
       .parquet(s"${SparkTestBase.Sf0001}/embeddings.parquet")
