@@ -876,6 +876,79 @@ object PipelineQueries {
          ((pr_xent + pr_rep + abs(pr_len - 0.5) * 2.0) / 3.0 <= 0.5) AS keep
        FROM ranked ORDER BY doc_id"""
 
+  // ---- q132: held-out LM evaluation (train/score separation) ----------------
+
+  /** The production form q117's scaladoc promises: fit the unigram LM on
+    * a TRAIN split and score a held-out TEST split, so the score is a
+    * generalization signal rather than a self-fit repetition proxy. The
+    * split is the q83/q118 deterministic 16-bit multiplicative-hash
+    * recipe (75/25 by doc_id, multiplier 25173 — uncorrelated with both
+    * samplers), Laplace (+1) smoothing handles tokens unseen in train —
+    * p(tk) = (cnt+1)/(tot+V+1), the +1 bucket standing for UNK — and
+    * per-doc OOV counts ride along. DECIMAL(18,6) per-token nll before
+    * the order-free sum, one r4 division: the q117 exactness contract.
+    *
+    * Scale shape: one (lang, token) shuffle fits the train counts; the
+    * test stream joins the broadcast LM table LEFT (missing = OOV) and
+    * aggregates per doc — the token stream is never re-shuffled on the
+    * token key. Test docs in a language with no train rows are dropped
+    * by the totals join (deterministic in both engines; at 75/25 over
+    * any real corpus the case is vacuous).
+    */
+  def q132HeldoutLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("bucket", pmod(col("doc_id") * lit(25173L), lit(65536L)))
+    val toks = docs.select(col("doc_id"), col("lang"), col("bucket"),
+      explode(split(col("text"), " ")).as("tk"))
+    val train = toks.where(col("bucket") < 49152L)
+    val cnts = train.groupBy("lang", "tk").agg(count(lit(1)).as("cnt"))
+    val stats = cnts.groupBy("lang")
+      .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("v"))
+    val test = toks.where(col("bucket") >= 49152L)
+    test
+      .join(broadcast(cnts), Seq("lang", "tk"), "left")
+      .join(broadcast(stats), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        when(col("cnt").isNull, 1L).otherwise(0L).as("oov"),
+        (floor(-log((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double")
+            / (col("tot") + col("v") + lit(1L)).cast("double"))
+          * 1000000.0 + 0.5) / 1000000.0).cast("decimal(18,6)").as("nll"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("oov")).as("n_oov"),
+        sum(col("nll")).as("nll_sum"))
+      .select(col("doc_id"), col("lang"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_oov").cast("long").as("n_oov"),
+        graft.Stable.r4(col("nll_sum").cast("double")
+          / col("n_tokens").cast("double")).as("xent"))
+      .orderBy("doc_id")
+  }
+
+  val q132Oracle: String =
+    """WITH d AS (SELECT doc_id, lang, text,
+                    (doc_id * 25173) % 65536 AS bucket FROM documents),
+       toks AS (SELECT doc_id, lang, bucket,
+                  unnest(string_split(text, ' ')) AS tk FROM d),
+       cnts AS (SELECT lang, tk, COUNT(*) AS cnt FROM toks
+                WHERE bucket < 49152 GROUP BY 1, 2),
+       stats AS (SELECT lang, SUM(cnt) AS tot, COUNT(*) AS v
+                 FROM cnts GROUP BY 1),
+       nll AS (
+         SELECT t.doc_id, t.lang,
+           CASE WHEN c.cnt IS NULL THEN 1 ELSE 0 END AS oov,
+           CAST(floor(-ln(CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE)
+               / CAST(s.tot + s.v + 1 AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS nll
+         FROM toks t
+         LEFT JOIN cnts c ON t.lang = c.lang AND t.tk = c.tk
+         JOIN stats s ON t.lang = s.lang
+         WHERE t.bucket >= 49152)
+       SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(oov) AS BIGINT) AS n_oov,
+         floor(CAST(SUM(nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               * 10000.0 + 0.5) / 10000.0 AS xent
+       FROM nll GROUP BY doc_id, lang ORDER BY doc_id"""
+
   // ---- registry --------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -888,7 +961,8 @@ object PipelineQueries {
     "q128_mmr_select" -> (q128MmrSelect _),
     "q129_dedup_span_rewrite" -> (q129DedupRewrite _),
     "q130_source_overlap" -> (q130SourceOverlap _),
-    "q131_quality_blend" -> (q131QualityBlend _))
+    "q131_quality_blend" -> (q131QualityBlend _),
+    "q132_heldout_lm" -> (q132HeldoutLm _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
@@ -900,5 +974,6 @@ object PipelineQueries {
     "q128_mmr_select" -> DataQueries.fixtureOracle("q128_mmr_select"),
     "q129_dedup_span_rewrite" -> q129Oracle,
     "q130_source_overlap" -> q130Oracle,
-    "q131_quality_blend" -> q131Oracle)
+    "q131_quality_blend" -> q131Oracle,
+    "q132_heldout_lm" -> q132Oracle)
 }

@@ -241,6 +241,27 @@ class PipelineQueriesSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q132 held-out LM ------------------------------------------------------
+
+  test("heldoutLm: split, Laplace smoothing and OOV accounting match the hand calculation") {
+    // buckets (id*25173 % 65536): 1->25173 train, 2->50346 TEST,
+    // 3->9983 train, 4->35156 train
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm_").toString
+    Seq((1L, "a a b", "en"), (2L, "a c", "en"), (3L, "a", "en"), (4L, "b", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = PipelineQueries.q132HeldoutLm(spark, dir).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 2L, "only doc 2 is held out")
+    val r = out.head
+    // train: cnt(a)=3, cnt(b)=2, tot=5, V=2 -> p(a)=4/8, p(OOV)=1/8
+    def nll6(p: Double) = math.floor(-math.log(p) * 1e6 + 0.5) / 1e6
+    val xent = math.floor((nll6(0.5) + nll6(0.125)) / 2 * 1e4 + 0.5) / 1e4
+    assert(r.getLong(2) == 2L && r.getLong(3) == 1L, "one of two tokens is OOV")
+    assert(r.getDouble(4) == xent, s"got ${r.getDouble(4)}, want $xent")
+  }
+
   test("dupSpans: docs shorter than L report zeros, not missing rows") {
     val out = spans(Seq(1L -> "a b", 2L -> "a b"), l = 4)
     assert(out(1L) == ((2L, 0L, 0L)) && out(2L) == ((2L, 0L, 0L)))

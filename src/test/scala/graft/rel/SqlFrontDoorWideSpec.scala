@@ -314,7 +314,9 @@ object SqlFrontDoorWideSpec {
       "q131_quality_blend" -> ((s: String) => Duck2Spark.lateralSeries(
           s.replace("array_to_string(t[k+1 : k+3], ' ')",
             "array_join(slice(t, k + 1, 3), ' ')")),
-        "lateral series + t[a:b] → slice(); rank-fraction algebra parses identically"))
+        "lateral series + t[a:b] → slice(); rank-fraction algebra parses identically"),
+      "q132_heldout_lm" -> (id _,
+        "string_split/unnest renames; hash split, smoothing and DECIMAL sums parse identically"))
   }
 
   /** Regression-fixture oracles (the q46 pattern, SF-pinned at the
