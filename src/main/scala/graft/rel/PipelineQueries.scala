@@ -949,6 +949,85 @@ object PipelineQueries {
                * 10000.0 + 0.5) / 10000.0 AS xent
        FROM nll GROUP BY doc_id, lang ORDER BY doc_id"""
 
+  // ---- q133: PMI collocation mining -----------------------------------------
+
+  /** Phrase detection (Mikolov et al. 2013's word2phrase step): the
+    * top-10 adjacent word pairs per language by pointwise mutual
+    * information, PMI = ln(p(w1,w2)/(p(w1)·p(w2))), over the q123
+    * bigram/marginal tables with a min-support floor (c12 ≥ 5) that
+    * kills the noise tail. Pipelines run this before tokenizer training
+    * to fuse collocations into single units. All counts are exact
+    * integers; the single ln takes an identical-operand double ratio
+    * (c12·T)/(c1·c2) — spelled factor-by-factor so no product overflows
+    * at corpus scale — and ranking uses (rounded PMI, w1, w2): a total
+    * order on engine-identical values.
+    *
+    * Scale shape: the ONE (lang,w1,w2) shuffle builds the bigram table
+    * (vocab²-bounded, corpus-independent); marginals are aggregates of
+    * it; the per-lang top-k is a lang-partitioned window over the
+    * SUPPORT-FILTERED table — the [[graft.plans.TopKPerKey]] rank-filter
+    * rule picks it up like every other ranking tail.
+    */
+  def q133PmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val minSupport = 5L
+    val topK = 10
+    val bi = t(s, dir, "documents")
+      .select(col("lang"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+      .where(col("n") >= 2)
+      .select(col("lang"), explode(expr(
+        """transform(sequence(0, n - 2),
+             i -> struct(t[i] AS w1, t[i + 1] AS w2))""")).as("b"))
+      .select(col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c12 = bi.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val c1 = c12.groupBy("lang", "w1").agg(sum(col("c12")).as("c1"))
+    val c2 = c12.groupBy("lang", "w2").agg(sum(col("c12")).as("c2"))
+    val tot = c12.groupBy("lang").agg(sum(col("c12")).as("tot"))
+    val scored = c12.where(col("c12") >= minSupport)
+      .join(broadcast(c1), Seq("lang", "w1"))
+      .join(broadcast(c2), Seq("lang", "w2"))
+      .join(broadcast(tot), Seq("lang"))
+      .withColumn("pmi", graft.Stable.r4(
+        log(col("c12").cast("double") / col("c1").cast("double")
+          * (col("tot").cast("double") / col("c2").cast("double")))))
+    scored
+      .withColumn("rn", row_number().over(Window.partitionBy("lang")
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))))
+      .where(col("rn") <= topK)
+      .select(col("lang"), col("rn").cast("long").as("rank"),
+        col("w1"), col("w2"), col("c12").cast("long").as("c12"), col("pmi"))
+      .orderBy("lang", "rank")
+  }
+
+  val q133Oracle: String =
+    """WITH toks AS (SELECT lang, string_split(text, ' ') AS t,
+                            len(string_split(text, ' ')) AS n FROM documents),
+       bi AS (SELECT lang, t[i+1] AS w1, t[i+2] AS w2
+              FROM toks, unnest(generate_series(0, n - 2)) AS u(i)
+              WHERE n >= 2),
+       c12 AS (SELECT lang, w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2, 3),
+       c1 AS (SELECT lang, w1, SUM(c12) AS c1 FROM c12 GROUP BY 1, 2),
+       c2 AS (SELECT lang, w2, SUM(c12) AS c2 FROM c12 GROUP BY 1, 2),
+       tot AS (SELECT lang, SUM(c12) AS tot FROM c12 GROUP BY 1),
+       scored AS (
+         SELECT s12.lang, s12.w1, s12.w2, s12.c12,
+           floor(ln(CAST(s12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)
+                    * (CAST(tot.tot AS DOUBLE) / CAST(c2.c2 AS DOUBLE)))
+                 * 10000.0 + 0.5) / 10000.0 AS pmi
+         FROM c12 s12
+         JOIN c1 ON s12.lang = c1.lang AND s12.w1 = c1.w1
+         JOIN c2 ON s12.lang = c2.lang AND s12.w2 = c2.w2
+         JOIN tot ON s12.lang = tot.lang
+         WHERE s12.c12 >= 5)
+       SELECT lang, CAST(rn AS BIGINT) AS rank, w1, w2,
+         CAST(c12 AS BIGINT) AS c12, pmi
+       FROM (SELECT lang, w1, w2, c12, pmi,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY pmi DESC, w1, w2) AS rn
+             FROM scored)
+       WHERE rn <= 10 ORDER BY lang, rank"""
+
   // ---- registry --------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -962,7 +1041,8 @@ object PipelineQueries {
     "q129_dedup_span_rewrite" -> (q129DedupRewrite _),
     "q130_source_overlap" -> (q130SourceOverlap _),
     "q131_quality_blend" -> (q131QualityBlend _),
-    "q132_heldout_lm" -> (q132HeldoutLm _))
+    "q132_heldout_lm" -> (q132HeldoutLm _),
+    "q133_pmi_collocations" -> (q133PmiCollocations _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
@@ -975,5 +1055,6 @@ object PipelineQueries {
     "q129_dedup_span_rewrite" -> q129Oracle,
     "q130_source_overlap" -> q130Oracle,
     "q131_quality_blend" -> q131Oracle,
-    "q132_heldout_lm" -> q132Oracle)
+    "q132_heldout_lm" -> q132Oracle,
+    "q133_pmi_collocations" -> q133Oracle)
 }

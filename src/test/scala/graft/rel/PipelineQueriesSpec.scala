@@ -262,6 +262,24 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(r.getDouble(4) == xent, s"got ${r.getDouble(4)}, want $xent")
   }
 
+  // ---- q133 PMI collocations -------------------------------------------------
+
+  test("pmiCollocations: min support and the PMI hand calculation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pmi_").toString
+    // 'new york' x5 -> c12=5 passes support; 'york new' x4 filtered
+    Seq((1L, "new york new york new york new york new york", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = PipelineQueries.q133PmiCollocations(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getDouble(5)))
+    // c1(new)=5, c2(york)=5, T=9 -> PMI = ln(5/5 * 9/5)
+    val pmi = math.floor(math.log(9.0 / 5.0) * 1e4 + 0.5) / 1e4
+    assert(out.toSeq == Seq(("en", 1L, "new", "york", 5L, pmi)), s"got ${out.toSeq}")
+  }
+
   test("dupSpans: docs shorter than L report zeros, not missing rows") {
     val out = spans(Seq(1L -> "a b", 2L -> "a b"), l = 4)
     assert(out(1L) == ((2L, 0L, 0L)) && out(2L) == ((2L, 0L, 0L)))
