@@ -1028,6 +1028,49 @@ object PipelineQueries {
              FROM scored)
        WHERE rn <= 10 ORDER BY lang, rank"""
 
+  // ---- q134: deterministic source-interleaved training order ----------------
+
+  /** Training-order materialization: a corpus written in source order
+    * trains badly (long same-source runs); true random shuffles aren't
+    * reproducible across engines. The deterministic fix every epoch
+    * pipeline uses: round-robin interleave — position r for the r-th
+    * document of each source, sources rotating within each round — so
+    * consecutive training rows cycle through sources and the order is a
+    * pure function of (source, within-source hash rank). Within-source
+    * order is itself hash-scrambled (the q118 multiplicative recipe,
+    * multiplier 11587 — uncorrelated with the samplers) so the
+    * interleave does not preserve ingestion order inside a source.
+    * All-integer arithmetic; full hash oracle.
+    *
+    * Scale shape: one window per source (rank within source) + one
+    * global rank over (round, source) realized as the declared ORDER BY
+    * — at scale the output is written `repartitionByRange(round)` and
+    * the global sort is the write-side range exchange; no driver state.
+    */
+  def q134InterleaveOrder(s: SparkSession, dir: String): DataFrame = {
+    val scramble = pmod(col("doc_id") * lit(11587L), lit(65536L))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), scramble.as("b"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("source").orderBy(col("b"), col("doc_id"))))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("r"), col("source"), col("doc_id"))))
+      .select(col("pos").cast("long").as("pos"), col("doc_id"),
+        col("source"), col("r").cast("long").as("round"))
+      .orderBy("pos")
+  }
+
+  val q134Oracle: String =
+    """WITH d AS (SELECT doc_id, source,
+                    (doc_id * 11587) % 65536 AS b FROM documents),
+       ranked AS (SELECT doc_id, source, b,
+                    ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY b, doc_id) AS r
+                  FROM d)
+       SELECT CAST(ROW_NUMBER() OVER (ORDER BY r, source, doc_id) AS BIGINT) AS pos,
+         doc_id, source, CAST(r AS BIGINT) AS round
+       FROM ranked ORDER BY pos"""
+
   // ---- registry --------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1042,7 +1085,8 @@ object PipelineQueries {
     "q130_source_overlap" -> (q130SourceOverlap _),
     "q131_quality_blend" -> (q131QualityBlend _),
     "q132_heldout_lm" -> (q132HeldoutLm _),
-    "q133_pmi_collocations" -> (q133PmiCollocations _))
+    "q133_pmi_collocations" -> (q133PmiCollocations _),
+    "q134_interleave_order" -> (q134InterleaveOrder _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
@@ -1056,5 +1100,6 @@ object PipelineQueries {
     "q130_source_overlap" -> q130Oracle,
     "q131_quality_blend" -> q131Oracle,
     "q132_heldout_lm" -> q132Oracle,
-    "q133_pmi_collocations" -> q133Oracle)
+    "q133_pmi_collocations" -> q133Oracle,
+    "q134_interleave_order" -> q134Oracle)
 }

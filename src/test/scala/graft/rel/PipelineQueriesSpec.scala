@@ -280,6 +280,21 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("en", 1L, "new", "york", 5L, pmi)), s"got ${out.toSeq}")
   }
 
+  // ---- q134 interleave order -------------------------------------------------
+
+  test("interleaveOrder: rounds are non-decreasing and sources rotate within a round") {
+    val rows = PipelineQueries.q134InterleaveOrder(spark, SparkTestBase.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.map(_._1).toSeq == (1L to rows.length).toSeq)
+    rows.sliding(2).foreach { case Array((_, s1, r1), (_, s2, r2)) =>
+      assert(r2 >= r1, "round numbers must be non-decreasing in position order")
+      if (r1 == r2) assert(s2 > s1, "within a round, sources strictly ascend (rotation)")
+    }
+    // round 1 contains every source exactly once
+    val firstRound = rows.filter(_._3 == 1L).map(_._2)
+    assert(firstRound.distinct.length == firstRound.length)
+  }
+
   test("dupSpans: docs shorter than L report zeros, not missing rows") {
     val out = spans(Seq(1L -> "a b", 2L -> "a b"), l = 4)
     assert(out(1L) == ((2L, 0L, 0L)) && out(2L) == ((2L, 0L, 0L)))
