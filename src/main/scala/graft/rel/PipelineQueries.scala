@@ -1071,6 +1071,47 @@ object PipelineQueries {
          doc_id, source, CAST(r AS BIGINT) AS round
        FROM ranked ORDER BY pos"""
 
+  // ---- q135: compression-ratio quality signal -------------------------------
+
+  /** The Gopher/RefinedWeb compression filter: highly repetitive or
+    * templated text deflates far below typical prose, near-random noise
+    * barely deflates at all — the per-document DEFLATE ratio is a cheap,
+    * language-agnostic quality band. Ratio = deflate(utf8)/raw bytes
+    * (zlib level 6, raw stream), keep-band [0.3, 0.9]. DEFLATE output
+    * for a fixed input, level and strategy is deterministic for a given
+    * zlib build, and the driver gate replays this JVM — so the committed
+    * sf0.01 fixture is the oracle (no SQL engine can spell deflate); the
+    * spec pins the semantic ordering (repetitive ≪ prose < noise).
+    *
+    * Scale shape: pure per-row projection, zero shuffles before the
+    * declared sort — the ideal every-byte-once corpus scan. The
+    * Deflater is allocated per call with a fixed dictionary-free
+    * configuration; production would pool it per partition (same
+    * output, fewer allocations).
+    */
+  def q135CompressionRatio(s: SparkSession, dir: String): DataFrame = {
+    val gzLen = udf { (text: String) =>
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](math.max(64, bytes.length + 64))
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      d.end()
+      total
+    }
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("raw_bytes", octet_length(col("text")).cast("long"))
+      .withColumn("gz_bytes", gzLen(col("text")).cast("long"))
+      .where(col("raw_bytes") > 0)
+      .withColumn("ratio", graft.Stable.r4(col("gz_bytes").cast("double")
+        / col("raw_bytes").cast("double")))
+      .select(col("doc_id"), col("raw_bytes"), col("gz_bytes"), col("ratio"),
+        (col("ratio") >= 0.3 && col("ratio") <= 0.9).as("keep"))
+      .orderBy("doc_id")
+  }
+
   // ---- registry --------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1086,7 +1127,8 @@ object PipelineQueries {
     "q131_quality_blend" -> (q131QualityBlend _),
     "q132_heldout_lm" -> (q132HeldoutLm _),
     "q133_pmi_collocations" -> (q133PmiCollocations _),
-    "q134_interleave_order" -> (q134InterleaveOrder _))
+    "q134_interleave_order" -> (q134InterleaveOrder _),
+    "q135_compression_ratio" -> (q135CompressionRatio _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
@@ -1101,5 +1143,6 @@ object PipelineQueries {
     "q131_quality_blend" -> q131Oracle,
     "q132_heldout_lm" -> q132Oracle,
     "q133_pmi_collocations" -> q133Oracle,
-    "q134_interleave_order" -> q134Oracle)
+    "q134_interleave_order" -> q134Oracle,
+    "q135_compression_ratio" -> DataQueries.fixtureOracle("q135_compression_ratio"))
 }

@@ -295,6 +295,26 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(firstRound.distinct.length == firstRound.length)
   }
 
+  // ---- q135 compression ratio ------------------------------------------------
+
+  test("compressionRatio: repetitive text compresses far below prose; determinism across calls") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gz_").toString
+    val noise = (1 to 60).map(i => ((i * 2654435761L) % 99991).toString).mkString(" ")
+    Seq((1L, ("spam " * 200).trim, "en"),
+        (2L, noise, "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = PipelineQueries.q135CompressionRatio(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) < 0.1, s"200x-repeated token must deflate hard: ${out(1L)}")
+    assert(out(2L) > out(1L) * 3, s"noisy digits must compress far less: $out")
+    val again = PipelineQueries.q135CompressionRatio(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(again == out, "deflate output must be call-to-call deterministic")
+  }
+
   test("dupSpans: docs shorter than L report zeros, not missing rows") {
     val out = spans(Seq(1L -> "a b", 2L -> "a b"), l = 4)
     assert(out(1L) == ((2L, 0L, 0L)) && out(2L) == ((2L, 0L, 0L)))
