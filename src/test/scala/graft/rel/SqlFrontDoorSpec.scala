@@ -49,6 +49,7 @@ object SqlFrontDoorSpec {
     "q93_url_parse", // oracle uses the STRING type alias both dialects accept
     "q98_xml_roundtrip",
     "q101_zorder_layout", // bitwise >>/& and NTILE parse identically in both
+    "q134_interleave_order", // pure ANSI windows; % is modulo in both dialects
   )
 
   /** Queries with a hand-adapted twin asserted IN THIS SUITE (each test
