@@ -74,10 +74,39 @@ object PipelineQueries {
       .withColumn("f", count(lit(1)).over(Window.partitionBy("wt")))
       .where(col("f") > 1)
 
+  /** The 100-TB form of [[dupWindowStarts]]: shuffle xxhash64
+    * FINGERPRINTS of the windows instead of their text — L× smaller
+    * exchange rows, at a 64-bit collision risk (≈ n²/2⁶⁵ false-dup
+    * windows) the cross-engine oracle can't accept but a production
+    * dedup can. Same keys, same window algebra; [[dupSpans]]'
+    * content-domain output is the correctness reference (parity
+    * spec'd at test scale, where collisions are vanishingly unlikely).
+    */
+  private def dupWindowStartsHashed(toks: DataFrame, L: Int): DataFrame =
+    toks.where(col("n") >= L)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, n - $L),
+              k -> struct(k AS k, xxhash64(array_join(slice(t, k + 1, $L), ' ')) AS wh))""")).as("w"))
+      .select(col("doc_id"), col("w.k").as("k"), col("w.wh").as("wh"))
+      .withColumn("f", count(lit(1)).over(Window.partitionBy("wh")))
+      .where(col("f") > 1)
+
+  /** [[dupSpans]] on the hash domain — identical output wherever no
+    * 64-bit window-hash collision occurs (spec-pinned parity). */
+  def dupSpansHashed(docs: DataFrame, L: Int): DataFrame = {
+    val toks = tokenized(docs)
+    dupSpansFrom(toks, dupWindowStartsHashed(toks, L), L)
+  }
+
   /** Core of q122 over any (doc_id, text) frame — spec entry point. */
   def dupSpans(docs: DataFrame, L: Int): DataFrame = {
     val toks = tokenized(docs)
-    val dup = dupWindowStarts(toks, L)
+    dupSpansFrom(toks, dupWindowStarts(toks, L), L)
+  }
+
+  /** Coverage sweep + per-doc report shared by the content- and
+    * hash-domain span detectors. */
+  private def dupSpansFrom(toks: DataFrame, dup: DataFrame, L: Int): DataFrame = {
     // union of [k, k+L-1] intervals per doc: sorted starts, each window
     // contributes min(L, gap to next start); the last contributes L
     val cov = dup

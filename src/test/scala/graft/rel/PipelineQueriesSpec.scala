@@ -315,6 +315,15 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(again == out, "deflate output must be call-to-call deterministic")
   }
 
+  test("dupSpansHashed (the 100-TB hash-domain form) equals the content-domain result") {
+    val docs = SparkTestBase.spark.read
+      .parquet(s"${SparkTestBase.Sf0001}/documents.parquet")
+      .select($"doc_id", $"text")
+    val a = PipelineQueries.dupSpans(docs, L = 16).collect().toSeq
+    val b = PipelineQueries.dupSpansHashed(docs, L = 16).collect().toSeq
+    assert(a == b, "xxhash64 window fingerprints must reproduce the content grouping")
+  }
+
   test("dupSpans: docs shorter than L report zeros, not missing rows") {
     val out = spans(Seq(1L -> "a b", 2L -> "a b"), l = 4)
     assert(out(1L) == ((2L, 0L, 0L)) && out(2L) == ((2L, 0L, 0L)))
