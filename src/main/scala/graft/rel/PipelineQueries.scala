@@ -174,7 +174,15 @@ object PipelineQueries {
     bigramXent(t(s, dir, "documents"), lambda = 0.7)
 
   /** Core of q123 over any (doc_id, lang, text) frame — spec entry point. */
-  def bigramXent(docs: DataFrame, lambda: Double): DataFrame = {
+  /** The shared bigram model: per-doc bigram stream plus the
+    * vocab²-bounded count table and its marginals. ONE corpus pass
+    * builds c12; localCheckpoint materializes it so the marginals (and
+    * any downstream scorer) read the bounded table instead of each
+    * replaying the corpus scan+explode (5 corpus passes → 2,
+    * plan-pinned). Consumed by q123 (scoring) and q133 (PMI mining). */
+  private case class BigramModel(bi: DataFrame, c12: DataFrame,
+                                 c1: DataFrame, c2: DataFrame, tot: DataFrame)
+  private def bigramModel(docs: DataFrame): BigramModel = {
     val bi = docs
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
       .withColumn("n", size(col("t")))
@@ -183,15 +191,16 @@ object PipelineQueries {
         """transform(sequence(0, n - 2),
              i -> struct(t[i] AS w1, t[i + 1] AS w2))""")).as("b"))
       .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    // ONE corpus pass builds the bigram-count table; localCheckpoint
-    // materializes it so the three marginals (c1/c2/totals) and the
-    // scoring join all read the bounded table instead of each replaying
-    // the corpus scan+explode (5 corpus passes → 2, plan-pinned)
     val c12 = bi.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
       .localCheckpoint()
-    val c1 = c12.groupBy("lang", "w1").agg(sum(col("c12")).as("c1"))
-    val c2 = c12.groupBy("lang", "w2").agg(sum(col("c12")).as("c2"))
-    val tot = c12.groupBy("lang").agg(sum(col("c12")).as("tot"))
+    BigramModel(bi, c12,
+      c12.groupBy("lang", "w1").agg(sum(col("c12")).as("c1")),
+      c12.groupBy("lang", "w2").agg(sum(col("c12")).as("c2")),
+      c12.groupBy("lang").agg(sum(col("c12")).as("tot")))
+  }
+
+  def bigramXent(docs: DataFrame, lambda: Double): DataFrame = {
+    val BigramModel(bi, c12, c1, c2, tot) = bigramModel(docs)
     val nll = bi
       .join(broadcast(c12), Seq("lang", "w1", "w2"))
       .join(broadcast(c1), Seq("lang", "w1"))
@@ -1000,19 +1009,7 @@ object PipelineQueries {
   def q133PmiCollocations(s: SparkSession, dir: String): DataFrame = {
     val minSupport = 5L
     val topK = 10
-    val bi = t(s, dir, "documents")
-      .select(col("lang"), split(col("text"), " ").as("t"))
-      .withColumn("n", size(col("t")))
-      .where(col("n") >= 2)
-      .select(col("lang"), explode(expr(
-        """transform(sequence(0, n - 2),
-             i -> struct(t[i] AS w1, t[i + 1] AS w2))""")).as("b"))
-      .select(col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c12 = bi.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
-      .localCheckpoint()
-    val c1 = c12.groupBy("lang", "w1").agg(sum(col("c12")).as("c1"))
-    val c2 = c12.groupBy("lang", "w2").agg(sum(col("c12")).as("c2"))
-    val tot = c12.groupBy("lang").agg(sum(col("c12")).as("tot"))
+    val BigramModel(_, c12, c1, c2, tot) = bigramModel(t(s, dir, "documents"))
     val scored = c12.where(col("c12") >= minSupport)
       .join(broadcast(c1), Seq("lang", "w1"))
       .join(broadcast(c2), Seq("lang", "w2"))
@@ -1071,20 +1068,29 @@ object PipelineQueries {
     * interleave does not preserve ingestion order inside a source.
     * All-integer arithmetic; full hash oracle.
     *
-    * Scale shape: one window per source (rank within source) + one
-    * global rank over (round, source) realized as the declared ORDER BY
-    * — at scale the output is written `repartitionByRange(round)` and
-    * the global sort is the write-side range exchange; no driver state.
+    * Scale shape: the global position is NEVER a global window — it is
+    * offset(round) + rank-within-round, where rank-within-round is a
+    * round-partitioned window and the offsets are a cumulative sum over
+    * the per-round COUNT table (≤ max-docs-per-source rows — bounded
+    * state, broadcast back). Every window here is partitioned; the only
+    * global order is the declared ORDER BY, which at scale is the
+    * write-side `repartitionByRange(pos)` exchange.
     */
   def q134InterleaveOrder(s: SparkSession, dir: String): DataFrame = {
     val scramble = pmod(col("doc_id") * lit(11587L), lit(65536L))
-    t(s, dir, "documents")
+    val ranked = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), scramble.as("b"))
       .withColumn("r", row_number().over(
         Window.partitionBy("source").orderBy(col("b"), col("doc_id"))))
-      .withColumn("pos", row_number().over(
-        Window.orderBy(col("r"), col("source"), col("doc_id"))))
-      .select(col("pos").cast("long").as("pos"), col("doc_id"),
+      .withColumn("ir", row_number().over(
+        Window.partitionBy("r").orderBy(col("source"), col("doc_id"))))
+    // per-round sizes → exclusive prefix sums: the bounded offset table
+    val offsets = ranked.groupBy("r").agg(count(lit(1)).as("sz"))
+      .withColumn("off", coalesce(sum(col("sz")).over(
+        Window.orderBy("r").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("r"), col("off"))
+    ranked.join(broadcast(offsets), Seq("r"))
+      .select((col("off") + col("ir")).cast("long").as("pos"), col("doc_id"),
         col("source"), col("r").cast("long").as("round"))
       .orderBy("pos")
   }
@@ -1119,8 +1125,13 @@ object PipelineQueries {
     * output, fewer allocations).
     */
   def q135CompressionRatio(s: SparkSession, dir: String): DataFrame = {
+    // null-safe: null text behaves as empty (0 raw bytes) — empty and
+    // null docs KEEP THEIR ROW (null ratio, keep=false) so the signal
+    // table preserves corpus cardinality like q129's rewrite does
     val gzLen = udf { (text: String) =>
-      val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bytes =
+        if (text == null) Array.emptyByteArray
+        else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val d = new java.util.zip.Deflater(6, true)
       d.setInput(bytes); d.finish()
       val buf = new Array[Byte](math.max(64, bytes.length + 64))
@@ -1131,13 +1142,13 @@ object PipelineQueries {
     }
     t(s, dir, "documents")
       .select(col("doc_id"), col("text"))
-      .withColumn("raw_bytes", octet_length(col("text")).cast("long"))
+      .withColumn("raw_bytes", coalesce(octet_length(col("text")), lit(0)).cast("long"))
       .withColumn("gz_bytes", gzLen(col("text")).cast("long"))
-      .where(col("raw_bytes") > 0)
-      .withColumn("ratio", graft.Stable.r4(col("gz_bytes").cast("double")
-        / col("raw_bytes").cast("double")))
+      .withColumn("ratio", when(col("raw_bytes") > 0,
+        graft.Stable.r4(col("gz_bytes").cast("double")
+          / col("raw_bytes").cast("double"))))
       .select(col("doc_id"), col("raw_bytes"), col("gz_bytes"), col("ratio"),
-        (col("ratio") >= 0.3 && col("ratio") <= 0.9).as("keep"))
+        coalesce(col("ratio") >= 0.3 && col("ratio") <= 0.9, lit(false)).as("keep"))
       .orderBy("doc_id")
   }
 

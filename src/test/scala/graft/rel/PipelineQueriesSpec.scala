@@ -315,6 +315,21 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(again == out, "deflate output must be call-to-call deterministic")
   }
 
+  test("compressionRatio: empty and null text keep their rows (null ratio, keep=false)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gz0_").toString
+    Seq((1L, "", "en"), (2L, null.asInstanceOf[String], "en"), (3L, "a b c", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = PipelineQueries.q135CompressionRatio(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.isNullAt(3), r.getBoolean(4))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "corpus cardinality preserved")
+    assert(out(1L) == ((0L, true, false)) && out(2L) == ((0L, true, false)))
+    assert(out(3L)._1 > 0L && !out(3L)._2)
+  }
+
   test("dupSpansHashed (the 100-TB hash-domain form) equals the content-domain result") {
     val docs = SparkTestBase.spark.read
       .parquet(s"${SparkTestBase.Sf0001}/documents.parquet")
