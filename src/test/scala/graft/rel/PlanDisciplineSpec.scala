@@ -145,6 +145,19 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q134: every corpus-sized window is partitioned; offsets broadcast back") {
+    val p = plan("q134_interleave_order")
+    // the corpus windows partition by source / by round; the only
+    // unpartitioned window runs over the bounded per-round count table,
+    // whose offsets then BROADCAST into the corpus join — the global
+    // position is never a single-partition corpus window
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded offset table must broadcast into the rank join:\n$p")
+    val windowArgs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowArgs.exists(_.contains("source")) && windowArgs.exists(_.contains("r#")),
+      s"corpus windows must be partitioned by source and round:\n$windowArgs")
+  }
+
   test("q94: eval shingles broadcast into the membership probe; no sort-merge, pruned scan") {
     val p = plan("q94_decontaminate")
     assert(p.contains("BroadcastHashJoin"), "eval shingle set must broadcast")
