@@ -1152,6 +1152,78 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  // ---- q136: Zipf-slope corpus diagnostic -----------------------------------
+
+  /** Corpus-health diagnostic: natural language follows Zipf's law
+    * (log-freq ≈ α·log-rank + c with α ≈ −1); a synthetic, templated or
+    * collapsed corpus shows up as a slope far from −1 or a tiny
+    * vocabulary. Per language: rank tokens by frequency (count desc,
+    * token asc — total order), take x = ln(rank), y = ln(freq), both
+    * r6'd to DECIMAL(18,6), and fit the least-squares slope
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²). Every sum is exact DECIMAL
+    * arithmetic over identically-rounded terms, so the fit is
+    * order-free and engine-exact; the one double division at the end
+    * has identical operands in both engines.
+    *
+    * Scale shape: one (lang, token) count shuffle (the q117 table);
+    * ranking is a lang-partitioned window over the VOCABULARY (bounded,
+    * not corpus-sized); the fit is a per-lang aggregate of four DECIMAL
+    * sums — |langs| rows of output. */
+  def q136ZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val freq = t(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tk"))
+      .groupBy("lang", "tk").agg(count(lit(1)).as("f"))
+    val d6 = "decimal(18,6)"
+    val xy = freq
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("f").desc, col("tk"))))
+      .select(col("lang"),
+        (floor(log(col("rk").cast("double")) * 1000000.0 + 0.5) / 1000000.0)
+          .cast(d6).as("x"),
+        (floor(log(col("f").cast("double")) * 1000000.0 + 0.5) / 1000000.0)
+          .cast(d6).as("y"))
+    xy.groupBy("lang")
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,12)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,12)")).as("sxx"))
+      .select(col("lang"), col("n_vocab").cast("long").as("n_vocab"),
+        graft.Stable.r4(
+          (col("n_vocab").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n_vocab").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))).as("zipf_slope"))
+      .orderBy("lang")
+  }
+
+  val q136Oracle: String =
+    """WITH freq AS (
+         SELECT lang, tk, COUNT(*) AS f
+         FROM (SELECT lang, unnest(string_split(text, ' ')) AS tk FROM documents)
+         GROUP BY 1, 2),
+       xy AS (
+         SELECT lang,
+           CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+                AS DECIMAL(18,6)) AS x,
+           CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+                AS DECIMAL(18,6)) AS y
+         FROM (SELECT lang, f,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY f DESC, tk) AS rk
+               FROM freq)),
+       agg AS (
+         SELECT lang, COUNT(*) AS n_vocab, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+           SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+         FROM xy GROUP BY 1)
+       SELECT lang, CAST(n_vocab AS BIGINT) AS n_vocab,
+         floor((CAST(n_vocab AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n_vocab AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * 10000.0 + 0.5) / 10000.0 AS zipf_slope
+       FROM agg ORDER BY lang"""
+
   // ---- registry --------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1168,7 +1240,8 @@ object PipelineQueries {
     "q132_heldout_lm" -> (q132HeldoutLm _),
     "q133_pmi_collocations" -> (q133PmiCollocations _),
     "q134_interleave_order" -> (q134InterleaveOrder _),
-    "q135_compression_ratio" -> (q135CompressionRatio _))
+    "q135_compression_ratio" -> (q135CompressionRatio _),
+    "q136_zipf_slope" -> (q136ZipfSlope _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
@@ -1184,5 +1257,6 @@ object PipelineQueries {
     "q132_heldout_lm" -> q132Oracle,
     "q133_pmi_collocations" -> q133Oracle,
     "q134_interleave_order" -> q134Oracle,
-    "q135_compression_ratio" -> DataQueries.fixtureOracle("q135_compression_ratio"))
+    "q135_compression_ratio" -> DataQueries.fixtureOracle("q135_compression_ratio"),
+    "q136_zipf_slope" -> q136Oracle)
 }

@@ -339,6 +339,26 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(a == b, "xxhash64 window fingerprints must reproduce the content grouping")
   }
 
+  // ---- q136 Zipf slope -------------------------------------------------------
+
+  test("zipfSlope: two-point hand case and negative slope on the real corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zipf_").toString
+    Seq((1L, "a a a b", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = PipelineQueries.q136ZipfSlope(spark, dir).collect()
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // points: (x=ln1=0, y=ln3), (x=ln2, y=ln1=0) -> slope -ln3/ln2 on r6'd terms
+    val slope = -r6(math.log(3)) / r6(math.log(2))
+    assert(out.length == 1 && out.head.getLong(1) == 2L)
+    assert(out.head.getDouble(2) == math.floor(slope * 1e4 + 0.5) / 1e4)
+    // the real corpus must look Zipf-ish: strictly negative everywhere
+    PipelineQueries.q136ZipfSlope(spark, SparkTestBase.Sf0001).collect()
+      .foreach(r => assert(r.getDouble(2) < 0.0, s"non-negative slope: $r"))
+  }
+
   test("dupSpans: docs shorter than L report zeros, not missing rows") {
     val out = spans(Seq(1L -> "a b", 2L -> "a b"), l = 4)
     assert(out(1L) == ((2L, 0L, 0L)) && out(2L) == ((2L, 0L, 0L)))

@@ -319,7 +319,9 @@ object SqlFrontDoorWideSpec {
         "string_split/unnest renames; hash split, smoothing and DECIMAL sums parse identically"),
       "q133_pmi_collocations" -> ((s: String) => Duck2Spark.lateralSeries(
           s.replace("t[i+1] AS w1, t[i+2] AS w2", "t[i] AS w1, t[i+1] AS w2")),
-        "lateral series + 1-based [i] → 0-based; PMI algebra parses identically"))
+        "lateral series + 1-based [i] → 0-based; PMI algebra parses identically"),
+      "q136_zipf_slope" -> (id _,
+        "string_split/unnest renames; DECIMAL least-squares algebra parses identically"))
   }
 
   /** Regression-fixture oracles (the q46 pattern, SF-pinned at the
