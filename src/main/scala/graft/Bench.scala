@@ -49,11 +49,36 @@ object Bench {
       } catch {
         case e: Throwable =>
           // record the failure, NOT the time-to-exception: a crashing
-          // query must not masquerade as a plausible fast median
+          // query must not masquerade as a plausible fast median.
+          // Sanitize to printable ASCII minus quote/backslash BEFORE it is
+          // ever interpolated into JSON (stdout line AND the artifact
+          // file): any control char or escape-needing char would make
+          // bench_latest.json unparseable — the exact failure the file
+          // exists to prevent.
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+            .replaceAll("[\"\\\\]", " ")
+            .replaceAll("[^\\x20-\\x7e]", " ").take(160)
       }
     }
+    // Fixed-cost canary: a deterministic 8M-long xorshift fill + JVM sort,
+    // zero I/O, zero Spark — a pure measure of the box (CPU clock, load,
+    // thermal state) at run time. Timed at start AND end of the suite and
+    // recorded in the final JSON so cross-round comparisons can separate
+    // environment drift from code regressions (round 8's 1.75x shared-
+    // query jump was partly machine noise with no control to prove it).
+    def canary(): Double = {
+      (1 to 3).map { _ =>
+        val n = 8 << 20
+        val a = new Array[Long](n)
+        var x = 0x9e3779b97f4a7c15L
+        var i = 0
+        while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; a(i) = x; i += 1 }
+        val t0 = System.nanoTime()
+        java.util.Arrays.sort(a)
+        (System.nanoTime() - t0) / 1e9
+      }.min // min of 3: the least-interrupted run is the machine's speed
+    }
+    val canaryStart = canary()
     // n repetitions, median per query: an n=1 timing cannot distinguish a
     // real regression from shuffle/GC jitter at sub-second magnitudes.
     // Repetitions iterate OVER the whole suite (rep-major), not per query,
@@ -107,10 +132,12 @@ object Bench {
       .map { case (k, v) => "\"" + short(k) + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val canaryEnd = canary()
+    println(s"CANARY start=${r3(canaryStart)} end=${r3(canaryEnd)}")
     // total LAST in the object: even a head-truncated capture still ends
     // with ...,"metric":"total","value":N} so the headline is recoverable
     val finalJson =
-      s"""{"queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir","unit":"sec","metric":"total","value":${r3(total)}}"""
+      s"""{"queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir","canary":{"start":${r3(canaryStart)},"end":${r3(canaryEnd)}},"unit":"sec","metric":"total","value":${r3(total)}}"""
     println(finalJson)
     // Belt and suspenders: the artifact also lands in a file, so the
     // round record no longer depends on the driver's stdout tail-capture

@@ -109,6 +109,12 @@ object Bpe {
       return learnMergesLocal(local, nMerges, minCount)
     }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    // the persisted base word table: `words` gets reassigned to DERIVED
+    // plans below, so `prev.unpersist()`/`words.unpersist()` would never
+    // reach this cache entry — release it explicitly once the first
+    // localCheckpoint supersedes it (or in the final cleanup)
+    val base = words
+    var baseReleased = false
     var r = 1
     var done = false
     while (r <= nMerges && !done) {
@@ -131,13 +137,16 @@ object Bpe {
           // truncate lineage every few rounds; otherwise each round's map
           // stacks on the last
           words = if (r % 5 == 0) {
-            val cp = words.localCheckpoint(true); prev.unpersist(); cp
+            val cp = words.localCheckpoint(true)
+            prev.unpersist()
+            if (!baseReleased) { base.unpersist(); baseReleased = true }
+            cp
           } else words
         case _ => done = true
       }
       r += 1
     }
-    words.unpersist()
+    if (!baseReleased) base.unpersist()
     merges.toSeq
   }
 

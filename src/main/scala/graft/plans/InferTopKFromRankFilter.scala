@@ -32,6 +32,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * the partition — must see the FULL partition, so no cut is legal); the
   * filter compares that rn attribute to an integer literal via <=, < or
   * =; the window has a non-empty order; the child is not already cut.
+  * An EMPTY partitionSpec is eligible (global top-k): TopKPerKey(Nil,...)
+  * plans with an AllTuples final stage — partial heaps cut each partition
+  * to ≤ k rows before the single-partition gather.
   * Conjunctions are handled by extracting the rn bound and keeping the
   * remaining predicates in the filter (they run over the rewound rows
   * unchanged).

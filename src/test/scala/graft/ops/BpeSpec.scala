@@ -75,4 +75,16 @@ class BpeSpec extends AnyFunSuite {
     val dist = Bpe.learnMerges(docs, "text", nMerges = 8, driverVocabBound = 0L)
     assert(local == dist, s"venue changed the result:\n$local\nvs\n$dist")
   }
+
+  test("learnMerges releases its persisted base table (no cache leak)") {
+    // the distributed branch persists the word-frequency table; a long-
+    // lived driver calling learnMerges repeatedly must not accumulate one
+    // cached table per call
+    val docs = graft.rel.Tables.load(spark, SparkTestBase.Sf0001, "documents")
+    val before = spark.sharedState.cacheManager.isEmpty
+    Bpe.learnMerges(docs, "text", nMerges = 3, driverVocabBound = 0L)  // checkpoint never reached
+    Bpe.learnMerges(docs, "text", nMerges = 8, driverVocabBound = 0L)  // checkpoint at r=5
+    assert(spark.sharedState.cacheManager.isEmpty || !before,
+      "persisted base word table leaked out of learnMerges")
+  }
 }

@@ -59,6 +59,35 @@ class InferTopKFromRankFilterSpec extends AnyFunSuite {
     }
   }
 
+  test("GLOBAL window (empty partitionBy) rewrites and plans: AllTuples final") {
+    // row_number() over (order by x) <= k — the common global-top-k idiom.
+    // TopKPerKey(Nil, ...) must plan (final stage demands AllTuples, not the
+    // ClusteredDistribution(Nil) Spark 4.1.2 rejects) and match the plain run.
+    val w = Window.orderBy(col("value").desc, col("event_id"))
+    def globalTop(k: Int) = events.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k).select("event_id", "rn")
+    val plain = globalTop(5).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    withRule {
+      val df = globalTop(5)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("TopKPerKey"),
+        s"rule should fire on the global rank-limit idiom:\n$optimized")
+      // executedPlan forces planning — this is where ClusteredDistribution(Nil)
+      // used to throw before the AllTuples branch
+      val got = df.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == plain, s"global rewrite changed results: got=$got plain=$plain")
+    }
+  }
+
+  test("TopK.perKey with empty keys is global top-k") {
+    val got = TopK.perKey(events, Seq.empty,
+        Seq(col("value").desc, col("event_id")), 4)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val expected = events.orderBy(col("value").desc, col("event_id"))
+      .limit(4).select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
   test("rank() (gaps) and multi-function windows are NOT rewritten") {
     withRule {
       val w = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))
