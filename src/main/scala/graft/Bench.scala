@@ -26,13 +26,17 @@ object Bench {
     // every plan shape, so the timed pass measures the queries rather
     // than charging one arbitrary first query with JVM warmup.
     val warmupDir = "/root/testdata/sf0.001"
+    // SPARK_GRAFT_ONLY=q81,q75 restricts the suite (and its warmup) to the
+    // named qNN prefixes — the A/B and profiling path; unset = full suite
+    // (the driver's mode).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(o => o.contains(n.takeWhile(_ != '_'))) }
     if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      names.foreach { case (_, fn) =>
         try fn(spark, warmupDir).count() catch { case _: Throwable => () }
       }
-    // stable name order: hash-map iteration order would shuffle which
-    // query pays residual warmup/GC, adding cross-run variance
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
     // toIntOption: a malformed env value falls back to the default
     // instead of aborting the whole bench before any query runs
     val reps = math.max(1,

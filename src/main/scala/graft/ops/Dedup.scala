@@ -174,21 +174,55 @@ object Dedup {
       val fraction = math.min(1.0, hotSampleTarget.toDouble / math.max(total, 1L))
       val discovery = if (fraction >= 1.0) base else base.sample(false, fraction, 42L)
       val scaledThreshold = math.max(1L, math.floor(hotThreshold * fraction).toLong)
-      val hot: Map[Long, Long] = discovery.select(explode(col("sh")).as("s"))
+      val hotRows = discovery.select(explode(col("sh")).as("s"))
         .groupBy("s").agg(count(lit(1)).as("f"))
         .where(col("f") > scaledThreshold)
         .orderBy(col("f").desc, col("s"))
         .limit(maxHotShingles)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val hotB = spark.sparkContext.broadcast(hot)
+        .collect()
+      // broadcast as two SORTED parallel primitive arrays probed with
+      // Arrays.binarySearch — the per-shingle lookup in the sort kernel
+      // below stays boxing-free (a Map[Long,Long] would box every probe)
+      val hotPairs = hotRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val hotB = spark.sparkContext.broadcast(
+        (hotPairs.map(_._1), hotPairs.map(_._2)))
       // One consistent GLOBAL total order over the shingle universe:
       // (frequency if hot else 1, hash). Cold shingles sort first in hash
       // order, hot ones sink below them by true frequency — the
       // rarest-first property that keeps candidate prefixes selective,
-      // computed per row with no shuffle.
+      // computed per row with no shuffle. All-primitive kernel: cold
+      // entries (freq 1, i.e. not in the hot map) are Arrays.sort'ed,
+      // the few hot ones insertion-sorted by (freq, hash) and appended —
+      // no boxed tuple allocation per element (the sortBy form this
+      // replaces was the profiled CPU tail of the checkpoint pass).
       val sortUdf = udf((sh: Seq[Long]) => {
-        val m = hotB.value
-        sh.sortBy(h => (m.getOrElse(h, 1L), h))
+        val (hk, hf) = hotB.value
+        val m = sh.length
+        val cold = new Array[Long](m); var nc = 0
+        val hotH = new Array[Long](m); val hotF = new Array[Long](m); var nh = 0
+        var i = 0
+        while (i < m) {
+          val h = sh(i)
+          val p = java.util.Arrays.binarySearch(hk, h)
+          if (p < 0) { cold(nc) = h; nc += 1 }
+          else { hotH(nh) = h; hotF(nh) = hf(p); nh += 1 }
+          i += 1
+        }
+        java.util.Arrays.sort(cold, 0, nc)
+        var a = 1
+        while (a < nh) { // hot-per-doc is small; insertion sort suffices
+          val fa = hotF(a); val ha = hotH(a); var b = a - 1
+          while (b >= 0 && (hotF(b) > fa || (hotF(b) == fa && hotH(b) > ha))) {
+            hotF(b + 1) = hotF(b); hotH(b + 1) = hotH(b); b -= 1
+          }
+          hotF(b + 1) = fa; hotH(b + 1) = ha
+          a += 1
+        }
+        val out = new Array[Long](m)
+        System.arraycopy(cold, 0, out, 0, nc)
+        var c = 0
+        while (c < nh) { out(nc + c) = hotH(c); c += 1 }
+        out
       })
       val withSh = base.select(col("doc"), sortUdf(col("sh")).as("sh"))
         .withColumn("sz", size(col("sh")))
@@ -409,11 +443,16 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
-    // symmetric, deduped edge list — persist: re-read every round
-    val edges = pairs.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .union(pairs.select(col(dstCol).cast("long").as("src"),
-        col(srcCol).cast("long").as("dst")))
+    // symmetric, deduped edge list — persist: re-read every round.
+    // Built by EXPLODING each pair into its two directions rather than a
+    // union of two selects over `pairs`: a union evaluates the (often
+    // expensive — q81 feeds the whole jaccardPairs tail in here) pair
+    // plan once per branch, the explode evaluates it exactly once.
+    val edges = pairs.select(explode(array(
+        struct(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")),
+        struct(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist()
     try {
