@@ -498,7 +498,13 @@ object Similarity {
     }
 
   /** Exact cosine re-rank of a (qid, cand) shortlist — same scoring and
-    * tie-break discipline as [[cosineTopK]], so results are comparable. */
+    * tie-break discipline as [[cosineTopK]], so results are comparable.
+    * Ranking here uses the plain rank window WITHOUT the [[rankTopK]]
+    * TopKPerKey pre-cut: the input is already bounded to ≤ rerank·k rows
+    * per query by the shortlist stage, so a heap cut saves nothing and
+    * its exchange + final stage would only add two AQE jobs to every PQ
+    * query (the cut stays where the scored stream is corpus-sized —
+    * [[cosineTopK]]/[[annTopK]]/[[ivfTopK]]). */
   private def exactRerank(shortlist: DataFrame, data: DataFrame,
                           queryIds: Seq[Long], k: Int): DataFrame = {
     val asDouble = data.withColumn("nrm", sqrt(dot(col("arr"), col("arr"))))
@@ -511,7 +517,9 @@ object Similarity {
       .select(col("qid"), col("cand"),
         graft.Stable.r4(when(denom === 0.0, 0.0)
           .otherwise(dot(col("qarr"), col("arr")) / denom)).as("cos"))
-    rankTopK(scored, k)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select("qid", "cand", "cos", "rn")
   }
 
   private def emptyTopK(spark: org.apache.spark.sql.SparkSession): DataFrame =

@@ -58,7 +58,7 @@ object ProfileQ {
         val si = sc.stageInfo
         val dur = (for (a <- si.completionTime; b <- si.submissionTime)
           yield (a - b) / 1e3).getOrElse(-1.0)
-        if (dur > 0.3)
+        if (dur > 0.05)
           println(f"  STAGE ${si.stageId}%4d dur=$dur%7.3f tasks=${si.numTasks} ${si.name.take(110)}")
       }
     }
