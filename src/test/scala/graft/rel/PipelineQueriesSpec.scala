@@ -339,6 +339,48 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(a == b, "xxhash64 window fingerprints must reproduce the content grouping")
   }
 
+  /** Quantified content-vs-hash divergence at adversarial + 10× scale
+    * (round-8 verdict item 6). Divergence = rows where the two domains
+    * disagree; the 64-bit collision bound (≈ n²/2⁶⁵ for ~10⁶ windows)
+    * predicts EXACTLY 0, and the assertions print the observed count so
+    * a future hash change that breaks discrimination is measured, not
+    * just failed. */
+  test("dupSpansHashed divergence is 0 under engineered near-collisions") {
+    // adversarial shapes: windows at Hamming distance 1 in token space
+    // (one token substituted per variant) — the closest content can get
+    // to a collision without being one; plus genuine dups within one doc,
+    // across docs, and a repeated variant that MUST stay flagged.
+    val base = (1 to 16).map(i => s"w$i")
+    def doc(id: Long, toks: Seq[String]) = (id, toks.mkString(" "))
+    val rows =
+      Seq(doc(1L, base ++ base),                    // within-doc repeat
+          doc(2L, base),                            // cross-doc dup of 1
+          doc(100L, base.updated(7, "rep") ++ base.updated(7, "rep"))) ++ // dup'd variant
+      (0 until 16).map(p => doc(10L + p, base.updated(p, s"x$p"))) // 16 singletons
+    val docs = rows.toDF("doc_id", "text")
+    val a = PipelineQueries.dupSpans(docs, L = 16).collect().toSeq
+    val b = PipelineQueries.dupSpansHashed(docs, L = 16).collect().toSeq
+    val diverged = a.zip(b).count { case (x, y) => x != y }
+    assert(a.size == b.size && diverged == 0,
+      s"hash domain diverged on $diverged/${a.size} adversarial rows")
+    val byId = a.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byId(2L) > 0, "cross-doc duplicate window must be flagged")
+    assert(byId(100L) > 0, "repeated one-token variant must be flagged")
+    (0 until 16).foreach(p => assert(byId(10L + p) == 0,
+      s"singleton Hamming-1 variant at position $p must NOT be flagged"))
+  }
+
+  test("dupSpansHashed divergence is 0 at 10x the driver-gate corpus (sf0.1)") {
+    val docs = SparkTestBase.spark.read
+      .parquet("/root/testdata/sf0.1/documents.parquet")
+      .select($"doc_id", $"text")
+    val a = PipelineQueries.dupSpans(docs, L = 16).collect().toSeq
+    val b = PipelineQueries.dupSpansHashed(docs, L = 16).collect().toSeq
+    val diverged = a.zip(b).count { case (x, y) => x != y }
+    assert(a.size == b.size && diverged == 0,
+      s"hash domain diverged on $diverged/${a.size} rows at sf0.1")
+  }
+
   // ---- q136 Zipf slope -------------------------------------------------------
 
   test("zipfSlope: two-point hand case and negative slope on the real corpus") {

@@ -168,6 +168,12 @@ object SqlFrontDoorWideSpec {
         "[..] array literal → array(..)"),
       "q30_fusion_parse" -> (id _, "VARCHAR → STRING (regex parses raw via escapedStringLiterals)"),
       "q31_normalize_em" -> (id _, "4-arg regexp_replace 'g' flag → Spark 3-arg global"),
+      "q32_multimodal_features" -> ((s: String) => s
+        .replace("octet_length(CAST(text AS BLOB))",
+                 "CAST(octet_length(CAST(text AS BINARY)) AS BIGINT)"),
+        "BLOB → BINARY (+ BIGINT width) — gap closed in round 9: the " +
+          "declared output is scalar, so the binary synthesis inside the " +
+          "DataFrame path needs no SQL spelling"),
       "q33_token_count" -> (id _, "list_aggregate sum → aggregate lambda; group-0 regexp_extract_all"),
       "q37_lang_id" -> (id _, "// div"),
       "q40_rag_eval_pipeline" -> (id _, "read_parquet → parquet.`path`"),
@@ -338,12 +344,11 @@ object SqlFrontDoorWideSpec {
     "q125_bpe_encode", "q128_mmr_select", "q135_compression_ratio")
 
   /** Oracles with NO Spark-SQL twin, each blocked by a named engine
-    * feature (not by laziness): the DataFrame catalog remains the front
-    * door for these four. */
+    * feature (not by laziness) that the gap-pin tests below assert is
+    * really absent: the DataFrame catalog remains the front door for
+    * these. (q32's former entry here was closed in round 9 — its output
+    * is scalar, so the twin is a BLOB→BINARY respelling.) */
   val gaps: Map[String, String] = Map(
-    "q32_multimodal_features" -> ("DuckDB BLOB synthesis: octet_length(CAST(text AS BLOB)) is " +
-      "UTF-8 byte length; Spark can spell it (q72 adapts it) but q32's DataFrame twin returns " +
-      "binary `content` — BINARY columns can't round-trip through a text-only SQL literal twin"),
     "q38_doc_fingerprint" -> ("128-bit modular hash: DuckDB HUGEINT carries (acc*131+ch) past " +
       "2^63 before % 2^61-ish; Spark has no INT128 and DECIMAL(38,0) lambdas lose the exact " +
       "wraparound the committed fingerprints pin"),
@@ -388,6 +393,45 @@ class SqlFrontDoorWideSpec extends AnyFunSuite {
       assert(a == b, s"$name: twin diverges (${a.size} vs ${b.size} rows; first diff: " +
         s"${a.zip(b).find { case (x, y) => x != y }.orElse(Some((a.headOption, b.headOption)))})")
     }
+  }
+
+  // ---- gap pins: each named dialect gap is a TESTED negative assertion —
+  // the blocking DuckDB construct is asserted absent from (or rejected by)
+  // Spark's dialect, so the gap note cannot silently rot if a Spark
+  // upgrade closes it (the pin fails and the twin gets written instead).
+
+  test("gap pin q53: UNION ALL BY NAME is not Spark syntax " +
+       "(by-name union exists only as Dataset.unionByName)") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT 1 AS a, 2 AS b UNION ALL BY NAME SELECT 3 AS b, 4 AS a").collect()
+    }
+    assert(e.getMessage.toUpperCase.contains("SYNTAX") ||
+      e.getMessage.toUpperCase.contains("PARSE"),
+      s"expected a parser rejection, got: ${e.getMessage.take(200)}")
+  }
+
+  test("gap pin q81/q95: Spark 4 recursive CTEs reject the distinct-UNION " +
+       "fixpoint the transitive-closure oracle needs (UNION ALL only)") {
+    // the UNION ALL form terminates on acyclic input — supported
+    assert(spark.sql("WITH RECURSIVE r(x) AS (SELECT 1 UNION ALL " +
+      "SELECT x + 1 FROM r WHERE x < 3) SELECT * FROM r").collect().length == 3)
+    // the distinct-UNION form (DuckDB's closure fixpoint over a CYCLIC
+    // edge set, q81Oracle) is rejected — which is exactly why q81/q95
+    // have no Spark twin: on a cyclic graph UNION ALL never terminates
+    val e = intercept[Exception] {
+      spark.sql("WITH RECURSIVE r(x) AS (SELECT 1 UNION " +
+        "SELECT x + 1 FROM r WHERE x < 3) SELECT * FROM r").collect()
+    }
+    assert(e.getMessage.nonEmpty)
+  }
+
+  test("gap pin q38: no integral type past 64 bits — DECIMAL precision is " +
+       "capped at 38 digits, below the 2^127 range the HUGEINT hash needs") {
+    assert(org.apache.spark.sql.types.DecimalType.MAX_PRECISION == 38)
+    val e = intercept[Exception] {
+      spark.sql("SELECT CAST('1' AS DECIMAL(39,0))").collect()
+    }
+    assert(e.getMessage.nonEmpty)
   }
 
   test("ledger: every committed oracle is classified exactly once " +
