@@ -417,17 +417,21 @@ object PipelineQueries {
     * semantics-preserving — such shingles add 0 to every I and W — and
     * removes exactly the ubiquitous shingles that flood a similarity
     * self-join. At 100 TB the remaining hot shingles get the q23
-    * treatment (prefix filtering under a global weight order — see
-    * [[graft.ops.Dedup.jaccardPairs]]); the declared form materializes
-    * the weighted postings once (localCheckpoint — shuffle-sized local
-    * state, the same disk the exchanges use) so df/totals/self-join all
-    * read it instead of replaying the corpus scan.
+    * treatment carried to the weighted domain —
+    * [[weightedJaccardPairsPruned]] implements the exact-preserving
+    * weighted prefix filter (parity-spec'd against this declared form,
+    * including on an engineered boilerplate flood); the declared form
+    * materializes the weighted postings once (localCheckpoint —
+    * shuffle-sized local state, the same disk the exchanges use) so
+    * df/totals/self-join all read it instead of replaying the corpus
+    * scan.
     */
   def q126WeightedJaccard(s: SparkSession, dir: String): DataFrame =
     weightedJaccardPairs(t(s, dir, "documents"), n = 3, tau = 0.3)
 
-  /** Core of q126 over any (doc_id, text) frame — spec entry point. */
-  def weightedJaccardPairs(docs: DataFrame, n: Int, tau: Double): DataFrame = {
+  /** Weighted postings (doc_id, s, iw) + per-doc total weight — the
+    * shared front half of the declared and prefix-filtered forms. */
+  private def weightedPostings(docs: DataFrame, n: Int): (DataFrame, DataFrame) = {
     val sh = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       .withColumn("nn", size(col("t")))
       .where(col("nn") >= n)
@@ -449,14 +453,17 @@ object PipelineQueries {
       .where(col("iw") > 0)
     // the weighted-postings join shuffles on the shingle key (the
     // shingle vocabulary is NOT broadcast-sized at corpus scale) and
-    // materializes once for its three consumers
+    // materializes once for its downstream consumers
     val shw = sh.join(w, "s").select(col("doc_id"), col("s"), col("iw"))
       .localCheckpoint()
     val tw = shw.groupBy("doc_id").agg(sum(col("iw")).as("tw"))
-    val inter = shw.as("a").join(shw.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), col("a.iw").as("iw0"))
-      .groupBy("d1", "d2").agg(sum(col("iw0")).as("iw"))
+    (shw, tw)
+  }
+
+  /** Scoring tail shared by both forms: exact weighted Jaccard by
+    * inclusion–exclusion over the (d1, d2, I) intersection weights. */
+  private def weightedJaccardTail(inter: DataFrame, tw: DataFrame,
+                                  tau: Double): DataFrame =
     inter
       .join(tw.select(col("doc_id").as("d1"), col("tw").as("tw1")), "d1")
       .join(tw.select(col("doc_id").as("d2"), col("tw").as("tw2")), "d2")
@@ -465,6 +472,83 @@ object PipelineQueries {
       .where(col("_jw") >= tau)
       .select(col("d1"), col("d2"), graft.Stable.r4(col("_jw")).as("jw"))
       .orderBy("d1", "d2")
+
+  /** Core of q126 over any (doc_id, text) frame — spec entry point. */
+  def weightedJaccardPairs(docs: DataFrame, n: Int, tau: Double): DataFrame = {
+    val (shw, tw) = weightedPostings(docs, n)
+    val inter = shw.as("a").join(shw.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), col("a.iw").as("iw0"))
+      .groupBy("d1", "d2").agg(sum(col("iw0")).as("iw"))
+    weightedJaccardTail(inter, tw, tau)
+  }
+
+  /** Prefix-filtered [[weightedJaccardPairs]] — the 100-TB candidate
+    * pruning the q23 operator has, carried to the WEIGHTED domain, with
+    * the same output (parity-spec'd; the exact verification stage makes
+    * precision 1 and the prefix theorem below makes recall 1).
+    *
+    * Theorem (weighted prefix filter, both-sides form): fix one global
+    * total order over shingles — here (iw DESC, s DESC), heaviest first
+    * — and give each doc the minimal ORDER-PREFIX of its postings whose
+    * suffix weight is < tau·W(doc). For any pair with J_w ≥ tau,
+    * I ≥ tau·(W_A + W_B) − tau·I (definition) ⟹ I ≥ tau·W_A (using
+    * W_B ≥ I), so the shared set cannot live entirely in A's suffix
+    * (its weight is < tau·W_A); let s* be the globally GREATEST shared
+    * shingle — if s* fell in A's suffix every shared shingle would
+    * (prefix elements outrank suffix elements), contradiction, so
+    * s* ∈ prefix(A) and symmetrically s* ∈ prefix(B): the pair survives
+    * a prefix×prefix equi-join on the shingle. Candidates additionally
+    * pass the weight-ratio prune tau ≤ W_A/W_B ≤ 1/tau (from
+    * tau·W_B ≤ I ≤ W_A and its mirror); the exact I is then recomputed
+    * from the FULL postings for candidates only. The prefix cut keeps
+    * one micro-unit of slack (suffix ≤ tau·tw − 1 stops the prefix) so
+    * double rounding in tau·tw can only ADD prefix elements, never drop
+    * a qualifying pair.
+    *
+    * Scale: candidate generation touches only prefixes — heaviest-first
+    * ordering makes them short (cumulative weight crosses the threshold
+    * fastest) and RARE (high-idf shingles have few postings), so the
+    * equi-join is selective where the unpruned self-join floods on
+    * boilerplate-heavy corpora. */
+  def weightedJaccardPairsPruned(docs: DataFrame, n: Int, tau: Double): DataFrame = {
+    val (shw, tw) = weightedPostings(docs, n)
+    // per-doc postings sorted heaviest-first under the global order
+    val sorted = shw
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("iw"), col("s"))), asc = false).as("ps"))
+      .join(tw, "doc_id")
+    // minimal prefix with suffix weight < tau·tw (one micro-unit slack,
+    // conservative); per-row primitive loop over the ≤|doc| postings
+    val prefixUdf = udf((ps: Seq[org.apache.spark.sql.Row], tw: Long) => {
+      val cut = tau * tw - 1.0 // suffix ≤ cut ⟹ stop extending
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var suffix = tw
+      var i = 0
+      while (i < ps.length && suffix > cut) {
+        suffix -= ps(i).getLong(0)
+        out += ps(i).getString(1)
+        i += 1
+      }
+      out.toSeq
+    })
+    val prefix = sorted
+      .select(col("doc_id"), col("tw"),
+        explode(prefixUdf(col("ps"), col("tw"))).as("s"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          // keep iff tau·W_B ≤ W_A and mirror, with one micro-unit of
+          // slack so double rounding in tau·tw stays conservative
+          col("a.tw") >= col("b.tw") * tau - 1.0 &&
+          col("b.tw") >= col("a.tw") * tau - 1.0)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    // exact intersection weight, candidates only, from the FULL postings
+    val inter = cand
+      .join(shw.select(col("doc_id").as("d1"), col("s"), col("iw")), Seq("d1"))
+      .join(shw.select(col("doc_id").as("d2"), col("s")), Seq("d2", "s"))
+      .groupBy("d1", "d2").agg(sum(col("iw")).as("iw"))
+    weightedJaccardTail(inter, tw, tau)
   }
 
   val q126Oracle: String =

@@ -381,6 +381,35 @@ class PipelineQueriesSpec extends AnyFunSuite {
       s"hash domain diverged on $diverged/${a.size} rows at sf0.1")
   }
 
+  test("weightedJaccardPairsPruned equals the declared form (real corpus + boilerplate flood)") {
+    // real corpus parity
+    val corpus = SparkTestBase.spark.read
+      .parquet(s"${SparkTestBase.Sf0001}/documents.parquet")
+      .select($"doc_id", $"text")
+    val a = PipelineQueries.weightedJaccardPairs(corpus, n = 3, tau = 0.3)
+      .collect().toSeq
+    val b = PipelineQueries.weightedJaccardPairsPruned(corpus, n = 3, tau = 0.3)
+      .collect().toSeq
+    assert(a == b, s"pruned form diverges on the real corpus (${a.size} vs ${b.size} rows)")
+    // adversarial shape: every doc shares one heavy boilerplate template
+    // (the flood the unpruned self-join pays f² for) plus distinct
+    // content; two docs additionally share their content tail and must
+    // be the ONLY qualifying pair in both forms
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    val rows = (1L to 30L).map { id =>
+      val content =
+        if (id <= 2) "shared content tail one two three four five six seven eight nine ten"
+        else (1 to 12).map(j => s"u${id}_$j").mkString(" ")
+      (id, s"$boiler $content")
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val x = PipelineQueries.weightedJaccardPairs(docs, n = 3, tau = 0.3).collect().toSeq
+    val y = PipelineQueries.weightedJaccardPairsPruned(docs, n = 3, tau = 0.3).collect().toSeq
+    assert(x == y, s"pruned form diverges on the boilerplate corpus (${x.size} vs ${y.size})")
+    assert(x.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 2L)),
+      s"exactly the content-sharing pair must qualify: ${x.toList}")
+  }
+
   // ---- q136 Zipf slope -------------------------------------------------------
 
   test("zipfSlope: two-point hand case and negative slope on the real corpus") {
