@@ -420,7 +420,14 @@ object PipelineQueries {
     * treatment carried to the weighted domain —
     * [[weightedJaccardPairsPruned]] implements the exact-preserving
     * weighted prefix filter (parity-spec'd against this declared form,
-    * including on an engineered boilerplate flood); the declared form
+    * including on an engineered boilerplate flood). The declared query
+    * deliberately stays on THIS unpruned form: an interleaved A/B on the
+    * sf0.1 corpus (`tools/WeightedJaccardAb`, identical output verified)
+    * measures declared ~2.5 s vs pruned ~7.5 s — without boilerplate
+    * flooding, the per-doc heaviest-first sort + prefix cut costs more
+    * than the candidates it removes, so the pruned path is the escape
+    * hatch for corpora whose self-join actually floods, not a default.
+    * The declared form
     * materializes the weighted postings once (localCheckpoint —
     * shuffle-sized local state, the same disk the exchanges use) so
     * df/totals/self-join all read it instead of replaying the corpus
