@@ -1,0 +1,195 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 training-prep wave (declared surface, SURVEY §2 Part B
+  * continuation) — the three batch steps between a curated corpus and a
+  * training run that the existing surface did not yet name:
+  *
+  *   - q137 fixed-length sequence packing: concatenate each source's
+  *          documents (plus one EOS separator each) and chunk the stream
+  *          every L tokens — the GPT-style "pack to context length" step,
+  *          with the per-document boundary bookkeeping (first sequence,
+  *          offset, spans) that attention-masking needs downstream.
+  *   - q138 quota sampling: cap every (source, lang) cell at K documents
+  *          chosen by a deterministic hash priority — the "cap domain X
+  *          at N docs" curation knob (vs q83's per-language RATES and
+  *          q118's epoch upsampling).
+  *   - q139 split-leakage audit: after a deterministic train/eval split,
+  *          report every cross-split pair of near-duplicate documents
+  *          (3-gram Jaccard ≥ τ) — the post-split contamination check
+  *          that catches eval answers hiding in the training set (the
+  *          fuzzy counterpart of q94's exact-shingle decontamination).
+  *
+  * Oracle discipline as in [[Queries]]: BIGINT casts everywhere, r4
+  * rounding of the one terminal division, deterministic ORDER BY over a
+  * unique key, integer arithmetic for everything the hash gate sums.
+  */
+object TrainPrepQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- q137: fixed-length sequence packing ----------------------------------
+
+  /** Pack each source's documents into L=512-token training sequences:
+    * documents concatenate in doc_id order, each followed by one EOS
+    * separator token; the stream chunks every L tokens and a document may
+    * SPAN chunk boundaries (unlike q82, which assigns whole docs to the
+    * shard where they begin). Declared output per document: its token
+    * count, the sequence its first token lands in, the offset inside that
+    * sequence, and how many sequences it spans — the boundary metadata a
+    * data loader needs to build attention masks over packed sequences.
+    *
+    * Scale shape: ONE window shuffle partitioned by source (per-source
+    * running token total, in-partition sort by doc_id) — never a
+    * corpus-wide unpartitioned window; every derived column is pure
+    * integer projection arithmetic off the running total. Per-source
+    * streams are the production layout anyway (shards pack per domain,
+    * then q134 interleaves them); a genuinely global stream at 100 TB
+    * would use the same two-phase scan with repartitionByRange providing
+    * the partition prefix sums.
+    */
+  def q137SequencePack(s: SparkSession, dir: String): DataFrame = {
+    val L = 512L
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum(col("n_tokens") + lit(1L)).over(w))
+      .withColumn("st", col("cum") - col("n_tokens") - lit(1L))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"st div $L").as("first_seq"),
+        (col("st") % lit(L)).as("first_off"),
+        (expr(s"(st + n_tokens - 1) div $L") - expr(s"st div $L") + lit(1L))
+          .as("n_seqs"))
+      .orderBy("doc_id")
+  }
+
+  val q137Oracle: String =
+    """WITH d AS (SELECT doc_id, source,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                  FROM documents),
+       c AS (SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens + 1) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 - n_tokens - 1 AS st
+             FROM d)
+       SELECT doc_id, source, n_tokens,
+              st // 512 AS first_seq,
+              st % 512 AS first_off,
+              (st + n_tokens - 1) // 512 - st // 512 + 1 AS n_seqs
+       FROM c ORDER BY doc_id"""
+
+  // ---- q138: per-(source, lang) quota sampling ------------------------------
+
+  /** Cap every (source, lang) cell at K=3 documents, chosen by a
+    * deterministic multiplicative-hash priority ((doc_id·48271) mod 2^16,
+    * MINSTD multiplier — uncorrelated with q83's 40503 and q132's 25173)
+    * with doc_id as the total-order tie-break. Like q83 this is a pure
+    * function of the row, so the kept set is reproducible across engines,
+    * partitionings and reruns; unlike q83 (per-language RATES) it bounds
+    * each cell's absolute COUNT — the "at most N docs per domain" knob.
+    *
+    * Scale shape: one window shuffle on (source, lang) + in-partition
+    * sort. This is exactly the `row_number() OVER (PARTITION BY ...) <= k`
+    * idiom [[graft.plans.InferTopKFromRankFilter]] rewrites: under
+    * GraftExtensions the filter never materializes rank for the dropped
+    * rows — partial per-partition heaps bound the exchange at keys×K rows
+    * (plan-pinned in TrainPrepQueriesSpec). The declared form keeps the
+    * window so the rank column itself is oracle-checked.
+    */
+  def q138QuotaSample(s: SparkSession, dir: String): DataFrame = {
+    val pri = pmod(col("doc_id") * lit(48271L), lit(65536L))
+    val w = Window.partitionBy("source", "lang").orderBy(col("pri"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), pri.as("pri"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 3)
+      .orderBy("doc_id")
+  }
+
+  val q138Oracle: String =
+    """SELECT doc_id, source, lang, (doc_id * 48271) % 65536 AS pri,
+              CAST(ROW_NUMBER() OVER (PARTITION BY source, lang
+                ORDER BY (doc_id * 48271) % 65536, doc_id) AS BIGINT) AS rk
+       FROM documents
+       QUALIFY rk <= 3
+       ORDER BY doc_id"""
+
+  // ---- q139: train/eval split-leakage audit ---------------------------------
+
+  /** Post-split contamination audit: split the corpus 90/10 into train
+    * and eval by a deterministic hash ((doc_id·69621) mod 2^16 < 6554 ⇒
+    * eval), then report every (eval, train) pair whose 3-gram Jaccard
+    * similarity is ≥ 0.5 — near-duplicates of eval documents sitting in
+    * the training set, i.e. leaked benchmark data that q94's EXACT
+    * 5-gram membership probe would miss once a few tokens drift. Output:
+    * the offending pair and its similarity.
+    *
+    * Scale shape: the eval side is benchmark-sized (bounded, here 10%
+    * but in production a fixed eval suite), so its distinct shingle
+    * postings BROADCAST and the train stream probes them map-side —
+    * q94's decontamination shape with Jaccard scoring stacked on top.
+    * The only exchanges are the per-pair intersection count and the
+    * per-doc size aggregate; candidate pairs ∝ shared shingles, never
+    * eval×train. At extreme eval sizes the broadcast degrades gracefully
+    * to a shuffle join on the shingle key (drop the hint).
+    */
+  def q139SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val posts = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("nn", size(col("tk")))
+      .where(col("nn") >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, nn - 3), k -> array_join(slice(tk, k + 1, 3), ' '))")).as("s"))
+      .distinct()
+      .withColumn("h", pmod(col("doc_id") * lit(69621L), lit(65536L)))
+    val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val ev = posts.where(col("h") < 6554L).select(col("doc_id").as("d_eval"), col("s"))
+    val tr = posts.where(col("h") >= 6554L).select(col("doc_id").as("d_train"), col("s"))
+    broadcast(ev).join(tr, "s")
+      .groupBy("d_eval", "d_train").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d_eval"), col("sz").as("sz1")), "d_eval")
+      .join(sizes.select(col("doc_id").as("d_train"), col("sz").as("sz2")), "d_train")
+      .withColumn("_j", col("inter").cast("double")
+        / (col("sz1") + col("sz2") - col("inter")).cast("double"))
+      .where(col("_j") >= 0.5)
+      .select(col("d_eval"), col("d_train"), graft.Stable.r4(col("_j")).as("jaccard"))
+      .orderBy("d_eval", "d_train")
+  }
+
+  val q139Oracle: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+         FROM documents),
+       sh AS (
+         SELECT doc_id, tok || ' ' || lead(tok) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+         FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       dt AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id),
+       pairs AS (
+         SELECT e.doc_id AS d_eval, tr.doc_id AS d_train, COUNT(*) AS inter
+         FROM dt e JOIN dt tr ON e.shingle = tr.shingle
+         WHERE (e.doc_id * 69621) % 65536 < 6554
+           AND (tr.doc_id * 69621) % 65536 >= 6554
+         GROUP BY 1, 2)
+       SELECT d_eval, d_train,
+              floor((inter * 1.0 / (s1.sz + s2.sz - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+       FROM pairs JOIN sizes s1 ON d_eval = s1.doc_id JOIN sizes s2 ON d_train = s2.doc_id
+       WHERE inter * 1.0 / (s1.sz + s2.sz - inter) >= 0.5
+       ORDER BY d_eval, d_train"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_sequence_pack" -> (q137SequencePack _),
+    "q138_quota_sample" -> (q138QuotaSample _),
+    "q139_split_leakage" -> (q139SplitLeakage _))
+
+  val oracles: Map[String, String] = Map(
+    "q137_sequence_pack" -> q137Oracle,
+    "q138_quota_sample" -> q138Oracle,
+    "q139_split_leakage" -> q139Oracle)
+}

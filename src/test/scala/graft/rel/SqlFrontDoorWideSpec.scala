@@ -327,7 +327,21 @@ object SqlFrontDoorWideSpec {
           s.replace("t[i+1] AS w1, t[i+2] AS w2", "t[i] AS w1, t[i+1] AS w2")),
         "lateral series + 1-based [i] → 0-based; PMI algebra parses identically"),
       "q136_zipf_slope" -> (id _,
-        "string_split/unnest renames; DECIMAL least-squares algebra parses identically"))
+        "string_split/unnest renames; DECIMAL least-squares algebra parses identically"),
+      "q137_sequence_pack" -> (id _,
+        "string_split/len renames + // div; window running sum parses identically"),
+      "q138_quota_sample" -> ((s: String) =>
+        """SELECT doc_id, source, lang, pri, rk FROM (
+             SELECT doc_id, source, lang, (doc_id * 48271) % 65536 AS pri,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source, lang
+                 ORDER BY (doc_id * 48271) % 65536, doc_id) AS BIGINT) AS rk
+             FROM documents) WHERE rk <= 3
+           ORDER BY doc_id""",
+        "QUALIFY → windowed subquery"),
+      "q139_split_leakage" -> ((s: String) =>
+        s.replace(Duck2Spark.zipToksDuck, Duck2Spark.zipToksSpark),
+        "zip-unnest tokenizer → posexplode (q23's patch); split predicate and " +
+          "Jaccard algebra parse identically"))
   }
 
   /** Regression-fixture oracles (the q46 pattern, SF-pinned at the

@@ -1,0 +1,116 @@
+package graft.rel
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Round-9 training-prep wave: independent Scala replays of the declared
+  * semantics (the DuckDB hash gate checks the oracle twin; these check
+  * the SEMANTICS against a from-scratch reimplementation) plus the plan
+  * pins that carry each query to corpus scale. */
+class TrainPrepQueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = SparkTestBase.Sf0001
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  private def docs(): Array[(Long, String, String, Array[String])] =
+    Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3).split(" ", -1)))
+
+  test("q137: boundary metadata matches a sequential per-source replay") {
+    val got = TrainPrepQueries.q137SequencePack(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val L = 512L
+    val expected = scala.collection.mutable.Map.empty[Long, (String, Long, Long, Long, Long)]
+    docs().groupBy(_._2).foreach { case (source, ds) =>
+      var cum = 0L // tokens consumed in this source's stream so far
+      ds.sortBy(_._1).foreach { case (id, _, _, toks) =>
+        val n = toks.length.toLong
+        val firstSeq = cum / L
+        val lastSeq = (cum + n - 1) / L
+        expected(id) = (source, n, firstSeq, cum % L, lastSeq - firstSeq + 1)
+        cum += n + 1 // document plus its EOS separator
+      }
+    }
+    assert(got.size == expected.size)
+    expected.foreach { case (id, e) => assert(got(id) == e, s"doc $id: ${got(id)} != $e") }
+    // structural invariants on top of the replay
+    got.values.foreach { case (_, n, _, off, spans) =>
+      // worst case starts at offset L-1, adding one boundary crossing
+      assert(off >= 0 && off < L && spans >= 1 && spans <= (n - 1) / L + 2)
+    }
+  }
+
+  test("q137 plan: the packing window is partitioned by source (never a " +
+       "single-partition corpus window)") {
+    val p = plan("q137_sequence_pack")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("source")),
+      s"every window must partition by source:\n${windows.mkString("\n")}")
+  }
+
+  test("q138: every (source, lang) cell keeps its hash-priority top-3 exactly") {
+    val got = TrainPrepQueries.q138QuotaSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val byCell = got.groupBy(t => (t._2, t._3))
+    byCell.values.foreach(rows => assert(rows.length <= 3))
+    // from-scratch replay: priority order within each cell, first 3 kept
+    val expected = docs().groupBy(d => (d._2, d._3)).toSeq.flatMap { case (_, ds) =>
+      ds.toSeq.map(d => (d._1, (d._1 * 48271L) % 65536L))
+        .sortBy { case (id, pri) => (pri, id) }.take(3).zipWithIndex
+        .map { case ((id, pri), i) => (id, pri, i + 1L) }
+    }.toSet
+    assert(got.map(t => (t._1, t._4, t._5)).toSet == expected)
+  }
+
+  test("q138 under the extension rule: the rank filter plans as a TopKPerKey " +
+       "heap pre-cut with identical output") {
+    val plain = TrainPrepQueries.q138QuotaSample(spark, dir).collect()
+      .map(_.toSeq).toSeq
+    val exp = spark.experimental
+    val before = exp.extraOptimizations
+    exp.extraOptimizations = before :+ graft.plans.InferTopKFromRankFilter
+    if (!exp.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    try {
+      val df = TrainPrepQueries.q138QuotaSample(spark, dir)
+      assert(df.queryExecution.optimizedPlan.toString.contains("TopKPerKey"),
+        "the declared row_number() <= 3 idiom must trigger the heap rewrite")
+      assert(df.collect().map(_.toSeq).toSeq == plain)
+    } finally exp.extraOptimizations = before
+  }
+
+  test("q139: pairs match a brute-force cross-split Jaccard sweep") {
+    val got = TrainPrepQueries.q139SplitLeakage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def shingles(toks: Array[String]): Set[String] =
+      if (toks.length < 3) Set.empty
+      else (0 to toks.length - 3).map(k => toks.slice(k, k + 3).mkString(" ")).toSet
+    val sh = docs().map(d => (d._1, shingles(d._4))).filter(_._2.nonEmpty)
+    val (ev, tr) = sh.partition { case (id, _) => (id * 69621L) % 65536L < 6554L }
+    val expected = (for {
+      (e, es) <- ev; (t, ts) <- tr
+      inter = (es intersect ts).size
+      if inter > 0
+      j = inter.toDouble / (es.size + ts.size - inter)
+      if j >= 0.5
+    } yield (e, t, math.floor(j * 10000.0 + 0.5) / 10000.0)).toSet
+    assert(got.toSet == expected, s"got ${got.length}, expected ${expected.size}")
+    got.foreach { case (e, t, _) =>
+      assert((e * 69621L) % 65536L < 6554L && (t * 69621L) % 65536L >= 6554L,
+        s"pair ($e, $t) does not cross the split")
+    }
+  }
+
+  test("q139 plan: the bounded eval postings broadcast into the shingle probe") {
+    val p = plan("q139_split_leakage")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval side must broadcast (q94's decontamination shape):\n$p")
+  }
+}
