@@ -183,13 +183,89 @@ object TrainPrepQueries {
        WHERE inter * 1.0 / (s1.sz + s2.sz - inter) >= 0.5
        ORDER BY d_eval, d_train"""
 
+  // ---- q140: cluster-balanced resampling ------------------------------------
+
+  /** Topic balancing — the cluster-level counterpart of q118's per-source
+    * mixture knob: assign every embedding to a k-means cluster (q124's
+    * integer-exact Lloyd, k=8 ×2 iterations), then upsample each cluster
+    * toward the LARGEST cluster's mass — weight w_c = max_size/size_c in
+    * exact 1/65536 units, capped at 4× (the standard repetition cap), and
+    * every vector emits floor(w_c) copies plus one more iff its 16-bit hash
+    * bucket clears frac(w_c). The emitted multiset equalizes cluster mass
+    * in expectation with ZERO randomness — reproducible across engines
+    * and partitionings, like q118/q83. This is the "balance topical
+    * clusters before training" step (cf. cluster-based data curation à la
+    * SemDeDup/D4): rare-topic documents repeat, dominant-topic mass is
+    * left intact (never downsampled — compose q138/q83 for caps).
+    *
+    * Scale shape: the Lloyd front half carries q124's audit (model-sized
+    * driver state, broadcast centroids); cluster sizes are k rows, the
+    * max is 1 row, and both BROADCAST back into the corpus-sized
+    * assignment stream (plan-pinned) — the copy expansion is then a pure
+    * projection + explode, zero extra shuffles before the declared
+    * ORDER BY.
+    */
+  def q140ClusterBalance(s: SparkSession, dir: String): DataFrame = {
+    val asg = PipelineQueries.kmeansAssign(t(s, dir, "embeddings"), k = 8, iters = 2)
+      .select(col("vec_id"), col("cluster"))
+    val sizes = asg.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    val mx = sizes.agg(max(col("cluster_size")).as("m"))
+    val wt = sizes.crossJoin(broadcast(mx))
+      .select(col("cluster"), col("cluster_size"),
+        least(expr("(m * 65536) div cluster_size"), lit(262144L)).as("w"))
+    asg.join(broadcast(wt), "cluster")
+      .withColumn("n_copies", expr("w div 65536")
+        + when(pmod(col("vec_id") * lit(16807L), lit(65536L))
+            < pmod(col("w"), lit(65536L)), 1L).otherwise(0L))
+      .where(col("n_copies") >= 1L)
+      .select(col("vec_id"), col("cluster"), col("cluster_size"),
+        col("n_copies").cast("long").as("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+      .select(col("vec_id"), col("cluster"), col("cluster_size"),
+        col("n_copies"), col("copy_idx").cast("long").as("copy_idx"))
+      .orderBy("vec_id", "copy_idx")
+  }
+
+  /** q124's committed Lloyd CTE chain, re-used verbatim (spliced out of
+    * [[PipelineQueries.q124Oracle]] so the two oracles cannot drift),
+    * with the balance/resample tail stacked on top. */
+  val q140Oracle: String = {
+    val lloyd = PipelineQueries.q124Oracle
+    val cut = lloyd.lastIndexOf("SELECT vec_id, CAST(cl AS BIGINT)")
+    val ctes = lloyd.substring(lloyd.indexOf("WITH") + 5, cut).trim
+    s"""WITH $ctes,
+       asg AS (SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM (
+                 SELECT vec_id, cl,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                 FROM d3) WHERE rn = 1),
+       cs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM asg GROUP BY cluster),
+       mx AS (SELECT MAX(cluster_size) AS m FROM cs),
+       wt AS (SELECT cluster, cluster_size,
+                LEAST((m * 65536) // cluster_size, 262144) AS w
+              FROM cs, mx),
+       cop AS (SELECT a.vec_id, a.cluster, w.cluster_size,
+                 w.w // 65536
+                   + CASE WHEN (a.vec_id * 16807) % 65536 < w.w % 65536
+                          THEN 1 ELSE 0 END AS n_copies
+               FROM asg a JOIN wt w USING (cluster))
+       SELECT vec_id, cluster, cluster_size,
+              CAST(n_copies AS BIGINT) AS n_copies,
+              CAST(u.copy_idx AS BIGINT) AS copy_idx
+       FROM cop, unnest(generate_series(1, n_copies)) AS u(copy_idx)
+       WHERE n_copies >= 1
+       ORDER BY vec_id, copy_idx"""
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_sequence_pack" -> (q137SequencePack _),
     "q138_quota_sample" -> (q138QuotaSample _),
-    "q139_split_leakage" -> (q139SplitLeakage _))
+    "q139_split_leakage" -> (q139SplitLeakage _),
+    "q140_cluster_balance" -> (q140ClusterBalance _))
 
   val oracles: Map[String, String] = Map(
     "q137_sequence_pack" -> q137Oracle,
     "q138_quota_sample" -> q138Oracle,
-    "q139_split_leakage" -> q139Oracle)
+    "q139_split_leakage" -> q139Oracle,
+    "q140_cluster_balance" -> q140Oracle)
 }

@@ -64,7 +64,7 @@ object SqlFrontDoorSpec {
     "q108_merge_upsert", "q109_median_filter",
     "q122_dup_spans", "q123_bigram_lm", "q124_kmeans",
     "q126_weighted_jaccard", "q129_dedup_span_rewrite",
-    "q130_source_overlap")
+    "q130_source_overlap", "q140_cluster_balance")
 }
 
 class SqlFrontDoorSpec extends AnyFunSuite {
@@ -415,10 +415,10 @@ class SqlFrontDoorSpec extends AnyFunSuite {
   // generate_series + q[i]; Spark spells the dim expansion posexplode
   // (joining on the shared 0-based pos). The unrolled Lloyd algebra —
   // integer distance sums, ROW_NUMBER argmin, floor'd mean updates —
-  // parses identically in both dialects.
-  test("q124_kmeans: Spark-SQL unrolled-Lloyd twin matches the DataFrame twin") {
-    checkTwin("q124_kmeans",
-      """WITH e AS (SELECT vec_id, transform(CAST(embedding AS ARRAY<DOUBLE>),
+  // parses identically in both dialects. Shared by the q124 and q140
+  // twins (q140's oracle splices q124's committed CTEs the same way).
+  private val lloydCtes: String =
+    """e AS (SELECT vec_id, transform(CAST(embedding AS ARRAY<DOUBLE>),
                       x -> CAST(floor(x * 1e6 + 5e-1) AS BIGINT)) AS q
                     FROM embeddings),
          x AS (SELECT vec_id, pos0 AS pos, v
@@ -446,11 +446,44 @@ class SqlFrontDoorSpec extends AnyFunSuite {
                    CAST(floor(CAST(SUM(x.v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 5e-1) AS BIGINT) AS v
                  FROM a2 a JOIN x ON a.vec_id = x.vec_id GROUP BY a.cl, x.pos),
          d3 AS (SELECT x.vec_id, c.cl, SUM((x.v - c.v) * (x.v - c.v)) AS d2
-                FROM x JOIN c2x c ON x.pos = c.pos GROUP BY x.vec_id, c.cl)
+                FROM x JOIN c2x c ON x.pos = c.pos GROUP BY x.vec_id, c.cl)"""
+
+  test("q124_kmeans: Spark-SQL unrolled-Lloyd twin matches the DataFrame twin") {
+    checkTwin("q124_kmeans",
+      s"""WITH $lloydCtes
          SELECT vec_id, CAST(cl AS BIGINT) AS cluster, CAST(d2 AS BIGINT) AS dist2
          FROM (SELECT vec_id, cl, d2,
                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
                FROM d3) WHERE rn = 1
          ORDER BY vec_id""")
+  }
+
+  // q140 stacks the balance/resample tail on the same Lloyd chain; the
+  // only additional dialect moves are // → div and the lateral
+  // generate_series copy expansion → LATERAL VIEW explode(sequence).
+  test("q140_cluster_balance: Lloyd twin + balance tail matches the DataFrame twin") {
+    checkTwin("q140_cluster_balance",
+      s"""WITH $lloydCtes,
+         asg AS (SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM (
+                   SELECT vec_id, cl,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                   FROM d3) WHERE rn = 1),
+         cs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                FROM asg GROUP BY cluster),
+         mx AS (SELECT MAX(cluster_size) AS m FROM cs),
+         wt AS (SELECT cluster, cluster_size,
+                  LEAST((m * 65536) div cluster_size, CAST(262144 AS BIGINT)) AS w
+                FROM cs, mx),
+         cop AS (SELECT a.vec_id, a.cluster, w.cluster_size,
+                   w.w div 65536
+                     + CASE WHEN (a.vec_id * 16807) % 65536 < w.w % 65536
+                            THEN 1 ELSE 0 END AS n_copies
+                 FROM asg a JOIN wt w ON a.cluster = w.cluster)
+         SELECT vec_id, cluster, cluster_size,
+                CAST(n_copies AS BIGINT) AS n_copies,
+                CAST(copy_idx AS BIGINT) AS copy_idx
+         FROM cop LATERAL VIEW explode(sequence(CAST(1 AS BIGINT), n_copies)) u AS copy_idx
+         WHERE n_copies >= 1
+         ORDER BY vec_id, copy_idx""")
   }
 }

@@ -113,4 +113,39 @@ class TrainPrepQueriesSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"the eval side must broadcast (q94's decontamination shape):\n$p")
   }
+
+  test("q140: the balance tail replays from the q124 assignment; mass moves " +
+       "toward the largest cluster, nothing downsampled") {
+    val asg = PipelineQueries.kmeansAssign(
+        Tables.load(spark, dir, "embeddings"), k = 8, iters = 2)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sizes = asg.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val m = sizes.values.max
+    val expected = asg.flatMap { case (id, cl) =>
+      val n = sizes(cl)
+      val w = math.min(m * 65536L / n, 262144L)
+      val copies = w / 65536L +
+        (if ((id * 16807L) % 65536L < w % 65536L) 1L else 0L)
+      (1L to copies).map(ci => (id, cl, n, copies, ci))
+    }.toSet
+    val got = TrainPrepQueries.q140ClusterBalance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSet == expected, s"got ${got.length}, expected ${expected.size}")
+    // balancing invariants: every vector survives (never downsampled) and
+    // every non-max cluster's emitted mass strictly grows
+    val emitted = got.groupBy(_._2).view.mapValues(_.map(t => (t._1, t._4)).distinct
+      .map(_._2).sum).toMap
+    sizes.foreach { case (cl, n) =>
+      assert(emitted(cl) >= n, s"cluster $cl lost mass: ${emitted(cl)} < $n")
+      if (n < m) assert(emitted(cl) > n, s"cluster $cl ($n docs) was not upsampled")
+    }
+  }
+
+  test("q140 plan: cluster sizes and the max broadcast back into the " +
+       "assignment stream (no corpus-sized shuffle in the balance tail)") {
+    val p = plan("q140_cluster_balance")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the k-row weight table must broadcast into the corpus join:\n$p")
+  }
 }
