@@ -131,4 +131,55 @@ object Curation {
       .transformWithState(new SourceCardProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  // ---- streaming quota cap ---------------------------------------------------
+
+  /** One document arriving at the quota gate: `cell` is the quota key
+    * (q138 uses source+lang), `pri` its deterministic hash priority. */
+  final case class QuotaDoc(cell: String, doc_id: Long, pri: Long)
+
+  /** An admitted document with its admission rank inside its cell. */
+  final case class QuotaAdmit(cell: String, doc_id: Long, rk: Long)
+
+  /** Streaming twin of q138's per-cell quota: admit at most `k` documents
+    * per cell, counting admissions in keyed state. Within a micro-batch
+    * the slice is ranked by (pri, doc_id) — q138's exact order — so a
+    * stream fed as one batch (or any batching that respects priority
+    * order) admits EXACTLY the batch query's kept set with equal ranks
+    * (parity-spec'd); across micro-batches arrival wins, which is the
+    * only causal option a continuous gate has (a later arrival cannot
+    * evict an admission already emitted downstream). State per cell is
+    * ONE long — bounded by the cell catalog, like the card processor. */
+  final class QuotaCapProcessor(k: Int)
+      extends StatefulProcessor[String, QuotaDoc, QuotaAdmit] {
+    @transient private var admitted: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      admitted = getHandle.getValueState[Long]("admitted",
+        Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[QuotaDoc],
+                                 timers: TimerValues): Iterator[QuotaAdmit] = {
+      var c = if (admitted.exists()) admitted.get() else 0L
+      val out = scala.collection.mutable.ArrayBuffer.empty[QuotaAdmit]
+      val slice = rows.toArray.sortBy(d => (d.pri, d.doc_id))
+      var i = 0
+      while (i < slice.length && c < k) {
+        c += 1
+        out += QuotaAdmit(key, slice(i).doc_id, c)
+        i += 1
+      }
+      admitted.update(c)
+      out.iterator
+    }
+  }
+
+  /** Enforce a per-cell admission quota over a document stream — the
+    * continuous form of q138. Requires the RocksDB state store provider
+    * (state API v2), like the other processors here. */
+  def quotaCapStream(docs: Dataset[QuotaDoc], k: Int): Dataset[QuotaAdmit] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.cell)
+      .transformWithState(new QuotaCapProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -144,4 +144,61 @@ class CurationStreamSpec extends AnyFunSuite {
       case None => spark.conf.unset(key)
     }
   }
+
+  /** Run a quota-doc stream through the cap gate (same harness shape as
+    * the dedup runner above). */
+  private def runQuota(batches: Seq[Seq[Curation.QuotaDoc]],
+                       k: Int): Seq[(String, Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Curation.QuotaDoc]
+      val name = s"quota_out_${System.nanoTime()}"
+      val q = Curation.quotaCapStream(mem.toDS(), k).writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("streaming quota cap fed in priority order admits exactly the q138 kept " +
+       "set with equal ranks") {
+    val docs = graft.rel.Tables.load(spark, SparkTestBase.Sf0001, "documents")
+      .select(col("doc_id"), col("source"), col("lang")).collect()
+      .map(r => Curation.QuotaDoc(r.getString(1) + "/" + r.getString(2),
+        r.getLong(0), (r.getLong(0) * 48271L) % 65536L))
+    // one batch in global (pri, doc_id) order — any priority-respecting
+    // slicing gives the same answer; one batch is the simplest such
+    val got = runQuota(Seq(docs.sortBy(d => (d.pri, d.doc_id)).toSeq), k = 3).toSet
+    val batch = graft.rel.TrainPrepQueries
+      .q138QuotaSample(spark, SparkTestBase.Sf0001).collect()
+      .map(r => (r.getString(1) + "/" + r.getString(2), r.getLong(0), r.getLong(4)))
+      .toSet
+    assert(got == batch,
+      s"stream/batch diverged: stream-only=${got -- batch}, batch-only=${batch -- got}")
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming quota cap across micro-batches: arrival wins, cap never exceeded") {
+    val b1 = Seq(
+      Curation.QuotaDoc("a", 10L, 50L),  // admitted rk=1
+      Curation.QuotaDoc("a", 11L, 10L),  // admitted rk=... sorts first in-batch
+      Curation.QuotaDoc("b", 20L, 1L))   // admitted
+    val b2 = Seq(
+      Curation.QuotaDoc("a", 12L, 1L),   // best priority, but cell a is full
+      Curation.QuotaDoc("b", 21L, 9L))   // admitted (cap 2 not yet reached)
+    val got = runQuota(Seq(b1, b2), k = 2).toSet
+    // batch 1, cell a: slice sorted by pri → 11 (rk 1), 10 (rk 2); full.
+    assert(got == Set(("a", 11L, 1L), ("a", 10L, 2L),
+      ("b", 20L, 1L), ("b", 21L, 2L)), s"got $got")
+  }
 }
