@@ -86,9 +86,13 @@ object TrainPrepQueries {
   // ---- q138: per-(source, lang) quota sampling ------------------------------
 
   /** Cap every (source, lang) cell at K=3 documents, chosen by a
-    * deterministic multiplicative-hash priority ((doc_id·48271) mod 2^16,
-    * MINSTD multiplier — uncorrelated with q83's 40503 and q132's 25173)
-    * with doc_id as the total-order tie-break. Like q83 this is a pure
+    * deterministic multiplicative-hash priority ((doc_id·69069) mod 2^16,
+    * Marsaglia's LCG multiplier — distinct from q83's 40503, q118's
+    * 48271, q132's 25173 and q139's 69621, so the quota's keep decisions
+    * are uncorrelated with every other sampler's; sharing q118's
+    * multiplier, say, would make the quota preferentially keep exactly
+    * the documents the resampler upsamples) with doc_id as the
+    * total-order tie-break. Like q83 this is a pure
     * function of the row, so the kept set is reproducible across engines,
     * partitionings and reruns; unlike q83 (per-language RATES) it bounds
     * each cell's absolute COUNT — the "at most N docs per domain" knob.
@@ -102,7 +106,7 @@ object TrainPrepQueries {
     * window so the rank column itself is oracle-checked.
     */
   def q138QuotaSample(s: SparkSession, dir: String): DataFrame = {
-    val pri = pmod(col("doc_id") * lit(48271L), lit(65536L))
+    val pri = pmod(col("doc_id") * lit(69069L), lit(65536L))
     val w = Window.partitionBy("source", "lang").orderBy(col("pri"), col("doc_id"))
     t(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("lang"), pri.as("pri"))
@@ -112,9 +116,9 @@ object TrainPrepQueries {
   }
 
   val q138Oracle: String =
-    """SELECT doc_id, source, lang, (doc_id * 48271) % 65536 AS pri,
+    """SELECT doc_id, source, lang, (doc_id * 69069) % 65536 AS pri,
               CAST(ROW_NUMBER() OVER (PARTITION BY source, lang
-                ORDER BY (doc_id * 48271) % 65536, doc_id) AS BIGINT) AS rk
+                ORDER BY (doc_id * 69069) % 65536, doc_id) AS BIGINT) AS rk
        FROM documents
        QUALIFY rk <= 3
        ORDER BY doc_id"""

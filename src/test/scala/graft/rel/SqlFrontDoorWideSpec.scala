@@ -332,9 +332,9 @@ object SqlFrontDoorWideSpec {
         "string_split/len renames + // div; window running sum parses identically"),
       "q138_quota_sample" -> ((s: String) =>
         """SELECT doc_id, source, lang, pri, rk FROM (
-             SELECT doc_id, source, lang, (doc_id * 48271) % 65536 AS pri,
+             SELECT doc_id, source, lang, (doc_id * 69069) % 65536 AS pri,
                CAST(ROW_NUMBER() OVER (PARTITION BY source, lang
-                 ORDER BY (doc_id * 48271) % 65536, doc_id) AS BIGINT) AS rk
+                 ORDER BY (doc_id * 69069) % 65536, doc_id) AS BIGINT) AS rk
              FROM documents) WHERE rk <= 3
            ORDER BY doc_id""",
         "QUALIFY → windowed subquery"),

@@ -62,7 +62,7 @@ class TrainPrepQueriesSpec extends AnyFunSuite {
     byCell.values.foreach(rows => assert(rows.length <= 3))
     // from-scratch replay: priority order within each cell, first 3 kept
     val expected = docs().groupBy(d => (d._2, d._3)).toSeq.flatMap { case (_, ds) =>
-      ds.toSeq.map(d => (d._1, (d._1 * 48271L) % 65536L))
+      ds.toSeq.map(d => (d._1, (d._1 * 69069L) % 65536L))
         .sortBy { case (id, pri) => (pri, id) }.take(3).zipWithIndex
         .map { case ((id, pri), i) => (id, pri, i + 1L) }
     }.toSet

@@ -175,7 +175,7 @@ class CurationStreamSpec extends AnyFunSuite {
     val docs = graft.rel.Tables.load(spark, SparkTestBase.Sf0001, "documents")
       .select(col("doc_id"), col("source"), col("lang")).collect()
       .map(r => Curation.QuotaDoc(r.getString(1) + "/" + r.getString(2),
-        r.getLong(0), (r.getLong(0) * 48271L) % 65536L))
+        r.getLong(0), (r.getLong(0) * 69069L) % 65536L))
     // one batch in global (pri, doc_id) order — any priority-respecting
     // slicing gives the same answer; one batch is the simplest such
     val got = runQuota(Seq(docs.sortBy(d => (d.pri, d.doc_id)).toSeq), k = 3).toSet
