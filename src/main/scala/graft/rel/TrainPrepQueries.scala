@@ -52,9 +52,13 @@ object TrainPrepQueries {
     * would use the same two-phase scan with repartitionByRange providing
     * the partition prefix sums.
     */
-  def q137SequencePack(s: SparkSession, dir: String): DataFrame = {
-    val L = 512L
-    val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+  def q137SequencePack(s: SparkSession, dir: String): DataFrame =
+    sequencePack(t(s, dir, "documents"), L = 512L)
+
+  /** Core of q137 over any (doc_id, source, text) frame — spec/library
+    * entry point. */
+  def sequencePack(docs: DataFrame, L: Long): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -105,13 +109,18 @@ object TrainPrepQueries {
     * (plan-pinned in TrainPrepQueriesSpec). The declared form keeps the
     * window so the rank column itself is oracle-checked.
     */
-  def q138QuotaSample(s: SparkSession, dir: String): DataFrame = {
+  def q138QuotaSample(s: SparkSession, dir: String): DataFrame =
+    quotaSample(t(s, dir, "documents"), cap = 3)
+
+  /** Core of q138 over any (doc_id, source, lang) frame — spec/library
+    * entry point. */
+  def quotaSample(docs: DataFrame, cap: Int): DataFrame = {
     val pri = pmod(col("doc_id") * lit(69069L), lit(65536L))
     val w = Window.partitionBy("source", "lang").orderBy(col("pri"), col("doc_id"))
-    t(s, dir, "documents")
+    docs
       .select(col("doc_id"), col("source"), col("lang"), pri.as("pri"))
       .withColumn("rk", row_number().over(w).cast("long"))
-      .where(col("rk") <= 3)
+      .where(col("rk") <= cap)
       .orderBy("doc_id")
   }
 
@@ -142,13 +151,17 @@ object TrainPrepQueries {
     * eval×train. At extreme eval sizes the broadcast degrades gracefully
     * to a shuffle join on the shingle key (drop the hint).
     */
-  def q139SplitLeakage(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+  def q139SplitLeakage(s: SparkSession, dir: String): DataFrame =
+    splitLeakage(t(s, dir, "documents"), n = 3, tau = 0.5)
+
+  /** Core of q139 over any (doc_id, text) frame — spec/library entry
+    * point. */
+  def splitLeakage(docs: DataFrame, n: Int, tau: Double): DataFrame = {
     val posts = docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
       .withColumn("nn", size(col("tk")))
-      .where(col("nn") >= 3)
+      .where(col("nn") >= n)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, nn - 3), k -> array_join(slice(tk, k + 1, 3), ' '))")).as("s"))
+        s"transform(sequence(0, nn - $n), k -> array_join(slice(tk, k + 1, $n), ' '))")).as("s"))
       .distinct()
       .withColumn("h", pmod(col("doc_id") * lit(69621L), lit(65536L)))
     val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -160,7 +173,7 @@ object TrainPrepQueries {
       .join(sizes.select(col("doc_id").as("d_train"), col("sz").as("sz2")), "d_train")
       .withColumn("_j", col("inter").cast("double")
         / (col("sz1") + col("sz2") - col("inter")).cast("double"))
-      .where(col("_j") >= 0.5)
+      .where(col("_j") >= tau)
       .select(col("d_eval"), col("d_train"), graft.Stable.r4(col("_j")).as("jaccard"))
       .orderBy("d_eval", "d_train")
   }
