@@ -274,15 +274,103 @@ object TrainPrepQueries {
        ORDER BY vec_id, copy_idx"""
   }
 
+  // ---- q141: corpus drift (population stability index) ----------------------
+
+  /** Drift monitoring between two corpus snapshots — the standard
+    * PSI metric every production data pipeline alarms on: per source,
+    * bucket documents by token-count band and compare the two snapshots'
+    * band distributions, PSI = Σ_b (pA_b − pB_b)·ln(pA_b/pB_b). PSI < 0.1
+    * is conventionally "stable", > 0.25 "shifted". Snapshots here are the
+    * deterministic halves of a 16-bit hash split (multiplier 37117,
+    * distinct from every sampler in the catalog); production points the
+    * same core at yesterday's and today's partitions.
+    *
+    * Exactness contract (the q117/q136 recipe): counts are exact BIGINTs,
+    * probabilities stay RATIONAL (Laplace +1 over bands, so no zero
+    * bands), the ln of the cross-ratio is micro-rounded once
+    * (floor(ln·1e6 + 0.5) — both engines feed ln the same exact-integer
+    * ratio), each band term is an exact DECIMAL product, and the per-
+    * source sum is order-free DECIMAL addition with ONE final double
+    * division (identical operands both engines) rounded r4.
+    *
+    * Scale shape: one (source, band, snapshot) count aggregate — the
+    * grouped table is |sources|·8·2 rows at any corpus size; the PSI
+    * fold is an aggregate over that bounded table, never the corpus.
+    * At extreme counts the DECIMAL(38) band product absorbs what BIGINT
+    * arithmetic would overflow. */
+  def q141CorpusDrift(s: SparkSession, dir: String): DataFrame =
+    corpusDrift(t(s, dir, "documents"))
+
+  /** Core of q141 over any (doc_id, source, text) frame. */
+  def corpusDrift(docs: DataFrame): DataFrame = {
+    val d = docs
+      .withColumn("nt", size(split(col("text"), " ")).cast("long"))
+      .select(col("doc_id"), col("source"),
+        least(expr("nt div 32"), lit(7L)).as("band"),
+        (pmod(col("doc_id") * lit(37117L), lit(65536L)) < 32768L).as("in_a"))
+    val counts = d.groupBy("source", "band")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("cb"))
+    val totals = d.groupBy("source")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("nb"))
+    counts.join(totals, "source")
+      .withColumn("num", (col("ca") + 1L) * (col("nb") + 8L))
+      .withColumn("den", (col("cb") + 1L) * (col("na") + 8L))
+      .withColumn("li", expr(
+        """cast(floor(ln(cast(num as double) / cast(den as double))
+             * 1000000.0 + 0.5) as bigint)"""))
+      .withColumn("term", (col("num") - col("den")).cast("decimal(38,0)")
+        * col("li"))
+      .groupBy("source")
+      .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
+        sum(col("term")).as("tsum"))
+      .select(col("source"), col("n_a"), col("n_b"),
+        graft.Stable.r4(col("tsum").cast("double")
+          / ((col("n_a") + 8L) * (col("n_b") + 8L)).cast("double")
+          / lit(1000000.0)).as("psi"))
+      .orderBy("source")
+  }
+
+  val q141Oracle: String =
+    """WITH d AS (SELECT doc_id, source,
+           LEAST(CAST(len(string_split(text, ' ')) AS BIGINT) // 32, 7) AS band,
+           (doc_id * 37117) % 65536 < 32768 AS in_a
+         FROM documents),
+       counts AS (SELECT source, band,
+           CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+         FROM d GROUP BY 1, 2),
+       totals AS (SELECT source,
+           CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+         FROM d GROUP BY 1),
+       terms AS (SELECT c.source, t.na, t.nb,
+           (c.ca + 1) * (t.nb + 8) AS num,
+           (c.cb + 1) * (t.na + 8) AS den
+         FROM counts c JOIN totals t USING (source)),
+       li AS (SELECT source, na, nb, num, den,
+           CAST(floor(ln(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+             * 1000000.0 + 0.5) AS BIGINT) AS l
+         FROM terms)
+       SELECT source, MIN(na) AS n_a, MIN(nb) AS n_b,
+         floor(CAST(SUM(CAST(num - den AS DECIMAL(38,0)) * l) AS DOUBLE)
+               / CAST((MIN(na) + 8) * (MIN(nb) + 8) AS DOUBLE)
+               / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS psi
+       FROM li GROUP BY source
+       ORDER BY source"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_sequence_pack" -> (q137SequencePack _),
     "q138_quota_sample" -> (q138QuotaSample _),
     "q139_split_leakage" -> (q139SplitLeakage _),
-    "q140_cluster_balance" -> (q140ClusterBalance _))
+    "q140_cluster_balance" -> (q140ClusterBalance _),
+    "q141_corpus_drift" -> (q141CorpusDrift _))
 
   val oracles: Map[String, String] = Map(
     "q137_sequence_pack" -> q137Oracle,
     "q138_quota_sample" -> q138Oracle,
     "q139_split_leakage" -> q139Oracle,
-    "q140_cluster_balance" -> q140Oracle)
+    "q140_cluster_balance" -> q140Oracle,
+    "q141_corpus_drift" -> q141Oracle)
 }

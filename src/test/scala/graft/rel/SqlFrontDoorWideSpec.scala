@@ -341,7 +341,10 @@ object SqlFrontDoorWideSpec {
       "q139_split_leakage" -> ((s: String) =>
         s.replace(Duck2Spark.zipToksDuck, Duck2Spark.zipToksSpark),
         "zip-unnest tokenizer → posexplode (q23's patch); split predicate and " +
-          "Jaccard algebra parse identically"))
+          "Jaccard algebra parse identically"),
+      "q141_corpus_drift" -> (id _,
+        "len/string_split renames + // div; LEAST, micro-ln, DECIMAL band " +
+          "products and the PSI fold parse identically"))
   }
 
   /** Regression-fixture oracles (the q46 pattern, SF-pinned at the

@@ -148,4 +148,32 @@ class TrainPrepQueriesSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"the k-row weight table must broadcast into the corpus join:\n$p")
   }
+
+  test("q141: PSI replays from scratch (exact rationals + micro-ln) and is " +
+       "non-negative by construction") {
+    val got = TrainPrepQueries.q141CorpusDrift(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val bands = docs().map { case (id, src, _, toks) =>
+      (src, math.min(toks.length.toLong / 32L, 7L),
+        (id * 37117L) % 65536L < 32768L)
+    }
+    val expected = bands.groupBy(_._1).map { case (src, rows) =>
+      val na = rows.count(_._3).toLong
+      val nb = rows.length - na
+      val terms = rows.groupBy(_._2).map { case (_, bs) =>
+        val ca = bs.count(_._3).toLong
+        val cb = bs.length - ca
+        val num = (ca + 1) * (nb + 8)
+        val den = (cb + 1) * (na + 8)
+        val li = math.floor(math.log(num.toDouble / den.toDouble) * 1e6 + 0.5).toLong
+        BigDecimal(num - den) * BigDecimal(li)
+      }
+      val psi = (terms.sum.toDouble / ((na + 8) * (nb + 8)).toDouble) / 1e6
+      src -> ((na, nb, math.floor(psi * 1e4 + 0.5) / 1e4))
+    }
+    assert(got == expected, s"PSI replay diverged:\n$got\nvs\n$expected")
+    got.values.foreach { case (_, _, psi) =>
+      assert(psi >= 0.0, "each PSI band term has matching signs; the sum cannot go negative")
+    }
+  }
 }
