@@ -344,7 +344,46 @@ object SqlFrontDoorWideSpec {
           "Jaccard algebra parse identically"),
       "q141_corpus_drift" -> (id _,
         "len/string_split renames + // div; LEAST, micro-ln, DECIMAL band " +
-          "products and the PSI fold parse identically"))
+          "products and the PSI fold parse identically"),
+      "q142_line_dedup" -> ((s: String) =>
+        """WITH pg AS (SELECT doc_id,
+               concat(
+                 array(CASE CAST(doc_id % 4 AS INT)
+                         WHEN 0 THEN '== boilerplate header alpha =='
+                         WHEN 1 THEN '== boilerplate header beta =='
+                         WHEN 2 THEN '== boilerplate header gamma =='
+                         ELSE '== boilerplate header delta ==' END),
+                 transform(sequence(0, (size(split(text, ' ')) - 1) div 12),
+                   i -> array_join(slice(split(text, ' '), i * 12 + 1, 12), ' ')),
+                 array(concat('-- all rights reserved v',
+                   CAST(doc_id % 5 AS STRING), ' --'))) AS ls
+             FROM documents),
+           ln AS (SELECT doc_id, pos, line
+                  FROM pg LATERAL VIEW posexplode(ls) u AS pos, line),
+           rk AS (SELECT doc_id, pos, line,
+                    ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+                  FROM ln),
+           reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                     listagg(line, chr(10)) WITHIN GROUP (ORDER BY pos) AS clean
+                   FROM rk WHERE rn = 1 GROUP BY doc_id)
+           SELECT p.doc_id, CAST(size(p.ls) AS BIGINT) AS n_lines,
+                  COALESCE(r.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+                  md5(COALESCE(r.clean, '')) AS clean_hash
+           FROM pg p LEFT JOIN reb r ON p.doc_id = r.doc_id
+           ORDER BY p.doc_id""",
+        "list literals/`||` concat → array()/concat(); zip-unnest → " +
+          "posexplode; string_agg(x, sep ORDER BY pos) → listagg WITHIN GROUP"),
+      "q143_gopher_rules" -> ((s: String) => s
+        .replace("list_intersect(", "array_intersect(")
+        .replace("regexp_matches(", "regexp_like(")
+        .replace("['the','a','to','of','and','in','on','is']",
+                 "array('the','a','to','of','and','in','on','is')"),
+        "list_intersect → array_intersect; regexp_matches → regexp_like; " +
+          "[..] array literal → array(..); repeat/ratio algebra parses identically"),
+      "q144_mojibake_repair" -> (id _,
+        "4-arg regexp_replace 'g' flag → Spark 3-arg global; chr() and the " +
+          "schedule CASE parse identically (twin equals the DataFrame result " +
+          "precisely because repair inverts the wire corruption on every row)"))
   }
 
   /** Regression-fixture oracles (the q46 pattern, SF-pinned at the
