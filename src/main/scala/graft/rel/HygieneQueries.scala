@@ -43,7 +43,7 @@ object HygieneQueries {
     * actually sees — and the body chunks every 12 tokens into lines.
     * The '=='/'--' sigils keep chrome lines disjoint from body lines by
     * construction (the corpus alphabet is bare lowercase words). */
-  private val pageLinesExpr =
+  private[graft] val pageLinesExpr =
     """concat(
          array(element_at(array(
            '== boilerplate header alpha ==', '== boilerplate header beta ==',
@@ -321,15 +321,149 @@ object HygieneQueries {
        SELECT doc_id, source, status FROM j
        WHERE status IS NOT NULL ORDER BY doc_id"""
 
+  // ---- q146: quality-classifier calibration bins ----------------------------
+
+  /** Eval-ops for the model-based quality filters (q39's learned scorer,
+    * FineWeb-style classifiers): the RELIABILITY TABLE — bucket documents
+    * by predicted quality decile and compare mean prediction against the
+    * observed positive rate per bucket, the standard calibration check
+    * before a classifier's threshold is trusted to gate a corpus. The
+    * probe is a fixed deterministic linear scorer (weights w_j =
+    * ((j mod 7) − 3)/10 over the embedding, sigmoid link) so both engines
+    * derive identical predictions with no fitted state; labels binarize
+    * as label mod 2.
+    *
+    * Exactness contract: the dot product folds in index order over the
+    * same doubles in both engines (q107's proven recipe); the sigmoid is
+    * the row's only transcendental (q110 precedent). Per-row predictions
+    * micro-round to 1e-6 BIGINTs BEFORE the bucket sum, so the per-bucket
+    * mean is an order-free integer sum with ONE final division (q117's
+    * recipe); bucket counts and positive counts are exact integers.
+    *
+    * Scale shape: one aggregate shuffle over ≤10 bucket keys (map-side
+    * combine does the work); the scan is a pure projection. At extreme
+    * corpus sizes the 1e-6 units sum into DECIMAL(38) instead of BIGINT —
+    * same recipe as q141's band products. */
+  def q146CalibrationBins(s: SparkSession, dir: String): DataFrame = {
+    val w = transform(sequence(lit(0), lit(63)),
+      j => ((j % 7) - lit(3)).cast("double") / lit(10.0))
+    val score = graft.ops.Similarity.dot(col("embedding").cast("array<double>"), w)
+    val pred = lit(1.0) / (lit(1.0) + exp(-score))
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), (col("label") % 2).cast("long").as("y"), pred.as("pred"))
+      .withColumn("bucket", least(floor(col("pred") * 10).cast("long"), lit(9L)))
+      .withColumn("pred_u", floor(col("pred") * 1e6 + 0.5).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"),
+        sum(col("pred_u")).as("su"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        graft.Stable.r4(col("su").cast("double") / col("n").cast("double") / 1e6)
+          .as("mean_pred"),
+        graft.Stable.r4(col("n_pos").cast("double") / col("n").cast("double"))
+          .as("pos_rate"))
+      .withColumn("gap", graft.Stable.r4(abs(col("mean_pred") - col("pos_rate"))))
+      .orderBy("bucket")
+  }
+
+  val q146Oracle: String =
+    """WITH e AS (SELECT vec_id, CAST(label % 2 AS BIGINT) AS y,
+           embedding::DOUBLE[] AS v FROM embeddings),
+       sc AS (SELECT vec_id, y,
+           1.0 / (1.0 + exp(-list_inner_product(v,
+             list_transform(generate_series(0, 63),
+               j -> CAST((j % 7) - 3 AS DOUBLE) / 10.0)))) AS pred
+         FROM e),
+       b AS (SELECT LEAST(CAST(floor(pred * 10) AS BIGINT), 9) AS bucket, y,
+               CAST(floor(pred * 1000000.0 + 0.5) AS BIGINT) AS pred_u
+             FROM sc),
+       g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos, SUM(pred_u) AS su
+             FROM b GROUP BY bucket),
+       r AS (SELECT bucket, n, n_pos,
+               floor((CAST(su AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+                 * 10000.0 + 0.5) / 10000.0 AS mean_pred,
+               floor((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                 * 10000.0 + 0.5) / 10000.0 AS pos_rate
+             FROM g)
+       SELECT bucket, n, n_pos, mean_pred, pos_rate,
+         floor(abs(mean_pred - pos_rate) * 10000.0 + 0.5) / 10000.0 AS gap
+       FROM r ORDER BY bucket"""
+
+  // ---- q147: source coverage curve + blocklist ------------------------------
+
+  /** The corpus-concentration dashboard: drop blocklisted sources
+    * (broadcast anti-join — the domain-blocklist filter every crawl
+    * pipeline runs), then rank surviving sources by token mass and
+    * report each one's cumulative corpus share — "how many domains cover
+    * half the corpus" is the concentration alarm next to q141's drift
+    * alarm. `covers_half` flags the prefix that first reaches 50% via an
+    * EXACT integer comparison (2·cum ≥ total), so the flag never hangs
+    * on a rounded double.
+    *
+    * Scale shape: one (source) aggregate over the corpus (map-side
+    * combine), then rank/cumsum windows over the |sources|-bounded
+    * rollup — the global window is fine precisely because its input is
+    * catalog-sized, never the corpus (contrast q134's note); the 1-row
+    * total broadcasts back. Blocklist is a literal-frame broadcast
+    * anti-join: at production scale the blocklist stays ≪ executor
+    * memory and the probe is map-side. */
+  def q147SourceCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocked = s.createDataFrame(Seq(Tuple1("src3"), Tuple1("src7"), Tuple1("src13")))
+      .toDF("source")
+    val bySrc = t(s, dir, "documents")
+      .join(broadcast(blocked), Seq("source"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val total = bySrc.agg(sum(col("n_tokens")).as("t"))
+    val w = Window.orderBy(col("n_tokens").desc, col("source"))
+    bySrc
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("source"), col("n_docs"), col("n_tokens"),
+        col("cum_tokens"),
+        graft.Stable.r4(col("cum_tokens").cast("double") / col("t").cast("double"))
+          .as("cum_share"),
+        (col("cum_tokens") * 2 >= col("t")).cast("int").as("covers_half"))
+      .orderBy("rank")
+  }
+
+  val q147Oracle: String =
+    """WITH kept AS (SELECT source, text FROM documents
+                     WHERE source NOT IN ('src3', 'src7', 'src13')),
+       bysrc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                 FROM kept GROUP BY source),
+       ranked AS (SELECT source, n_docs, n_tokens,
+                    CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC, source)
+                      AS BIGINT) AS rank,
+                    CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_tokens
+                  FROM bysrc),
+       tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM bysrc)
+       SELECT rank, source, n_docs, n_tokens, cum_tokens,
+         floor((CAST(cum_tokens AS DOUBLE) / CAST(t AS DOUBLE))
+           * 10000.0 + 0.5) / 10000.0 AS cum_share,
+         CAST(cum_tokens * 2 >= t AS INT) AS covers_half
+       FROM ranked, tot ORDER BY rank"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_line_dedup" -> (q142LineDedup _),
     "q143_gopher_rules" -> (q143GopherRules _),
     "q144_mojibake_repair" -> (q144MojibakeRepair _),
-    "q145_snapshot_diff" -> (q145SnapshotDiff _))
+    "q145_snapshot_diff" -> (q145SnapshotDiff _),
+    "q146_calibration_bins" -> (q146CalibrationBins _),
+    "q147_source_coverage" -> (q147SourceCoverage _))
 
   val oracles: Map[String, String] = Map(
     "q142_line_dedup" -> q142Oracle,
     "q143_gopher_rules" -> q143Oracle,
     "q144_mojibake_repair" -> q144Oracle,
-    "q145_snapshot_diff" -> q145Oracle)
+    "q145_snapshot_diff" -> q145Oracle,
+    "q146_calibration_bins" -> q146Oracle,
+    "q147_source_coverage" -> q147Oracle)
 }

@@ -182,4 +182,57 @@ object Curation {
       .transformWithState(new QuotaCapProcessor(k),
         TimeMode.None(), OutputMode.Append())
   }
+
+  // ---- streaming line-level dedup --------------------------------------------
+
+  /** One line of an ingesting page: the content is the state key; (doc_id,
+    * pos) is q142's global keep-first order inside a micro-batch. */
+  final case class LineIn(line: String, doc_id: Long, pos: Int)
+
+  /** A line that survived the gate — the caller reassembles documents
+    * from their surviving (doc_id, pos, line) triples exactly like the
+    * batch rewrite's tail. */
+  final case class LineKeep(doc_id: Long, pos: Int, line: String)
+
+  /** Streaming twin of q142's line-level corpus dedup: one boolean per
+    * DISTINCT LINE in keyed state — the first arrival wins, every later
+    * occurrence (boilerplate chrome, repeated spans) is dropped in-flight.
+    * Within a micro-batch the winner is the (doc_id, pos)-minimal row,
+    * q142's exact election, so a stream whose batching respects doc_id
+    * order admits EXACTLY the batch query's kept line set (parity-spec'd
+    * under multi-batch slicing); across batches arrival wins — the only
+    * causal option, as with [[QuotaCapProcessor]].
+    *
+    * Scale shape: state shards by LINE CONTENT across the RocksDB store —
+    * the hot boilerplate lines that would serialize a batch window are
+    * one state row each here, and the store scales with shuffle
+    * partitions; production bounds retention with a TTL horizon where
+    * the dedup contract allows forgetting cold lines. */
+  final class LineDedupProcessor
+      extends StatefulProcessor[String, LineIn, LineKeep] {
+    @transient private var seen: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seenLine",
+        Encoders.scalaBoolean, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[LineIn],
+                                 timers: TimerValues): Iterator[LineKeep] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        val first = rows.minBy(r => (r.doc_id, r.pos))
+        seen.update(true)
+        Iterator.single(LineKeep(first.doc_id, first.pos, first.line))
+      }
+    }
+  }
+
+  /** Admit each distinct line's first occurrence over a page stream — the
+    * continuous form of q142's keeper election. Requires the RocksDB
+    * state store provider (state API v2). */
+  def lineDedupStream(lines: Dataset[LineIn]): Dataset[LineKeep] = {
+    import lines.sparkSession.implicits._
+    lines
+      .groupByKey(_.line)
+      .transformWithState(new LineDedupProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }

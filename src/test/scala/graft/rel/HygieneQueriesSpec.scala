@@ -174,6 +174,83 @@ class HygieneQueriesSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q146 -----------------------------------------------------------------
+
+  test("q146: calibration bins replay from a from-scratch scorer; buckets " +
+       "partition the corpus and gaps reflect the (uncalibrated) probe") {
+    def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val rows = Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    val per = rows.map { case (id, label, emb) =>
+      var s = 0.0
+      var j = 0
+      while (j < emb.length) { s += emb(j).toDouble * ((j % 7) - 3) / 10.0; j += 1 }
+      val pred = 1.0 / (1.0 + math.exp(-s))
+      val bucket = math.min(math.floor(pred * 10).toLong, 9L)
+      (bucket, (label % 2).toLong, math.floor(pred * 1e6 + 0.5).toLong)
+    }
+    val expected = per.groupBy(_._1).map { case (b, xs) =>
+      val n = xs.length.toLong
+      val nPos = xs.map(_._2).sum
+      val mean = r4(xs.map(_._3).sum.toDouble / n.toDouble / 1e6)
+      val rate = r4(nPos.toDouble / n.toDouble)
+      (b, (n, nPos, mean, rate, r4(math.abs(mean - rate))))
+    }
+    val got = HygieneQueries.q146CalibrationBins(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got == expected)
+    assert(got.values.map(_._1).sum == rows.length, "buckets partition the corpus")
+  }
+
+  // ---- q147 -----------------------------------------------------------------
+
+  test("q147: coverage curve replays from scratch; blocklisted sources are " +
+       "absent and the covers_half flag is monotone") {
+    def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val block = Set("src3", "src7", "src13")
+    val bySrc = docs().filter(d => !block(d._2))
+      .groupBy(_._2).map { case (src, ds) =>
+        (src, ds.length.toLong, ds.map(_._3.split(" ", -1).length.toLong).sum)
+      }.toSeq
+    val total = bySrc.map(_._3).sum
+    val ranked = bySrc.sortBy { case (src, _, nt) => (-nt, src) }
+    var cum = 0L
+    val expected = ranked.zipWithIndex.map { case ((src, nd, nt), i) =>
+      cum += nt
+      (i + 1L, (src, nd, nt, cum, r4(cum.toDouble / total.toDouble),
+        if (cum * 2 >= total) 1 else 0))
+    }.toMap
+    val got = HygieneQueries.q147SourceCoverage(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getInt(6)))).toMap
+    assert(got == expected)
+    assert(got.values.forall(v => !block(v._1)), "blocklisted sources filtered")
+    // covers_half is a monotone step: once on, never off
+    val flags = got.toSeq.sortBy(_._1).map(_._2._6)
+    assert(flags.zip(flags.tail).forall { case (a, b) => a <= b })
+    assert(flags.last == 1)
+  }
+
+  test("q147 plan: the blocklist is a broadcast anti-join; windows run " +
+       "only over the catalog-sized rollup") {
+    val p = plan("q147_source_coverage")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"blocklist must be a broadcast anti-join:\n$p")
+    // the rank/cumsum windows sit ABOVE the per-source aggregate, so their
+    // input is the |sources| rollup, not the corpus: the aggregate must
+    // appear between the scan and any window in the formatted tree
+    val lines = p.linesIterator.toSeq
+    val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < aggIdx,
+      s"window must consume the aggregate output (tree prints top-down):\n$p")
+  }
+
+  // ---- q145 -----------------------------------------------------------------
+
   test("q145 plan: one doc-keyed full-outer join; the text column never " +
        "reaches the join (hash projected before the exchange)") {
     val p = plan("q145_snapshot_diff")

@@ -383,7 +383,17 @@ object SqlFrontDoorWideSpec {
       "q144_mojibake_repair" -> (id _,
         "4-arg regexp_replace 'g' flag → Spark 3-arg global; chr() and the " +
           "schedule CASE parse identically (twin equals the DataFrame result " +
-          "precisely because repair inverts the wire corruption on every row)"))
+          "precisely because repair inverts the wire corruption on every row)"),
+      "q146_calibration_bins" -> ((s: String) => s.replaceAll(
+          """(?s)list_inner_product\(v,\s*list_transform\(generate_series\(0, 63\),\s*j -> CAST\(\(j % 7\) - 3 AS DOUBLE\) / 10\.0\)\)""",
+          "aggregate(zip_with(v, transform(sequence(0, 63), " +
+            "j -> CAST((j % 7) - 3 AS DOUBLE) / 1e1), (x, y) -> x * y), " +
+            "0d, (sa, t) -> sa + t)"),
+        "list_inner_product vs fixed weights → zip_with/aggregate algebra " +
+          "(q24's patch); bucket/ratio arithmetic parses identically"),
+      "q147_source_coverage" -> (id _,
+        "len/string_split renames; NOT IN, rank/cumsum windows and the " +
+          "comma cross join against the 1-row total parse identically"))
   }
 
   /** Regression-fixture oracles (the q46 pattern, SF-pinned at the

@@ -201,4 +201,53 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(got == Set(("a", 11L, 1L), ("a", 10L, 2L),
       ("b", 20L, 1L), ("b", 21L, 2L)), s"got $got")
   }
+
+  /** Run a page-line stream through the line-dedup gate (q142's
+    * continuous form). */
+  private def runLines(batches: Seq[Seq[Curation.LineIn]]): Seq[(Long, Int, String)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Curation.LineIn]
+      val name = s"linededup_out_${System.nanoTime()}"
+      val q = Curation.lineDedupStream(mem.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("streaming line dedup sliced in doc order admits exactly the batch " +
+       "q142 kept line set") {
+    import org.apache.spark.sql.functions.{col, expr, posexplode}
+    val lines = graft.rel.Tables.load(spark, SparkTestBase.Sf0001, "documents")
+      .select(col("doc_id"), expr(graft.rel.HygieneQueries.pageLinesExpr).as("ls"))
+      .select(col("doc_id"), posexplode(col("ls")).as(Seq("pos", "line")))
+      .collect()
+      .map(r => Curation.LineIn(r.getString(2), r.getLong(0), r.getInt(1)))
+      .sortBy(l => (l.doc_id, l.pos))
+    // batch keeper election replayed: min (doc_id, pos) per distinct line
+    val expected = lines.groupBy(_.line).map { case (_, ls) =>
+      val f = ls.minBy(l => (l.doc_id, l.pos)); (f.doc_id, f.pos, f.line)
+    }.toSet
+    // three micro-batches split at doc_id boundaries — any doc-ordered
+    // slicing preserves the global first-arrival = global-minimum identity
+    val b = lines.partition(_.doc_id < 150)
+    val c = b._2.partition(_.doc_id < 350)
+    val got = runLines(Seq(b._1.toSeq, c._1.toSeq, c._2.toSeq)).toSet
+    assert(got == expected,
+      s"stream/batch diverged: stream-only=${got -- expected}, batch-only=${expected -- got}")
+    // chrome pools: exactly 4 headers + 5 footers survive corpus-wide
+    assert(got.count(_._3.startsWith("== boilerplate")) == 4)
+    assert(got.count(_._3.startsWith("-- all rights")) == 5)
+  }
 }
