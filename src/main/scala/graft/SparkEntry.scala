@@ -11,12 +11,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rel.Queries.all ++ rel.DataQueries.all ++ rel.MoreQueries.all ++
       rel.ExtraQueries.all ++ rel.CurationQueries.all ++ rel.PipelineQueries.all ++
-      rel.TrainPrepQueries.all ++ rel.HygieneQueries.all
+      rel.TrainPrepQueries.all ++ rel.HygieneQueries.all ++ rel.AnalyticsQueries.all ++
+      rel.WebCurationQueries.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     rel.Queries.oracles ++ rel.DataQueries.oracles ++ rel.MoreQueries.oracles ++
       rel.ExtraQueries.oracles ++ rel.CurationQueries.oracles ++
       rel.PipelineQueries.oracles ++ rel.TrainPrepQueries.oracles ++
-      rel.HygieneQueries.oracles
+      rel.HygieneQueries.oracles ++ rel.AnalyticsQueries.oracles ++
+      rel.WebCurationQueries.oracles
 }

@@ -1,0 +1,219 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Stable
+
+/** Round-9 product-analytics wave (declared surface, SURVEY §2 Part B
+  * continuation) — the three classic event-stream analytics shapes every
+  * OLAP engine ships and the `events` table was built to exercise, none
+  * of which the catalog named yet:
+  *
+  *   - q148 ordered funnel: how many users reach each stage of
+  *          view → click → purchase IN ORDER (a later-stage event only
+  *          counts if it happens strictly after the user's earliest
+  *          completion of the previous stage) — the conversion query.
+  *   - q149 retention cohorts: group users by first-activity week, then
+  *          report what fraction of each cohort is still active N weeks
+  *          later — the cohort-triangle query.
+  *   - q150 event transitions: the first-order Markov matrix of the
+  *          event stream — for each event type, where users go next and
+  *          with what probability (per-user orderings made total by an
+  *          event_id tie-break).
+  *
+  * Oracle discipline as in [[Queries]]: BIGINT casts everywhere, r4
+  * rounding of the one terminal division, deterministic ORDER BY over a
+  * unique key, integer (or raw-timestamp-comparison) arithmetic for
+  * everything the hash gate sums.
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- q148: ordered funnel ------------------------------------------------
+
+  /** Strictly-ordered three-stage funnel over the event stream. Stage
+    * timestamps chain per user: t1 = earliest 'view'; t2 = earliest
+    * 'click' strictly after t1; t3 = earliest 'purchase' strictly after
+    * t2 — the standard "did the user do these IN THIS ORDER" semantics
+    * (a purchase before any view does not convert). Output: one row per
+    * stage with the user count and the r4 conversion rate vs stage 1.
+    *
+    * Scale shape: ONE user-keyed window exchange. The three chained
+    * stage minima are three Window projections over the SAME
+    * partitioning, which Catalyst collapses onto a single exchange +
+    * sort; the per-user rollup reuses that clustering, and the final
+    * stage pivot runs on a 1-row aggregate. No self-joins — the naive
+    * formulation (stage-k table joined back to events k times) ships the
+    * event stream k times; this one ships it once. Timestamp comparisons
+    * stay in raw microsecond precision, so the chain is engine- and
+    * partitioning-invariant. */
+  def q148Funnel(s: SparkSession, dir: String): DataFrame =
+    funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))
+
+  /** Core of q148 over any (user_id, event_type, ts) frame and ordered
+    * stage list — spec/library entry point. */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy("user_id")
+    // Chain stage minima left to right; each references the previous
+    // stage's window column, so each gets its own projection (same
+    // exchange underneath).
+    val staged = stages.zipWithIndex.foldLeft(events) { case (df, (st, i)) =>
+      val prev = if (i == 0) lit(true) else col(s"t$i").isNotNull && col("ts") > col(s"t$i")
+      df.withColumn(s"t${i + 1}",
+        min(when(col("event_type") === st && prev, col("ts"))).over(w))
+    }
+    val stageMaxes = stages.indices.map(i => max(col(s"t${i + 1}")).as(s"t${i + 1}"))
+    val perUser = staged.groupBy("user_id")
+      .agg(stageMaxes.head, stageMaxes.tail: _*)
+    val counts = perUser.agg(
+      count(col("t1")).as("n1"),
+      stages.indices.drop(1).map(i => count(col(s"t${i + 1}")).as(s"n${i + 1}")): _*)
+    val stageStructs = stages.zipWithIndex.map { case (st, i) =>
+      struct(lit(f"${i + 1}%d_$st").as("stage"), col(s"n${i + 1}").as("users"))
+    }
+    counts
+      .select(explode(array(stageStructs: _*)).as("s"), col("n1"))
+      .select(col("s.stage").as("stage"), col("s.users").as("users"),
+        Stable.r4(col("s.users").cast("double") / col("n1").cast("double")).as("conv"))
+      .orderBy("stage")
+  }
+
+  /** Verbatim-ANSI twin: the same chained window minima, stage pivot via
+    * UNION ALL. */
+  val q148Oracle: String =
+    """WITH w1 AS (SELECT user_id, event_type, ts,
+           min(CASE WHEN event_type = 'view' THEN ts END)
+             OVER (PARTITION BY user_id) AS t1
+         FROM events),
+       w2 AS (SELECT user_id, event_type, ts, t1,
+           min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+             OVER (PARTITION BY user_id) AS t2
+         FROM w1),
+       w3 AS (SELECT user_id, t1, t2,
+           min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+             OVER (PARTITION BY user_id) AS t3
+         FROM w2),
+       pu AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+              FROM w3 GROUP BY user_id),
+       n AS (SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3 FROM pu),
+       st AS (SELECT '1_view' AS stage, n1 AS users, n1 FROM n
+              UNION ALL SELECT '2_click', n2, n1 FROM n
+              UNION ALL SELECT '3_purchase', n3, n1 FROM n)
+       SELECT stage, users,
+         floor(CAST(users AS DOUBLE) / CAST(n1 AS DOUBLE) * 10000.0 + 0.5)
+           / 10000.0 AS conv
+       FROM st ORDER BY stage"""
+
+  // ---- q149: retention cohorts ---------------------------------------------
+
+  /** Weekly retention cohorts: users grouped by the week (integer days
+    * since 2024-01-01, div 7 — deliberately calendar-free so both
+    * engines agree without any week-truncation convention) of their
+    * first event; for each (cohort, weeks-since-cohort) cell, the number
+    * of distinct active users and the r4 retained fraction of the
+    * cohort. Offset 0 always reports retention 1.0 by construction — a
+    * cheap self-check the spec pins.
+    *
+    * Scale shape: a user-keyed first-week aggregate, a distinct over
+    * (user, week) — both map-side combinable — and a user-keyed join
+    * between them (users × their active weeks, the minimal pairing any
+    * cohort query needs). Cohort sizes are a |cohorts|-row aggregate
+    * joined back broadcast-size. Nothing is ever keyed by the hot cohort
+    * week alone until the final catalog-sized rollup. */
+  def q149RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val wk = expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') div 7 AS INT)")
+    val base = t(s, dir, "events").select(col("user_id"), wk.as("wk"))
+    val first = base.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+    val active = base.distinct()
+    val cells = active.join(first, "user_id")
+      .groupBy(col("cohort"), (col("wk") - col("cohort")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+    cells.join(broadcast(sizes), "cohort")
+      .select(col("cohort").cast("long").as("cohort"),
+        col("week_offset").cast("long").as("week_offset"),
+        col("n_active").cast("long").as("n_active"),
+        col("n_users").cast("long").as("n_users"),
+        Stable.r4(col("n_active").cast("double") / col("n_users").cast("double"))
+          .as("retention"))
+      .orderBy("cohort", "week_offset")
+  }
+
+  /** DuckDB twin — `datediff('day', a, b)` spelling is the one dialect
+    * difference (front-door patch swaps the argument order form). */
+  val q149Oracle: String =
+    """WITH base AS (SELECT user_id,
+           CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS INT) AS wk
+         FROM events),
+       fu AS (SELECT user_id, min(wk) AS cohort FROM base GROUP BY user_id),
+       act AS (SELECT DISTINCT user_id, wk FROM base),
+       cells AS (SELECT f.cohort, a.wk - f.cohort AS week_offset,
+                   count(DISTINCT a.user_id) AS n_active
+                 FROM act a JOIN fu f ON a.user_id = f.user_id
+                 GROUP BY 1, 2),
+       sz AS (SELECT cohort, count(*) AS n_users FROM fu GROUP BY cohort)
+       SELECT CAST(c.cohort AS BIGINT) AS cohort,
+         CAST(c.week_offset AS BIGINT) AS week_offset,
+         CAST(c.n_active AS BIGINT) AS n_active,
+         CAST(s.n_users AS BIGINT) AS n_users,
+         floor(CAST(c.n_active AS DOUBLE) / CAST(s.n_users AS DOUBLE)
+           * 10000.0 + 0.5) / 10000.0 AS retention
+       FROM cells c JOIN sz s ON c.cohort = s.cohort
+       ORDER BY cohort, week_offset"""
+
+  // ---- q150: event-type transition matrix ----------------------------------
+
+  /** First-order Markov transitions of the event stream: for each user,
+    * events ordered by (ts, event_id) — event_id breaks timestamp ties,
+    * so the sequence (and therefore every count below) is a total order
+    * both engines reproduce bit-identically — paired with their
+    * successor via LEAD; per (src, dst) pair the count and the r4 row
+    * probability.
+    *
+    * Scale shape: ONE user-keyed window exchange (the LEAD), then a
+    * |types|²-bounded aggregate with map-side combine; the row
+    * normalization runs as a window over that catalog-sized table, never
+    * the stream. */
+  def q150EventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), col("event_type").as("src"),
+        lead(col("event_type"), 1).over(seq).as("dst"))
+      .where(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy("src")
+    pairs
+      .select(col("src"), col("dst"), col("n").cast("long").as("n"),
+        Stable.r4(col("n").cast("double") / sum(col("n")).over(tot).cast("double"))
+          .as("p"))
+      .orderBy("src", "dst")
+  }
+
+  /** Verbatim-ANSI twin. */
+  val q150Oracle: String =
+    """WITH pr AS (SELECT user_id, event_type AS src,
+           lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         FROM events),
+       cnt AS (SELECT src, dst, count(*) AS n
+               FROM pr WHERE dst IS NOT NULL GROUP BY src, dst)
+       SELECT src, dst, CAST(n AS BIGINT) AS n,
+         floor(CAST(n AS DOUBLE)
+           / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE) * 10000.0 + 0.5)
+           / 10000.0 AS p
+       FROM cnt ORDER BY src, dst"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_funnel" -> (q148Funnel _),
+    "q149_retention_cohorts" -> (q149RetentionCohorts _),
+    "q150_event_transitions" -> (q150EventTransitions _))
+
+  val oracles: Map[String, String] = Map(
+    "q148_funnel" -> q148Oracle,
+    "q149_retention_cohorts" -> q149Oracle,
+    "q150_event_transitions" -> q150Oracle)
+}

@@ -393,7 +393,33 @@ object SqlFrontDoorWideSpec {
           "(q24's patch); bucket/ratio arithmetic parses identically"),
       "q147_source_coverage" -> (id _,
         "len/string_split renames; NOT IN, rank/cumsum windows and the " +
-          "comma cross join against the 1-row total parse identically"))
+          "comma cross join against the 1-row total parse identically"),
+      "q148_funnel" -> (id _,
+        "fraction-literal typing only; chained CASE-window minima, the " +
+          "UNION ALL stage pivot and count(col) parse identically"),
+      "q149_retention_cohorts" -> ((s: String) => s.replace(
+          "datediff('day', DATE '2024-01-01', CAST(ts AS DATE))",
+          "datediff(CAST(ts AS DATE), DATE '2024-01-01')"),
+        "datediff('day',a,b) → datediff(b,a); // div; cohort algebra " +
+          "parses identically"),
+      "q150_event_transitions" -> (id _,
+        "fraction-literal typing only; LEAD with tie-broken ORDER BY and " +
+          "the partitioned normalization window parse identically"),
+      "q151_url_canonical_dedup" -> ((s: String) => s
+        .replace("string_split(nofrag, '?')", "split(nofrag, '[?]')")
+        .replaceAll("""\[1\]""", "[0]").replaceAll("""\[2\]""", "[1]"),
+        "literal-separator string_split('?') → regex split('[?]'); " +
+          "1-based [i] → 0-based; lambda filter/sort rename mechanically"),
+      "q152_fuzzy_entity_dedup" -> (id _,
+        "plain ANSI — both dialects ship the same unit-cost levenshtein; " +
+          "only the STRING cast alias is shared spelling"),
+      "q153_html_extract" -> ((s: String) => s.replace(
+          "list_slice(string_split(text, ' '), i * 12 + 1, i * 12 + 12)",
+          "slice(split(text, ' '), i * 12 + 1, 12)"),
+        "list_slice(a, lo, hi) end-index → slice(a, lo, LEN) (q142's patch); " +
+          "regex 'g' flag → 3-arg global + list_*/generate_series renames; " +
+          "the regex chain itself parses identically (RE2 and Java agree " +
+          "on lazy bodies, negated classes and space runs)"))
   }
 
   /** Regression-fixture oracles (the q46 pattern, SF-pinned at the
