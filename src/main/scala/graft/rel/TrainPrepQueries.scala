@@ -360,17 +360,97 @@ object TrainPrepQueries {
        FROM li GROUP BY source
        ORDER BY source"""
 
+  // ---- q154: UniMax language-budget allocation ------------------------------
+
+  /** UniMax (Chung et al. 2023) language sampling: given a total token
+    * budget B (here 5·total/2 — budgets run past one corpus epoch, which is why an epoch cap exists at all) and a per-language epoch cap E=3, allocate
+    * budget to languages in ASCENDING size order — each language gets
+    * min(its full E-epoch demand, an equal share of what remains) — so
+    * low-resource languages are repeated up to the cap before
+    * high-resource ones eat the budget. The standard fix for
+    * temperature-sampling's failure mode (either starving tail languages
+    * or over-repeating them past the cap). Output per language: exact
+    * token count, allocated budget, r4 achieved epochs.
+    *
+    * Exactness contract: the waterfill is ALL-INTEGER (floor division of
+    * the remaining budget by languages left), so both engines replay the
+    * identical trajectory; the one double division (alloc/cnt, identical
+    * operands) is terminal and r4'd.
+    *
+    * Scale shape: ONE corpus pass (the per-language token-count
+    * aggregate, map-side combinable); the sequential waterfill runs on
+    * the |langs|-row table as bounded driver state — the q124/q128
+    * model-sized-state pattern (a language catalog, like a centroid set,
+    * is orders of magnitude below any distribution threshold). The
+    * DuckDB twin replays the same recurrence as a recursive CTE. */
+  def q154UnimaxAlloc(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("lang").agg(sum(col("n")).as("cnt"))
+    unimaxAlloc(s, counts, epochCap = 3L)
+  }
+
+  /** Core of q154 over any (lang, cnt) frame — spec/library entry point.
+    * Budget = 5·Σcnt / 2 (integer), processed smallest-first with (cnt,
+    * lang) total order. */
+  def unimaxAlloc(s: SparkSession, counts: DataFrame, epochCap: Long): DataFrame = {
+    // |langs|-row driver state — bounded by the language catalog
+    val rows = counts.collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (l, c) => (c, l) }
+    val total = rows.map(_._2).sum
+    var remaining = total * 5 / 2
+    val out = rows.zipWithIndex.map { case ((lang, c), i) =>
+      val a = math.min(c * epochCap, remaining / (rows.length - i))
+      remaining -= a
+      (lang, c, a)
+    }
+    import s.implicits._
+    out.toSeq.toDF("lang", "n_tokens", "alloc")
+      .select(col("lang"), col("n_tokens"), col("alloc"),
+        graft.Stable.r4(col("alloc").cast("double") / col("n_tokens").cast("double"))
+          .as("epochs"))
+      .orderBy("lang")
+  }
+
+  /** Recursive-CTE twin of the integer waterfill (UNION ALL recursion —
+    * the form Spark 4 also runs, see the q112 precedent). */
+  val q154Oracle: String =
+    """WITH RECURSIVE cnt AS (
+         SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS cnt
+         FROM documents GROUP BY lang),
+       tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                      CAST(COUNT(*) AS BIGINT) AS nl FROM cnt),
+       ord AS (SELECT lang, cnt,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cnt, lang) AS BIGINT) AS rn
+               FROM cnt),
+       alloc(rn, lang, cnt, a, remaining) AS (
+         SELECT o.rn, o.lang, o.cnt,
+           LEAST(o.cnt * 3, (t.total * 5 // 2) // t.nl),
+           (t.total * 5 // 2) - LEAST(o.cnt * 3, (t.total * 5 // 2) // t.nl)
+         FROM ord o CROSS JOIN tot t WHERE o.rn = 1
+         UNION ALL
+         SELECT o.rn, o.lang, o.cnt,
+           LEAST(o.cnt * 3, p.remaining // (t.nl - p.rn)),
+           p.remaining - LEAST(o.cnt * 3, p.remaining // (t.nl - p.rn))
+         FROM alloc p JOIN ord o ON o.rn = p.rn + 1 CROSS JOIN tot t)
+       SELECT lang, cnt AS n_tokens, a AS alloc,
+         floor(CAST(a AS DOUBLE) / CAST(cnt AS DOUBLE) * 10000.0 + 0.5)
+           / 10000.0 AS epochs
+       FROM alloc ORDER BY lang"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_sequence_pack" -> (q137SequencePack _),
     "q138_quota_sample" -> (q138QuotaSample _),
     "q139_split_leakage" -> (q139SplitLeakage _),
     "q140_cluster_balance" -> (q140ClusterBalance _),
-    "q141_corpus_drift" -> (q141CorpusDrift _))
+    "q141_corpus_drift" -> (q141CorpusDrift _),
+    "q154_unimax_alloc" -> (q154UnimaxAlloc _))
 
   val oracles: Map[String, String] = Map(
     "q137_sequence_pack" -> q137Oracle,
     "q138_quota_sample" -> q138Oracle,
     "q139_split_leakage" -> q139Oracle,
     "q140_cluster_balance" -> q140Oracle,
-    "q141_corpus_drift" -> q141Oracle)
+    "q141_corpus_drift" -> q141Oracle,
+    "q154_unimax_alloc" -> q154Oracle)
 }

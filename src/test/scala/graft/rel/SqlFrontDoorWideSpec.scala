@@ -405,6 +405,10 @@ object SqlFrontDoorWideSpec {
       "q150_event_transitions" -> (id _,
         "fraction-literal typing only; LEAD with tie-broken ORDER BY and " +
           "the partitioned normalization window parse identically"),
+      "q154_unimax_alloc" -> (id _,
+        "len/string_split renames + // div; the UNION ALL recursive " +
+          "waterfill CTE runs on Spark 4 (the q112 precedent), LEAST and " +
+          "the column-aliased CTE head parse identically"),
       "q151_url_canonical_dedup" -> ((s: String) => s
         .replace("string_split(nofrag, '?')", "split(nofrag, '[?]')")
         .replaceAll("""\[1\]""", "[0]").replaceAll("""\[2\]""", "[1]"),

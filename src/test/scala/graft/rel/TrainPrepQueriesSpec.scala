@@ -176,4 +176,34 @@ class TrainPrepQueriesSpec extends AnyFunSuite {
       assert(psi >= 0.0, "each PSI band term has matching signs; the sum cannot go negative")
     }
   }
+
+  test("q154: the integer waterfill replays from scratch and both UniMax " +
+       "regimes (epoch-capped tail, budget-limited head) occur") {
+    val cnts = docs().map { case (_, _, lang, toks) => (lang, toks.length.toLong) }
+      .groupBy(_._1).map { case (l, rows) => (l, rows.map(_._2).sum) }
+    val asc = cnts.toSeq.sortBy { case (l, c) => (c, l) }
+    val total = asc.map(_._2).sum
+    var remaining = total * 5 / 2
+    val expected = asc.zipWithIndex.map { case ((lang, c), i) =>
+      val a = math.min(c * 3L, remaining / (asc.length - i))
+      remaining -= a
+      (lang, c, a, math.floor(a.toDouble / c.toDouble * 1e4 + 0.5) / 1e4)
+    }.sortBy(_._1)
+    val got = TrainPrepQueries.q154UnimaxAlloc(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    // the allocation is meaningful at this SF: some language hits the
+    // 3-epoch cap (low-resource upsampling) and some gets less than its
+    // full demand (budget pressure) — otherwise the waterfill is vacuous
+    assert(got.exists { case (_, c, a, _) => a == c * 3 },
+      s"no language reached the epoch cap: $got")
+    assert(got.exists { case (_, c, a, _) => a < c * 3 },
+      s"no language was budget-limited: $got")
+    // the budget is spent to within integer-division slack
+    val spent = got.map(_._3).sum
+    assert(spent <= total * 5 / 2,
+      s"allocation overspent: spent=$spent budget=${total * 5 / 2}")
+    got.foreach { case (l, c, a, e) =>
+      assert(a >= 0 && a <= c * 3 && e <= 3.0, s"cap violated for $l: ($c, $a, $e)") }
+  }
 }
