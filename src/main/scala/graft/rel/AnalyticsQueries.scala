@@ -207,13 +207,63 @@ object AnalyticsQueries {
            / 10000.0 AS p
        FROM cnt ORDER BY src, dst"""
 
+  // ---- q155: frequent event paths (3-step sequence mining) ------------------
+
+  /** Top-10 most frequent 3-event paths: each user's event stream in
+    * (ts, event_id) total order yields its consecutive event-type
+    * triples via double LEAD; triples aggregate globally and the top 10
+    * report count and corpus share — the "what do users actually do"
+    * path-mining query one order above q150's first-order transitions
+    * (a 2nd-order Markov estimate: common funnels fall out of the data
+    * instead of being declared as in q148).
+    *
+    * Scale shape: the SAME single user-keyed window exchange as q150
+    * (both LEADs ride one sort); the triple aggregate is map-side
+    * combinable into a |types|³-bounded table, the share denominator is
+    * a 1-row broadcast (the q147 pattern — no unpartitioned window even
+    * over the bounded table), and top-10 is a TakeOrdered, never a
+    * global sort. Ties at the cut break on the path string, so the
+    * result is a total order both engines reproduce. */
+  def q155EventPaths(s: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tri = t(s, dir, "events")
+      .select(col("user_id"), col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(seq).as("e2"),
+        lead(col("event_type"), 2).over(seq).as("e3"))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+    val total = tri.agg(sum(col("n")).as("tot"))
+    tri.crossJoin(broadcast(total))
+      .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"),
+        col("n").cast("long").as("n"),
+        Stable.r4(col("n").cast("double") / col("tot").cast("double")).as("share"))
+      .orderBy(col("n").desc, col("path")).limit(10)
+  }
+
+  /** Verbatim-shape twin (double LEAD, 1-row comma cross join). */
+  val q155Oracle: String =
+    """WITH pr AS (SELECT user_id, event_type AS e1,
+           lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+           lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+         FROM events),
+       cnt AS (SELECT e1, e2, e3, count(*) AS n
+               FROM pr WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+               GROUP BY e1, e2, e3),
+       tot AS (SELECT SUM(n) AS tot FROM cnt)
+       SELECT concat(e1, '>', e2, '>', e3) AS path, CAST(n AS BIGINT) AS n,
+         floor(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) * 10000.0 + 0.5)
+           / 10000.0 AS share
+       FROM cnt, tot ORDER BY n DESC, path LIMIT 10"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q148_funnel" -> (q148Funnel _),
     "q149_retention_cohorts" -> (q149RetentionCohorts _),
-    "q150_event_transitions" -> (q150EventTransitions _))
+    "q150_event_transitions" -> (q150EventTransitions _),
+    "q155_event_paths" -> (q155EventPaths _))
 
   val oracles: Map[String, String] = Map(
     "q148_funnel" -> q148Oracle,
     "q149_retention_cohorts" -> q149Oracle,
-    "q150_event_transitions" -> q150Oracle)
+    "q150_event_transitions" -> q150Oracle,
+    "q155_event_paths" -> q155Oracle)
 }

@@ -1317,6 +1317,66 @@ object PipelineQueries {
 
   // ---- registry --------------------------------------------------------------
 
+  // ---- q156: signed random projection (Johnson–Lindenstrauss sketch) --------
+
+  /** Project every embedding onto k=8 pseudo-random ±1 directions — the
+    * Achlioptas/JL sign-sketch that turns a 64-dim float vector into an
+    * 8-value fingerprint whose inner products approximate the originals'
+    * (the cheap pre-filter in front of exact cosine at corpus scale, and
+    * the primitive under SimHash/LSH bucketing: q35/q36 hash the SIGNS
+    * of exactly this projection; this query keeps the magnitudes).
+    *
+    * Exactness contract (q124's recipe): inputs micro-quantize to
+    * BIGINTs (floor(x·1e6 + 0.5)); the sign matrix is the deterministic
+    * parity test (i·40503 + j·69621) mod 2^16 < 2^15, a pure integer
+    * function of the coordinates; every projection value is then an
+    * exact BIGINT sum both engines reproduce bit-identically at any
+    * partitioning.
+    *
+    * Scale shape: ZERO shuffles before the declared sort — the whole
+    * k×d multiply runs INSIDE each row as nested higher-order lambdas
+    * (transform over output dims, aggregate over input dims), so a
+    * trillion-vector corpus streams through map partitions; the sign
+    * matrix is never materialized anywhere (each cell recomputes from
+    * (i, j)). The posexplode to (vec_id, dim) rows is the declared
+    * relational output; a pipeline composing onto the sketch would keep
+    * the 8-array form and skip even that. */
+  def q156RandomProjection(s: SparkSession, dir: String): DataFrame =
+    randomProjection(t(s, dir, "embeddings"), k = 8)
+
+  /** Core of q156 over any (vec_id, embedding) frame — spec/library
+    * entry point. */
+  def randomProjection(emb: DataFrame, k: Int): DataFrame =
+    emb
+      .select(col("vec_id"), expr(
+        """transform(CAST(embedding AS ARRAY<DOUBLE>),
+             x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))""").as("q"))
+      .select(col("vec_id"), posexplode(expr(
+        s"""transform(sequence(1, $k), j ->
+              aggregate(sequence(1, size(q)), 0L, (acc, i) ->
+                acc + element_at(q, i) *
+                  (CASE WHEN (i * 40503 + j * 69621) % 65536 < 32768
+                        THEN 1L ELSE -1L END)))"""))
+        .as(Seq("pos0", "proj_micro")))
+      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("dim"),
+        col("proj_micro"))
+      .orderBy("vec_id", "dim")
+
+  /** DuckDB twin: the same integer algebra via lateral generate_series
+    * (per-row output dims) + list_transform/list_sum (input fold). */
+  val q156Oracle: String =
+    """WITH e AS (SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+             x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q
+         FROM embeddings),
+       p AS (SELECT vec_id, j,
+           list_sum(list_transform(generate_series(1, len(q)), i ->
+             q[i] * CASE WHEN (i * 40503 + j * 69621) % 65536 < 32768
+                         THEN 1 ELSE -1 END)) AS proj
+         FROM e, unnest(generate_series(1, 8)) AS u(j))
+       SELECT vec_id, CAST(j AS BIGINT) AS dim, CAST(proj AS BIGINT) AS proj_micro
+       FROM p ORDER BY vec_id, dim"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_dup_spans" -> (q122DupSpans _),
     "q123_bigram_lm" -> (q123BigramLm _),
@@ -1332,7 +1392,8 @@ object PipelineQueries {
     "q133_pmi_collocations" -> (q133PmiCollocations _),
     "q134_interleave_order" -> (q134InterleaveOrder _),
     "q135_compression_ratio" -> (q135CompressionRatio _),
-    "q136_zipf_slope" -> (q136ZipfSlope _))
+    "q136_zipf_slope" -> (q136ZipfSlope _),
+    "q156_random_projection" -> (q156RandomProjection _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
@@ -1349,5 +1410,6 @@ object PipelineQueries {
     "q133_pmi_collocations" -> q133Oracle,
     "q134_interleave_order" -> q134Oracle,
     "q135_compression_ratio" -> DataQueries.fixtureOracle("q135_compression_ratio"),
-    "q136_zipf_slope" -> q136Oracle)
+    "q136_zipf_slope" -> q136Oracle,
+    "q156_random_projection" -> q156Oracle)
 }

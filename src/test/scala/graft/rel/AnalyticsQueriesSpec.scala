@@ -111,6 +111,32 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     assert(got.map(_._3).sum == pairs.size.toLong)
   }
 
+  test("q155: top paths match a per-user sequential trigram replay with " +
+       "the declared tie-break") {
+    val tris = events().groupBy(_._1).values.flatMap { es =>
+      val ordered = es.sortBy(e => (e._3, e._4)).map(_._2)
+      ordered.sliding(3).filter(_.length == 3).map(w => (w(0), w(1), w(2)))
+    }.toSeq
+    val cnt = tris.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val tot = cnt.values.sum
+    val expected = cnt.toSeq
+      .map { case ((a, b, c), n) => (s"$a>$b>$c", n, r4(n.toDouble / tot)) }
+      .sortBy { case (path, n, _) => (-n, path) }.take(10)
+    val got = AnalyticsQueries.q155EventPaths(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("q155 plan: the trigram LEADs share one user-keyed window and the " +
+       "share denominator broadcasts (no unpartitioned window anywhere)") {
+    val p = plan("q155_event_paths")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("user_id")),
+      s"every window must partition by user_id:\n${windows.mkString("\n")}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row total must broadcast:\n$p")
+  }
+
   test("q150 plan: the LEAD window partitions by user_id and the " +
        "normalization window runs over the catalog-sized pair table only") {
     val p = plan("q150_event_transitions")

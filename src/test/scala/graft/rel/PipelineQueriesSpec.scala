@@ -434,4 +434,46 @@ class PipelineQueriesSpec extends AnyFunSuite {
     val out = spans(Seq(1L -> "a b", 2L -> "a b"), l = 4)
     assert(out(1L) == ((2L, 0L, 0L)) && out(2L) == ((2L, 0L, 0L)))
   }
+
+  // ---- q156 signed random projection ----------------------------------------
+
+  test("q156: every projection value matches an exact integer replay, and " +
+       "the sketch preserves squared norms on average (the JL contract)") {
+    val emb = Tables.load(spark, SparkTestBase.Sf0001, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Double](1).map(x => math.floor(x * 1e6 + 0.5).toLong).toArray))
+    val expected = emb.flatMap { case (id, q) =>
+      (1 to 8).map { j =>
+        val p = q.indices.map { i0 =>
+          val i = i0 + 1
+          q(i0) * (if ((i.toLong * 40503L + j.toLong * 69621L) % 65536L < 32768L) 1L else -1L)
+        }.sum
+        (id, j.toLong, p)
+      }
+    }.toSeq.sorted
+    val got = PipelineQueries.q156RandomProjection(spark, SparkTestBase.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // JL isometry-in-expectation: E[p_j^2] = ||q||^2 for ±1 signs, so the
+    // per-corpus mean of (1/k)Σ_j p_j^2 / ||q||^2 must sit near 1 — a
+    // deterministic check that the sign matrix actually mixes (a constant
+    // or rank-deficient sign pattern fails it badly)
+    val ratios = emb.map { case (id, q) =>
+      val n2 = q.map(x => BigInt(x) * BigInt(x)).sum
+      val p2 = expected.filter(_._1 == id).map(t => BigInt(t._3) * BigInt(t._3)).sum
+      (BigDecimal(p2) / 8 / BigDecimal(n2)).toDouble
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.5 && mean < 2.0, s"JL mean energy ratio off: $mean")
+  }
+
+  test("q156 plan: the k x d multiply is row-local — zero exchanges before " +
+       "the declared ORDER BY") {
+    val p = graft.SparkEntry.queries("q156_random_projection")(spark, SparkTestBase.Sf0001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val n = p.linesIterator.count(_.contains(") Exchange"))
+    assert(n == 1, s"expected exactly the final sort exchange, got $n:\n$p")
+  }
 }

@@ -405,6 +405,15 @@ object SqlFrontDoorWideSpec {
       "q150_event_transitions" -> (id _,
         "fraction-literal typing only; LEAD with tie-broken ORDER BY and " +
           "the partitioned normalization window parse identically"),
+      "q155_event_paths" -> (id _,
+        "fraction-literal typing only; double LEAD, the 1-row comma cross " +
+          "join and the tie-broken LIMIT parse identically"),
+      "q156_random_projection" -> ((s: String) => Duck2Spark.lateralSeries(s)
+        .replace("q[i]", "element_at(q, i)")
+        .replaceAll("""list_sum\(""", "aggregate(")
+        .replace("THEN 1 ELSE -1 END))", "THEN 1 ELSE -1 END), 0L, (ac, el) -> ac + el)"),
+        "lateral generate_series + [i] → element_at + list_sum → aggregate " +
+          "lambda; the nested sign-fold lambdas parse identically"),
       "q154_unimax_alloc" -> (id _,
         "len/string_split renames + // div; the UNION ALL recursive " +
           "waterfill CTE runs on Spark 4 (the q112 precedent), LEAST and " +
