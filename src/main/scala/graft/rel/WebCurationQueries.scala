@@ -173,13 +173,15 @@ object WebCurationQueries {
     * itself as cluster representative. Output per record: doc_id, name,
     * rep_id, is_rep.
     *
-    * Scale shape: candidate generation is the block self-join — pair
-    * count is Σ|block|², never n² (the whole point of blocking); a hot
+    * Scale shape: candidate generation is the block self-join over
+    * DISTINCT SPELLINGS — pair count is Σ|distinct names in block|²,
+    * never n² and never even Σ|block|² (a spelling occurring a million
+    * times pairs once; records rejoin through their name class); a hot
     * block is a data-model bug surfaced by the q127-style card, and
     * salting splits it if legitimate. The per-record representative is
-    * a map-side-combinable MIN aggregate over match edges. One-step min
-    * is exact here because blocks are cliques under the ≤2 threshold by
-    * construction; transitive chains beyond one hop are q81's
+    * a map-side-combinable MIN aggregate over name-class edges. One-step
+    * min is exact here because blocks are cliques under the ≤2 threshold
+    * by construction; transitive chains beyond one hop are q81's
     * Hash-Min fixpoint, which composes on top of these edges
     * unchanged. */
   def q152FuzzyEntityDedup(s: SparkSession, dir: String): DataFrame =
@@ -188,19 +190,29 @@ object WebCurationQueries {
       maxDist = 2)
 
   /** Core of q152 over any (doc_id, name) frame — spec/library entry
-    * point. */
+    * point.
+    *
+    * The Levenshtein pair join runs over DISTINCT NAMES per block, not
+    * records — the textbook record-linkage split: a spelling that occurs
+    * a million times pairs ONCE, and records rejoin through their
+    * name-class afterwards. Record-level semantics are unchanged (two
+    * records match iff their names are within maxDist in one block;
+    * identical names are distance 0), because a record's minimum matched
+    * doc_id equals the minimum over its matched NAME classes' own
+    * minimum doc_ids. This moved q152 from the suite's most expensive
+    * row (4.6 s at sf0.1 — |block|² record pairs) to |distinct names per
+    * block|² edit distances. */
   def fuzzyEntityDedup(recs: DataFrame, maxDist: Int): DataFrame = {
     val blocked = recs.withColumn("blk", substring(col("name"), 1, 10))
-    val a = blocked.select(col("blk"), col("doc_id").as("id_a"), col("name").as("name_a"))
-    val b = blocked.select(col("blk"), col("doc_id").as("id_b"), col("name").as("name_b"))
-    val edges = a.join(b, "blk")
-      .where(col("id_a") =!= col("id_b") &&
-        levenshtein(col("name_a"), col("name_b")) <= maxDist)
-      .select(col("id_a").as("doc_id"), col("id_b").as("nbr"))
-    val reps = blocked.select(col("doc_id"), col("doc_id").as("nbr"))
-      .union(edges)
-      .groupBy("doc_id").agg(min(col("nbr")).as("rep_id"))
-    blocked.join(reps, "doc_id")
+    // one row per distinct spelling, carrying its class-minimum doc_id
+    val names = blocked.groupBy("blk", "name").agg(min(col("doc_id")).as("nmin"))
+    val a = names.select(col("blk"), col("name").as("name_a"))
+    val b = names.select(col("blk"), col("name").as("name_b"), col("nmin").as("nmin_b"))
+    // distance-0 self pairs included: a name class always matches itself
+    val nameReps = a.join(b, "blk")
+      .where(levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .groupBy(col("name_a").as("name")).agg(min(col("nmin_b")).as("rep_id"))
+    blocked.join(nameReps, "name")
       .select(col("doc_id"), col("name"), col("rep_id"),
         (col("rep_id") === col("doc_id")).as("is_rep"))
       .orderBy("doc_id")
