@@ -848,4 +848,86 @@ object Similarity {
       .select(col("vid").as(idCol), col("cell"),
         col("witness").isNotNull.as("dropped"), col("witness"), col("wit_cos"))
   }
+
+  /** Exact k-nearest-neighbor GRAPH by integer squared L2 — every
+    * vector's top-k neighbors over the whole corpus (declared q157).
+    * The kNN graph is the backbone structure under graph-based ANN
+    * indexes (NSW/HNSW construction starts from exactly this), SemDeDup-
+    * style cluster auditing, and q81-style similarity clustering.
+    *
+    * Exactness contract (q124's recipe): vectors micro-quantize to
+    * BIGINTs and every distance is an exact integer Σ(a−b)², so the
+    * ranking — ties broken by neighbor id — is a total order both
+    * engines replay bit-identically; no float comparison anywhere.
+    *
+    * Scale shape: the [[cosinePairs]] broadcast-tile scan with a
+    * PER-VECTOR BOUNDED HEAP in the streamed flatMap — each streamed
+    * vector emits at most k candidates per tile (k·nTiles rows total,
+    * never the n² pair space), and the cross-tile merge is
+    * [[graft.plans.TopK.perKey]]: partial heaps, one clustered exchange
+    * of ≤ parts·keys·k rows, final heaps. The inner loop is raw
+    * primitive-long arithmetic (no boxed rows, no per-pair allocation).
+    * At 100 TB this is the exact baseline; q36/q55 are the pruned
+    * candidate-generation paths and feed the same per-key heap tail. */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+               maxBroadcastRows: Long = 1000000L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col(idCol).cast("long"),
+        expr(s"transform(CAST($vecCol AS ARRAY<DOUBLE>), " +
+          "x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"))
+      .as[(Long, Array[Long])].persist()
+    try {
+      val total = vecs.count()
+      def tileOf(id: Long, nTiles: Int): Long = {
+        var v = id + 0x9E3779B97F4A7C15L
+        v = (v ^ (v >>> 30)) * 0xBF58476D1CE4E5B9L
+        v = (v ^ (v >>> 27)) * 0x94D049BB133111EBL
+        java.lang.Math.floorMod(v ^ (v >>> 31), nTiles.toLong)
+      }
+      val nTiles = math.max(1L, (total + maxBroadcastRows - 1) / maxBroadcastRows).toInt
+      val tileResults = (0 until nTiles).map { t =>
+        val tile = spark.sparkContext.broadcast(
+          vecs.filter(r => tileOf(r._1, nTiles) == t.toLong).collect())
+        val cands = vecs.flatMap { case (vid, a) =>
+          // bounded insertion lists (k is small): ascending by (d2, nbr)
+          val bestD = Array.fill(k)(Long.MaxValue)
+          val bestI = Array.fill(k)(Long.MaxValue)
+          tile.value.foreach { case (nbr, b) =>
+            if (nbr != vid) {
+              var s = 0L
+              var i = 0
+              val n = math.min(a.length, b.length)
+              while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+              var j = k - 1
+              if (s < bestD(j) || (s == bestD(j) && nbr < bestI(j))) {
+                bestD(j) = s; bestI(j) = nbr
+                while (j > 0 && (bestD(j) < bestD(j - 1) ||
+                       (bestD(j) == bestD(j - 1) && bestI(j) < bestI(j - 1)))) {
+                  val td = bestD(j); bestD(j) = bestD(j - 1); bestD(j - 1) = td
+                  val ti = bestI(j); bestI(j) = bestI(j - 1); bestI(j - 1) = ti
+                  j -= 1
+                }
+              }
+            }
+          }
+          (0 until k).iterator.filter(bestD(_) != Long.MaxValue)
+            .map(j => (vid, bestI(j), bestD(j)))
+        }
+        if (nTiles == 1) cands
+        else {
+          val cp = cands.localCheckpoint(true)
+          tile.destroy()
+          cp
+        }
+      }
+      val all = tileResults.reduce(_ union _).toDF("vid", "nbr", "d2")
+      val top = graft.plans.TopK.perKey(all, Seq("vid"),
+        Seq(col("d2").asc, col("nbr").asc), k)
+      val w = Window.partitionBy("vid").orderBy(col("d2"), col("nbr"))
+      top.withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("vid"), col("rk"), col("nbr"), col("d2"))
+        .orderBy("vid", "rk")
+    } finally vecs.unpersist()
+  }
 }

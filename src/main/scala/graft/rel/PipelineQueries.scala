@@ -1377,6 +1377,35 @@ object PipelineQueries {
        SELECT vec_id, CAST(j AS BIGINT) AS dim, CAST(proj AS BIGINT) AS proj_micro
        FROM p ORDER BY vec_id, dim"""
 
+  // ---- q157: exact kNN graph (integer L2, tile kernel + TopKPerKey) ---------
+
+  /** Every vector's exact top-3 nearest neighbors by integer squared L2
+    * over the whole corpus — see [[graft.ops.Similarity.knnGraph]] for
+    * the kernel (broadcast tiles, per-vector bounded heaps, TopKPerKey
+    * cross-tile merge) and the exactness contract (micro-quantized
+    * BIGINT distances, (d2, nbr) total order). */
+  def q157KnnGraph(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.knnGraph(t(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 3)
+
+  /** DuckDB twin: the brute cross-pair spelling of the same integer
+    * algebra (the tile kernel exists purely to bound memory — the
+    * emitted graph is definitionally the brute result). */
+  val q157Oracle: String =
+    """WITH e AS (SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+             x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q
+         FROM embeddings),
+       d AS (SELECT a.vec_id AS vid, b.vec_id AS nbr,
+           list_sum(list_transform(generate_series(1, len(a.q)), i ->
+             (a.q[i] - b.q[i]) * (a.q[i] - b.q[i]))) AS d2
+         FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+       r AS (SELECT vid, nbr, d2,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, nbr) AS rk
+         FROM d)
+       SELECT vid, CAST(rk AS BIGINT) AS rk, nbr, CAST(d2 AS BIGINT) AS d2
+       FROM r WHERE rk <= 3 ORDER BY vid, rk"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_dup_spans" -> (q122DupSpans _),
     "q123_bigram_lm" -> (q123BigramLm _),
@@ -1393,7 +1422,8 @@ object PipelineQueries {
     "q134_interleave_order" -> (q134InterleaveOrder _),
     "q135_compression_ratio" -> (q135CompressionRatio _),
     "q136_zipf_slope" -> (q136ZipfSlope _),
-    "q156_random_projection" -> (q156RandomProjection _))
+    "q156_random_projection" -> (q156RandomProjection _),
+    "q157_knn_graph" -> (q157KnnGraph _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
@@ -1411,5 +1441,6 @@ object PipelineQueries {
     "q134_interleave_order" -> q134Oracle,
     "q135_compression_ratio" -> DataQueries.fixtureOracle("q135_compression_ratio"),
     "q136_zipf_slope" -> q136Oracle,
-    "q156_random_projection" -> q156Oracle)
+    "q156_random_projection" -> q156Oracle,
+    "q157_knn_graph" -> q157Oracle)
 }

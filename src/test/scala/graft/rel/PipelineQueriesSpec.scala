@@ -468,6 +468,42 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(mean > 0.5 && mean < 2.0, s"JL mean energy ratio off: $mean")
   }
 
+  // ---- q157 exact kNN graph --------------------------------------------------
+
+  test("q157: the kNN graph matches a brute-force integer-L2 replay and " +
+       "the cross-tile merge engages TopKPerKey") {
+    val emb = Tables.load(spark, SparkTestBase.Sf0001, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Double](1).map(x => math.floor(x * 1e6 + 0.5).toLong).toArray))
+    val expected = emb.flatMap { case (id, q) =>
+      emb.filter(_._1 != id).map { case (nbr, p) =>
+        val d2 = q.indices.map { i => val d = q(i) - p(i); d * d }.sum
+        (id, nbr, d2)
+      }.sortBy { case (_, nbr, d2) => (d2, nbr) }.take(3).zipWithIndex
+        .map { case ((vid, nbr, d2), i) => (vid, i + 1L, nbr, d2) }
+    }.toSeq.sorted
+    val df = PipelineQueries.q157KnnGraph(spark, SparkTestBase.Sf0001)
+    assert(df.queryExecution.optimizedPlan.toString.contains("TopKPerKey"),
+      "the cross-tile merge must plan through the custom operator")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // graph sanity: every vector has exactly k neighbors, none itself
+    assert(got.groupBy(_._1).values.forall(_.length == 3))
+    assert(got.forall { case (v, _, n, _) => v != n })
+  }
+
+  test("q157: multi-tile execution emits the identical graph (tile " +
+       "membership must not leak into the result)") {
+    val emb = Tables.load(spark, SparkTestBase.Sf0001, "embeddings")
+    val one = graft.ops.Similarity.knnGraph(emb, "vec_id", "embedding", k = 3)
+      .collect().map(_.toSeq).toSeq
+    val many = graft.ops.Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
+      maxBroadcastRows = 100L).collect().map(_.toSeq).toSeq
+    assert(one == many)
+  }
+
   test("q156 plan: the k x d multiply is row-local — zero exchanges before " +
        "the declared ORDER BY") {
     val p = graft.SparkEntry.queries("q156_random_projection")(spark, SparkTestBase.Sf0001)

@@ -414,6 +414,14 @@ object SqlFrontDoorWideSpec {
         .replace("THEN 1 ELSE -1 END))", "THEN 1 ELSE -1 END), 0L, (ac, el) -> ac + el)"),
         "lateral generate_series + [i] → element_at + list_sum → aggregate " +
           "lambda; the nested sign-fold lambdas parse identically"),
+      "q157_knn_graph" -> ((s: String) => s
+        .replaceAll("""list_sum\(""", "aggregate(")
+        .replace("(a.q[i] - b.q[i]) * (a.q[i] - b.q[i])))",
+          "(element_at(a.q, i) - element_at(b.q, i)) * " +
+          "(element_at(a.q, i) - element_at(b.q, i))), 0L, (ac, el) -> ac + el)"),
+        "[i] → element_at + list_sum → aggregate lambda (q156's patches); " +
+          "the brute non-equi pair join runs as BroadcastNestedLoopJoin at " +
+          "twin scale — the DataFrame tile kernel is the scale path"),
       "q154_unimax_alloc" -> (id _,
         "len/string_split renames + // div; the UNION ALL recursive " +
           "waterfill CTE runs on Spark 4 (the q112 precedent), LEAST and " +
