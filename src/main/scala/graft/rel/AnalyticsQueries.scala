@@ -255,15 +255,132 @@ object AnalyticsQueries {
            / 10000.0 AS share
        FROM cnt, tot ORDER BY n DESC, path LIMIT 10"""
 
+  // ---- q158: last-touch attribution ----------------------------------------
+
+  /** Last-touch revenue attribution: every purchase credits the channel
+    * of the user's MOST RECENT preceding click (channel synthesized from
+    * the click's JSON props, the q19/q93 pattern); per channel the
+    * attributed purchase count and revenue. Purchases with no preceding
+    * click fall into an explicit '(none)' bucket, so the revenue total
+    * is conserved — an invariant the spec pins.
+    *
+    * Exactness contract: the carried channel rides a last_value IGNORE
+    * NULLS window under the (ts, event_id) total order — deterministic
+    * in both engines; revenue sums as DECIMAL(18,4) (the q02 dsum
+    * recipe) so the per-channel totals are order-free exact.
+    *
+    * Scale shape: ONE user-keyed window exchange (the carry-forward),
+    * then a |channels|-bounded aggregate with map-side combine. The
+    * naive formulation — per-purchase as-of join against the click
+    * stream — shuffles both streams and sorts per key anyway; the
+    * carry-forward does it in the window machinery with no join at
+    * all. */
+  def q158LastTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val channel = concat(lit("ch"),
+      (get_json_object(col("props"), "$.k").cast("long") % 4).cast("string"))
+    t(s, dir, "events")
+      .withColumn("click_ch", when(col("event_type") === "click", channel))
+      .withColumn("last_ch", last(col("click_ch"), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .groupBy(coalesce(col("last_ch"), lit("(none)")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy("channel")
+  }
+
+  /** DuckDB twin — `last_value(x IGNORE NULLS)` is the one spelling fork
+    * (Spark puts IGNORE NULLS after the call; front-door patch). */
+  val q158Oracle: String =
+    """WITH e AS (SELECT user_id, event_type, ts, event_id, value,
+           CASE WHEN event_type = 'click'
+                THEN concat('ch', CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS STRING))
+           END AS click_ch
+         FROM events),
+       c AS (SELECT event_type, value,
+           last_value(click_ch IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_ch
+         FROM e)
+       SELECT COALESCE(last_ch, '(none)') AS channel,
+         COUNT(*) AS n_purchases,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       FROM c WHERE event_type = 'purchase'
+       GROUP BY 1 ORDER BY channel"""
+
+  // ---- q159: trailing-window anomaly detection ------------------------------
+
+  /** Hourly event-volume anomaly flags: bucket events into hours, then
+    * score each hour against the mean/variance of the TRAILING 24 hours
+    * (RANGE frame over the integer hour key, so gap hours shrink the
+    * baseline instead of silently shifting it); |n − mean| > 3σ flags
+    * the hour. The +1 variance floor keeps σ > 0 on constant baselines.
+    * The first hours (empty baseline) report unflagged by definition.
+    *
+    * Exactness contract: hourly counts, trailing sums and sums of
+    * squares are exact BIGINTs; mean and σ come from ONE double
+    * division / sqrt with identical operands in both engines; the flag
+    * compares those doubles directly and z is r4'd for display.
+    *
+    * Scale shape: the corpus-sized work is one map-side-combinable
+    * (hour) count aggregate; the trailing window runs over the
+    * HOURS-CATALOG-sized table (the q147 bounded-window argument — 8.8k
+    * rows/year), never the event stream. */
+  def q159VolumeAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(expr("unix_seconds(ts) div 3600").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("hr").rangeBetween(-24, -1)
+    hourly
+      .withColumn("bn", count(col("n")).over(w))
+      .withColumn("bsum", sum(col("n")).over(w))
+      .withColumn("bsq", sum(col("n") * col("n")).over(w))
+      .where(col("bn") > 0)
+      .withColumn("mean", col("bsum").cast("double") / col("bn").cast("double"))
+      .withColumn("sigma", sqrt(
+        (col("bsq").cast("double") - col("bsum").cast("double") * col("bsum").cast("double")
+          / col("bn").cast("double")) / col("bn").cast("double") + lit(1.0)))
+      .select(col("hr"), col("n"),
+        Stable.r4(col("mean")).as("mean24"),
+        Stable.r4((col("n").cast("double") - col("mean")) / col("sigma")).as("z"),
+        (abs(col("n").cast("double") - col("mean")) > lit(3.0) * col("sigma")).as("flagged"))
+      .orderBy("hr")
+  }
+
+  /** Verbatim-shape twin (integer RANGE frame, the q79 precedent). */
+  val q159Oracle: String =
+    """WITH h AS (SELECT epoch_ms(ts) // 3600000 AS hr, COUNT(*) AS n
+                  FROM events GROUP BY 1),
+       b AS (SELECT hr, n,
+           COUNT(n) OVER w AS bn, SUM(n) OVER w AS bsum, SUM(n * n) OVER w AS bsq
+         FROM h
+         WINDOW w AS (ORDER BY hr RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+       SELECT hr, CAST(n AS BIGINT) AS n,
+         floor(CAST(bsum AS DOUBLE) / CAST(bn AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS mean24,
+         floor((CAST(n AS DOUBLE) - CAST(bsum AS DOUBLE) / CAST(bn AS DOUBLE))
+           / sqrt((CAST(bsq AS DOUBLE) - CAST(bsum AS DOUBLE) * CAST(bsum AS DOUBLE)
+                   / CAST(bn AS DOUBLE)) / CAST(bn AS DOUBLE) + 1.0)
+           * 10000.0 + 0.5) / 10000.0 AS z,
+         abs(CAST(n AS DOUBLE) - CAST(bsum AS DOUBLE) / CAST(bn AS DOUBLE))
+           > 3.0 * sqrt((CAST(bsq AS DOUBLE) - CAST(bsum AS DOUBLE) * CAST(bsum AS DOUBLE)
+                   / CAST(bn AS DOUBLE)) / CAST(bn AS DOUBLE) + 1.0) AS flagged
+       FROM b WHERE bn > 0
+       ORDER BY hr"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q148_funnel" -> (q148Funnel _),
     "q149_retention_cohorts" -> (q149RetentionCohorts _),
     "q150_event_transitions" -> (q150EventTransitions _),
-    "q155_event_paths" -> (q155EventPaths _))
+    "q155_event_paths" -> (q155EventPaths _),
+    "q158_last_touch_attribution" -> (q158LastTouchAttribution _),
+    "q159_volume_anomalies" -> (q159VolumeAnomalies _))
 
   val oracles: Map[String, String] = Map(
     "q148_funnel" -> q148Oracle,
     "q149_retention_cohorts" -> q149Oracle,
     "q150_event_transitions" -> q150Oracle,
-    "q155_event_paths" -> q155Oracle)
+    "q155_event_paths" -> q155Oracle,
+    "q158_last_touch_attribution" -> q158Oracle,
+    "q159_volume_anomalies" -> q159Oracle)
 }

@@ -137,6 +137,77 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
       s"the 1-row total must broadcast:\n$p")
   }
 
+  test("q158: attribution matches a sequential carry-forward replay and " +
+       "conserves total purchase revenue") {
+    val evs = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)"),
+        col("event_id"), col("value"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT) % 4").as("k4"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    def d4(x: Double): BigDecimal =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val attributed = evs.groupBy(_._1).values.flatMap { es =>
+      var lastCh: Option[String] = None
+      es.sortBy(e => (e._3, e._4)).flatMap { e =>
+        if (e._2 == "click") { lastCh = Some(s"ch${e._6}"); None }
+        else if (e._2 == "purchase") Some((lastCh.getOrElse("(none)"), e._5))
+        else None
+      }
+    }.toSeq
+    val expected = attributed.groupBy(_._1).toSeq.map { case (ch, rows) =>
+      (ch, rows.length.toLong, rows.map(r => d4(r._2)).sum.toDouble)
+    }.sortBy(_._1)
+    val got = AnalyticsQueries.q158LastTouchAttribution(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    // revenue conservation: every purchase lands in exactly one bucket
+    val total = attributed.map(r => d4(r._2)).sum.toDouble
+    assert(math.abs(got.map(_._3).sum - total) < 1e-9)
+    assert(got.map(_._2).sum == evs.count(_._2 == "purchase").toLong)
+  }
+
+  test("q158 plan: the carry-forward is one user-keyed window — no as-of " +
+       "join against the click stream") {
+    val p = plan("q158_last_touch_attribution")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("user_id")), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"attribution must not join streams:\n$p")
+  }
+
+  test("q159: anomaly flags match a from-scratch trailing-window replay " +
+       "and early hours with empty baselines are excluded") {
+    val hrs = events().map(_._3 / 1000000L / 3600L)
+    val counts = hrs.groupBy(identity).map { case (h, v) => (h, v.size.toLong) }
+    val expected = counts.toSeq.sortBy(_._1).flatMap { case (h, n) =>
+      val base = counts.filter { case (b, _) => b >= h - 24 && b <= h - 1 }.values.toSeq
+      if (base.isEmpty) None
+      else {
+        val bn = base.length.toLong
+        val bsum = base.sum
+        val bsq = base.map(x => x * x).sum
+        val mean = bsum.toDouble / bn
+        val sigma = math.sqrt((bsq.toDouble - bsum.toDouble * bsum.toDouble / bn) / bn + 1.0)
+        Some((h, n, r4(mean), r4((n.toDouble - mean) / sigma),
+          math.abs(n.toDouble - mean) > 3.0 * sigma))
+      }
+    }
+    val got = AnalyticsQueries.q159VolumeAnomalies(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    assert(got == expected)
+  }
+
+  test("q159 plan: the trailing window consumes the hourly aggregate, " +
+       "never the event stream (corpus work is one map-side count)") {
+    val p = plan("q159_volume_anomalies")
+    assert(p.contains("HashAggregate"), p)
+    val n = p.linesIterator.count(_.contains(") Exchange"))
+    assert(n <= 3, s"expected agg + bounded-window + sort exchanges only, got $n:\n$p")
+  }
+
   test("q150 plan: the LEAD window partitions by user_id and the " +
        "normalization window runs over the catalog-sized pair table only") {
     val p = plan("q150_event_transitions")

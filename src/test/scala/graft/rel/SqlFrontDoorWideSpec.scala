@@ -414,6 +414,15 @@ object SqlFrontDoorWideSpec {
         .replace("THEN 1 ELSE -1 END))", "THEN 1 ELSE -1 END), 0L, (ac, el) -> ac + el)"),
         "lateral generate_series + [i] → element_at + list_sum → aggregate " +
           "lambda; the nested sign-fold lambdas parse identically"),
+      "q158_last_touch_attribution" -> ((s: String) => s.replace(
+          "last_value(click_ch IGNORE NULLS)", "last_value(click_ch) IGNORE NULLS"),
+        "IGNORE NULLS moves outside the call (Spark spelling); " +
+          "json_extract_string → get_json_object mechanically; the " +
+          "carry-forward window and DECIMAL revenue sum parse identically"),
+      "q159_volume_anomalies" -> (id _,
+        "epoch_ms → unix_millis + // div + fraction-literal typing; the " +
+          "named WINDOW clause and integer RANGE frame parse identically " +
+          "(the q79 precedent)"),
       "q157_knn_graph" -> ((s: String) => s
         .replaceAll("""list_sum\(""", "aggregate(")
         .replace("(a.q[i] - b.q[i]) * (a.q[i] - b.q[i])))",
