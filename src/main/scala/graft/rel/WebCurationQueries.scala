@@ -267,24 +267,36 @@ object WebCurationQueries {
     htmlExtract(
       t(s, dir, "documents").select(col("doc_id"), expr(htmlExpr).as("html")))
 
-  /** Core of q153 over any (doc_id, html) frame — spec/library entry
-    * point. The page class has no tag-spanning newlines, so the lazy
-    * `.*?` element bodies need no DOTALL flag in either engine. */
-  def htmlExtract(pages: DataFrame): DataFrame = {
-    val decode = (c: Column) =>
-      regexp_replace(regexp_replace(regexp_replace(c,
-        "&amp;", "&"), "&lt;", "<"), "&gt;", ">")
-    val text = decode(
+  private def decodeEntities(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      "&amp;", "&"), "&lt;", "<"), "&gt;", ">")
+
+  /** The extraction chain as a reusable column — clean main-content text
+    * from a raw HTML column (script/style removal, tag strip, entity
+    * decode, whitespace collapse). The page class has no tag-spanning
+    * newlines, so the lazy `.*?` element bodies need no DOTALL flag in
+    * either engine. */
+  def extractedText(html: Column): Column =
+    trim(decodeEntities(
       regexp_replace(
         regexp_replace(
-          regexp_replace(col("html"), "<script>.*?</script>|<style>.*?</style>", " "),
+          regexp_replace(html, "<script>.*?</script>|<style>.*?</style>", " "),
           "<[^>]*>", " "),
-        " +", " "))
+        " +", " ")))
+
+  /** The decoded `<title>` content of a raw HTML column. */
+  def extractedTitle(html: Column): Column =
+    decodeEntities(regexp_extract(html, "<title>([^<]*)</title>", 1))
+
+  /** Core of q153 over any (doc_id, html) frame — spec/library entry
+    * point. */
+  def htmlExtract(pages: DataFrame): DataFrame = {
+    val text = extractedText(col("html"))
     pages
       .select(col("doc_id"),
-        decode(regexp_extract(col("html"), "<title>([^<]*)</title>", 1)).as("title"),
-        md5(trim(text)).as("text_hash"),
-        length(trim(text)).cast("long").as("n_chars"))
+        extractedTitle(col("html")).as("title"),
+        md5(text).as("text_hash"),
+        length(text).cast("long").as("n_chars"))
       .orderBy("doc_id")
   }
 

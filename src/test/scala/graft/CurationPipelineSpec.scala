@@ -5,10 +5,11 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, TextAnalysis}
-import graft.rel.{Tables, TrainPrepQueries}
+import graft.rel.{Tables, TrainPrepQueries, WebCurationQueries}
 
 /** End-to-end composition: every stage of a real curation pipeline run
-  * back-to-back through the library's DataFrame-level APIs — exact
+  * back-to-back through the library's DataFrame-level APIs — crawl
+  * ingest (canonical-URL dedup → HTML main-content extraction) → exact
   * dedup → near-dup cluster rewrite → quality gate → fuzzy
   * decontamination → per-cell quota → fixed-length sequence packing.
   * The per-operator oracles prove each stage alone; THIS suite proves
@@ -20,7 +21,21 @@ class CurationPipelineSpec extends AnyFunSuite {
   private val dir = SparkTestBase.Sf0001
 
   private def pipeline(): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    val raw = Tables.load(spark, dir, "documents")
+
+    // 0. crawl ingest: keep one fetch per canonical URL (q151's keeper
+    //    election — the pre-content dedup), then replace each kept raw
+    //    page with its extracted main content (q153's chain); source and
+    //    lang ride along for the quota stage downstream
+    val pages = raw
+      .withColumn("url", expr(WebCurationQueries.rawUrlExpr))
+      .withColumn("html", expr(WebCurationQueries.htmlExpr))
+    val keepers = WebCurationQueries
+      .canonicalUrlDedup(pages.select(col("doc_id"), col("url")))
+      .select(col("keeper_doc").as("doc_id"))
+    val docs = pages.join(keepers, "doc_id")
+      .select(col("doc_id"), col("source"), col("lang"),
+        WebCurationQueries.extractedText(col("html")).as("text"))
 
     // 1. exact dedup: one representative per normalized-text hash
     val exact = Dedup.exactKeepFirst(
@@ -64,6 +79,9 @@ class CurationPipelineSpec extends AnyFunSuite {
     val n0 = docs.count()
     val packed = pipeline().collect()
     assert(packed.nonEmpty && packed.length <= n0)
+    // the ingest front is real: canonical-URL dedup caps survivors at the
+    // canonical-group count (doc_id % 60 determines the canonical identity)
+    assert(packed.length <= 60, s"URL dedup did not gate the chain: ${packed.length}")
     // every packed row carries the full boundary metadata contract
     val L = 64L
     packed.foreach { r =>
