@@ -1231,6 +1231,49 @@ object ExtraQueries {
 
   // ---- registry ---------------------------------------------------------------
 
+  // ---- q160: schema-evolution (mergeSchema) round-trip -----------------------
+
+  /** Schema evolution across parquet generations — the storage contract
+    * every long-lived ingestion pipeline depends on: generation 1 writes
+    * the original narrow schema, generation 2 adds a column (`o_rank`),
+    * and a single `mergeSchema` read unions both — generation-1 rows
+    * surface NULL for the evolved column. The declared aggregate pins
+    * exactly that: `n_evolved` counts non-null evolved values (must
+    * equal the generation-2 row count per group) and `rank_sum` sums
+    * them; the oracle recomputes both from the SOURCE table (the
+    * q65/q69/q98 round-trip-fidelity pattern — any merge/NULL-fill
+    * defect fails the hash).
+    *
+    * Scale shape: two partitioned writes + one merged scan + one
+    * map-side-combinable aggregate; mergeSchema's footer union is a
+    * driver-side metadata operation over file footers, not data. */
+  def q160SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val tmp = sessionTmp(s, "graft_schema_evo", dir)
+    val orders = t(s, dir, "orders")
+    orders.where(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(tmp + "/gen1")
+    orders.where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        (col("o_orderkey") % 5).cast("long").as("o_rank"))
+      .write.mode("overwrite").parquet(tmp + "/gen2")
+    s.read.option("mergeSchema", "true").parquet(tmp + "/gen1", tmp + "/gen2")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_rank")).as("n_evolved"),
+        sum(col("o_rank")).cast("long").as("rank_sum"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Verbatim-ANSI twin over the source table. */
+  val q160Oracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_rows,
+         CAST(COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT) AS n_evolved,
+         CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 5 END) AS BIGINT) AS rank_sum,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_window_distribution" -> (q63WindowDistribution _),
     "q64_map_funcs" -> (q64MapFuncs _),
@@ -1263,6 +1306,7 @@ object ExtraQueries {
     "q96_sequence_pack" -> (q96SequencePack _),
     "q97_heavy_hitters" -> (q97HeavyHitters _),
     "q98_xml_roundtrip" -> (q98XmlRoundtrip _),
+    "q160_schema_evolution" -> (q160SchemaEvolution _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1296,5 +1340,6 @@ object ExtraQueries {
     "q96_sequence_pack" -> q96Oracle,
     "q97_heavy_hitters" -> q97Oracle,
     "q98_xml_roundtrip" -> q98Oracle,
+    "q160_schema_evolution" -> q160Oracle,
   )
 }

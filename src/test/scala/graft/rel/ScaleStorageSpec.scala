@@ -77,4 +77,30 @@ class ScaleStorageSpec extends AnyFunSuite {
       .where(col("event_type") === "click").count()
     assert(read.count() == expected)
   }
+
+  test("q160: the mergeSchema read unions generations and NULL-fills the " +
+       "evolved column exactly on pre-evolution rows") {
+    val dir = SparkTestBase.Sf0001
+    val orders = Tables.load(spark, dir, "orders").collect()
+      .map(r => (r.getLong(0), r.getString(5)))
+    // run the declared query once so the generations exist on disk
+    val out = ExtraQueries.q160SchemaEvolution(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = orders.groupBy(_._2).toSeq.map { case (prio, rows) =>
+      val evolved = rows.filter(_._1 % 2 == 1)
+      (prio, rows.length.toLong, evolved.length.toLong,
+        evolved.map(_._1 % 5).sum)
+    }.sortBy(_._1)
+    assert(out.toSeq == expected)
+    // and the merged scan itself: schema carries the evolved column,
+    // nullable, with nulls exactly on the generation-1 (even-key) rows
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles().filter(_.getName.startsWith("graft_schema_evo_"))
+      .maxBy(_.lastModified).toString
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(tmp + "/gen1", tmp + "/gen2")
+    assert(merged.schema.fieldNames.contains("o_rank"))
+    assert(merged.where(col("o_rank").isNull).collect()
+      .forall(_.getLong(0) % 2 == 0))
+  }
 }
