@@ -79,7 +79,11 @@ object AnalyticsQueries {
     counts
       .select(explode(array(stageStructs: _*)).as("s"), col("n1"))
       .select(col("s.stage").as("stage"), col("s.users").as("users"),
-        Stable.r4(col("s.users").cast("double") / col("n1").cast("double")).as("conv"))
+        // an empty stage-1 leaves conversion undefined (NULL), not ÷0 —
+        // found by the FourthWavePropertySpec random-stream sweep
+        when(col("n1") === 0L, lit(null).cast("double"))
+          .otherwise(Stable.r4(col("s.users").cast("double") / col("n1").cast("double")))
+          .as("conv"))
       .orderBy("stage")
   }
 
