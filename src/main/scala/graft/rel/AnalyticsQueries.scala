@@ -372,13 +372,67 @@ object AnalyticsQueries {
        FROM b WHERE bn > 0
        ORDER BY hr"""
 
+  // ---- q161: SCD2 history construction ---------------------------------------
+
+  /** Slowly-changing-dimension (type 2) history build — the warehouse
+    * step that turns an event stream of attribute OBSERVATIONS into
+    * validity intervals: per user, consecutive runs of the same
+    * attribute value (a tier synthesized from the event's JSON props,
+    * the q19/q158 pattern) collapse to one versioned row with
+    * [valid_from, valid_to) in epoch millis; the current row's valid_to
+    * is NULL. Change detection is LAG under the (ts, event_id) total
+    * order, so the history is engine- and partitioning-exact.
+    *
+    * Scale shape: ONE user-keyed window exchange carries all three
+    * window passes (LAG change detection, then version numbering and
+    * LEAD interval close over the kept rows — the filter preserves both
+    * the partitioning and the sort, so no re-shuffle and no re-sort;
+    * plan-pinned). The classic MERGE-based SCD2 load (q108's shape)
+    * touches a dimension table per batch; this one rebuilds history
+    * from the log in a single pass — the backfill/repair form. */
+  def q161Scd2History(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val attr = concat(lit("tier"),
+      (get_json_object(col("props"), "$.k").cast("long") % 3).cast("string"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), attr.as("attr"))
+      .withColumn("prev", lag(col("attr"), 1).over(ord))
+      .where(col("prev").isNull || col("attr") =!= col("prev"))
+      .withColumn("version", row_number().over(ord).cast("long"))
+      .withColumn("from_ms", expr("unix_millis(ts)"))
+      .withColumn("to_ms", lead(col("from_ms"), 1).over(ord))
+      .select(col("user_id"), col("version"), col("attr"),
+        col("from_ms"), col("to_ms"))
+      .orderBy("user_id", "version")
+  }
+
+  /** DuckDB twin (epoch_ms / json_extract_string are the only dialect
+    * spellings; both rename mechanically). */
+  val q161Oracle: String =
+    """WITH a AS (SELECT user_id, ts, event_id,
+           concat('tier', CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 AS STRING)) AS attr
+         FROM events),
+       m AS (SELECT user_id, ts, event_id, attr,
+           lag(attr, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         FROM a),
+       k AS (SELECT user_id, ts, event_id, attr
+             FROM m WHERE prev IS NULL OR attr <> prev)
+       SELECT user_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version,
+         attr,
+         epoch_ms(ts) AS from_ms,
+         lead(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_ms
+       FROM k
+       ORDER BY user_id, version"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q148_funnel" -> (q148Funnel _),
     "q149_retention_cohorts" -> (q149RetentionCohorts _),
     "q150_event_transitions" -> (q150EventTransitions _),
     "q155_event_paths" -> (q155EventPaths _),
     "q158_last_touch_attribution" -> (q158LastTouchAttribution _),
-    "q159_volume_anomalies" -> (q159VolumeAnomalies _))
+    "q159_volume_anomalies" -> (q159VolumeAnomalies _),
+    "q161_scd2_history" -> (q161Scd2History _))
 
   val oracles: Map[String, String] = Map(
     "q148_funnel" -> q148Oracle,
@@ -386,5 +440,6 @@ object AnalyticsQueries {
     "q150_event_transitions" -> q150Oracle,
     "q155_event_paths" -> q155Oracle,
     "q158_last_touch_attribution" -> q158Oracle,
-    "q159_volume_anomalies" -> q159Oracle)
+    "q159_volume_anomalies" -> q159Oracle,
+    "q161_scd2_history" -> q161Oracle)
 }

@@ -1406,6 +1406,85 @@ object PipelineQueries {
        SELECT vid, CAST(rk AS BIGINT) AS rk, nbr, CAST(d2 AS BIGINT) AS d2
        FROM r WHERE rk <= 3 ORDER BY vid, rk"""
 
+  // ---- q162: nearest-centroid classifier evaluation -------------------------
+
+  /** Embedding-space health check: fit one centroid per LABEL (the
+    * supervised analogue of q124's Lloyd update — exact integer means
+    * over micro-quantized vectors), assign every vector to its nearest
+    * centroid by exact integer L2, and report the full confusion matrix
+    * (true label × predicted label × count, with the correct flag). A
+    * diagonal-heavy matrix means the embedding space separates the
+    * labels — the go/no-go gate before trusting any embedding-based
+    * curation step (SemDeDup cells, q140 balancing, q146's probe).
+    *
+    * Exactness contract: q124's recipe end-to-end — micro-quantized
+    * BIGINT vectors, floor(mean + 0.5) integer centroids, exact Long
+    * distance folds through the codegen `graft_sqdist_q` kernel,
+    * min(struct) argmin with label tie-break.
+    *
+    * Scale shape: one (label, pos) exchange fits the centroids; the
+    * |labels|·d model collects as bounded driver state (the q124/q128
+    * pattern) and broadcasts back; assignment is a map-side
+    * crossJoin(broadcast(k rows)) + per-vector argmin; the confusion
+    * rollup is a |labels|²-bounded aggregate. */
+  def q162CentroidEval(s: SparkSession, dir: String): DataFrame =
+    centroidEval(t(s, dir, "embeddings"))
+
+  /** Core of q162 over any (vec_id, embedding, label) frame —
+    * spec/library entry point. */
+  def centroidEval(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qv = emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("label").cast("long").as("label"),
+        expr("""transform(cast(embedding as array<double>),
+                 x -> cast(floor(x * 1000000.0 + 0.5) as bigint))""").as("q"))
+      .persist()
+    try {
+      // per-label integer centroids: k·d rows of bounded driver state
+      val cents: Seq[(Long, Seq[Long])] = qv
+        .select(col("label"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(expr("cast(floor(cast(sum(v) as double) / cast(count(1) as double) + 0.5) as bigint)").as("cv"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (l, rows) => (l, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq) }
+        .toSeq.sortBy(_._1)
+      val cdf = cents.toDF("pred", "c")
+      qv.crossJoin(broadcast(cdf))
+        .withColumn("d2", callQ("graft_sqdist_q", col("q"), col("c")))
+        .groupBy("vec_id", "label")
+        .agg(min(struct(col("d2"), col("pred"))).as("m"))
+        .groupBy(col("label"), col("m.pred").as("pred"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("label"), col("pred"), col("n").cast("long").as("n"),
+          (col("label") === col("pred")).as("correct"))
+        .orderBy("label", "pred")
+    } finally qv.unpersist()
+  }
+
+  /** DuckDB twin: q124's positional-explode idiom with label-fitted
+    * centroids instead of Lloyd rounds. */
+  val q162Oracle: String =
+    """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+           list_transform(embedding::DOUBLE[],
+             x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS q
+         FROM embeddings),
+       x AS (SELECT vec_id, label, i AS pos, q[i] AS v
+             FROM e, unnest(generate_series(1, len(q))) AS u(i)),
+       cx AS (SELECT label AS pred, pos,
+                CAST(floor(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS cv
+              FROM x GROUP BY 1, 2),
+       d AS (SELECT x.vec_id, x.label, c.pred,
+               SUM((x.v - c.cv) * (x.v - c.cv)) AS d2
+             FROM x JOIN cx c USING (pos) GROUP BY 1, 2, 3),
+       a AS (SELECT vec_id, label, pred FROM (
+               SELECT vec_id, label, pred,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, pred) AS rn
+               FROM d) WHERE rn = 1)
+       SELECT label, pred, COUNT(*) AS n, label = pred AS correct
+       FROM a GROUP BY label, pred
+       ORDER BY label, pred"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_dup_spans" -> (q122DupSpans _),
     "q123_bigram_lm" -> (q123BigramLm _),
@@ -1423,7 +1502,8 @@ object PipelineQueries {
     "q135_compression_ratio" -> (q135CompressionRatio _),
     "q136_zipf_slope" -> (q136ZipfSlope _),
     "q156_random_projection" -> (q156RandomProjection _),
-    "q157_knn_graph" -> (q157KnnGraph _))
+    "q157_knn_graph" -> (q157KnnGraph _),
+    "q162_centroid_eval" -> (q162CentroidEval _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
@@ -1442,5 +1522,6 @@ object PipelineQueries {
     "q135_compression_ratio" -> DataQueries.fixtureOracle("q135_compression_ratio"),
     "q136_zipf_slope" -> q136Oracle,
     "q156_random_projection" -> q156Oracle,
-    "q157_knn_graph" -> q157Oracle)
+    "q157_knn_graph" -> q157Oracle,
+    "q162_centroid_eval" -> q162Oracle)
 }

@@ -208,6 +208,51 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     assert(n <= 3, s"expected agg + bounded-window + sort exchanges only, got $n:\n$p")
   }
 
+  test("q161: SCD2 intervals match a sequential run-collapse replay, " +
+       "versions are contiguous and intervals chain exactly") {
+    val evs = Tables.load(spark, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts)"), col("event_id"),
+        expr("concat('tier', CAST(CAST(get_json_object(props, '$.k') AS BIGINT) % 3 AS STRING))"),
+        expr("unix_millis(ts)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val ordered = es.sortBy(e => (e._2, e._3))
+      val kept = ordered.zipWithIndex.filter { case (e, i) =>
+        i == 0 || e._4 != ordered(i - 1)._4 }.map(_._1)
+      kept.zipWithIndex.map { case (e, v) =>
+        val toMs = if (v + 1 < kept.length) Some(kept(v + 1)._5) else None
+        (u, v + 1L, e._4, e._5, toMs)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = AnalyticsQueries.q161Scd2History(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(got == expected)
+    // structural invariants: contiguous versions, chained intervals, one
+    // open (NULL) interval per user, no zero-length run collapse misses
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2) == (1L to sorted.length))
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._5.contains(b._4), s"interval gap: $a -> $b")
+          assert(a._3 != b._3, s"uncollapsed run: $a -> $b")
+        case _ => ()
+      }
+      assert(sorted.last._5.isEmpty)
+    }
+  }
+
+  test("q161 plan: all three window passes ride one user-keyed exchange") {
+    val p = plan("q161_scd2_history")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("user_id")), p)
+    val userExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("user_id")).size
+    assert(userExchanges <= 1, s"windows re-shuffled ($userExchanges):\n$p")
+  }
+
   test("q150 plan: the LEAD window partitions by user_id and the " +
        "normalization window runs over the catalog-sized pair table only") {
     val p = plan("q150_event_transitions")

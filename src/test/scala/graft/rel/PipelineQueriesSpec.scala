@@ -504,6 +504,45 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  // ---- q162 nearest-centroid evaluation --------------------------------------
+
+  test("q162: the confusion matrix matches an exact integer replay " +
+       "(label-fitted floor-mean centroids, argmin with pred tie-break)") {
+    val emb = Tables.load(spark, SparkTestBase.Sf0001, "embeddings")
+      .selectExpr("vec_id", "CAST(label AS BIGINT)", "CAST(embedding AS ARRAY<DOUBLE>)")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).map(x => math.floor(x * 1e6 + 0.5).toLong).toArray))
+    val cents = emb.groupBy(_._2).view.mapValues { vs =>
+      val d = vs.head._3.length
+      (0 until d).map { i =>
+        math.floor(vs.map(_._3(i)).sum.toDouble / vs.length + 0.5).toLong
+      }.toArray
+    }.toMap
+    val preds = emb.map { case (id, label, q) =>
+      val best = cents.toSeq.map { case (l, c) =>
+        (q.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, l)
+      }.min
+      (label, best._2)
+    }
+    val expected = preds.groupBy(identity).toSeq
+      .map { case ((l, p), vs) => (l, p, vs.length.toLong, l == p) }
+      .sortBy(r => (r._1, r._2))
+    val got = PipelineQueries.q162CentroidEval(spark, SparkTestBase.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(got == expected)
+    assert(got.map(_._3).sum == emb.length.toLong)
+  }
+
+  test("q162 plan: the centroid table broadcasts into the assignment " +
+       "stream (k-row build side, no corpus-sized shuffle)") {
+    val p = graft.SparkEntry.queries("q162_centroid_eval")(spark, SparkTestBase.Sf0001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("q156 plan: the k x d multiply is row-local — zero exchanges before " +
        "the declared ORDER BY") {
     val p = graft.SparkEntry.queries("q156_random_projection")(spark, SparkTestBase.Sf0001)

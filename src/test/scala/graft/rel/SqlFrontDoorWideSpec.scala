@@ -423,6 +423,15 @@ object SqlFrontDoorWideSpec {
         "epoch_ms → unix_millis + // div + fraction-literal typing; the " +
           "named WINDOW clause and integer RANGE frame parse identically " +
           "(the q79 precedent)"),
+      "q161_scd2_history" -> (id _,
+        "json_extract_string → get_json_object + epoch_ms → unix_millis; " +
+          "LAG change detection, version ROW_NUMBER and the LEAD interval " +
+          "close parse identically"),
+      "q162_centroid_eval" -> ((s: String) => Duck2Spark.lateralSeries(s)
+        .replace("q[i]", "element_at(q, i)"),
+        "lateral generate_series + [i] → element_at (the q124 idiom); " +
+          "centroid floor-means, USING joins and the argmin subquery " +
+          "parse identically"),
       "q157_knn_graph" -> ((s: String) => s
         .replaceAll("""list_sum\(""", "aggregate(")
         .replace("(a.q[i] - b.q[i]) * (a.q[i] - b.q[i])))",
