@@ -425,6 +425,108 @@ object AnalyticsQueries {
        FROM k
        ORDER BY user_id, version"""
 
+  // ---- q163: triangle counting (degree-ordered orientation) ------------------
+
+  /** Per-node triangle counts over an undirected graph — the clustering
+    * primitive PageRank (q105) and connected components (q81) left
+    * uncovered. The graph is synthesized deterministically from doc_id
+    * (the q93/q151 pattern: 50 nodes, structured chords so real
+    * triangles exist at every SF).
+    *
+    * Algorithm: the degree-ordered ORIENTATION method — every
+    * undirected edge directs from its lower-(degree, id) endpoint to the
+    * higher one, turning the graph into a DAG whose max out-degree is
+    * O(√m); wedges join oriented edges head-to-tail and a semi-join
+    * against the oriented edge set closes them. This is THE scalable
+    * triangle algorithm: the naive wedge join fans out Σdeg(v)² (a hot
+    * celebrity node explodes it); orientation bounds the fan-out by
+    * Σoutdeg(v)² ≤ O(m^1.5) regardless of skew.
+    *
+    * Scale shape: two edge-keyed equi-joins (wedge build + closure
+    * semi-join) over the oriented edge list, then an explode of each
+    * triangle to its three vertices and a node-keyed count — no window,
+    * no cartesian; every exchange keys on node ids. Output: node,
+    * degree, triangle count (nodes with zero triangles keep their rows
+    * via the left join — the clustering-coefficient denominator needs
+    * them). */
+  def q163TriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val a = (col("doc_id") % 50).cast("long")
+    val b = ((col("doc_id") % 50) + (col("doc_id") % 7) + 1L) % 50L
+    val edges = t(s, dir, "documents")
+      .select(least(a, b).as("u"), greatest(a, b).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    triangleCounts(edges)
+  }
+
+  /** Core of q163 over any undirected (u, v) edge frame (u < v assumed
+    * canonical) — spec/library entry point. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val nodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+    val deg = nodes.groupBy("node").agg(count(lit(1)).as("degree"))
+    // orient each edge toward the higher (degree, id) endpoint
+    val du = deg.select(col("node").as("u"), col("degree").as("du"))
+    val dv = deg.select(col("node").as("v"), col("degree").as("dv"))
+    val oriented = edges.join(broadcast(du), "u").join(broadcast(dv), "v")
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+    // wedges src→x, x→y close into triangles when src→y is an edge
+    val e1 = oriented.select(col("src").as("x"), col("dst").as("y1"))
+    val e2 = oriented.select(col("src").as("y1"), col("dst").as("y2"))
+    val closure = oriented.select(col("src").as("x"), col("dst").as("y2"))
+    val tris = e1.join(e2, "y1")
+      .join(closure, Seq("x", "y2"), "left_semi")
+      .select(col("x"), col("y1"), col("y2"))
+    val perNode = tris
+      .select(explode(array(col("x"), col("y1"), col("y2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree").cast("long").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).cast("long").as("n_triangles"))
+      .orderBy("node")
+  }
+
+  /** Verbatim-shape twin (same orientation algebra; EXISTS closes the
+    * wedge). */
+  val q163Oracle: String =
+    """WITH e AS (SELECT DISTINCT
+           LEAST(doc_id % 50, ((doc_id % 50) + (doc_id % 7) + 1) % 50) AS u,
+           GREATEST(doc_id % 50, ((doc_id % 50) + (doc_id % 7) + 1) % 50) AS v
+         FROM documents
+         WHERE doc_id % 50 <> ((doc_id % 50) + (doc_id % 7) + 1) % 50),
+       deg AS (SELECT node, COUNT(*) AS degree FROM (
+                 SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+               GROUP BY node),
+       o AS (SELECT
+           CASE WHEN du.degree < dv.degree
+                  OR (du.degree = dv.degree AND e.u < e.v)
+                THEN e.u ELSE e.v END AS src,
+           CASE WHEN du.degree < dv.degree
+                  OR (du.degree = dv.degree AND e.u < e.v)
+                THEN e.v ELSE e.u END AS dst
+         FROM e
+         JOIN deg du ON e.u = du.node
+         JOIN deg dv ON e.v = dv.node),
+       t AS (SELECT a.src AS x, a.dst AS y1, b.dst AS y2
+             FROM o a JOIN o b ON a.dst = b.src
+             WHERE EXISTS (SELECT 1 FROM o c
+                           WHERE c.src = a.src AND c.dst = b.dst)),
+       pn AS (SELECT node, COUNT(*) AS n_triangles FROM (
+                SELECT x AS node FROM t
+                UNION ALL SELECT y1 FROM t
+                UNION ALL SELECT y2 FROM t)
+              GROUP BY node)
+       SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+         CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles
+       FROM deg d LEFT JOIN pn ON d.node = pn.node
+       ORDER BY d.node"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q148_funnel" -> (q148Funnel _),
     "q149_retention_cohorts" -> (q149RetentionCohorts _),
@@ -432,7 +534,8 @@ object AnalyticsQueries {
     "q155_event_paths" -> (q155EventPaths _),
     "q158_last_touch_attribution" -> (q158LastTouchAttribution _),
     "q159_volume_anomalies" -> (q159VolumeAnomalies _),
-    "q161_scd2_history" -> (q161Scd2History _))
+    "q161_scd2_history" -> (q161Scd2History _),
+    "q163_triangle_count" -> (q163TriangleCount _))
 
   val oracles: Map[String, String] = Map(
     "q148_funnel" -> q148Oracle,
@@ -441,5 +544,6 @@ object AnalyticsQueries {
     "q155_event_paths" -> q155Oracle,
     "q158_last_touch_attribution" -> q158Oracle,
     "q159_volume_anomalies" -> q159Oracle,
-    "q161_scd2_history" -> q161Oracle)
+    "q161_scd2_history" -> q161Oracle,
+    "q163_triangle_count" -> q163Oracle)
 }

@@ -253,6 +253,43 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     assert(userExchanges <= 1, s"windows re-shuffled ($userExchanges):\n$p")
   }
 
+  test("q163: per-node counts match a brute-force triple scan, and K4 " +
+       "yields its four known triangles") {
+    import spark.implicits._
+    // brute replay on the synthesized graph
+    val edges = Tables.load(spark, dir, "documents")
+      .selectExpr("LEAST(doc_id % 50, ((doc_id % 50) + (doc_id % 7) + 1) % 50) AS u",
+        "GREATEST(doc_id % 50, ((doc_id % 50) + (doc_id % 7) + 1) % 50) AS v")
+      .where(col("u") =!= col("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    def adj(a: Long, b: Long) = edges((a min b, a max b))
+    val expected = nodes.map { n =>
+      val cnt = (for {
+        a <- nodes; if a != n && adj(n, a)
+        b <- nodes; if b > a && b != n && adj(n, b) && adj(a, b)
+      } yield 1).size.toLong
+      (n, edges.count(e => e._1 == n || e._2 == n).toLong, cnt)
+    }
+    val got = AnalyticsQueries.q163TriangleCount(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.map(_._3).sum > 0, "the synthesized graph must contain triangles")
+    // hand case: K4 — every node has degree 3 and sits in 3 triangles
+    val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+      .toDF("u", "v")
+    val gotK4 = AnalyticsQueries.triangleCounts(k4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotK4 == Seq((0L, 3L, 3L), (1L, 3L, 3L), (2L, 3L, 3L), (3L, 3L, 3L)))
+  }
+
+  test("q163 plan: wedge build and closure are equi-joins — no cartesian, " +
+       "no nested-loop fallback") {
+    val p = plan("q163_triangle_count")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), s"the closure must be a semi-join:\n$p")
+  }
+
   test("q150 plan: the LEAD window partitions by user_id and the " +
        "normalization window runs over the catalog-sized pair table only") {
     val p = plan("q150_event_transitions")

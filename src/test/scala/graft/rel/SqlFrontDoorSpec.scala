@@ -52,6 +52,7 @@ object SqlFrontDoorSpec {
     "q134_interleave_order", // pure ANSI windows; % is modulo in both dialects
     "q145_snapshot_diff", // md5/CASE/FULL OUTER/UNION ALL/|| parse identically
     "q160_schema_evolution", // COUNT(CASE)/DECIMAL casts parse identically
+    "q163_triangle_count", // LEAST/GREATEST/EXISTS/UNION ALL parse identically
   )
 
   /** Queries with a hand-adapted twin asserted IN THIS SUITE (each test
