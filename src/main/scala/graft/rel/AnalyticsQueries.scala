@@ -527,6 +527,86 @@ object AnalyticsQueries {
        FROM deg d LEFT JOIN pn ON d.node = pn.node
        ORDER BY d.node"""
 
+  // ---- q164: market-basket association rules ---------------------------------
+
+  /** Association-rule mining over order baskets — support, both
+    * directional confidences and lift for every co-purchased BRAND pair
+    * (brands, not part keys, so pairs repeat enough at every SF for the
+    * metrics to mean something; the part→brand lookup is a broadcast).
+    * Pairs below 2% basket support are dropped — the standard min-supp
+    * prune, applied on exact integer counts so the cut is
+    * engine-invariant.
+    *
+    * Exactness contract: all counts are exact BIGINTs off distinct
+    * (order, brand) pairs; support/confidence are r4'd divisions of
+    * those integers; lift multiplies BIGINTs inside DECIMAL(38) before
+    * its one division, so no intermediate overflows at corpus scale.
+    *
+    * Scale shape: one distinct (order, brand) exchange — baskets bound
+    * the per-order fan-out (≤ |lines|² per basket, never corpus²); the
+    * pair aggregate is map-side combinable into a |brands|²-bounded
+    * table; brand marginals and the basket total broadcast back (1-row
+    * + catalog-sized builds, plan-pinned). The apriori-style lattice
+    * above pairs would iterate this same shape per level. */
+  def q164AssociationRules(s: SparkSession, dir: String): DataFrame = {
+    val brands = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val ob = t(s, dir, "lineitem")
+      .join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+    val nBaskets = ob.select(countDistinct(col("okey")).as("n_baskets"))
+    val brandCnt = ob.groupBy("brand").agg(count(lit(1)).as("cnt"))
+    val a = ob.select(col("okey"), col("brand").as("b1"))
+    val b = ob.select(col("okey"), col("brand").as("b2"))
+    val pairCnt = a.join(b, "okey").where(col("b1") < col("b2"))
+      .groupBy("b1", "b2").agg(count(lit(1)).as("cnt_ab"))
+    val c1 = brandCnt.select(col("brand").as("b1"), col("cnt").as("cnt_a"))
+    val c2 = brandCnt.select(col("brand").as("b2"), col("cnt").as("cnt_b"))
+    pairCnt
+      .join(broadcast(c1), "b1").join(broadcast(c2), "b2")
+      .crossJoin(broadcast(nBaskets))
+      .where(col("cnt_ab") * 50L >= col("n_baskets")) // support >= 2%
+      .select(col("b1"), col("b2"), col("cnt_ab").cast("long").as("cnt_ab"),
+        Stable.r4(col("cnt_ab").cast("double") / col("n_baskets").cast("double"))
+          .as("support"),
+        Stable.r4(col("cnt_ab").cast("double") / col("cnt_a").cast("double"))
+          .as("conf_ab"),
+        Stable.r4(col("cnt_ab").cast("double") / col("cnt_b").cast("double"))
+          .as("conf_ba"),
+        Stable.r4(
+          (col("cnt_ab").cast("decimal(38,0)") * col("n_baskets").cast("decimal(38,0)"))
+            .cast("double")
+            / (col("cnt_a").cast("decimal(38,0)") * col("cnt_b").cast("decimal(38,0)"))
+              .cast("double")).as("lift"))
+      .orderBy("b1", "b2")
+  }
+
+  /** Verbatim-shape twin (integer min-supp cut, DECIMAL lift products). */
+  val q164Oracle: String =
+    """WITH ob AS (SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+       n AS (SELECT COUNT(DISTINCT okey) AS n_baskets FROM ob),
+       bc AS (SELECT brand, COUNT(*) AS cnt FROM ob GROUP BY brand),
+       pc AS (SELECT a.brand AS b1, b.brand AS b2, COUNT(*) AS cnt_ab
+              FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+              GROUP BY 1, 2)
+       SELECT pc.b1, pc.b2, CAST(pc.cnt_ab AS BIGINT) AS cnt_ab,
+         floor(CAST(pc.cnt_ab AS DOUBLE) / CAST(n.n_baskets AS DOUBLE)
+           * 10000.0 + 0.5) / 10000.0 AS support,
+         floor(CAST(pc.cnt_ab AS DOUBLE) / CAST(ca.cnt AS DOUBLE)
+           * 10000.0 + 0.5) / 10000.0 AS conf_ab,
+         floor(CAST(pc.cnt_ab AS DOUBLE) / CAST(cb.cnt AS DOUBLE)
+           * 10000.0 + 0.5) / 10000.0 AS conf_ba,
+         floor(CAST(CAST(pc.cnt_ab AS DECIMAL(38,0)) * CAST(n.n_baskets AS DECIMAL(38,0)) AS DOUBLE)
+           / CAST(CAST(ca.cnt AS DECIMAL(38,0)) * CAST(cb.cnt AS DECIMAL(38,0)) AS DOUBLE)
+           * 10000.0 + 0.5) / 10000.0 AS lift
+       FROM pc
+       JOIN bc ca ON pc.b1 = ca.brand
+       JOIN bc cb ON pc.b2 = cb.brand
+       CROSS JOIN n
+       WHERE pc.cnt_ab * 50 >= n.n_baskets
+       ORDER BY pc.b1, pc.b2"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q148_funnel" -> (q148Funnel _),
     "q149_retention_cohorts" -> (q149RetentionCohorts _),
@@ -535,7 +615,8 @@ object AnalyticsQueries {
     "q158_last_touch_attribution" -> (q158LastTouchAttribution _),
     "q159_volume_anomalies" -> (q159VolumeAnomalies _),
     "q161_scd2_history" -> (q161Scd2History _),
-    "q163_triangle_count" -> (q163TriangleCount _))
+    "q163_triangle_count" -> (q163TriangleCount _),
+    "q164_association_rules" -> (q164AssociationRules _))
 
   val oracles: Map[String, String] = Map(
     "q148_funnel" -> q148Oracle,
@@ -545,5 +626,6 @@ object AnalyticsQueries {
     "q158_last_touch_attribution" -> q158Oracle,
     "q159_volume_anomalies" -> q159Oracle,
     "q161_scd2_history" -> q161Oracle,
-    "q163_triangle_count" -> q163Oracle)
+    "q163_triangle_count" -> q163Oracle,
+    "q164_association_rules" -> q164Oracle)
 }

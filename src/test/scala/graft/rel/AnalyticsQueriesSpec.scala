@@ -290,6 +290,40 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), s"the closure must be a semi-join:\n$p")
   }
 
+  test("q164: support/confidence/lift match a from-scratch basket replay " +
+       "and the min-supp cut is exact") {
+    val ob = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val n = ob.map(_._1).distinct.length.toLong
+    val brandCnt = ob.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairs = ob.groupBy(_._1).values.flatMap { rows =>
+      val bs = rows.map(_._2).sorted
+      for (i <- bs.indices; j <- i + 1 until bs.length) yield (bs(i), bs(j))
+    }.toSeq.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val expected = pairs.toSeq.filter { case (_, c) => c * 50 >= n }
+      .map { case ((a, b), c) =>
+        val lift = (BigDecimal(c) * BigDecimal(n)).toDouble /
+          (BigDecimal(brandCnt(a)) * BigDecimal(brandCnt(b))).toDouble
+        (a, b, c, r4(c.toDouble / n), r4(c.toDouble / brandCnt(a)),
+          r4(c.toDouble / brandCnt(b)), r4(lift))
+      }.sortBy(t => (t._1, t._2))
+    val got = AnalyticsQueries.q164AssociationRules(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "the min-supp cut must keep some brand pairs at this SF")
+  }
+
+  test("q164 plan: marginals and the basket total broadcast back into the " +
+       "catalog-sized pair table (no corpus-sized shuffle after the pairs)") {
+    val p = plan("q164_association_rules")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q150 plan: the LEAD window partitions by user_id and the " +
        "normalization window runs over the catalog-sized pair table only") {
     val p = plan("q150_event_transitions")

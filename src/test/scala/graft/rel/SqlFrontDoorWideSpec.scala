@@ -423,6 +423,10 @@ object SqlFrontDoorWideSpec {
         "epoch_ms → unix_millis + // div + fraction-literal typing; the " +
           "named WINDOW clause and integer RANGE frame parse identically " +
           "(the q79 precedent)"),
+      "q164_association_rules" -> (id _,
+        "fraction-literal typing only (10000.0 -> 1e4 keeps the r4 columns " +
+          "DOUBLE); CROSS JOIN, DECIMAL lift products and the integer " +
+          "min-supp cut parse identically"),
       "q161_scd2_history" -> (id _,
         "json_extract_string → get_json_object + epoch_ms → unix_millis; " +
           "LAG change detection, version ROW_NUMBER and the LEAD interval " +
