@@ -82,4 +82,65 @@ object Analytics {
       .transformWithState(new FunnelProcessor(s1, s2, s3),
         TimeMode.None(), OutputMode.Append())
   }
+
+  // ---- continuous SCD2 (the q161 CDC form) ----------------------------------
+
+  /** One attribute observation arriving at the history builder. */
+  final case class AttrObs(user_id: Long, attr: String, ts_micros: Long,
+                           ts_ms: Long, event_id: Long)
+
+  /** A CLOSED validity interval: user held `attr` from `from_ms` until
+    * `to_ms` (exclusive), as version `version`. The currently-open
+    * interval lives in state — an append-mode stream cannot retract, so
+    * open rows are never emitted (they would need a correction once
+    * closed); batch q161's non-NULL-to_ms rows are exactly this
+    * stream's output under in-order feeding (parity-spec'd). */
+  final case class ClosedVersion(user_id: Long, version: Long, attr: String,
+                                 from_ms: Long, to_ms: Long)
+
+  /** Per-user open-interval state for [[Scd2Processor]]. */
+  final case class OpenAttr(version: Long, attr: String, from_ms: Long)
+
+  /** Keyed SCD2 processor — the change-data-capture twin of the q161
+    * batch rebuild: one open interval per user in state; an observation
+    * with a DIFFERENT attribute closes it (emitting the closed version)
+    * and opens the next. Micro-batch slices replay in (ts_micros,
+    * event_id) order — q161's total order — so in-order feeding emits
+    * exactly the batch history's closed rows; across out-of-order
+    * batches arrival wins (the [[FunnelProcessor]] causal contract). */
+  final class Scd2Processor
+      extends StatefulProcessor[Long, AttrObs, ClosedVersion] {
+    @transient private var open: ValueState[OpenAttr] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenAttr]("openAttr",
+        Encoders.product[OpenAttr], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[AttrObs],
+                                 timers: TimerValues): Iterator[ClosedVersion] = {
+      var cur = if (open.exists()) Option(open.get()) else None
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedVersion]
+      rows.toArray.sortBy(o => (o.ts_micros, o.event_id)).foreach { o =>
+        cur match {
+          case None =>
+            cur = Some(OpenAttr(1L, o.attr, o.ts_ms))
+          case Some(c) if c.attr != o.attr =>
+            out += ClosedVersion(key, c.version, c.attr, c.from_ms, o.ts_ms)
+            cur = Some(OpenAttr(c.version + 1L, o.attr, o.ts_ms))
+          case _ => () // same attr: the open interval absorbs it
+        }
+      }
+      cur.foreach(open.update)
+      out.iterator
+    }
+  }
+
+  /** Build SCD2 history continuously from an attribute-observation
+    * stream — the CDC form of q161 (which rebuilds from the full log).
+    * Requires the RocksDB state store provider (state API v2). */
+  def scd2Stream(obs: Dataset[AttrObs]): Dataset[ClosedVersion] = {
+    import obs.sparkSession.implicits._
+    obs
+      .groupByKey(_.user_id)
+      .transformWithState(new Scd2Processor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -79,6 +79,52 @@ class AnalyticsStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming SCD2 emits exactly batch q161's closed intervals under " +
+       "3-batch event-time slicing") {
+    import Analytics.AttrObs
+    import org.apache.spark.sql.functions.col
+    val obs = graft.rel.Tables.load(spark, SparkTestBase.Sf0001, "events")
+      .select(col("user_id"),
+        expr("concat('tier', CAST(CAST(get_json_object(props, '$.k') AS BIGINT) % 3 AS STRING))"),
+        expr("unix_micros(ts)"), expr("unix_millis(ts)"), col("event_id"))
+      .collect()
+      .map(r => AttrObs(r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(o => (o.ts_micros, o.event_id))
+    val third = obs.length / 3
+    val batches = Seq(obs.take(third).toSeq,
+      obs.slice(third, 2 * third).toSeq, obs.drop(2 * third).toSeq)
+    val got = {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val mem = MemoryStream[AttrObs]
+        val name = s"scd2_out_${System.nanoTime()}"
+        val q = Analytics.scd2Stream(mem.toDS())
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        q.stop()
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+            r.getLong(4))).toSet
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val batch = graft.rel.AnalyticsQueries.q161Scd2History(spark, SparkTestBase.Sf0001)
+      .collect().filter(!_.isNullAt(4))
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == batch,
+      s"stream-only=${(got -- batch).take(3)}, batch-only=${(batch -- got).take(3)}")
+    assert(batch.nonEmpty)
+  }
+
   test("out-of-order cross-batch arrival: a late earlier view cannot " +
        "re-chain an already-admitted stage (causal semantics)") {
     val b1 = Seq(UserEvent(1L, "view", 100L, 1L), UserEvent(1L, "click", 200L, 2L))
