@@ -137,15 +137,12 @@ object Similarity {
             }
         }
         // materialize this tile's (small, above-tau) pairs so the broadcast
-        // can be released before the next tile is collected
-        val out =
-          if (nTiles == 1) pairs
-          else {
-            val cp = pairs.localCheckpoint(true)
-            tile.destroy()
-            cp
-          }
-        out
+        // can be released before the next tile is collected — and in the
+        // single-tile case too: a long-lived driver would otherwise keep
+        // one live broadcast per invocation (the BPE-cache leak class)
+        val cp = pairs.localCheckpoint(true)
+        tile.destroy()
+        cp
       }
       tileResults.reduce(_ union _).toDF("v1", "v2", "cos")
     } finally {
@@ -914,12 +911,14 @@ object Similarity {
           (0 until k).iterator.filter(bestD(_) != Long.MaxValue)
             .map(j => (vid, bestI(j), bestD(j)))
         }
-        if (nTiles == 1) cands
-        else {
-          val cp = cands.localCheckpoint(true)
-          tile.destroy()
-          cp
-        }
+        // eager checkpoint even for a single tile: the candidate set is
+        // n·k rows (small by construction), and materializing it lets the
+        // broadcast release immediately — a long-lived driver would
+        // otherwise accumulate one live broadcast per invocation (the
+        // leak class a prior review found in the BPE cache)
+        val cp = cands.localCheckpoint(true)
+        tile.destroy()
+        cp
       }
       val all = tileResults.reduce(_ union _).toDF("vid", "nbr", "d2")
       val top = graft.plans.TopK.perKey(all, Seq("vid"),
