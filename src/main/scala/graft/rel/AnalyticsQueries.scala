@@ -74,17 +74,21 @@ object AnalyticsQueries {
       count(col("t1")).as("n1"),
       stages.indices.drop(1).map(i => count(col(s"t${i + 1}")).as(s"n${i + 1}")): _*)
     val stageStructs = stages.zipWithIndex.map { case (st, i) =>
-      struct(lit(f"${i + 1}%d_$st").as("stage"), col(s"n${i + 1}").as("users"))
+      struct(lit(i + 1L).as("idx"), lit(f"${i + 1}%d_$st").as("stage"),
+        col(s"n${i + 1}").as("users"))
     }
     counts
       .select(explode(array(stageStructs: _*)).as("s"), col("n1"))
-      .select(col("s.stage").as("stage"), col("s.users").as("users"),
+      // order by the NUMERIC stage index, not the label — with 10+ stages
+      // the lexicographic label order would interleave ('10_x' < '2_y')
+      .select(col("s.idx").as("_idx"), col("s.stage").as("stage"),
+        col("s.users").as("users"),
         // an empty stage-1 leaves conversion undefined (NULL), not ÷0 —
         // found by the FourthWavePropertySpec random-stream sweep
         when(col("n1") === 0L, lit(null).cast("double"))
           .otherwise(Stable.r4(col("s.users").cast("double") / col("n1").cast("double")))
           .as("conv"))
-      .orderBy("stage")
+      .orderBy("_idx").drop("_idx")
   }
 
   /** Verbatim-ANSI twin: the same chained window minima, stage pivot via
@@ -320,7 +324,10 @@ object AnalyticsQueries {
     * (RANGE frame over the integer hour key, so gap hours shrink the
     * baseline instead of silently shifting it); |n − mean| > 3σ flags
     * the hour. The +1 variance floor keeps σ > 0 on constant baselines.
-    * The first hours (empty baseline) report unflagged by definition.
+    * Hours with an EMPTY trailing baseline (the corpus's first hour, or
+    * the first after a gap longer than the window) are DROPPED — there
+    * is nothing to score them against, and a fabricated unflagged row
+    * would hide exactly the coverage hole a monitor wants to see.
     *
     * Exactness contract: hourly counts, trailing sums and sums of
     * squares are exact BIGINTs; mean and σ come from ONE double

@@ -52,7 +52,8 @@ object Analytics {
         Encoders.product[FunnelTimes], TTLConfig.NONE)
     override def handleInputRows(key: Long, rows: Iterator[UserEvent],
                                  timers: TimerValues): Iterator[StageHit] = {
-      var st = if (times.exists()) times.get() else FunnelTimes(-1L, -1L, -1L)
+      val before = if (times.exists()) times.get() else FunnelTimes(-1L, -1L, -1L)
+      var st = before
       val out = scala.collection.mutable.ArrayBuffer.empty[StageHit]
       // replay this key's slice in the batch query's total order
       rows.toArray.sortBy(e => (e.ts_micros, e.event_id)).foreach { e =>
@@ -66,7 +67,8 @@ object Analytics {
           st = st.copy(t3 = e.ts_micros); out += StageHit(key, 3, e.ts_micros)
         }
       }
-      times.update(st)
+      // skip the store write when the batch changed nothing for this key
+      if (st != before) times.update(st)
       out.iterator
     }
   }
@@ -98,8 +100,10 @@ object Analytics {
   final case class ClosedVersion(user_id: Long, version: Long, attr: String,
                                  from_ms: Long, to_ms: Long)
 
-  /** Per-user open-interval state for [[Scd2Processor]]. */
-  final case class OpenAttr(version: Long, attr: String, from_ms: Long)
+  /** Per-user open-interval state for [[Scd2Processor]]. `from_micros`
+    * carries the exact opening event time for the staleness guard. */
+  final case class OpenAttr(version: Long, attr: String, from_ms: Long,
+                            from_micros: Long)
 
   /** Keyed SCD2 processor — the change-data-capture twin of the q161
     * batch rebuild: one open interval per user in state; an observation
@@ -116,19 +120,26 @@ object Analytics {
         Encoders.product[OpenAttr], TTLConfig.NONE)
     override def handleInputRows(key: Long, rows: Iterator[AttrObs],
                                  timers: TimerValues): Iterator[ClosedVersion] = {
-      var cur = if (open.exists()) Option(open.get()) else None
+      val before = if (open.exists()) Option(open.get()) else None
+      var cur = before
       val out = scala.collection.mutable.ArrayBuffer.empty[ClosedVersion]
       rows.toArray.sortBy(o => (o.ts_micros, o.event_id)).foreach { o =>
         cur match {
           case None =>
-            cur = Some(OpenAttr(1L, o.attr, o.ts_ms))
+            cur = Some(OpenAttr(1L, o.attr, o.ts_ms, o.ts_micros))
+          case Some(c) if o.ts_micros < c.from_micros =>
+            // stale cross-batch straggler from BEFORE the open interval:
+            // admitting it would emit an inverted [from, to) — ignore
+            // (arrival wins, like the funnel's already-admitted stages)
+            ()
           case Some(c) if c.attr != o.attr =>
             out += ClosedVersion(key, c.version, c.attr, c.from_ms, o.ts_ms)
-            cur = Some(OpenAttr(c.version + 1L, o.attr, o.ts_ms))
+            cur = Some(OpenAttr(c.version + 1L, o.attr, o.ts_ms, o.ts_micros))
           case _ => () // same attr: the open interval absorbs it
         }
       }
-      cur.foreach(open.update)
+      // skip the store write when the batch changed nothing for this key
+      if (cur != before) cur.foreach(open.update)
       out.iterator
     }
   }

@@ -66,6 +66,20 @@ class FourthWavePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("funnel: 11-stage output comes back in stage order, not " +
+       "lexicographic label order ('10_x' must not sort before '2_y')") {
+    import spark.implicits._
+    val stages = (1 to 11).map(i => s"s$i")
+    // one user walks the full funnel in order
+    val evs = stages.zipWithIndex.map { case (st, i) =>
+      Ev(1L, st, (i + 1).toLong, i.toLong) }
+    val got = AnalyticsQueries.funnel(evs.toDF(), stages).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.map(_._1) == stages.zipWithIndex.map { case (st, i) => s"${i + 1}_$st" },
+      s"stage order broken: ${got.map(_._1)}")
+    assert(got.forall(_._2 == 1L))
+  }
+
   // ---- q151 URL canonicalization --------------------------------------------
 
   private val urlVariantGen: Gen[(String, List[String])] = for {

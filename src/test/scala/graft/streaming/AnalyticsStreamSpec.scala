@@ -125,6 +125,39 @@ class AnalyticsStreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("SCD2 stale straggler: an out-of-order observation from before the " +
+       "open interval is ignored, never emitting an inverted [from, to)") {
+    import Analytics.AttrObs
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[AttrObs]
+      val name = s"scd2_ooo_${System.nanoTime()}"
+      val q = Analytics.scd2Stream(mem.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      mem.addData(AttrObs(7L, "tierA", 1000L, 1L, 1L)); q.processAllAvailable()
+      // a stale tierB from BEFORE the open interval must be dropped...
+      mem.addData(AttrObs(7L, "tierB", 500L, 0L, 2L)); q.processAllAvailable()
+      // ...and a genuine later change still closes normally
+      mem.addData(AttrObs(7L, "tierC", 2000L, 2L, 3L)); q.processAllAvailable()
+      q.stop()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(rows == Set((7L, 1L, "tierA", 1L, 2L)),
+        s"stale straggler corrupted the history: $rows")
+      rows.foreach { case (_, _, _, from, to) =>
+        assert(to >= from, s"inverted interval emitted: [$from, $to)") }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("out-of-order cross-batch arrival: a late earlier view cannot " +
        "re-chain an already-admitted stage (causal semantics)") {
     val b1 = Seq(UserEvent(1L, "view", 100L, 1L), UserEvent(1L, "click", 200L, 2L))
