@@ -614,6 +614,67 @@ object AnalyticsQueries {
        WHERE pc.cnt_ab * 50 >= n.n_baskets
        ORDER BY pc.b1, pc.b2"""
 
+  // ---- q165: k-anonymity audit ----------------------------------------------
+
+  /** k-anonymity audit over quasi-identifiers — the privacy check that
+    * pairs with q116's PII redaction: rows group into equivalence
+    * classes by (market segment, nation, account-balance band), and the
+    * audit reports the CLASS-SIZE DISTRIBUTION — for each size, how many
+    * classes, how many rows, and the r4 share of all rows sitting in
+    * classes of AT MOST that size (the cumulative re-identification
+    * exposure: the k=1 row is the uniquely identifiable population, and
+    * the release rule "suppress classes smaller than k" reads its
+    * threshold straight off this table).
+    *
+    * Exactness contract: class sizes and counts are exact BIGINTs; the
+    * cumulative share is one r4'd division of exact integers; the
+    * balance band floors a single double division (identical operands
+    * both engines, exact on negative balances too).
+    *
+    * Scale shape: one quasi-identifier exchange with map-side combine
+    * (the class table), then a class-SIZE aggregate bounded by the
+    * largest class, and a cumulative window over that bounded
+    * distribution — the corpus is touched once; the audit output is
+    * catalog-sized at any scale. */
+  def q165KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val classes = t(s, dir, "customer")
+      .groupBy(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).as("bal_band"))
+      .agg(count(lit(1)).as("class_size"))
+    val dist = classes.groupBy("class_size")
+      .agg(count(lit(1)).as("n_classes"),
+        (count(lit(1)) * col("class_size")).as("n_rows"))
+    val w = Window.orderBy("class_size")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = dist.agg(sum(col("n_rows")).as("n_total"))
+    dist.crossJoin(broadcast(total))
+      .withColumn("cum_rows", sum(col("n_rows")).over(w))
+      .select(col("class_size").cast("long").as("class_size"),
+        col("n_classes").cast("long").as("n_classes"),
+        col("n_rows").cast("long").as("n_rows"),
+        Stable.r4(col("cum_rows").cast("double") / col("n_total").cast("double"))
+          .as("cum_share"))
+      .orderBy("class_size")
+  }
+
+  /** Verbatim-shape twin. */
+  val q165Oracle: String =
+    """WITH cls AS (SELECT c_mktsegment, c_nationkey,
+           floor(c_acctbal / 1000.0) AS bal_band, COUNT(*) AS class_size
+         FROM customer GROUP BY 1, 2, 3),
+       dist AS (SELECT class_size, COUNT(*) AS n_classes,
+                  COUNT(*) * class_size AS n_rows
+                FROM cls GROUP BY class_size),
+       tot AS (SELECT SUM(n_rows) AS n_total FROM dist)
+       SELECT CAST(d.class_size AS BIGINT) AS class_size,
+         CAST(d.n_classes AS BIGINT) AS n_classes,
+         CAST(d.n_rows AS BIGINT) AS n_rows,
+         floor(CAST(SUM(d.n_rows) OVER (ORDER BY d.class_size
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(t.n_total AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS cum_share
+       FROM dist d CROSS JOIN tot t
+       ORDER BY class_size"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q148_funnel" -> (q148Funnel _),
     "q149_retention_cohorts" -> (q149RetentionCohorts _),
@@ -623,7 +684,8 @@ object AnalyticsQueries {
     "q159_volume_anomalies" -> (q159VolumeAnomalies _),
     "q161_scd2_history" -> (q161Scd2History _),
     "q163_triangle_count" -> (q163TriangleCount _),
-    "q164_association_rules" -> (q164AssociationRules _))
+    "q164_association_rules" -> (q164AssociationRules _),
+    "q165_k_anonymity" -> (q165KAnonymity _))
 
   val oracles: Map[String, String] = Map(
     "q148_funnel" -> q148Oracle,
@@ -634,5 +696,6 @@ object AnalyticsQueries {
     "q159_volume_anomalies" -> q159Oracle,
     "q161_scd2_history" -> q161Oracle,
     "q163_triangle_count" -> q163Oracle,
-    "q164_association_rules" -> q164Oracle)
+    "q164_association_rules" -> q164Oracle,
+    "q165_k_anonymity" -> q165Oracle)
 }

@@ -324,6 +324,29 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q165: the class-size distribution matches a from-scratch replay, " +
+       "row mass is conserved and the cumulative share ends at 1.0") {
+    val rows = Tables.load(spark, dir, "customer")
+      .selectExpr("c_mktsegment", "CAST(c_nationkey AS LONG)",
+        "CAST(floor(c_acctbal / 1000.0) AS LONG)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val classes = rows.groupBy(identity).values.map(_.length.toLong).toSeq
+    val dist = classes.groupBy(identity).toSeq
+      .map { case (sz, cs) => (sz, cs.length.toLong, cs.length.toLong * sz) }
+      .sortBy(_._1)
+    val total = dist.map(_._3).sum
+    var cum = 0L
+    val expected = dist.map { case (sz, nc, nr) =>
+      cum += nr
+      (sz, nc, nr, r4(cum.toDouble / total))
+    }
+    val got = AnalyticsQueries.q165KAnonymity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    assert(got.map(_._3).sum == rows.length.toLong, "row mass must be conserved")
+    assert(got.last._4 == 1.0, "the cumulative share must end at exactly 1.0")
+  }
+
   test("q150 plan: the LEAD window partitions by user_id and the " +
        "normalization window runs over the catalog-sized pair table only") {
     val p = plan("q150_event_transitions")

@@ -423,6 +423,9 @@ object SqlFrontDoorWideSpec {
         "epoch_ms → unix_millis + // div + fraction-literal typing; the " +
           "named WINDOW clause and integer RANGE frame parse identically " +
           "(the q79 precedent)"),
+      "q165_k_anonymity" -> (id _,
+        "fraction-literal typing only; the quasi-identifier grouping, " +
+          "bounded cumulative window and CROSS JOIN total parse identically"),
       "q164_association_rules" -> (id _,
         "fraction-literal typing only (10000.0 -> 1e4 keeps the r4 columns " +
           "DOUBLE); CROSS JOIN, DECIMAL lift products and the integer " +
