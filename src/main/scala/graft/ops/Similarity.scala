@@ -74,6 +74,40 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Splitmix64-hashed tile membership — balanced even for ids with
+    * fixed residues (raw id mod nTiles would put all multiples of k in
+    * one tile); a pure function of the id, so any tiled scan's emitted
+    * set is independent of nTiles. */
+  private[ops] def tileOf(id: Long, nTiles: Int): Long = {
+    var v = id + 0x9E3779B97F4A7C15L
+    v = (v ^ (v >>> 30)) * 0xBF58476D1CE4E5B9L
+    v = (v ^ (v >>> 27)) * 0x94D049BB133111EBL
+    java.lang.Math.floorMod(v ^ (v >>> 31), nTiles.toLong)
+  }
+
+  /** Broadcast-tile scan scaffold shared by [[cosinePairs]] and
+    * [[knnGraph]]: bounded-size tiles of the vector set broadcast one at
+    * a time, the streamed side runs `kernel` against each tile, and each
+    * tile's (bounded, by kernel contract) output is checkpointed eagerly
+    * so the broadcast releases before the next tile is collected — in
+    * the single-tile case too, or a long-lived driver would keep one
+    * live broadcast per invocation (the BPE-cache leak class). */
+  private def tiledScan[T: scala.reflect.ClassTag, O: org.apache.spark.sql.Encoder](
+      vecs: org.apache.spark.sql.Dataset[T], total: Long, maxBroadcastRows: Long,
+      idOf: T => Long,
+      kernel: (T, Array[T]) => Iterator[O]): org.apache.spark.sql.Dataset[O] = {
+    val spark = vecs.sparkSession
+    val nTiles = math.max(1L, (total + maxBroadcastRows - 1) / maxBroadcastRows).toInt
+    (0 until nTiles).map { t =>
+      val tile = spark.sparkContext.broadcast(
+        vecs.filter((r: T) => tileOf(idOf(r), nTiles) == t.toLong).collect())
+      val out = vecs.flatMap((r: T) => kernel(r, tile.value))
+      val cp = out.localCheckpoint(true)
+      tile.destroy()
+      cp
+    }.reduce(_ union _)
+  }
+
   /** All pairs with cosine >= tau (embedding-flavored near-dup), as a
     * broadcast-tile matrix scan: one side of the pair space is broadcast
     * as primitive double arrays, the other side streams through a typed
@@ -98,24 +132,10 @@ object Similarity {
       .persist()
     try {
       val total = vecs.count()
-      // bounded-size tiles: only one tile's vectors are ever resident on the
-      // driver / in a live broadcast at a time; tile membership hashes the
-      // id (splitmix64 finalizer) so tiles stay balanced even for ids with
-      // fixed residues (raw id mod nTiles would put all multiples of k in
-      // one tile); still a pure function of the id, so the emitted pair
-      // set is independent of nTiles
-      def tileOf(id: Long, nTiles: Int): Long = {
-        var v = id + 0x9E3779B97F4A7C15L
-        v = (v ^ (v >>> 30)) * 0xBF58476D1CE4E5B9L
-        v = (v ^ (v >>> 27)) * 0x94D049BB133111EBL
-        java.lang.Math.floorMod(v ^ (v >>> 31), nTiles.toLong)
-      }
-      val nTiles = math.max(1L, (total + maxBroadcastRows - 1) / maxBroadcastRows).toInt
-      val tileResults = (0 until nTiles).map { t =>
-        val tileRows = vecs.filter(r => tileOf(r._1, nTiles) == t.toLong)
-        val tile = spark.sparkContext.broadcast(tileRows.collect())
-        val pairs = vecs.flatMap { case (v1, a, na) =>
-          tile.value.iterator
+      val pairs = tiledScan[(Long, Array[Double], Double), (Long, Long, Double)](
+        vecs, total, maxBroadcastRows, _._1,
+        { case ((v1, a, na), tile) =>
+          tile.iterator
             .filter(_._1 > v1)
             .map { case (v2, b, nb) =>
               var s = 0.0
@@ -135,20 +155,11 @@ object Similarity {
             .map { case (v1, v2, cos) =>
               (v1, v2, math.floor(cos * 10000.0 + 0.5) / 10000.0)
             }
-        }
-        // materialize this tile's (small, above-tau) pairs so the broadcast
-        // can be released before the next tile is collected — and in the
-        // single-tile case too: a long-lived driver would otherwise keep
-        // one live broadcast per invocation (the BPE-cache leak class)
-        val cp = pairs.localCheckpoint(true)
-        tile.destroy()
-        cp
-      }
-      tileResults.reduce(_ union _).toDF("v1", "v2", "cos")
+        })
+      pairs.toDF("v1", "v2", "cos")
     } finally {
-      // safe to schedule: single-tile plans compute from the persisted
-      // dataset lazily, but unpersist is blocking=false by default and the
-      // data is recomputable from lineage
+      // safe to schedule: the tiled scan materialized everything eagerly,
+      // and the data is recomputable from lineage regardless
       vecs.unpersist()
     }
   }
@@ -173,8 +184,15 @@ object Similarity {
       val n = math.sqrt(a.map(x => x * x).sum)
       Vectors.dense(a.map(x => if (n == 0) 0.0 else x / n).toArray)
     })
+    // zero-norm guard: a zero vector normalizes to the ORIGIN, whose LSH
+    // distance to any unit vector is 1 — the 1 - d²/2 map would hand it a
+    // phantom cos 0.5 against everything (1.0 against another zero
+    // vector). Every other path forces zero-norm cosine to 0.0; mark the
+    // rows so the score select can do the same.
+    val isZero = udf((a: Seq[Double]) => a == null || a.forall(_ == 0.0))
     val normed = emb.select(col(idCol).as("vid"),
-      toVec(col(vecCol).cast("array<double>")).as("v"))
+      toVec(col(vecCol).cast("array<double>")).as("v"),
+      isZero(col(vecCol).cast("array<double>")).as("z"))
     val lsh = new BucketedRandomProjectionLSH().setInputCol("v").setOutputCol("h")
       .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(42L)
     val model = lsh.fit(normed)
@@ -187,7 +205,9 @@ object Similarity {
     val joined = model.approxSimilarityJoin(queries, normed, distThreshold, "dist")
       .where(col("datasetA.vid") =!= col("datasetB.vid"))
       .select(col("datasetA.vid").as("qid"), col("datasetB.vid").as("cand"),
-        graft.Stable.r4(lit(1.0) - col("dist") * col("dist") / 2.0).as("cos"))
+        graft.Stable.r4(
+          when(col("datasetA.z") || col("datasetB.z"), 0.0)
+            .otherwise(lit(1.0) - col("dist") * col("dist") / 2.0)).as("cos"))
     rankTopK(joined, k)
   }
 
@@ -876,21 +896,13 @@ object Similarity {
       .as[(Long, Array[Long])].persist()
     try {
       val total = vecs.count()
-      def tileOf(id: Long, nTiles: Int): Long = {
-        var v = id + 0x9E3779B97F4A7C15L
-        v = (v ^ (v >>> 30)) * 0xBF58476D1CE4E5B9L
-        v = (v ^ (v >>> 27)) * 0x94D049BB133111EBL
-        java.lang.Math.floorMod(v ^ (v >>> 31), nTiles.toLong)
-      }
-      val nTiles = math.max(1L, (total + maxBroadcastRows - 1) / maxBroadcastRows).toInt
-      val tileResults = (0 until nTiles).map { t =>
-        val tile = spark.sparkContext.broadcast(
-          vecs.filter(r => tileOf(r._1, nTiles) == t.toLong).collect())
-        val cands = vecs.flatMap { case (vid, a) =>
+      val cands = tiledScan[(Long, Array[Long]), (Long, Long, Long)](
+        vecs, total, maxBroadcastRows, _._1,
+        { case ((vid, a), tile) =>
           // bounded insertion lists (k is small): ascending by (d2, nbr)
           val bestD = Array.fill(k)(Long.MaxValue)
           val bestI = Array.fill(k)(Long.MaxValue)
-          tile.value.foreach { case (nbr, b) =>
+          tile.foreach { case (nbr, b) =>
             if (nbr != vid) {
               var s = 0L
               var i = 0
@@ -910,17 +922,8 @@ object Similarity {
           }
           (0 until k).iterator.filter(bestD(_) != Long.MaxValue)
             .map(j => (vid, bestI(j), bestD(j)))
-        }
-        // eager checkpoint even for a single tile: the candidate set is
-        // n·k rows (small by construction), and materializing it lets the
-        // broadcast release immediately — a long-lived driver would
-        // otherwise accumulate one live broadcast per invocation (the
-        // leak class a prior review found in the BPE cache)
-        val cp = cands.localCheckpoint(true)
-        tile.destroy()
-        cp
-      }
-      val all = tileResults.reduce(_ union _).toDF("vid", "nbr", "d2")
+        })
+      val all = cands.toDF("vid", "nbr", "d2")
       val top = graft.plans.TopK.perKey(all, Seq("vid"),
         Seq(col("d2").asc, col("nbr").asc), k)
       val w = Window.partitionBy("vid").orderBy(col("d2"), col("nbr"))

@@ -164,6 +164,10 @@ object TrainPrepQueries {
         s"transform(sequence(0, nn - $n), k -> array_join(slice(tk, k + 1, $n), ' '))")).as("s"))
       .distinct()
       .withColumn("h", pmod(col("doc_id") * lit(69621L), lit(65536L)))
+      // materialize once: sizes, the eval side and the train side all read
+      // this corpus-sized table — without the checkpoint each consumer
+      // replays the shingle explode (the q126/q130 postings discipline)
+      .localCheckpoint()
     val sizes = posts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val ev = posts.where(col("h") < 6554L).select(col("doc_id").as("d_eval"), col("s"))
     val tr = posts.where(col("h") >= 6554L).select(col("doc_id").as("d_train"), col("s"))
@@ -286,8 +290,9 @@ object TrainPrepQueries {
     * same core at yesterday's and today's partitions.
     *
     * Exactness contract (the q117/q136 recipe): counts are exact BIGINTs,
-    * probabilities stay RATIONAL (Laplace +1 over bands, so no zero
-    * bands), the ln of the cross-ratio is micro-rounded once
+    * probabilities stay RATIONAL (Laplace +1 over the FULL 8-band lattice —
+    * densified, so a band empty in both snapshots still contributes its
+    * term whenever na != nb), the ln of the cross-ratio is micro-rounded once
     * (floor(ln·1e6 + 0.5) — both engines feed ln the same exact-integer
     * ratio), each band term is an exact DECIMAL product, and the per-
     * source sum is order-free DECIMAL addition with ONE final double
@@ -308,12 +313,23 @@ object TrainPrepQueries {
       .select(col("doc_id"), col("source"),
         least(expr("nt div 32"), lit(7L)).as("band"),
         (pmod(col("doc_id") * lit(37117L), lit(65536L)) < 32768L).as("in_a"))
-    val counts = d.groupBy("source", "band")
+    val observed = d.groupBy("source", "band")
       .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
         sum(when(col("in_a"), 0L).otherwise(1L)).as("cb"))
-    val totals = d.groupBy("source")
-      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
-        sum(when(col("in_a"), 0L).otherwise(1L)).as("nb"))
+    // densify to the full source x 8-band lattice: a band empty in BOTH
+    // snapshots still contributes its Laplace term whenever na != nb —
+    // dropping it understated the documented +1-over-8-bands metric
+    // (review finding, round 9)
+    val counts = observed.select("source").distinct()
+      .select(col("source"), explode(expr("sequence(0L, 7L)")).as("band"))
+      .join(observed, Seq("source", "band"), "left")
+      .select(col("source"), col("band"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    // totals are an exact rollup of the bounded counts table — no second
+    // corpus scan
+    val totals = counts.groupBy("source")
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     counts.join(totals, "source")
       .withColumn("num", (col("ca") + 1L) * (col("nb") + 8L))
       .withColumn("den", (col("cb") + 1L) * (col("na") + 8L))
@@ -337,14 +353,20 @@ object TrainPrepQueries {
            LEAST(CAST(len(string_split(text, ' ')) AS BIGINT) // 32, 7) AS band,
            (doc_id * 37117) % 65536 < 32768 AS in_a
          FROM documents),
-       counts AS (SELECT source, band,
+       observed AS (SELECT source, band,
            CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
            CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
          FROM d GROUP BY 1, 2),
-       totals AS (SELECT source,
-           CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
-           CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
-         FROM d GROUP BY 1),
+       lat AS (SELECT DISTINCT source FROM observed),
+       bands AS (SELECT l.source, u.band
+                 FROM lat l, unnest(generate_series(0, 7)) AS u(band)),
+       counts AS (SELECT b.source, b.band,
+           CAST(COALESCE(o.ca, 0) AS BIGINT) AS ca,
+           CAST(COALESCE(o.cb, 0) AS BIGINT) AS cb
+         FROM bands b LEFT JOIN observed o USING (source, band)),
+       totals AS (SELECT source, CAST(SUM(ca) AS BIGINT) AS na,
+                    CAST(SUM(cb) AS BIGINT) AS nb
+                  FROM counts GROUP BY 1),
        terms AS (SELECT c.source, t.na, t.nb,
            (c.ca + 1) * (t.nb + 8) AS num,
            (c.cb + 1) * (t.na + 8) AS den

@@ -504,4 +504,27 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == expected)
   }
+
+  test("annTopK zero-norm guard: a zero vector scores cos 0.0 everywhere " +
+       "and never outranks a genuine neighbor (review finding, round 9)") {
+    import spark.implicits._
+    // query 0 is parallel to 1, orthogonal to 2; vector 3 is all zeros
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity
+      .annTopK(embs, "vec_id", "embedding", Seq(0L), k = 3,
+        bucketLength = 4.0, numHashTables = 8)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    // the zero vector must not carry a phantom 0.5 similarity
+    got.get(3L).foreach(cos => assert(cos == 0.0, s"zero vector scored $cos"))
+    assert(got(1L) == 1.0, s"parallel neighbor must score 1.0: $got")
+    // and the zero vector can never rank above the genuine parallel match
+    val ranked = graft.ops.Similarity
+      .annTopK(embs, "vec_id", "embedding", Seq(0L), k = 1,
+        bucketLength = 4.0, numHashTables = 8)
+      .collect().map(_.getLong(1)).toSeq
+    assert(ranked == Seq(1L), s"top-1 must be the parallel vector: $ranked")
+  }
 }

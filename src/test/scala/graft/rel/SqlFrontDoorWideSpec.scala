@@ -342,9 +342,10 @@ object SqlFrontDoorWideSpec {
         s.replace(Duck2Spark.zipToksDuck, Duck2Spark.zipToksSpark),
         "zip-unnest tokenizer → posexplode (q23's patch); split predicate and " +
           "Jaccard algebra parse identically"),
-      "q141_corpus_drift" -> (id _,
-        "len/string_split renames + // div; LEAST, micro-ln, DECIMAL band " +
-          "products and the PSI fold parse identically"),
+      "q141_corpus_drift" -> ((s: String) => Duck2Spark.lateralSeries(s),
+        "len/string_split renames + // div + the band-lattice lateral " +
+          "generate_series; LEAST, micro-ln, DECIMAL band products and " +
+          "the PSI fold parse identically"),
       "q142_line_dedup" -> ((s: String) =>
         """WITH pg AS (SELECT doc_id,
                concat(

@@ -160,7 +160,11 @@ class TrainPrepQueriesSpec extends AnyFunSuite {
     val expected = bands.groupBy(_._1).map { case (src, rows) =>
       val na = rows.count(_._3).toLong
       val nb = rows.length - na
-      val terms = rows.groupBy(_._2).map { case (_, bs) =>
+      val byBand = rows.groupBy(_._2)
+      // the FULL 8-band lattice: a band empty in both snapshots still
+      // contributes its Laplace term whenever na != nb
+      val terms = (0L to 7L).map { band =>
+        val bs = byBand.getOrElse(band, Array.empty[(String, Long, Boolean)])
         val ca = bs.count(_._3).toLong
         val cb = bs.length - ca
         val num = (ca + 1) * (nb + 8)
