@@ -48,12 +48,13 @@ object Curation {
     * stream rows never mark state, so the admitted set is exactly the
     * batch op's "all batch rows whose key is not in the corpus"
     * (within-batch duplicates all admitted, like the anti-join). */
-  final class IncrementalDedupProcessor(dedupWithinStream: Boolean)
+  final class IncrementalDedupProcessor(dedupWithinStream: Boolean,
+                                        ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, SeedableDoc, AdmittedDoc] {
     @transient private var seen: ValueState[Boolean] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       seen = getHandle.getValueState[Boolean]("seenKey",
-        Encoders.scalaBoolean, TTLConfig.NONE)
+        Encoders.scalaBoolean, ttl)
     override def handleInputRows(key: String, rows: Iterator[SeedableDoc],
                                  timers: TimerValues): Iterator[AdmittedDoc] = {
       // buffer this key's micro-batch slice (tiny: one key's rows) so a
@@ -75,11 +76,12 @@ object Curation {
     * [[IncrementalDedupProcessor]] for the two modes. Requires the
     * RocksDB state store provider (state API v2). */
   def incrementalDedupStream(docs: Dataset[SeedableDoc],
-                             dedupWithinStream: Boolean = true): Dataset[AdmittedDoc] = {
+                             dedupWithinStream: Boolean = true,
+                             ttl: TTLConfig = TTLConfig.NONE): Dataset[AdmittedDoc] = {
     import docs.sparkSession.implicits._
     docs
       .groupByKey(_.key)
-      .transformWithState(new IncrementalDedupProcessor(dedupWithinStream),
+      .transformWithState(new IncrementalDedupProcessor(dedupWithinStream, ttl),
         TimeMode.None(), OutputMode.Append())
   }
 
@@ -101,12 +103,12 @@ object Curation {
     * corpus size. Counts and sums are exact integers, so the final
     * emitted card per source equals the batch aggregate over the same
     * rows regardless of micro-batch slicing (batch-parity spec'd). */
-  final class SourceCardProcessor
+  final class SourceCardProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, DocStat, SourceCard] {
     @transient private var card: ValueState[SourceCard] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       card = getHandle.getValueState[SourceCard]("card",
-        Encoders.product[SourceCard], TTLConfig.NONE)
+        Encoders.product[SourceCard], ttl)
     override def handleInputRows(key: String, rows: Iterator[DocStat],
                                  timers: TimerValues): Iterator[SourceCard] = {
       var c =
@@ -124,11 +126,12 @@ object Curation {
   /** Maintain running per-source dataset cards over a document stream —
     * emits each source's updated card every micro-batch it appears in
     * (Update mode downstream keeps the latest). */
-  def sourceCardStream(docs: Dataset[DocStat]): Dataset[SourceCard] = {
+  def sourceCardStream(docs: Dataset[DocStat],
+                       ttl: TTLConfig = TTLConfig.NONE): Dataset[SourceCard] = {
     import docs.sparkSession.implicits._
     docs
       .groupByKey(_.source)
-      .transformWithState(new SourceCardProcessor,
+      .transformWithState(new SourceCardProcessor(ttl),
         TimeMode.None(), OutputMode.Update())
   }
 
@@ -150,15 +153,19 @@ object Curation {
     * only causal option a continuous gate has (a later arrival cannot
     * evict an admission already emitted downstream). State per cell is
     * ONE long — bounded by the cell catalog, like the card processor. */
-  final class QuotaCapProcessor(k: Int)
+  final class QuotaCapProcessor(k: Int, ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, QuotaDoc, QuotaAdmit] {
     @transient private var admitted: ValueState[Long] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       admitted = getHandle.getValueState[Long]("admitted",
-        Encoders.scalaLong, TTLConfig.NONE)
+        Encoders.scalaLong, ttl)
     override def handleInputRows(key: String, rows: Iterator[QuotaDoc],
                                  timers: TimerValues): Iterator[QuotaAdmit] = {
       var c = if (admitted.exists()) admitted.get() else 0L
+      // saturated-cell fast path: the steady state of a capped cell is
+      // "drop everything" — skip the buffer+sort entirely (the
+      // LineDedupProcessor skip pattern)
+      if (c >= k) return Iterator.empty
       val out = scala.collection.mutable.ArrayBuffer.empty[QuotaAdmit]
       val slice = rows.toArray.sortBy(d => (d.pri, d.doc_id))
       var i = 0
@@ -175,11 +182,12 @@ object Curation {
   /** Enforce a per-cell admission quota over a document stream — the
     * continuous form of q138. Requires the RocksDB state store provider
     * (state API v2), like the other processors here. */
-  def quotaCapStream(docs: Dataset[QuotaDoc], k: Int): Dataset[QuotaAdmit] = {
+  def quotaCapStream(docs: Dataset[QuotaDoc], k: Int,
+                     ttl: TTLConfig = TTLConfig.NONE): Dataset[QuotaAdmit] = {
     import docs.sparkSession.implicits._
     docs
       .groupByKey(_.cell)
-      .transformWithState(new QuotaCapProcessor(k),
+      .transformWithState(new QuotaCapProcessor(k, ttl),
         TimeMode.None(), OutputMode.Append())
   }
 
@@ -208,12 +216,12 @@ object Curation {
     * one state row each here, and the store scales with shuffle
     * partitions; production bounds retention with a TTL horizon where
     * the dedup contract allows forgetting cold lines. */
-  final class LineDedupProcessor
+  final class LineDedupProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, LineIn, LineKeep] {
     @transient private var seen: ValueState[Boolean] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       seen = getHandle.getValueState[Boolean]("seenLine",
-        Encoders.scalaBoolean, TTLConfig.NONE)
+        Encoders.scalaBoolean, ttl)
     override def handleInputRows(key: String, rows: Iterator[LineIn],
                                  timers: TimerValues): Iterator[LineKeep] = {
       if (seen.exists()) Iterator.empty
@@ -228,11 +236,12 @@ object Curation {
   /** Admit each distinct line's first occurrence over a page stream — the
     * continuous form of q142's keeper election. Requires the RocksDB
     * state store provider (state API v2). */
-  def lineDedupStream(lines: Dataset[LineIn]): Dataset[LineKeep] = {
+  def lineDedupStream(lines: Dataset[LineIn],
+                      ttl: TTLConfig = TTLConfig.NONE): Dataset[LineKeep] = {
     import lines.sparkSession.implicits._
     lines
       .groupByKey(_.line)
-      .transformWithState(new LineDedupProcessor,
+      .transformWithState(new LineDedupProcessor(ttl),
         TimeMode.None(), OutputMode.Append())
   }
 }
