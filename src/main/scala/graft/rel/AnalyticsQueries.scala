@@ -563,10 +563,17 @@ object AnalyticsQueries {
       .distinct()
     val nBaskets = ob.select(countDistinct(col("okey")).as("n_baskets"))
     val brandCnt = ob.groupBy("brand").agg(count(lit(1)).as("cnt"))
-    val a = ob.select(col("okey"), col("brand").as("b1"))
-    val b = ob.select(col("okey"), col("brand").as("b2"))
-    val pairCnt = a.join(b, "okey").where(col("b1") < col("b2"))
-      .groupBy("b1", "b2").agg(count(lit(1)).as("cnt_ab"))
+    // pair expansion is ROW-LOCAL off the collected basket (sorted, so
+    // b1 < b2 by construction) — one basket-keyed exchange instead of the
+    // basket self-join, whose per-key sort the aggregate form avoids
+    val pairCnt = ob.groupBy("okey")
+      .agg(sort_array(collect_set(col("brand"))).as("bs"))
+      .select(explode(expr(
+        """flatten(transform(bs, (x, i) ->
+             transform(slice(bs, i + 2, size(bs)),
+               y -> struct(x AS b1, y AS b2))))""")).as("p"))
+      .groupBy(col("p.b1").as("b1"), col("p.b2").as("b2"))
+      .agg(count(lit(1)).as("cnt_ab"))
     val c1 = brandCnt.select(col("brand").as("b1"), col("cnt").as("cnt_a"))
     val c2 = brandCnt.select(col("brand").as("b2"), col("cnt").as("cnt_b"))
     pairCnt
