@@ -19,6 +19,7 @@ object FourthWavePropertySpec {
   final case class UrlRow(doc_id: Long, url: String)
   final case class Vec(vec_id: Long, embedding: Array[Double])
   final case class LangCnt(lang: String, cnt: Long)
+  final case class Edge(u: Long, v: Long)
 }
 
 class FourthWavePropertySpec extends AnyFunSuite {
@@ -215,6 +216,64 @@ class FourthWavePropertySpec extends AnyFunSuite {
       if (spent < total * 5 / 2)
         assert(got.forall { case (_, c, a) => a == c * 3 },
           s"leftover with an uncapped language: $got")
+    }
+  }
+
+  // ---- q163 triangle counting -----------------------------------------------
+
+  // random graphs with a planted CELEBRITY hub (every node attaches to
+  // node 0 with high probability) — exactly the skew shape the
+  // degree-ordered orientation exists to survive
+  private val graphGen: Gen[List[Edge]] = for {
+    n <- Gen.choose(4, 14)
+    extra <- Gen.listOfN(n * 2, for {
+      a <- Gen.choose(0L, (n - 1).toLong)
+      b <- Gen.choose(0L, (n - 1).toLong)
+    } yield (a, b))
+    hub <- Gen.listOfN(n, Gen.choose(1L, (n - 1).toLong))
+  } yield (extra ++ hub.map(x => (0L, x)))
+    .filter { case (a, b) => a != b }
+    .map { case (a, b) => Edge(a min b, a max b) }
+    .distinct
+
+  test("triangleCounts: brute-force triple-scan equality on random graphs " +
+       "with a planted celebrity hub") {
+    import spark.implicits._
+    for (edges <- sample(graphGen, 10, 4040L).filter(_.nonEmpty)) {
+      val eset = edges.map(e => (e.u, e.v)).toSet
+      val nodes = eset.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      def adj(a: Long, b: Long) = eset((a min b, a max b))
+      val expected = nodes.map { n =>
+        val tri = (for {
+          a <- nodes; if a != n && adj(n, a)
+          b <- nodes; if b > a && b != n && adj(n, b) && adj(a, b)
+        } yield 1).size.toLong
+        (n, eset.count(e => e._1 == n || e._2 == n).toLong, tri)
+      }
+      val got = AnalyticsQueries.triangleCounts(edges.toDF("u", "v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expected, s"on $eset")
+      // 3 x triangle count identity: per-node credits sum to 3 per triangle
+      assert(got.map(_._3).sum % 3 == 0)
+    }
+  }
+
+  // ---- q165 k-anonymity ------------------------------------------------------
+
+  test("k-anonymity distribution: mass conservation and terminal share 1.0 " +
+       "hold on random quasi-identifier tables (via the customer replay " +
+       "shape over synthetic classes)") {
+    // pure-scala property of the distribution algebra the query implements
+    for (sizes <- sample(Gen.listOfN(30, Gen.choose(1L, 9L)), 10, 606L)) {
+      val dist = sizes.groupBy(identity).toSeq
+        .map { case (sz, cs) => (sz, cs.length.toLong, cs.length * sz) }
+        .sortBy(_._1)
+      val total = dist.map(_._3).sum
+      var cum = 0L
+      val shares = dist.map { case (_, _, nr) => cum += nr; cum.toDouble / total }
+      assert(total == sizes.sum)
+      assert(math.abs(shares.last - 1.0) < 1e-12)
+      assert(shares == shares.sorted, "cumulative share must be monotone")
     }
   }
 
