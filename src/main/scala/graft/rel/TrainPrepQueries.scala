@@ -460,13 +460,66 @@ object TrainPrepQueries {
            / 10000.0 AS epochs
        FROM alloc ORDER BY lang"""
 
+  // ---- q166: temperature-scaled mixture weights ------------------------------
+
+  /** Temperature-scaled sampling weights — the pre-UniMax standard
+    * (multilingual BERT/XLM-R: p_i ∝ cnt_i^(1/T), here T = 2, i.e.
+    * square-root scaling) that q154 fixes the failure modes of; shipped
+    * alongside it so a user can A/B the two allocators. Output per
+    * language: exact token count, the r4 sampling share, and the r4
+    * implied epochs at a one-corpus-epoch token budget (share·total /
+    * cnt — the over/under-sampling factor the temperature buys).
+    *
+    * Exactness contract: cnt^(1/2) is IEEE sqrt (correctly rounded, so
+    * bit-identical in both engines — the q159 precedent), micro-rounded
+    * to a BIGINT BEFORE the share sum, so the denominator is an exact
+    * integer; shares and epochs are r4'd terminal divisions.
+    *
+    * Scale shape: one map-side-combinable (lang) aggregate; everything
+    * after runs on the |langs|-row table with the 1-row totals
+    * broadcast back (the q147/q164 pattern). */
+  def q166TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("lang").agg(sum(col("n")).as("cnt"))
+      .withColumn("sq", expr("CAST(floor(sqrt(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"))
+    val totals = counts.agg(sum(col("sq")).as("sq_tot"), sum(col("cnt")).as("n_tot"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("lang"), col("cnt").cast("long").as("n_tokens"),
+        graft.Stable.r4(col("sq").cast("double") / col("sq_tot").cast("double"))
+          .as("share"),
+        graft.Stable.r4(col("sq").cast("double") / col("sq_tot").cast("double")
+          * col("n_tot").cast("double") / col("cnt").cast("double")).as("epochs"))
+      .orderBy("lang")
+  }
+
+  /** Verbatim-shape twin (IEEE sqrt + micro-rounding both sides). */
+  val q166Oracle: String =
+    """WITH cnt AS (SELECT lang,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS cnt
+         FROM documents GROUP BY lang),
+       sq AS (SELECT lang, cnt,
+           CAST(floor(sqrt(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS sq
+         FROM cnt),
+       tot AS (SELECT CAST(SUM(sq) AS BIGINT) AS sq_tot,
+                      CAST(SUM(cnt) AS BIGINT) AS n_tot FROM sq)
+       SELECT lang, cnt AS n_tokens,
+         floor(CAST(sq AS DOUBLE) / CAST(sq_tot AS DOUBLE) * 10000.0 + 0.5)
+           / 10000.0 AS share,
+         floor(CAST(sq AS DOUBLE) / CAST(sq_tot AS DOUBLE)
+           * CAST(n_tot AS DOUBLE) / CAST(cnt AS DOUBLE) * 10000.0 + 0.5)
+           / 10000.0 AS epochs
+       FROM sq CROSS JOIN tot
+       ORDER BY lang"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q137_sequence_pack" -> (q137SequencePack _),
     "q138_quota_sample" -> (q138QuotaSample _),
     "q139_split_leakage" -> (q139SplitLeakage _),
     "q140_cluster_balance" -> (q140ClusterBalance _),
     "q141_corpus_drift" -> (q141CorpusDrift _),
-    "q154_unimax_alloc" -> (q154UnimaxAlloc _))
+    "q154_unimax_alloc" -> (q154UnimaxAlloc _),
+    "q166_temperature_mix" -> (q166TemperatureMix _))
 
   val oracles: Map[String, String] = Map(
     "q137_sequence_pack" -> q137Oracle,
@@ -474,5 +527,6 @@ object TrainPrepQueries {
     "q139_split_leakage" -> q139Oracle,
     "q140_cluster_balance" -> q140Oracle,
     "q141_corpus_drift" -> q141Oracle,
-    "q154_unimax_alloc" -> q154Oracle)
+    "q154_unimax_alloc" -> q154Oracle,
+    "q166_temperature_mix" -> q166Oracle)
 }

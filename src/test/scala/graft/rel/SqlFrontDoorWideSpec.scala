@@ -424,6 +424,9 @@ object SqlFrontDoorWideSpec {
         "epoch_ms → unix_millis + // div + fraction-literal typing; the " +
           "named WINDOW clause and integer RANGE frame parse identically " +
           "(the q79 precedent)"),
+      "q166_temperature_mix" -> (id _,
+        "len/string_split renames + fraction-literal typing; IEEE sqrt, " +
+          "micro-rounding and the CROSS JOIN totals parse identically"),
       "q165_k_anonymity" -> (id _,
         "fraction-literal typing only; the quasi-identifier grouping, " +
           "bounded cumulative window and CROSS JOIN total parse identically"),

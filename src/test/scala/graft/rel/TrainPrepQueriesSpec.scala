@@ -181,6 +181,32 @@ class TrainPrepQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q166: temperature shares replay from scratch and sqrt scaling " +
+       "upsamples smaller languages (epochs non-increasing in size)") {
+    val cnts = docs().map { case (_, _, lang, toks) => (lang, toks.length.toLong) }
+      .groupBy(_._1).map { case (l, rows) => (l, rows.map(_._2).sum) }
+    val sq = cnts.map { case (l, c) =>
+      (l, c, math.floor(math.sqrt(c.toDouble) * 1e6 + 0.5).toLong) }
+    val sqTot = sq.map(_._3).sum
+    val nTot = cnts.values.sum
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val expected = sq.toSeq.map { case (l, c, s) =>
+      (l, c, r4(s.toDouble / sqTot), r4(s.toDouble / sqTot * nTot / c))
+    }.sortBy(_._1)
+    val got = TrainPrepQueries.q166TemperatureMix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    // sqrt scaling's whole point: the implied epochs fall as size grows
+    val bySize = got.sortBy(_._2)
+    bySize.sliding(2).foreach {
+      case Seq(a, b) => assert(a._4 >= b._4,
+        s"temperature scaling must not upsample the larger language: $a vs $b")
+      case _ => ()
+    }
+    // shares form a distribution (r4 slack only)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-3)
+  }
+
   test("q154: the integer waterfill replays from scratch and both UniMax " +
        "regimes (epoch-capped tail, budget-limited head) occur") {
     val cnts = docs().map { case (_, _, lang, toks) => (lang, toks.length.toLong) }
