@@ -682,6 +682,113 @@ object AnalyticsQueries {
        FROM dist d CROSS JOIN tot t
        ORDER BY class_size"""
 
+  // ---- q167: funnel time-to-convert distribution ------------------------------
+
+  /** Time-to-convert distribution for the q148 funnel: per fully
+    * converting user, the view→purchase latency in whole hours, bucketed
+    * into a fixed-bin integer histogram whose summary row reports count,
+    * min/max, mean (r4) and the interpolated p50/p90 — the "how long
+    * does conversion take" KPI next to q148's "how many convert".
+    *
+    * Exactness contract: stage times chain in raw microseconds (q148's
+    * recipe); latencies floor to integer hours; the histogram is exact
+    * integer counts over ≤ 16 fixed bins and the quantile interpolation
+    * is the q120 recipe — cumulative window over the bounded bin table,
+    * one r4'd terminal division per estimate (DuckDB replays the
+    * identical interpolation).
+    *
+    * Scale shape: the q148 single user-keyed window exchange, then a
+    * per-user 1-row projection and a ≤16-key aggregate with map-side
+    * combine; quantiles run over the bin catalog, never the users. */
+  def q167ConversionLatency(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val staged = t(s, dir, "events")
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("ts") > col("t1"), col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ts") > col("t2"), col("ts"))).over(w))
+    val lat = staged.groupBy("user_id")
+      .agg(max(col("t1")).as("t1"), max(col("t3")).as("t3"))
+      .where(col("t3").isNotNull)
+      .select(col("user_id"),
+        expr("(unix_micros(t3) - unix_micros(t1)) div 3600000000").as("hrs"))
+    val bins = lat
+      .select(least(expr("hrs div 24"), lit(15L)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val cum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stats = lat.agg(count(lit(1)).as("n_users"),
+      min(col("hrs")).as("min_hrs"), max(col("hrs")).as("max_hrs"),
+      sum(col("hrs")).as("sum_hrs"))
+    def quantile(q: Double): org.apache.spark.sql.Column = {
+      // THE covering bin: cumulative count reaches q·n here and had not
+      // before — exactly one bin satisfies both sides, so the MIN
+      // aggregates a singleton (a one-sided condition would also admit
+      // every later bin, whose negative interpolation offset can undercut
+      // the true value); interpolate within the bin's 24-hour width
+      val qn = lit(q) * col("n_users").cast("double")
+      min(when(col("cn").cast("double") >= qn &&
+               (col("cn") - col("n")).cast("double") < qn,
+        col("bin").cast("double") * 24.0
+          + (qn - (col("cn") - col("n")).cast("double"))
+            / col("n").cast("double") * 24.0))
+    }
+    bins.withColumn("cn", sum(col("n")).over(cum))
+      .crossJoin(broadcast(stats))
+      .agg(min(col("n_users")).as("n_users"),
+        min(col("min_hrs")).cast("long").as("min_hrs"),
+        min(col("max_hrs")).cast("long").as("max_hrs"),
+        Stable.r4(min(col("sum_hrs")).cast("double")
+          / min(col("n_users")).cast("double")).as("mean_hrs"),
+        Stable.r4(quantile(0.5)).as("p50_hrs"),
+        Stable.r4(quantile(0.9)).as("p90_hrs"))
+  }
+
+  /** DuckDB twin — the same chained minima, hour floor, 24h bins and
+    * interpolation algebra. */
+  val q167Oracle: String =
+    """WITH w1 AS (SELECT user_id, event_type, ts,
+           min(CASE WHEN event_type = 'view' THEN ts END)
+             OVER (PARTITION BY user_id) AS t1
+         FROM events),
+       w2 AS (SELECT user_id, event_type, ts, t1,
+           min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+             OVER (PARTITION BY user_id) AS t2
+         FROM w1),
+       w3 AS (SELECT user_id, t1, t2,
+           min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+             OVER (PARTITION BY user_id) AS t3
+         FROM w2),
+       pu AS (SELECT user_id, max(t1) AS t1, max(t3) AS t3
+              FROM w3 GROUP BY user_id),
+       lat AS (SELECT user_id,
+                 (epoch_us(t3) - epoch_us(t1)) // 3600000000 AS hrs
+               FROM pu WHERE t3 IS NOT NULL),
+       bins AS (SELECT LEAST(hrs // 24, 15) AS bin, COUNT(*) AS n
+                FROM lat GROUP BY 1),
+       stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(MIN(hrs) AS BIGINT) AS min_hrs,
+                   CAST(MAX(hrs) AS BIGINT) AS max_hrs,
+                   CAST(SUM(hrs) AS BIGINT) AS sum_hrs FROM lat),
+       c AS (SELECT bin, n,
+               SUM(n) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+             FROM bins)
+       SELECT MIN(s.n_users) AS n_users,
+         MIN(s.min_hrs) AS min_hrs, MIN(s.max_hrs) AS max_hrs,
+         floor(CAST(MIN(s.sum_hrs) AS DOUBLE) / CAST(MIN(s.n_users) AS DOUBLE)
+           * 10000.0 + 0.5) / 10000.0 AS mean_hrs,
+         floor(MIN(CASE WHEN CAST(cn AS DOUBLE) >= 0.5 * s.n_users
+                        AND CAST(cn - n AS DOUBLE) < 0.5 * s.n_users
+           THEN bin * 24.0 + (0.5 * s.n_users - (cn - n)) / n * 24.0 END)
+           * 10000.0 + 0.5) / 10000.0 AS p50_hrs,
+         floor(MIN(CASE WHEN CAST(cn AS DOUBLE) >= 0.9 * s.n_users
+                        AND CAST(cn - n AS DOUBLE) < 0.9 * s.n_users
+           THEN bin * 24.0 + (0.9 * s.n_users - (cn - n)) / n * 24.0 END)
+           * 10000.0 + 0.5) / 10000.0 AS p90_hrs
+       FROM c CROSS JOIN stats s"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q148_funnel" -> (q148Funnel _),
     "q149_retention_cohorts" -> (q149RetentionCohorts _),
@@ -692,7 +799,8 @@ object AnalyticsQueries {
     "q161_scd2_history" -> (q161Scd2History _),
     "q163_triangle_count" -> (q163TriangleCount _),
     "q164_association_rules" -> (q164AssociationRules _),
-    "q165_k_anonymity" -> (q165KAnonymity _))
+    "q165_k_anonymity" -> (q165KAnonymity _),
+    "q167_conversion_latency" -> (q167ConversionLatency _))
 
   val oracles: Map[String, String] = Map(
     "q148_funnel" -> q148Oracle,
@@ -704,5 +812,6 @@ object AnalyticsQueries {
     "q161_scd2_history" -> q161Oracle,
     "q163_triangle_count" -> q163Oracle,
     "q164_association_rules" -> q164Oracle,
-    "q165_k_anonymity" -> q165Oracle)
+    "q165_k_anonymity" -> q165Oracle,
+    "q167_conversion_latency" -> q167Oracle)
 }

@@ -347,6 +347,35 @@ class AnalyticsQueriesSpec extends AnyFunSuite {
     assert(got.last._4 == 1.0, "the cumulative share must end at exactly 1.0")
   }
 
+  test("q167: the latency summary matches a from-scratch chained-minima + " +
+       "histogram-interpolation replay") {
+    val byUser = events().groupBy(_._1)
+    val lats = byUser.values.flatMap { es =>
+      val t1 = es.filter(_._2 == "view").map(_._3).minOption
+      val t2 = t1.flatMap(a => es.filter(e => e._2 == "click" && e._3 > a)
+        .map(_._3).minOption)
+      val t3 = t2.flatMap(a => es.filter(e => e._2 == "purchase" && e._3 > a)
+        .map(_._3).minOption)
+      for (a <- t1; c <- t3) yield (c - a) / 3600000000L
+    }.toSeq
+    val n = lats.length.toLong
+    val bins = lats.groupBy(h => math.min(h / 24, 15L)).view
+      .mapValues(_.length.toLong).toSeq.sortBy(_._1)
+    def quant(q: Double): Double = {
+      var cum = 0L
+      bins.collectFirst {
+        case (bin, cnt) if { cum += cnt; cum.toDouble >= q * n } =>
+          bin * 24.0 + (q * n - (cum - cnt)) / cnt * 24.0
+      }.get
+    }
+    val expected = (n, lats.min, lats.max, r4(lats.sum.toDouble / n),
+      r4(quant(0.5)), r4(quant(0.9)))
+    val got = AnalyticsQueries.q167ConversionLatency(spark, dir).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getDouble(3),
+      got.getDouble(4), got.getDouble(5)) == expected)
+    assert(n > 0, "some users must fully convert at this SF")
+  }
+
   test("q150 plan: the LEAD window partitions by user_id and the " +
        "normalization window runs over the catalog-sized pair table only") {
     val p = plan("q150_event_transitions")

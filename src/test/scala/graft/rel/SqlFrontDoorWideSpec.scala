@@ -427,6 +427,10 @@ object SqlFrontDoorWideSpec {
       "q166_temperature_mix" -> (id _,
         "len/string_split renames + fraction-literal typing; IEEE sqrt, " +
           "micro-rounding and the CROSS JOIN totals parse identically"),
+      "q167_conversion_latency" -> ((s: String) =>
+          s.replace("epoch_us(", "unix_micros("),
+        "epoch_us → unix_micros; chained windows, hour/bin floors and the " +
+          "q120 interpolation algebra parse identically"),
       "q165_k_anonymity" -> (id _,
         "fraction-literal typing only; the quasi-identifier grouping, " +
           "bounded cumulative window and CROSS JOIN total parse identically"),
