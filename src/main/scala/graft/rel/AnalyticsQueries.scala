@@ -54,10 +54,13 @@ object AnalyticsQueries {
   def q148Funnel(s: SparkSession, dir: String): DataFrame =
     funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))
 
-  /** Core of q148 over any (user_id, event_type, ts) frame and ordered
-    * stage list — spec/library entry point. */
-  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
-    require(stages.nonEmpty, "funnel needs at least one stage")
+  /** Per-user chained stage-completion times over any (user_id,
+    * event_type, ts) frame: one row per user with columns t1..tn — the
+    * strict-after chained minima both [[funnel]] (q148) and
+    * [[q167ConversionLatency]] consume, kept in ONE place so a fix to
+    * the chaining semantics cannot leave a second copy divergent. */
+  def stageTimes(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "a funnel needs at least one stage")
     val w = Window.partitionBy("user_id")
     // Chain stage minima left to right; each references the previous
     // stage's window column, so each gets its own projection (same
@@ -68,8 +71,13 @@ object AnalyticsQueries {
         min(when(col("event_type") === st && prev, col("ts"))).over(w))
     }
     val stageMaxes = stages.indices.map(i => max(col(s"t${i + 1}")).as(s"t${i + 1}"))
-    val perUser = staged.groupBy("user_id")
-      .agg(stageMaxes.head, stageMaxes.tail: _*)
+    staged.groupBy("user_id").agg(stageMaxes.head, stageMaxes.tail: _*)
+  }
+
+  /** Core of q148 over any (user_id, event_type, ts) frame and ordered
+    * stage list — spec/library entry point. */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    val perUser = stageTimes(events, stages)
     val counts = perUser.agg(
       count(col("t1")).as("n1"),
       stages.indices.drop(1).map(i => count(col(s"t${i + 1}")).as(s"n${i + 1}")): _*)
@@ -475,7 +483,10 @@ object AnalyticsQueries {
     // orient each edge toward the higher (degree, id) endpoint
     val du = deg.select(col("node").as("u"), col("degree").as("du"))
     val dv = deg.select(col("node").as("v"), col("degree").as("dv"))
-    val oriented = edges.join(broadcast(du), "u").join(broadcast(dv), "v")
+    // plain equi-joins: the degree table is node-count-sized, so a forced
+    // broadcast would OOM a genuinely large graph — AQE broadcasts small
+    // builds (q163's 50-node catalog included) on its own
+    val oriented = edges.join(du, "u").join(dv, "v")
       .select(
         when(col("du") < col("dv") ||
              (col("du") === col("dv") && col("u") < col("v")), col("u"))
@@ -701,15 +712,7 @@ object AnalyticsQueries {
     * per-user 1-row projection and a ≤16-key aggregate with map-side
     * combine; quantiles run over the bin catalog, never the users. */
   def q167ConversionLatency(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id")
-    val staged = t(s, dir, "events")
-      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
-      .withColumn("t2", min(when(col("event_type") === "click" &&
-        col("ts") > col("t1"), col("ts"))).over(w))
-      .withColumn("t3", min(when(col("event_type") === "purchase" &&
-        col("ts") > col("t2"), col("ts"))).over(w))
-    val lat = staged.groupBy("user_id")
-      .agg(max(col("t1")).as("t1"), max(col("t3")).as("t3"))
+    val lat = stageTimes(t(s, dir, "events"), Seq("view", "click", "purchase"))
       .where(col("t3").isNotNull)
       .select(col("user_id"),
         expr("(unix_micros(t3) - unix_micros(t1)) div 3600000000").as("hrs"))
