@@ -79,7 +79,9 @@ object GraftFunctions {
     ("graft_deal_prediction", classOf[DealPredictionExpr],
       (e: Seq[Expression]) => DealPredictionExpr(e.head)),
     ("graft_expand_refs", classOf[ExpandRefsExpr],
-      (e: Seq[Expression]) => ExpandRefsExpr(e.head)))
+      (e: Seq[Expression]) => ExpandRefsExpr(e.head)),
+    ("graft_double_bits", classOf[DoubleSortableBits],
+      (e: Seq[Expression]) => DoubleSortableBits(e.head)))
 
   // 3-arg constructor: the usage-string overloads are deprecated since 3.0
   private def info(name: String, cls: Class[_]) =

@@ -196,15 +196,41 @@ object ExtraQueries {
        FROM sessed GROUP BY user_id, sid
        ORDER BY user_id, session_start_s"""
 
-  // ---- approx percentile sketch (no-oracle, like q09's HLL) ------------------
+  // ---- exact distributed quantiles (q68) -------------------------------------
 
-  /** Sketch-quantile counterpart to q49's exact percentiles:
+  /** EXACT per-group quantiles at scale — q68's round-10 body, retiring
+    * the engine's last no-oracle row. [[graft.ops.ExactQuantiles]]
+    * binary-searches the IEEE-754 bit domain of each value column with
+    * ≤4 passes of map-side-combinable bucket counts (order-free, so the
+    * result is bit-reproducible at any partitioning and hash-matches
+    * DuckDB `quantile_disc` exactly) — no per-group full sort, no
+    * sketch error. [[q68ApproxPercentile]] remains the documented
+    * mergeable-sketch alternative (GK; rank-error-bounded against this
+    * exact form in `PlanDisciplineSpec`). */
+  def q68ExactQuantile(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ExactQuantiles.Req
+    graft.ops.ExactQuantiles.quantileDisc(
+      t(s, dir, "lineitem"), "l_returnflag", Seq(
+        Req("l_quantity", 0.5, "median_qty"),
+        Req("l_quantity", 0.9, "p90_qty"),
+        Req("l_extendedprice", 0.25, "p25_price")))
+      .orderBy("l_returnflag")
+  }
+
+  val q68Oracle: String =
+    """SELECT l_returnflag,
+         quantile_disc(l_quantity, 0.5) AS median_qty,
+         quantile_disc(l_quantity, 0.9) AS p90_qty,
+         quantile_disc(l_extendedprice, 0.25) AS p25_price
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Sketch-quantile counterpart to q68's exact selection:
     * `approx_percentile` (Greenwald-Khanna) with accuracy 10000. The
-    * sketch is mergeable, so it scales as a partial+final aggregation —
-    * the 100-TB shape exact percentile (full sort per group) lacks.
-    * No-oracle (sketch internals are engine-specific); GK's guarantee is
-    * a RANK error bound, and the spec asserts its observable value
-    * consequence against q49's exact percentiles with slack for the
+    * sketch is mergeable, so it scales as a partial+final aggregation;
+    * its merge is not commutative-exact, which is why the DECLARED q68
+    * is the exact binary-search form. GK's guarantee is a RANK error
+    * bound, and the spec asserts its observable value consequence
+    * against the exact quantiles with slack for the
     * element-vs-interpolated gap. */
   def q68ApproxPercentile(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -1280,7 +1306,7 @@ object ExtraQueries {
     "q65_csv_roundtrip" -> (q65CsvRoundtrip _),
     "q66_salted_agg" -> (q66SaltedAgg _),
     "q67_session_window" -> (q67SessionWindow _),
-    "q68_approx_percentile" -> (q68ApproxPercentile _),
+    "q68_exact_quantile" -> (q68ExactQuantile _),
     "q69_orc_roundtrip" -> (q69OrcRoundtrip _),
     "q70_unpivot" -> (q70Unpivot _),
     "q71_gap_fill" -> (q71GapFill _),
@@ -1315,6 +1341,7 @@ object ExtraQueries {
     "q65_csv_roundtrip" -> q65Oracle,
     "q66_salted_agg" -> q66Oracle,
     "q67_session_window" -> q67Oracle,
+    "q68_exact_quantile" -> q68Oracle,
     "q69_orc_roundtrip" -> q69Oracle,
     "q70_unpivot" -> q70Oracle,
     "q71_gap_fill" -> q71Oracle,

@@ -244,4 +244,113 @@ object Curation {
       .transformWithState(new LineDedupProcessor(ttl),
         TimeMode.None(), OutputMode.Append())
   }
+
+  // ---- composable end-to-end curation pipeline ------------------------------
+  //
+  // The stages above each gate ONE granularity (line content, content key,
+  // quota cell). Composing them into the batch chain line-dedup → corpus
+  // dedup → quota (CurationPipelineSpec's shape) inside ONE streaming query
+  // needs a bridge the drop-only LineDedupProcessor cannot provide: a
+  // downstream doc-granularity stage must know when a document's line set
+  // is COMPLETE, but dropped lines simply never arrive. The fix is to make
+  // the line gate emit a VERDICT for every line (kept or dropped) and let a
+  // doc-keyed reassembler count verdicts against the page's line count —
+  // completion becomes data, no watermark or timer needed, and the whole
+  // chain runs under one checkpoint/state regime.
+
+  /** One line of a page entering the verdict gate, carrying everything the
+    * downstream reassembler needs: its page's language (quota routing) and
+    * total line count (completion detection). */
+  final case class PageLine(line: String, doc_id: Long, pos: Int,
+                            lang: String, n_lines: Int)
+
+  /** A judged line: `kept` iff this occurrence is the line's global first
+    * (the q142 election). Every input line yields exactly one verdict. */
+  final case class LineVerdict(doc_id: Long, pos: Int, line: String,
+                               kept: Boolean, lang: String, n_lines: Int)
+
+  /** [[LineDedupProcessor]]'s election with total emission: within a
+    * micro-batch the (doc_id, pos)-minimal occurrence of an unseen line is
+    * kept, every other occurrence (same batch or later) is judged dropped.
+    * Same one-boolean-per-line state. */
+  final class LineVerdictProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[String, PageLine, LineVerdict] {
+    @transient private var seen: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seenLine",
+        Encoders.scalaBoolean, ttl)
+    override def handleInputRows(key: String, rows: Iterator[PageLine],
+                                 timers: TimerValues): Iterator[LineVerdict] = {
+      val buf = rows.toArray
+      val winner: Option[(Long, Int)] =
+        if (seen.exists()) None
+        else { seen.update(true); Some { val w = buf.minBy(r => (r.doc_id, r.pos)); (w.doc_id, w.pos) } }
+      buf.iterator.map(r => LineVerdict(r.doc_id, r.pos, r.line,
+        kept = winner.contains((r.doc_id, r.pos)), r.lang, r.n_lines))
+    }
+  }
+
+  /** A page rebuilt from its surviving lines, in original line order. */
+  final case class RebuiltDoc(doc_id: Long, lang: String, text: String,
+                              n_kept: Int)
+
+  /** Per-doc state for [[DocReassembleProcessor]]: verdicts seen so far
+    * and the kept (pos, line) pairs. */
+  final case class DocAsm(n_seen: Int, kept_pos: List[Int],
+                          kept_line: List[String])
+
+  /** Doc-keyed reassembly: accumulate line verdicts until all `n_lines`
+    * of the page have been judged, then emit the rebuilt document (kept
+    * lines joined in position order — empty text, not dropped row, when
+    * everything was duplicate: q129's contract) and CLEAR the state.
+    * State per in-flight doc is bounded by its line count and exists only
+    * between a page's first and last verdict — at scale the store holds
+    * the ingestion frontier, not the corpus. */
+  final class DocReassembleProcessor
+      extends StatefulProcessor[Long, LineVerdict, RebuiltDoc] {
+    @transient private var asm: ValueState[DocAsm] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      asm = getHandle.getValueState[DocAsm]("docAsm",
+        Encoders.product[DocAsm], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[LineVerdict],
+                                 timers: TimerValues): Iterator[RebuiltDoc] = {
+      val buf = rows.toArray
+      val before = if (asm.exists()) asm.get() else DocAsm(0, Nil, Nil)
+      val kept = buf.filter(_.kept)
+      val st = DocAsm(before.n_seen + buf.length,
+        before.kept_pos ++ kept.map(_.pos).toList,
+        before.kept_line ++ kept.map(_.line).toList)
+      val total = buf.head.n_lines
+      if (st.n_seen >= total) {
+        asm.clear()
+        val ordered = st.kept_pos.zip(st.kept_line).sortBy(_._1).map(_._2)
+        Iterator.single(RebuiltDoc(key, buf.head.lang,
+          ordered.mkString("\n"), ordered.length))
+      } else { asm.update(st); Iterator.empty }
+    }
+  }
+
+  /** The full continuous curation chain — line dedup → doc reassembly →
+    * corpus dedup (keep-first on the REBUILT content) → per-lang quota —
+    * as ONE streaming query: four keyed state operators under a single
+    * checkpoint. `pri` for the quota election is the doc_id, so in-order
+    * feeding admits the first `quotaK` novel docs per language. */
+  def curationPipelineStream(lines: Dataset[PageLine], quotaK: Int,
+                             ttl: TTLConfig = TTLConfig.NONE): Dataset[QuotaAdmit] = {
+    import lines.sparkSession.implicits._
+    val verdicts = lines.groupByKey(_.line)
+      .transformWithState(new LineVerdictProcessor(ttl),
+        TimeMode.None(), OutputMode.Append())
+    val rebuilt = verdicts.groupByKey(_.doc_id)
+      .transformWithState(new DocReassembleProcessor,
+        TimeMode.None(), OutputMode.Append())
+    val admitted = incrementalDedupStream(
+      rebuilt.map(d => SeedableDoc(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          + ":" + d.lang, d.doc_id, d.lang, is_seed = false)),
+      dedupWithinStream = true, ttl)
+    quotaCapStream(admitted.map(a => QuotaDoc(a.lang, a.doc_id, a.doc_id)),
+      quotaK, ttl)
+  }
 }

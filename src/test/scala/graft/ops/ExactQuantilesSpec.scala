@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+import graft.ops.ExactQuantiles.Req
+
+/** [[ExactQuantiles]] — the exact distributed order-statistic selection
+  * behind q68. Oracle discipline lives in the driver's DuckDB gate; this
+  * spec pins the algorithm itself: agreement with a local sort
+  * (exact-decimal ⌈q·n⌉ rank, the empirically-verified DuckDB
+  * `quantile_disc` rule) across adversarial value sets — mixed signs
+  * (the sortable-bits sign split), ±0.0, denormals, duplicates, nulls,
+  * single-element groups — plus the bit-transform round-trip and the
+  * pass-count bound.
+  */
+class ExactQuantilesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  /** Local reference: k-th smallest, k = clamp(⌈q·n⌉, 1, n) with the
+    * product taken exactly over q's shortest-decimal spelling. */
+  private def ref(vs: Seq[Double], q: Double): Double = {
+    val sorted = vs.sorted
+    val k0 = java.math.BigDecimal.valueOf(q)
+      .multiply(java.math.BigDecimal.valueOf(sorted.length.toLong))
+      .setScale(0, java.math.RoundingMode.CEILING).longValueExact()
+    val k = math.max(1L, math.min(sorted.length.toLong, k0))
+    sorted((k - 1).toInt)
+  }
+
+  private def run(rows: Seq[(String, java.lang.Double)], qs: Seq[Double]): Map[String, Seq[java.lang.Double]] = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 7),
+      StructType(Seq(StructField("g", StringType), StructField("x", DoubleType))))
+    val reqs = qs.zipWithIndex.map { case (q, i) => Req("x", q, s"v$i") }
+    ExactQuantiles.quantileDisc(df, "g", reqs).collect()
+      .map(r => r.getString(0) -> qs.indices.map(i =>
+        if (r.isNullAt(i + 1)) null else java.lang.Double.valueOf(r.getDouble(i + 1))))
+      .toMap
+  }
+
+  test("sortable-bits transform round-trips and preserves order") {
+    val vs = Seq(Double.MinValue, -1e300, -2.5, -java.lang.Double.MIN_VALUE, -0.0,
+      0.0, java.lang.Double.MIN_VALUE, 1e-300, 2.5, 1e300, Double.MaxValue)
+    val keyed = vs.map { v =>
+      val b = java.lang.Double.doubleToLongBits(v)
+      val k = if (b < 0L) b ^ Long.MaxValue else b
+      // round-trip is bit-exact (−0.0 comes back as −0.0)
+      assert(java.lang.Double.doubleToLongBits(ExactQuantiles.fromSortableBits(k)) == b)
+      k
+    }
+    assert(keyed == keyed.sorted, "long order must equal double order")
+  }
+
+  test("matches local sort on adversarial mixed-sign data (multi-group, multi-q)") {
+    val rnd = new scala.util.Random(42)
+    val special = Seq(-0.0, 0.0, -1e308, 1e308, 1e-310, -1e-310, 3.5, 3.5, 3.5)
+    val data: Seq[(String, java.lang.Double)] =
+      (for (g <- Seq("a", "b", "c"); i <- 0 until 200) yield {
+        val v = rnd.nextInt(4) match {
+          case 0 => rnd.nextGaussian() * 1e6
+          case 1 => -rnd.nextDouble()
+          case 2 => rnd.nextInt(10).toDouble // heavy duplicates
+          case _ => special(rnd.nextInt(special.length))
+        }
+        (g, java.lang.Double.valueOf(v))
+      }) ++ Seq(("a", null: java.lang.Double), ("b", null: java.lang.Double))
+    val qs = Seq(0.0, 0.01, 0.25, 0.31, 0.5, 0.62, 0.9, 0.99, 1.0)
+    val got = run(data, qs)
+    for (g <- Seq("a", "b", "c")) {
+      val vs = data.collect { case (`g`, v) if v != null => v.doubleValue }
+      qs.zipWithIndex.foreach { case (q, i) =>
+        val e = ref(vs, q)
+        val a = got(g)(i)
+        assert(a != null && java.lang.Double.doubleToLongBits(a.doubleValue) ==
+          java.lang.Double.doubleToLongBits(e), s"g=$g q=$q: got $a want $e")
+      }
+    }
+  }
+
+  test("single-element and all-null groups; two value columns in one call") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("one", java.lang.Double.valueOf(7.25), java.lang.Double.valueOf(1.0)),
+        Row("nul", null, java.lang.Double.valueOf(2.0)),
+        Row("nul", null, java.lang.Double.valueOf(4.0))), 2),
+      StructType(Seq(StructField("g", StringType),
+        StructField("x", DoubleType), StructField("y", DoubleType))))
+    val out = ExactQuantiles.quantileDisc(df, "g",
+        Seq(Req("x", 0.5, "mx"), Req("y", 0.5, "my")))
+      .collect().map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
+    assert(out("one") == ((7.25, 1.0)))
+    assert(out("nul")._1 == null)
+    assert(out("nul")._2 == 2.0) // ⌈0.5·2⌉=1 → 1st smallest
+  }
+
+  test("q68 rank rule on the probed DuckDB edges (exact-decimal ceil, 0.9·10 wobble)") {
+    val ten = (1 to 10).map(i => ("g", java.lang.Double.valueOf(i.toDouble)))
+    val got = run(ten, Seq(0.9, 0.3, 0.35, 0.05, 0.15, 0.31, 0.45, 0.2, 0.21))
+    // ⌈q·n⌉ over the exact decimal: 9, 3, ⌈3.5⌉=4, ⌈0.5⌉=1, ⌈1.5⌉=2,
+    // ⌈3.1⌉=4, ⌈4.5⌉=5, 2, ⌈2.1⌉=3 — each value probed against DuckDB;
+    // 0.9 is the discriminating case (double 0.9·10 = 9.000000000000002,
+    // naive fp ceil would pick the 10th element)
+    assert(got("g") == Seq(9.0, 3.0, 4.0, 1.0, 2.0, 4.0, 5.0, 2.0, 3.0)
+      .map(java.lang.Double.valueOf))
+  }
+
+  test("converges in ≤4 count passes over the full double bit domain") {
+    // widest possible window: [-MaxValue, +MaxValue] splits on sign at init,
+    // then each pass divides the remaining span by 2^16; 63 bits / 16 < 4
+    val rows = Seq(Row("g", -1e308), Row("g", 1e308), Row("g", 1e-310), Row("g", 0.0))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("g", StringType), StructField("x", DoubleType))))
+    val (out, passes) =
+      ExactQuantiles.quantileDiscWithPasses(df, "g", Seq(Req("x", 0.75, "v")))
+    assert(out.collect().head.getDouble(1) == 1e-310)
+    assert(passes <= 4, s"expected ≤4 refinement passes, ran $passes")
+  }
+}

@@ -233,13 +233,26 @@ class PlanDisciplineSpec extends AnyFunSuite {
     // correct sketch
     val exact = graft.SparkEntry.queries("q49_percentiles")(spark, dir).collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    val approx = graft.SparkEntry.queries("q68_approx_percentile")(spark, dir).collect()
+    val approx = ExtraQueries.q68ApproxPercentile(spark, dir).collect()
     approx.foreach { r =>
       val ex = exact(r.getString(0))
       Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)).zip(ex).foreach {
         case (a, e) =>
           assert(math.abs(a - e) <= math.max(0.05 * math.abs(e), 1.0),
             s"${r.getString(0)}: approx $a vs exact $e")
+      }
+    }
+    // and the GK sketch is value-close to the DECLARED exact q68 (same
+    // quantiles, quantile_disc rank rule) — the sketch's rank slack plus
+    // the discrete-element gap bound both engines' answers together
+    val exactQ68 = graft.SparkEntry.queries("q68_exact_quantile")(spark, dir).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    approx.foreach { r =>
+      val eq = exactQ68(r.getString(0))
+      Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)).zip(eq).foreach {
+        case (a, e) =>
+          assert(math.abs(a - e) <= math.max(0.05 * math.abs(e), 1.0),
+            s"${r.getString(0)}: sketch $a vs exact-disc $e")
       }
     }
   }

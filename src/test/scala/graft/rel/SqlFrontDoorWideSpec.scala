@@ -141,6 +141,12 @@ object SqlFrontDoorWideSpec {
                  FROM documents WHERE doc_id < 50)
            ORDER BY doc_id, pos""",
         "parallel unnest zip → posexplode (0-based in both)"),
+      "q68_exact_quantile" -> ((s: String) =>
+        s.replaceAll("""quantile_disc\((\w+), ([0-9.]+)\)""",
+          "percentile_disc($2) WITHIN GROUP (ORDER BY $1)"),
+        "quantile_disc(col,q) → ANSI percentile_disc(q) WITHIN GROUP — same " +
+          "exact-decimal ⌈q·n⌉ rank (the full-sort twin checks the " +
+          "binary-search DataFrame form)"),
       "q22_dedup_keyed" -> ((s: String) =>
         """SELECT user_id, event_type, event_id, ts_us FROM (
              SELECT user_id, event_type, event_id, (unix_micros(ts) * 1000) div 1000 AS ts_us,

@@ -1,0 +1,148 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.streaming.Analytics.{AttrObs, ClosedVersion, StageHit, UserEvent}
+import graft.streaming.Curation.{LineIn, LineKeep, QuotaAdmit, QuotaDoc}
+
+/** Checkpoint-restart parity for the round-9 v2 state processors
+  * ([[Analytics.FunnelProcessor]], [[Analytics.Scd2Processor]],
+  * [[Curation.QuotaCapProcessor]], [[Curation.LineDedupProcessor]]):
+  * each test KILLS the query between micro-batches and restarts a fresh
+  * incarnation from the same RocksDB checkpoint, asserting the union of
+  * emissions equals an unbroken run over the same data — i.e. the keyed
+  * state (chained funnel minima, open SCD2 interval, admission counter,
+  * line membership) survives recovery and nothing is re-emitted.
+  *
+  * Harness: JSON file source → processor → parquet file sink with
+  * `Trigger.AvailableNow()` — the same recovery-capable source/sink pair
+  * `StreamingSpec`'s exactly-once test pins (memory sinks cannot recover
+  * from a checkpoint, so they can't exercise this path). Each batch is
+  * written to the source dir before its incarnation runs; inputs are fed
+  * in event-time order so the restarted and unbroken runs see the same
+  * causal order and the processors' in-batch replay sorts make both
+  * deterministic.
+  */
+class StreamingRestartSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  /** Feed `batches` through `xform` as N kill-and-restart incarnations
+    * sharing one checkpoint, and once as a single unbroken incarnation;
+    * return (restarted emissions, unbroken emissions). */
+  private def restartedVsUnbroken[I <: Product : Encoder, O](
+      batches: Seq[Seq[I]], schema: String,
+      xform: Dataset[I] => Dataset[_])(read: org.apache.spark.sql.Row => O): (Seq[O], Seq[O]) = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def runChain(feeds: Seq[Seq[I]]): Seq[O] = {
+        val src = java.nio.file.Files.createTempDirectory("graft-rs-src").toString
+        val out = java.nio.file.Files.createTempDirectory("graft-rs-out").toString + "/data"
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-rs-ckpt").toString
+        feeds.foreach { b =>
+          b.toDF().coalesce(1).write.mode("append").json(src)
+          val q = xform(spark.readStream.schema(schema).json(src).as[I])
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination(60000); q.stop()
+        }
+        spark.read.parquet(out).collect().toSeq.map(read)
+      }
+      (runChain(batches), runChain(Seq(batches.flatten)))
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("funnel processor: chained stage minima survive a checkpoint restart") {
+    import spark.implicits._
+    // user 1 views before the kill, clicks+purchases after: stages 2 and 3
+    // can only chain if FunnelTimes was recovered. user 2's full funnel sits
+    // in batch 1; user 3 clicks without a view (must never emit).
+    val b1 = Seq(
+      UserEvent(1L, "view", 1000L, 1L),
+      UserEvent(2L, "view", 1100L, 2L), UserEvent(2L, "click", 1200L, 3L),
+      UserEvent(2L, "purchase", 1300L, 4L),
+      UserEvent(3L, "click", 1400L, 5L))
+    val b2 = Seq(
+      UserEvent(1L, "click", 2000L, 6L), UserEvent(1L, "purchase", 2100L, 7L),
+      UserEvent(3L, "click", 2200L, 8L))
+    val schema = "user_id LONG, event_type STRING, ts_micros LONG, event_id LONG"
+    val (restarted, unbroken) = restartedVsUnbroken(Seq(b1, b2), schema,
+      (ds: Dataset[UserEvent]) => Analytics.funnelStream(ds, "view", "click", "purchase"))(
+      r => StageHit(r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(restarted.toSet == unbroken.toSet)
+    assert(restarted.length == unbroken.length, "restart re-emitted a stage hit")
+    assert(restarted.toSet == Set(
+      StageHit(1L, 1, 1000L), StageHit(1L, 2, 2000L), StageHit(1L, 3, 2100L),
+      StageHit(2L, 1, 1100L), StageHit(2L, 2, 1200L), StageHit(2L, 3, 1300L)))
+  }
+
+  test("SCD2 processor: the open interval survives a checkpoint restart") {
+    import spark.implicits._
+    // user 1 opens attr "a" before the kill; the post-restart "b" closes it
+    // with from_ms recorded pre-kill — only possible if OpenAttr recovered.
+    // The version-3 close proves the version counter also carried.
+    val b1 = Seq(AttrObs(1L, "a", 1000L, 1L, 1L),
+      AttrObs(2L, "x", 1500L, 1L, 2L))
+    val b2 = Seq(AttrObs(1L, "b", 2000L, 2L, 3L),
+      AttrObs(1L, "c", 3000L, 3L, 4L),
+      AttrObs(2L, "x", 2500L, 2L, 5L)) // same attr: absorbed, no close
+    val schema = "user_id LONG, attr STRING, ts_micros LONG, ts_ms LONG, event_id LONG"
+    val (restarted, unbroken) = restartedVsUnbroken(Seq(b1, b2), schema,
+      (ds: Dataset[AttrObs]) => Analytics.scd2Stream(ds))(
+      r => ClosedVersion(r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(restarted.toSet == unbroken.toSet)
+    assert(restarted.length == unbroken.length, "restart re-emitted a closed version")
+    assert(restarted.toSet == Set(
+      ClosedVersion(1L, 1L, "a", 1L, 2L), ClosedVersion(1L, 2L, "b", 2L, 3L)))
+  }
+
+  test("quota processor: the admission counter survives a checkpoint restart") {
+    import spark.implicits._
+    // cell "x" saturates (k=2) before the kill — post-restart arrivals must
+    // be dropped; cell "y" admits one on each side of the kill and the
+    // second admission's rank 2 proves the counter recovered, not reset.
+    val b1 = Seq(QuotaDoc("x", 1L, 10L), QuotaDoc("x", 2L, 20L),
+      QuotaDoc("y", 5L, 10L))
+    // batch-2 priorities all sort after batch-1's — the processor's
+    // documented slicing-invariance precondition, so the unbroken run
+    // elects the same admissions
+    val b2 = Seq(QuotaDoc("x", 3L, 30L), QuotaDoc("y", 6L, 20L))
+    val schema = "cell STRING, doc_id LONG, pri LONG"
+    val (restarted, unbroken) = restartedVsUnbroken(Seq(b1, b2), schema,
+      (ds: Dataset[QuotaDoc]) => Curation.quotaCapStream(ds, k = 2))(
+      r => QuotaAdmit(r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(restarted.toSet == unbroken.toSet)
+    assert(restarted.length == unbroken.length, "restart re-admitted into a full cell")
+    assert(restarted.toSet == Set(
+      QuotaAdmit("x", 1L, 1L), QuotaAdmit("x", 2L, 2L),
+      QuotaAdmit("y", 5L, 1L), QuotaAdmit("y", 6L, 2L)))
+  }
+
+  test("line-dedup processor: line membership survives a checkpoint restart") {
+    import spark.implicits._
+    // "chrome" is kept pre-kill and re-arrives post-restart (must drop);
+    // "fresh" first appears post-restart (must keep).
+    val b1 = Seq(LineIn("chrome", 1L, 0), LineIn("body one", 1L, 1))
+    val b2 = Seq(LineIn("chrome", 2L, 0), LineIn("fresh", 2L, 1))
+    val schema = "line STRING, doc_id LONG, pos INT"
+    val (restarted, unbroken) = restartedVsUnbroken(Seq(b1, b2), schema,
+      (ds: Dataset[LineIn]) => Curation.lineDedupStream(ds))(
+      r => LineKeep(r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(restarted.toSet == unbroken.toSet)
+    assert(restarted.length == unbroken.length, "restart re-kept a seen line")
+    assert(restarted.toSet == Set(
+      LineKeep(1L, 0, "chrome"), LineKeep(1L, 1, "body one"),
+      LineKeep(2L, 1, "fresh")))
+  }
+}
