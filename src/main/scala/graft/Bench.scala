@@ -138,10 +138,43 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val canaryEnd = canary()
     println(s"CANARY start=${r3(canaryStart)} end=${r3(canaryEnd)}")
+    // Canary-normalized drift vs the committed reference run
+    // (bench_baseline.json: per-query medians + the canary of the box
+    // that produced them). The canary ratio is pure machine speed, so
+    // dividing it out of the per-query ratios separates code drift from
+    // environment drift MECHANICALLY — a q127-class false alarm shows up
+    // as raw ratio ≈ canary ratio, normalized ratio ≈ 1. Compact (median
+    // + worst-3) so the final line stays inside the driver's 2000-char
+    // tail capture.
+    val normJson: String = {
+      val basePath = "bench_baseline.json"
+      try {
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(basePath))) {
+          val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(basePath))
+          val qre = """"(q[0-9a-z_]+)":([0-9.]+)""".r
+          val baseQ = qre.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val cre = """"canary":([0-9.]+)""".r
+          val baseCanary = cre.findFirstMatchIn(txt).map(_.group(1).toDouble)
+          val canaryNow = math.min(canaryStart, canaryEnd)
+          val cr = baseCanary.map(c => canaryNow / c).getOrElse(1.0)
+          val norm = results.collect {
+            case (name, v) if v > 0 && baseQ.getOrElse(short(name), -1.0) > 0.05 =>
+              short(name) -> (v / cr) / baseQ(short(name))
+          }
+          if (norm.nonEmpty) {
+            val med = norm.map(_._2).sorted.apply(norm.size / 2)
+            val worst = norm.sortBy(-_._2).take(3)
+              .map { case (n, r) => s"$n:${r3(r)}" }.mkString(",")
+            s""","norm":{"cratio":${r3(cr)},"med":${r3(med)},"worst":"$worst"}"""
+          } else ""
+        } else ""
+      } catch { case _: Throwable => "" }
+    }
     // total LAST in the object: even a head-truncated capture still ends
     // with ...,"metric":"total","value":N} so the headline is recoverable
     val finalJson =
-      s"""{"queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir","canary":{"start":${r3(canaryStart)},"end":${r3(canaryEnd)}},"unit":"sec","metric":"total","value":${r3(total)}}"""
+      s"""{"queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir","canary":{"start":${r3(canaryStart)},"end":${r3(canaryEnd)}}$normJson,"unit":"sec","metric":"total","value":${r3(total)}}"""
     println(finalJson)
     // Belt and suspenders: the artifact also lands in a file, so the
     // round record no longer depends on the driver's stdout tail-capture

@@ -410,6 +410,28 @@ class PipelineQueriesSpec extends AnyFunSuite {
       s"exactly the content-sharing pair must qualify: ${x.toList}")
   }
 
+  test("weightedJaccardPairsAuto: measured pair mass picks the declared form " +
+       "on the real corpus and the prefix filter on a boilerplate flood") {
+    val corpus = SparkTestBase.spark.read
+      .parquet(s"${SparkTestBase.Sf0001}/documents.parquet")
+      .select($"doc_id", $"text")
+    // real corpus: idf pruning leaves a sub-linear pair mass -> declared
+    assert(!PipelineQueries.weightedFormIsPruned(corpus, n = 3))
+    // flood: 40 docs sharing a 30-shingle template that SURVIVES the idf
+    // cut (df=40 < N so iw>0) -> pair mass ~ 30·C(40,2) >> 64·N
+    val boiler = (1 to 32).map(i => s"b$i").mkString(" ")
+    val rows = (1L to 40L).map(id => (id, s"$boiler u$id")) :+
+      (99L, (1 to 40).map(j => s"v$j").mkString(" ")) // one non-template doc
+    val flood = rows.toDF("doc_id", "text")
+    assert(PipelineQueries.weightedFormIsPruned(flood, n = 3))
+    // the selection is cost-only: auto output == declared output on both
+    val got = PipelineQueries.weightedJaccardPairsAuto(flood, n = 3, tau = 0.3)
+      .collect().toSeq
+    val want = PipelineQueries.weightedJaccardPairs(flood, n = 3, tau = 0.3)
+      .collect().toSeq
+    assert(got == want)
+  }
+
   // ---- q136 Zipf slope -------------------------------------------------------
 
   test("zipfSlope: two-point hand case and negative slope on the real corpus") {
