@@ -64,24 +64,12 @@ object Bench {
             .replaceAll("[^\\x20-\\x7e]", " ").take(160)
       }
     }
-    // Fixed-cost canary: a deterministic 8M-long xorshift fill + JVM sort,
-    // zero I/O, zero Spark — a pure measure of the box (CPU clock, load,
-    // thermal state) at run time. Timed at start AND end of the suite and
-    // recorded in the final JSON so cross-round comparisons can separate
-    // environment drift from code regressions (round 8's 1.75x shared-
-    // query jump was partly machine noise with no control to prove it).
-    def canary(): Double = {
-      (1 to 3).map { _ =>
-        val n = 8 << 20
-        val a = new Array[Long](n)
-        var x = 0x9e3779b97f4a7c15L
-        var i = 0
-        while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; a(i) = x; i += 1 }
-        val t0 = System.nanoTime()
-        java.util.Arrays.sort(a)
-        (System.nanoTime() - t0) / 1e9
-      }.min // min of 3: the least-interrupted run is the machine's speed
-    }
+    // Canary timed at start AND end of the suite and recorded in the
+    // final JSON so cross-round comparisons can separate environment
+    // drift from code regressions (round 8's 1.75x shared-query jump was
+    // partly machine noise with no control to prove it). ONE shared
+    // definition (BenchUtil) across every tool that records it.
+    def canary(): Double = BenchUtil.canary()
     val canaryStart = canary()
     // n repetitions, median per query: an n=1 timing cannot distinguish a
     // real regression from shuffle/GC jitter at sub-second magnitudes.

@@ -1,0 +1,27 @@
+package graft
+
+/** Shared bench plumbing — ONE definition of the machine-speed canary
+  * (and the 3-decimal formatter) used by [[Bench]], `tools/BenchScaling`
+  * and the committed `bench_baseline.json`: the canary's whole purpose
+  * is CROSS-ARTIFACT comparability, so its parameters (array size, rep
+  * count, min-of-3) must never drift between the tools that record it.
+  */
+object BenchUtil {
+
+  /** Fixed-cost canary: a deterministic 8M-long xorshift fill + JVM
+    * sort, zero I/O, zero Spark — a pure measure of the box (CPU clock,
+    * load, thermal state) at run time. Min of 3: the least-interrupted
+    * run is the machine's speed. */
+  def canary(): Double = (1 to 3).map { _ =>
+    val n = 8 << 20
+    val a = new Array[Long](n)
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; a(i) = x; i += 1 }
+    val t0 = System.nanoTime()
+    java.util.Arrays.sort(a)
+    (System.nanoTime() - t0) / 1e9
+  }.min
+
+  def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+}

@@ -11,15 +11,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * magnitude bits, so the full signed-long order matches the double
   * order (−max < … < −0.0 < +0.0 < … < +max < NaN).
   *
-  * This is the scan-side kernel of [[graft.ops.ExactQuantiles]]: it lets
-  * an exact distributed quantile binary-search the VALUE domain with
-  * integer bucket counts (map-side-combinable, order-free) and then
-  * recover the exact original double bit-for-bit via
-  * [[graft.ops.ExactQuantiles.fromSortableBits]] — no epsilon, no
+  * This is the scan-side kernel of [[graft.ops.ExactQuantiles]]: its
+  * key projection runs this expression inside whole-stage codegen over
+  * the vectorized parquet scan, so the quantile search can binary-search
+  * the VALUE domain with integer bucket counts (map-side-combinable,
+  * order-free) and then recover the exact original double bit-for-bit
+  * via [[graft.ops.ExactQuantiles.fromSortableBits]] — no epsilon, no
   * micro-quantization, no lossy round-trip. Spark has no built-in that
   * exposes float bits, so this is the documented SQL-inexpressible
-  * exception class; it is a native codegen expression (not a UDF) so the
-  * per-pass scans stay inside whole-stage codegen.
+  * exception class; it is a native codegen expression (not a UDF), also
+  * registered as the `graft_double_bits` SQL function.
   */
 case class DoubleSortableBits(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

@@ -137,6 +137,14 @@ object ExactQuantiles {
   def quantileDisc(df: DataFrame, groupCol: String, reqs: Seq[Req]): DataFrame =
     quantileDiscWithPasses(df, groupCol, reqs)._1
 
+  /** Hard cap on concurrent (group × request) search states: each active
+    * state owns ≤65537 buckets of the shared per-partition count array,
+    * so the cap bounds that array at ~67 MB — the enforcement of the
+    * "group cardinality must be reporting-bounded" contract, failing
+    * fast with a clear message instead of letting a high-cardinality
+    * group column OOM executors (or overflow the array size). */
+  val MaxStates = 128
+
   /** [[quantileDisc]] plus the number of refinement passes it ran — the
     * observable the convergence spec pins (≤4 for any double data). */
   def quantileDiscWithPasses(df: DataFrame, groupCol: String, reqs: Seq[Req]): (DataFrame, Int) = {
@@ -147,13 +155,17 @@ object ExactQuantiles {
     val nCols = cols.length
     val cidOf = cols.zipWithIndex.toMap
 
-    // One column-pruned scan → (group, colId, sortable bits), cached narrow.
-    val proj = df.select(col(groupCol) +: cols.map(c => col(c).cast("double")): _*)
+    // One column-pruned scan → (group, sortable bits per column), the bit
+    // transform running as the codegen'd [[graft.exprs.DoubleSortableBits]]
+    // INSIDE the Catalyst projection (whole-stage codegen over the
+    // vectorized scan); only the narrow long columns cross into the RDD.
+    val proj = df.select(col(groupCol) +:
+      cols.map(c => sortableBits(col(c).cast("double"))): _*)
     val keys = proj.rdd.mapPartitions { it =>
       it.flatMap { r =>
         val g = r.get(0)
         (0 until nCols).iterator.collect {
-          case i if !r.isNullAt(i + 1) => (g, i, toSortableBits(r.getDouble(i + 1)))
+          case i if !r.isNullAt(i + 1) => (g, i, r.getLong(i + 1))
         }
       }
     }.persist(StorageLevel.MEMORY_AND_DISK)
@@ -183,6 +195,11 @@ object ExactQuantiles {
           }
         }
       }
+      require(states.length <= MaxStates,
+        s"quantileDisc: ${states.length} (group × request) search states exceed " +
+          s"MaxStates=$MaxStates — the group column must be reporting-bounded " +
+          "(a rollup catalog, not a high-cardinality key); aggregate or bucket " +
+          "the groups first, or raise the cap knowingly")
 
       // Refinement passes: one shuffle-free histogram job per pass — each
       // partition allocates its own primitive partial (nothing shipped

@@ -38,8 +38,9 @@ import org.apache.spark.sql.functions._
   *          sampling with integer weights and a hash-bucket fraction).
   *   - q119 per-key top-k on the custom [[graft.plans.TopKPerKey]]
   *          operator, under the driver hash gate directly.
-  *   - q120 deterministic mergeable histogram quantiles (the order-exact
-  *          alternative to q68's approx_percentile).
+  *   - q120 deterministic mergeable histogram quantiles (the SKETCH-side
+  *          order-exact recipe; q68's declared body is the exact
+  *          binary-search selection since round 10).
   *   - q121 BPE tokenizer vocabulary induction (merge learning on the
   *          word-frequency table; fixture oracle).
   *
@@ -1181,9 +1182,11 @@ object CurationQueries {
   // ---- q120: deterministic mergeable histogram quantiles ---------------------
 
   /** Approximate quantiles from an equi-width histogram sketch — the
-    * ORDER-EXACT alternative to q68's `approx_percentile`:
-    * QuantileSummaries' merge is not commutative-exact (which is why q68
-    * is the catalog's one spec-bounded row), but a fixed-bin histogram
+    * ORDER-EXACT sketch alternative to GK `approx_percentile`:
+    * QuantileSummaries' merge is not commutative-exact (which kept q68
+    * spec-bounded until round 10 swapped its body for the EXACT
+    * binary-search selection, `ops/ExactQuantiles` — GK survives as the
+    * documented sketch counterpart), but a fixed-bin histogram
     * is a plain integer vector whose merge is vector addition —
     * commutative, associative, deterministic at any partitioning, and
     * tiny (nBins longs per partition, mergeable map-side). Estimate =

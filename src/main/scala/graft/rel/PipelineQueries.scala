@@ -604,20 +604,26 @@ object PipelineQueries {
     * never change a result — only its cost. */
   def weightedJaccardPairsAuto(docs: DataFrame, n: Int, tau: Double,
                                pairsPerDocBudget: Long = 64L): DataFrame = {
-    val n_docs = math.max(1L, docs.count())
+    val (shw, tw, pruned) = weightedDecision(docs, n, pairsPerDocBudget)
+    if (pruned) weightedJaccardPrunedFrom(shw, tw, tau)
+    else weightedJaccardFrom(shw, tw, tau)
+  }
+
+  /** ONE home for the auto-select predicate: build the postings (shared
+    * with whichever form runs) and compare the measured pair mass to the
+    * linear budget. */
+  private def weightedDecision(docs: DataFrame, n: Int,
+                               pairsPerDocBudget: Long): (DataFrame, DataFrame, Boolean) = {
+    val nDocs = math.max(1L, docs.count())
     val (shw, tw) = weightedPostings(docs, n)
     val (pairs, _) = pairMassOf(shw)
-    if (pairs > pairsPerDocBudget * n_docs)
-      weightedJaccardPrunedFrom(shw, tw, tau)
-    else weightedJaccardFrom(shw, tw, tau)
+    (shw, tw, pairs > pairsPerDocBudget * nDocs)
   }
 
   /** The [[weightedJaccardPairsAuto]] decision alone (spec surface). */
   def weightedFormIsPruned(docs: DataFrame, n: Int,
-                           pairsPerDocBudget: Long = 64L): Boolean = {
-    val n_docs = math.max(1L, docs.count())
-    weightedPairMass(docs, n)._1 > pairsPerDocBudget * n_docs
-  }
+                           pairsPerDocBudget: Long = 64L): Boolean =
+    weightedDecision(docs, n, pairsPerDocBudget)._3
 
   val q126Oracle: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t,

@@ -34,16 +34,7 @@ object BenchScaling {
     val names = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(o => o.contains(n.takeWhile(_ != '_'))) }
 
-    def canary(): Double = (1 to 3).map { _ =>
-      val n = 8 << 20
-      val a = new Array[Long](n)
-      var x = 0x9e3779b97f4a7c15L
-      var i = 0
-      while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; a(i) = x; i += 1 }
-      val t0 = System.nanoTime()
-      java.util.Arrays.sort(a)
-      (System.nanoTime() - t0) / 1e9
-    }.min
+    def canary(): Double = graft.BenchUtil.canary()
 
     // JIT/codegen warmup on the smallest SF (the Bench recipe)
     names.foreach { case (_, fn) =>
@@ -70,7 +61,7 @@ object BenchScaling {
     val t01 = measure("/root/testdata/sf0.1")
     val canaryEnd = canary()
 
-    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def r3(v: Double): String = graft.BenchUtil.r3(v)
     case class RowR(name: String, a: Double, b: Double, ratio: Double, flagged: Boolean)
     val rows = names.map { case (name, _) =>
       val a = t001.getOrElse(name, -1.0)

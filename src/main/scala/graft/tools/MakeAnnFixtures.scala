@@ -17,9 +17,11 @@ import org.apache.spark.sql.SparkSession
   * semantic contract). Determinism prerequisites, per query class:
   * hash-only kernels (q34/q35), fixed-seed LSH/k-means (q36/q55/q75/q76/
   * q102), commutative HLL register merge (q09), fixed-seed LBFGS over
-  * stable file-split partitioning (q39), fit-once TF-IDF (q42). The
-  * order-sensitive exception is approx_percentile (q68): QuantileSummaries
-  * merge is not commutative-exact, so it stays spec-bounded no-oracle.
+  * stable file-split partitioning (q39), fit-once TF-IDF (q42).
+  * (Historical note: GK approx_percentile was the one order-sensitive
+  * exception until round 10 replaced q68's body with the exact
+  * binary-search quantile — the declared catalog no longer has an
+  * order-sensitive row.)
   *
   * Run: sbt "runMain graft.tools.MakeAnnFixtures"
   * (session shape mirrors graft.Verify so the fixture is produced by the

@@ -54,6 +54,30 @@ class ExactQuantilesSpec extends AnyFunSuite {
     assert(keyed == keyed.sorted, "long order must equal double order")
   }
 
+  test("graft_double_bits codegen expression agrees with the scalar twin " +
+       "(SQL function + Column paths)") {
+    val vs = Seq(Double.MinValue, -1e300, -2.5, -java.lang.Double.MIN_VALUE, -0.0,
+      0.0, java.lang.Double.MIN_VALUE, 1e-300, 2.5, 1e300, Double.MaxValue)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vs.map(v => Row(java.lang.Double.valueOf(v))) :+ Row(null), 2),
+      StructType(Seq(StructField("x", DoubleType))))
+    df.createOrReplaceTempView("bits_probe")
+    graft.exprs.GraftFunctions.register(spark)
+    // SQL-function spelling (codegen'd projection over the frame)
+    val got = spark.sql(
+      "SELECT x, graft_double_bits(x) AS k FROM bits_probe").collect()
+    got.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1))
+      else assert(r.getLong(1) == ExactQuantiles.toSortableBits(r.getDouble(0)),
+        s"codegen diverged from scalar on ${r.getDouble(0)}")
+    }
+    // Column spelling used by the operator's key projection
+    val viaCol = df.select(ExactQuantiles.sortableBits(org.apache.spark.sql.functions.col("x")))
+      .collect().map(r => if (r.isNullAt(0)) null else Long.box(r.getLong(0)))
+    val want = (vs.map(v => Long.box(ExactQuantiles.toSortableBits(v))) :+ null)
+    assert(viaCol.toSeq == want)
+  }
+
   test("matches local sort on adversarial mixed-sign data (multi-group, multi-q)") {
     val rnd = new scala.util.Random(42)
     val special = Seq(-0.0, 0.0, -1e308, 1e308, 1e-310, -1e-310, 3.5, 3.5, 3.5)
