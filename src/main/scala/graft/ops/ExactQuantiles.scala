@@ -80,6 +80,12 @@ object ExactQuantiles {
   def sortableBits(c: Column): Column =
     graft.exprs.GraftFunctions.call("graft_double_bits", c)
 
+  /** The operator's scan-side plan: group column + one sortable-bits
+    * long per value column. Public so the plan-discipline spec can pin
+    * that the scan stays column-pruned and the transform codegen'd. */
+  def keyProjection(df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame =
+    df.select(col(groupCol) +: cols.map(c => sortableBits(col(c).cast("double"))): _*)
+
   /** DuckDB `quantile_disc` rank: k-th smallest, k = clamp(⌈q·n⌉, 1, n)
     * with q·n computed EXACTLY over q's decimal spelling (verified
     * empirically: 0.9·10 → 9th element even though double 0.9·10 =
@@ -159,8 +165,7 @@ object ExactQuantiles {
     // transform running as the codegen'd [[graft.exprs.DoubleSortableBits]]
     // INSIDE the Catalyst projection (whole-stage codegen over the
     // vectorized scan); only the narrow long columns cross into the RDD.
-    val proj = df.select(col(groupCol) +:
-      cols.map(c => sortableBits(col(c).cast("double"))): _*)
+    val proj = keyProjection(df, groupCol, cols)
     val keys = proj.rdd.mapPartitions { it =>
       it.flatMap { r =>
         val g = r.get(0)

@@ -131,6 +131,36 @@ class ExactQuantilesSpec extends AnyFunSuite {
       .map(java.lang.Double.valueOf))
   }
 
+  test("partitioning-invariant: identical bits at 1, 5, and 32 partitions " +
+       "(the order-free-counts claim, observed)") {
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 4000).map(i =>
+      (if (i % 2 == 0) "g1" else "g2",
+        java.lang.Double.valueOf(rnd.nextGaussian() * math.pow(10, rnd.nextInt(8)))))
+    val qs = Seq(0.25, 0.5, 0.9)
+    def at(parts: Int): Seq[(String, Seq[Long])] = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(data.map(r => Row(r._1, r._2)), parts),
+        StructType(Seq(StructField("g", StringType), StructField("x", DoubleType))))
+      ExactQuantiles.quantileDisc(df, "g",
+          qs.zipWithIndex.map { case (q, i) => Req("x", q, s"v$i") })
+        .collect().map(r => r.getString(0) -> qs.indices.map(i =>
+          java.lang.Double.doubleToLongBits(r.getDouble(i + 1))))
+        .sortBy(_._1).toSeq
+    }
+    val p1 = at(1)
+    assert(p1 == at(5) && p1 == at(32), "quantile bits changed with partitioning")
+  }
+
+  test("MaxStates cap rejects high-cardinality group columns with guidance") {
+    val df = spark.range(0, 1000).selectExpr("CAST(id AS STRING) AS g",
+      "CAST(id AS DOUBLE) AS x")
+    val e = intercept[IllegalArgumentException] {
+      ExactQuantiles.quantileDisc(df, "g", Seq(Req("x", 0.5, "m"))).collect()
+    }
+    assert(e.getMessage.contains("reporting-bounded"))
+  }
+
   test("converges in ≤4 count passes over the full double bit domain") {
     // widest possible window: [-MaxValue, +MaxValue] splits on sign at init,
     // then each pass divides the remaining span by 2^16; 63 bits / 16 < 4

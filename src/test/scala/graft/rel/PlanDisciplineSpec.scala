@@ -257,6 +257,24 @@ class PlanDisciplineSpec extends AnyFunSuite {
     }
   }
 
+  test("q68: the quantile key projection prunes the scan to 3 columns and " +
+       "runs the bit transform inside whole-stage codegen") {
+    val li = Tables.load(spark, dir, "lineitem")
+    val proj = graft.ops.ExactQuantiles.keyProjection(li, "l_returnflag",
+      Seq("l_quantity", "l_extendedprice"))
+    val p = proj.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity")
+      && readSchema.contains("l_extendedprice"), readSchema)
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"),
+      s"scan reads more than the 3 projected columns: $readSchema")
+    // formatted mode stars whole-stage-codegen'd nodes
+    assert(p.contains("* Project"), "bit projection fell out of whole-stage codegen")
+    assert(p.toLowerCase.contains("graft_double_sortable_bits"),
+      "projection does not use the codegen expression")
+  }
+
   test("salted aggregation equals plain aggregation (skew path correctness)") {
     import org.apache.spark.sql.functions._
     val events = Tables.load(spark, dir, "events")

@@ -129,6 +129,51 @@ class StreamingRestartSpec extends AnyFunSuite {
       QuotaAdmit("y", 5L, 1L), QuotaAdmit("y", 6L, 2L)))
   }
 
+  test("four-stage chained pipeline: all four state stores recover under " +
+       "ONE checkpoint across a kill-and-restart") {
+    import spark.implicits._
+    import graft.streaming.Curation.{PageLine, QuotaAdmit}
+    // Each stage's recovery is isolated by one post-restart page:
+    //  - stage 1 (line membership): doc 12's lines were all kept pre-kill
+    //    by doc 10, so post-restart they must ALL drop → doc 12 rebuilds
+    //    to "" (then passes dedup as the novel empty doc, and lang a's
+    //    quota drops it).
+    //  - stage 2 (reassembly frontier): doc 17's two lines straddle the
+    //    kill — it can only complete by recovering the in-flight DocAsm
+    //    (n_seen=1 + the kept first line) from the checkpoint.
+    //  - stage 3 (content membership): doc 15 is a single NOVEL line that
+    //    happens to equal doc 14's rebuilt two-line text (embedded \n),
+    //    so it survives line dedup, rebuilds to a duplicate, and only the
+    //    recovered content-key state can drop it — lang b's quota still
+    //    has room, so a reset stage 3 would have admitted it as rk 2.
+    //  - stage 4 (admission counters): doc 13 is novel content but lang
+    //    a admitted 2 docs pre-kill — only the recovered counter drops
+    //    it; doc 16 then lands rk 2 in lang b, proving b's counter
+    //    resumed from 1, not 0.
+    def page(id: Long, lang: String, lines: Seq[String]): Seq[PageLine] =
+      lines.zipWithIndex.map { case (l, p) => PageLine(l, id, p, lang, lines.length) }
+    val b1 = page(10L, "a", Seq("boiler", "content ten")) ++
+      page(11L, "a", Seq("content eleven")) ++
+      page(14L, "b", Seq("x one", "x two")) ++
+      Seq(PageLine("partial one", 17L, 0, "c", 2)) // doc 17 half 1
+    val b2 = page(12L, "a", Seq("boiler", "content ten")) ++
+      page(13L, "a", Seq("content thirteen")) ++
+      page(15L, "b", Seq("x one\nx two")) ++
+      page(16L, "b", Seq("content sixteen")) ++
+      Seq(PageLine("partial two", 17L, 1, "c", 2)) // doc 17 half 2
+    val schema = "line STRING, doc_id LONG, pos INT, lang STRING, n_lines INT"
+    val (restarted, unbroken) = restartedVsUnbroken(Seq(b1, b2), schema,
+      (ds: org.apache.spark.sql.Dataset[PageLine]) =>
+        Curation.curationPipelineStream(ds, quotaK = 2))(
+      r => QuotaAdmit(r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(restarted.toSet == unbroken.toSet)
+    assert(restarted.length == unbroken.length, "restart re-admitted through the chain")
+    assert(restarted.toSet == Set(
+      QuotaAdmit("a", 10L, 1L), QuotaAdmit("a", 11L, 2L),
+      QuotaAdmit("b", 14L, 1L), QuotaAdmit("b", 16L, 2L),
+      QuotaAdmit("c", 17L, 1L)))
+  }
+
   test("line-dedup processor: line membership survives a checkpoint restart") {
     import spark.implicits._
     // "chrome" is kept pre-kill and re-arrives post-restart (must drop);
