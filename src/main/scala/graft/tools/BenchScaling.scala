@@ -56,27 +56,43 @@ object BenchScaling {
       samples.view.mapValues(xs => if (xs.contains(-1.0)) -1.0 else xs.min).toMap
     }
     // min-of-reps, not median: the audit wants each query's intrinsic
-    // cost at each SF, and min is the jitter-robust estimator for that
+    // cost at each SF, and min is the jitter-robust estimator for that.
+    // Three SFs spanning two decades let the audit decompose each query
+    // into fixed overhead + marginal data cost (see below) instead of
+    // reading one ratio.
+    val t0001 = measure("/root/testdata/sf0.001")
     val t001 = measure("/root/testdata/sf0.01")
     val t01 = measure("/root/testdata/sf0.1")
     val canaryEnd = canary()
 
     def r3(v: Double): String = graft.BenchUtil.r3(v)
-    case class RowR(name: String, a: Double, b: Double, ratio: Double, flagged: Boolean)
+    case class RowR(name: String, t1: Double, a: Double, b: Double,
+                    ratio: Double, marginal: Double, fixed: Double, flagged: Boolean)
     val rows = names.map { case (name, _) =>
+      val t1 = t0001.getOrElse(name, -1.0)
       val a = t001.getOrElse(name, -1.0)
       val b = t01.getOrElse(name, -1.0)
       val ratio = if (a > 0 && b > 0) b / a else -1.0
-      RowR(name, a, b, ratio, ratio > 10.0 && b >= 0.75)
+      // Two-point decomposition on the 10x span sf0.01 -> sf0.1 under a
+      // linear model t(d) = fixed + slope*d: the sf0.1 time splits into
+      // marginal (data-driven) and fixed (scheduling/planning) parts:
+      //   slope*0.1 = (b - a) * 10/9, fixed = b - slope*0.1.
+      // marginal ~= b and fixed ~= 0 means the query is data-bound (the
+      // scale-out story carries it); fixed ~= b means it is
+      // overhead-bound at this toy size (and the ratio is meaningless).
+      val marginal = if (a > 0 && b > 0) math.max(0.0, (b - a) * 10.0 / 9.0) else -1.0
+      val fixed = if (marginal >= 0) math.max(0.0, b - marginal) else -1.0
+      RowR(name, t1, a, b, ratio, marginal, fixed, ratio > 10.0 && b >= 0.75)
     }
     rows.foreach { r =>
-      println(s"""SCALEQ {"name":"${r.name}","sf001":${r3(r.a)},"sf01":${r3(r.b)},""" +
-        s""""ratio":${r3(r.ratio)},"flagged":${r.flagged}}""")
+      println(s"""SCALEQ {"name":"${r.name}","sf0001":${r3(r.t1)},"sf001":${r3(r.a)},"sf01":${r3(r.b)},""" +
+        s""""ratio":${r3(r.ratio)},"marginal":${r3(r.marginal)},"fixed":${r3(r.fixed)},"flagged":${r.flagged}}""")
     }
     val flagged = rows.filter(_.flagged)
     println(s"FLAGGED ${flagged.length}: ${flagged.map(_.name).mkString(", ")}")
     val json = rows.sortBy(-_.ratio).map { r =>
-      s""""${r.name}":{"sf001":${r3(r.a)},"sf01":${r3(r.b)},"ratio":${r3(r.ratio)},"flagged":${r.flagged}}"""
+      s""""${r.name}":{"sf0001":${r3(r.t1)},"sf001":${r3(r.a)},"sf01":${r3(r.b)},"ratio":${r3(r.ratio)},""" +
+        s""""marginal":${r3(r.marginal)},"fixed":${r3(r.fixed)},"flagged":${r.flagged}}"""
     }.mkString("{", ",", "}")
     val doc = s"""{"data_ratio":10.0,"reps":$reps,"cpus":$cpus,""" +
       s""""canary":{"start":${r3(canaryStart)},"end":${r3(canaryEnd)}},""" +

@@ -131,6 +131,15 @@ class ExactQuantilesSpec extends AnyFunSuite {
       .map(java.lang.Double.valueOf))
   }
 
+  test("NaN sorts greatest, matching DuckDB's double total order " +
+       "(probed: q=1.0 → NaN, q=0.5 → 2.0 on {1, NaN, 2, 3})") {
+    val data = Seq(1.0, Double.NaN, 2.0, 3.0)
+      .map(v => ("g", java.lang.Double.valueOf(v)))
+    val got = run(data, Seq(0.5, 0.75, 1.0))("g")
+    assert(got(0) == 2.0 && got(1) == 3.0)
+    assert(java.lang.Double.isNaN(got(2).doubleValue))
+  }
+
   test("partitioning-invariant: identical bits at 1, 5, and 32 partitions " +
        "(the order-free-counts claim, observed)") {
     val rnd = new scala.util.Random(7)
