@@ -82,6 +82,15 @@ class StreamingPipelineSpec extends AnyFunSuite {
       val q = Curation.curationPipelineStream(mem.toDS(), quotaK = 5)
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      // plan pin: all four keyed stages must survive as FOUR distinct
+      // TransformWithState operators (each with its own state store) —
+      // a refactor that silently fuses or drops a stage fails here
+      val plan = spark.streams.get(q.id)
+        .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      val nTws = "TransformWithState".r.findAllIn(plan).length
+      assert(nTws >= 4, s"expected 4 TransformWithState operators, plan has $nTws:\n" +
+        plan.take(800))
       q.stop()
       val got = spark.table(name).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet

@@ -129,6 +129,35 @@ class StreamingRestartSpec extends AnyFunSuite {
       QuotaAdmit("y", 5L, 1L), QuotaAdmit("y", 6L, 2L)))
   }
 
+  test("watermarked tumbling aggregation (append mode): window state and the " +
+       "watermark survive a checkpoint restart") {
+    import spark.implicits._
+    // hour-1 events arrive pre-kill (window still open at the kill: the
+    // watermark has not passed it); hour-3 events post-restart push the
+    // recovered watermark past hour 1, so its finalized counts can only
+    // be correct if the PARTIAL window state (2 clicks, 1 view) survived
+    // the restart. A reset store would emit hour 1 with only whatever
+    // batch 2 contained — nothing.
+    def ev(id: Long, epochS: Long, tpe: String, v: Double) =
+      Ev(id, new java.sql.Timestamp(epochS * 1000L), 1L, tpe, v)
+    val h = 3600L
+    val b1 = Seq(ev(1, 10 * h + 60, "click", 1.0), ev(2, 10 * h + 120, "click", 2.0),
+      ev(3, 10 * h + 180, "view", 5.0))
+    val b2 = Seq(ev(4, 12 * h + 60, "click", 7.0), ev(5, 13 * h + 600, "view", 1.0))
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    val (restarted, unbroken) = restartedVsUnbroken(Seq(b1, b2), schema,
+      (ds: org.apache.spark.sql.Dataset[Ev]) => {
+        import org.apache.spark.sql.Dataset
+        val out: Dataset[org.apache.spark.sql.Row] = Events.tumblingCounts(ds.toDF())
+        out
+      })(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(restarted.toSet == unbroken.toSet)
+    assert(restarted.length == unbroken.length, "restart re-finalized a window")
+    // hour-10 window finalized with BOTH pre-kill batches' rows
+    assert(restarted.toSet.contains((10 * h, "click", 2L, 3.0)))
+    assert(restarted.toSet.contains((10 * h, "view", 1L, 5.0)))
+  }
+
   test("four-stage chained pipeline: all four state stores recover under " +
        "ONE checkpoint across a kill-and-restart") {
     import spark.implicits._
