@@ -99,7 +99,7 @@ object Bench {
         budget -= (System.nanoTime() - t0) / 1e9
       }
     }
-    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def r3(v: Double): String = BenchUtil.r3(v)
     val results = names.map { case (name, _) =>
       val xs = samples.getOrElse(name, Nil)
       name -> (if (xs.isEmpty) -1.0 else median(xs))

@@ -83,8 +83,13 @@ object ExactQuantiles {
   /** The operator's scan-side plan: group column + one sortable-bits
     * long per value column. Public so the plan-discipline spec can pin
     * that the scan stays column-pruned and the transform codegen'd. */
-  def keyProjection(df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame =
+  def keyProjection(df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame = {
+    // register on THE FRAME'S session (not just the thread-active one) —
+    // the ops/Similarity convention; a multi-session caller would
+    // otherwise hit an unresolved graft_double_bits
+    graft.exprs.GraftFunctions.register(df.sparkSession)
     df.select(col(groupCol) +: cols.map(c => sortableBits(col(c).cast("double"))): _*)
+  }
 
   /** DuckDB `quantile_disc` rank: k-th smallest, k = clamp(⌈q·n⌉, 1, n)
     * with q·n computed EXACTLY over q's decimal spelling (verified
@@ -179,10 +184,22 @@ object ExactQuantiles {
     try {
       // Pass A: per (group, colId) count + sign-split min/max, one
       // shuffle-free tree aggregation (bounded by the group catalog).
+      // fail fast INSIDE the aggregation if the group catalog explodes:
+      // each partial map is capped, so a high-cardinality group column
+      // dies with guidance during pass A instead of OOMing an executor
+      // before the post-hoc require below is ever reached
+      val maxPairs = MaxStates * nCols
+      def capped(m: mutable.HashMap[(Any, Int), ColStats]): mutable.HashMap[(Any, Int), ColStats] = {
+        require(m.size <= maxPairs,
+          s"quantileDisc: over $maxPairs distinct (group, column) pairs — the group " +
+            "column must be reporting-bounded (a rollup catalog, not a " +
+            "high-cardinality key); aggregate or bucket the groups first")
+        m
+      }
       val stats = keys.treeAggregate(mutable.HashMap.empty[(Any, Int), ColStats])(
-        (m, t) => { m.getOrElseUpdate((t._1, t._2), new ColStats).add(t._3); m },
+        (m, t) => { m.getOrElseUpdate((t._1, t._2), new ColStats).add(t._3); capped(m) },
         (a, b) => { b.foreach { case (k, s) =>
-          a.get(k) match { case Some(x) => x.merge(s); case None => a.update(k, s) } }; a })
+          a.get(k) match { case Some(x) => x.merge(s); case None => a.update(k, s) } }; capped(a) })
       val groups: Seq[Any] = stats.keysIterator.map(_._1).toSeq.distinct
 
       val states = mutable.ArrayBuffer.empty[State]

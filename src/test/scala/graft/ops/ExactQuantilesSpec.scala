@@ -164,10 +164,15 @@ class ExactQuantilesSpec extends AnyFunSuite {
   test("MaxStates cap rejects high-cardinality group columns with guidance") {
     val df = spark.range(0, 1000).selectExpr("CAST(id AS STRING) AS g",
       "CAST(id AS DOUBLE) AS x")
-    val e = intercept[IllegalArgumentException] {
+    // the guard now fires INSIDE pass A's aggregation (fail-fast before
+    // any large allocation), so Spark surfaces it wrapped in its task
+    // failure — walk the cause chain for the guidance message
+    val e = intercept[Throwable] {
       ExactQuantiles.quantileDisc(df, "g", Seq(Req("x", 0.5, "m"))).collect()
     }
-    assert(e.getMessage.contains("reporting-bounded"))
+    val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("reporting-bounded"), messages.take(400))
   }
 
   test("converges in ≤4 count passes over the full double bit domain") {

@@ -69,7 +69,10 @@ class SpillDisciplineSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     try {
       withSpill(canon("q63_window_distribution"))
-      Thread.sleep(500) // listener bus drain
+      // deterministic drain: poll until the async listener bus delivers
+      // (a fixed sleep raced on loaded boxes)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (spilledBytes == 0L && System.nanoTime() < deadline) Thread.sleep(100)
       assert(spilledBytes > 0L,
         "no task reported spill bytes — the thresholds are not engaging, " +
           "so the equality tests below would be vacuous")
