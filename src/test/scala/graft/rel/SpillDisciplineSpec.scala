@@ -28,6 +28,10 @@ class SpillDisciplineSpec extends AnyFunSuite {
     "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "4",
     "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "4",
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "2",
+    // (spark.shuffle.spill.numElementsForceSpillThreshold would extend the
+    // forcing to shuffle writes, but it is a STATIC core conf — rejected
+    // by RuntimeConfig.set — so it needs its own SparkContext; the SQL
+    // row-buffer knobs above are the per-session-settable surface)
     // disable broadcast so joins actually take the buffered SMJ path
     "spark.sql.autoBroadcastJoinThreshold" -> "-1",
     "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
