@@ -180,6 +180,7 @@ object ExactQuantiles {
       }
     }.persist(StorageLevel.MEMORY_AND_DISK)
     var survivors: Option[org.apache.spark.rdd.RDD[(Any, Int, Long)]] = None
+    var survFilter: Option[org.apache.spark.broadcast.Broadcast[_]] = None
 
     try {
       // Pass A: per (group, colId) count + sign-split min/max, one
@@ -200,7 +201,19 @@ object ExactQuantiles {
         (m, t) => { m.getOrElseUpdate((t._1, t._2), new ColStats).add(t._3); capped(m) },
         (a, b) => { b.foreach { case (k, s) =>
           a.get(k) match { case Some(x) => x.merge(s); case None => a.update(k, s) } }; capped(a) })
-      val groups: Seq[Any] = stats.keysIterator.map(_._1).toSeq.distinct
+      // Group catalog from a DISTINCT over the group column ITSELF, not
+      // the non-null keys: a group whose requested columns are all null
+      // contributes no keys rows, but SQL GROUP BY still emits its row
+      // (with NULL quantiles) — deriving the catalog from `stats` would
+      // silently drop it. limit() bounds driver materialization BEFORE
+      // the require, so a high-cardinality group column fails fast
+      // instead of collecting unbounded rows.
+      val groups: Seq[Any] =
+        proj.select(col(groupCol)).distinct().limit(MaxStates + 1).collect().map(_.get(0)).toSeq
+      require(groups.length <= MaxStates,
+        s"quantileDisc: over $MaxStates distinct groups — the group column must " +
+          "be reporting-bounded (a rollup catalog, not a high-cardinality key); " +
+          "aggregate or bucket the groups first")
 
       val states = mutable.ArrayBuffer.empty[State]
       for (g <- groups; (req, ri) <- reqs.zipWithIndex) {
@@ -298,6 +311,9 @@ object ExactQuantiles {
           // the full set again and later passes behave like today
           val (filtTable, _) = winTable(states.filter(!_.resolved).toArray)
           val bcFilt = sc.broadcast(filtTable)
+          survFilter = Some(bcFilt) // destroyed in the finally — it stays
+          // referenced by the persisted survivors lineage for the rest of
+          // the call, so destroying earlier would break re-computation
           val surv = keys.filter { case (g, cid, k) =>
             bcFilt.value.get(g).exists { byCid =>
               byCid(cid).exists(w => k >= w.lo && k <= w.hi)
@@ -322,6 +338,7 @@ object ExactQuantiles {
     } finally {
       keys.unpersist()
       survivors.foreach(_.unpersist())
+      survFilter.foreach(_.destroy())
     }
   }
 }

@@ -581,11 +581,18 @@ object PipelineQueries {
   }
 
   private def pairMassOf(shw: DataFrame): (Long, Long) = {
+    // pair mass in DOUBLE, saturated to Long.MaxValue on readback: a
+    // shingle with df above ~3e9 would overflow c*(c-1) in long
+    // arithmetic to a NEGATIVE mass — which would steer the auto-select
+    // to the unpruned self-join at exactly the flood scale the signal
+    // exists to catch. The signal only feeds a threshold comparison, so
+    // double precision (and saturation) is exact enough by construction.
     val row = shw.groupBy("s").agg(count(lit(1)).as("c"))
-      .agg(sum(expr("c * (c - 1) div 2")).as("pairs"),
+      .agg(sum(expr("cast(c as double) * (c - 1) / 2")).as("pairs"),
         sum(expr("CASE WHEN c > 0 THEN 1 ELSE 0 END")).as("nsh"))
       .collect()(0)
-    (Option(row.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
+    val pairs = Option(row.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+    (if (pairs >= Long.MaxValue.toDouble) Long.MaxValue else math.round(pairs),
       Option(row.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
   }
 

@@ -120,6 +120,23 @@ class ExactQuantilesSpec extends AnyFunSuite {
     assert(out("nul")._2 == 2.0) // ⌈0.5·2⌉=1 → 1st smallest
   }
 
+  test("a group whose requested columns are ALL null still emits its row " +
+       "(SQL GROUP BY semantics — catalog from the group column, not the keys)") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("live", java.lang.Double.valueOf(3.0), java.lang.Double.valueOf(8.0)),
+        Row("dead", null, null),
+        Row("dead", null, null)), 2),
+      StructType(Seq(StructField("g", StringType),
+        StructField("x", DoubleType), StructField("y", DoubleType))))
+    val out = ExactQuantiles.quantileDisc(df, "g",
+        Seq(Req("x", 0.5, "mx"), Req("y", 0.5, "my")))
+      .collect().map(r => r.getString(0) -> (r.get(1), r.get(2))).toMap
+    assert(out.keySet == Set("live", "dead"), "all-null group row was dropped")
+    assert(out("live") == ((3.0, 8.0)))
+    assert(out("dead") == ((null, null)))
+  }
+
   test("q68 rank rule on the probed DuckDB edges (exact-decimal ceil, 0.9·10 wobble)") {
     val ten = (1 to 10).map(i => ("g", java.lang.Double.valueOf(i.toDouble)))
     val got = run(ten, Seq(0.9, 0.3, 0.35, 0.05, 0.15, 0.31, 0.45, 0.2, 0.21))
@@ -169,6 +186,106 @@ class ExactQuantilesSpec extends AnyFunSuite {
     // failure — walk the cause chain for the guidance message
     val e = intercept[Throwable] {
       ExactQuantiles.quantileDisc(df, "g", Seq(Req("x", 0.5, "m"))).collect()
+    }
+    val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("reporting-bounded"), messages.take(400))
+  }
+
+  // ---- seeded scalacheck sweep (round-10 verdict item 6) --------------------
+  // Random distributions × random q's × random group counts, replayed
+  // against a local sort over the SAME total order the operator uses
+  // (IEEE-754 sortable bits: NaN greatest, −0.0 < +0.0). Includes
+  // single-ULP-separated clusters, ±Infinity, ±0.0, nulls, empty and
+  // all-null groups. Seed-looped Gen — the FourthWavePropertySpec
+  // pattern (the scalatest-scalacheck bridge artifact is not cached).
+
+  private def sample[A](gen: org.scalacheck.Gen[A], n: Int, seed0: Long): Seq[A] = {
+    var seed = org.scalacheck.rng.Seed(seed0)
+    (1 to n).flatMap { _ =>
+      val a = gen.apply(org.scalacheck.Gen.Parameters.default, seed)
+      seed = seed.next
+      a
+    }
+  }
+
+  private val caseGen: org.scalacheck.Gen[(Seq[(String, java.lang.Double)], Seq[Double])] = {
+    import org.scalacheck.Gen
+    val qGen: Gen[Double] = Gen.oneOf(
+      Gen.const(0.0), Gen.const(1.0), Gen.const(0.5),
+      Gen.choose(0.0, 1.0),
+      Gen.choose(1, 99).map(_ / 100.0), // exact-decimal ⌈q·n⌉ wobble zone
+      Gen.choose(0.0, 1.0).map(_ * 1e-3))
+    for {
+      nGroups <- Gen.choose(1, 6)
+      nQs <- Gen.choose(1, 4)
+      qs <- Gen.listOfN(nQs, qGen)
+      groups <- Gen.sequence[List[(String, List[java.lang.Double])], (String, List[java.lang.Double])](
+        (0 until nGroups).toList.map { g =>
+          for {
+            size <- Gen.choose(0, 60) // 0 ⇒ group absent entirely
+            base <- Gen.choose(-1e6, 1e6)
+            vs <- Gen.listOfN(size, Gen.choose(0, 9).flatMap {
+              case 0 => Gen.const(null: java.lang.Double)
+              case 1 => Gen.choose(-1e12, 1e12).map(java.lang.Double.valueOf)
+              case 2 => Gen.choose(0, 4).map(i => java.lang.Double.valueOf(i.toDouble))
+              case 3 => Gen.oneOf(Double.PositiveInfinity, Double.NegativeInfinity)
+                .map(java.lang.Double.valueOf)
+              case 4 => Gen.oneOf(-0.0, 0.0).map(java.lang.Double.valueOf)
+              case 5 => Gen.const(java.lang.Double.valueOf(Math.nextUp(base)))
+              case 6 => Gen.const(java.lang.Double.valueOf(Math.nextDown(base)))
+              case 7 => Gen.const(java.lang.Double.valueOf(1e-310)) // denormal
+              case _ => Gen.const(java.lang.Double.valueOf(base))
+            })
+          } yield (s"g$g", vs)
+        })
+    } yield (groups.flatMap { case (g, vs) => vs.map(v => (g, v)) }, qs.distinct)
+  }
+
+  test("seeded sweep: sort-based replay equality over random distributions × " +
+       "random q's × random group counts (ULP ties, ±Inf, ±0.0, all-null groups)") {
+    for (((data, qs), ci) <- sample(caseGen, 12, 20260814L).zipWithIndex
+         if data.nonEmpty && qs.nonEmpty) {
+      val got = run(data, qs)
+      val byGroup = data.groupBy(_._1)
+      assert(got.keySet == byGroup.keySet,
+        s"case $ci: group catalog mismatch (groups with rows must all appear)")
+      for ((g, rows) <- byGroup) {
+        val vs = rows.collect { case (_, v) if v != null => v.doubleValue }
+          .sortBy(ExactQuantiles.toSortableBits) // the operator's total order
+        qs.zipWithIndex.foreach { case (q, i) =>
+          val a = got(g)(i)
+          if (vs.isEmpty) assert(a == null, s"case $ci g=$g q=$q: want NULL got $a")
+          else {
+            val k0 = java.math.BigDecimal.valueOf(q)
+              .multiply(java.math.BigDecimal.valueOf(vs.length.toLong))
+              .setScale(0, java.math.RoundingMode.CEILING).longValueExact()
+            val e = vs((math.max(1L, math.min(vs.length.toLong, k0)) - 1L).toInt)
+            assert(a != null && java.lang.Double.doubleToLongBits(a.doubleValue) ==
+              java.lang.Double.doubleToLongBits(e),
+              s"case $ci g=$g q=$q: got $a want $e over ${vs.length} values")
+          }
+        }
+      }
+    }
+  }
+
+  test("MaxStates boundary: exactly 128 states resolves; 129 via group×request " +
+       "product fails fast with guidance") {
+    import spark.implicits._
+    // exactly MaxStates: 128 groups × 1 request — must succeed
+    val ok = (0 until ExactQuantiles.MaxStates)
+      .map(i => (f"g$i%03d", i.toDouble)).toDF("g", "x")
+    val out = ExactQuantiles.quantileDisc(ok, "g", Seq(Req("x", 1.0, "v"))).collect()
+    assert(out.length == ExactQuantiles.MaxStates)
+    assert(out.forall(r => r.getDouble(1) == r.getString(0).drop(1).toInt.toDouble))
+    // 65 groups × 2 requests = 130 states > 128, while the (group, column)
+    // pass-A cap (128 × nCols) and the group catalog cap both pass —
+    // the states.length require must catch it
+    val over = (0 until 65).map(i => (f"g$i%03d", i.toDouble)).toDF("g", "x")
+    val e = intercept[Throwable] {
+      ExactQuantiles.quantileDisc(over, "g",
+        Seq(Req("x", 0.25, "a"), Req("x", 0.75, "b"))).collect()
     }
     val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")

@@ -51,7 +51,12 @@ class StreamingRestartSpec extends AnyFunSuite {
             .writeStream.format("parquet")
             .option("path", out).option("checkpointLocation", ckpt)
             .trigger(Trigger.AvailableNow()).start()
-          q.awaitTermination(60000); q.stop()
+          // assert on the boolean: a timed-out incarnation stopped
+          // mid-batch would otherwise surface as a confusing parity
+          // failure instead of a clear timeout
+          val done = q.awaitTermination(60000)
+          q.stop()
+          assert(done, "AvailableNow incarnation did not finish within 60 s")
         }
         spark.read.parquet(out).collect().toSeq.map(read)
       }
