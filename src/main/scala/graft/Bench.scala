@@ -104,20 +104,53 @@ object Bench {
       val xs = samples.getOrElse(name, Nil)
       name -> (if (xs.isEmpty) -1.0 else median(xs))
     }
+    def short(name: String): String = name.takeWhile(_ != '_')
+    // Shuffled-order rep (round-10 verdict item 3): the fixed
+    // lexicographic run order cannot distinguish "qN is slow" from
+    // "whatever runs in qN's slot inherits a contention window or a
+    // neighbor's page-cache/GC state" — r10's q105/q106/q108 trio is
+    // adjacent in run order, exactly the signature this check exists to
+    // split. One extra rep over the whole suite in a SEEDED-shuffled
+    // order records an order-check sample per query; a query whose
+    // shuffled time moves >1.5x vs its fixed-order median (and >0.1 s
+    // absolute, so sub-100 ms jitter cannot false-flag) is
+    // order-sensitive: read its median as position-dependent, not
+    // code-dependent. Samples stay SEPARATE from the medians so
+    // round-over-round comparability of the headline numbers is
+    // unchanged. SPARK_GRAFT_SHUFFLE_REP=0 disables.
+    val shufSeed = sys.env.get("SPARK_GRAFT_SHUFFLE_SEED")
+      .flatMap(_.toLongOption).getOrElse(20260814L)
+    val shufSamples = scala.collection.mutable.Map.empty[String, Double]
+    if (sys.env.get("SPARK_GRAFT_SHUFFLE_REP").forall(_ != "0")) {
+      val order = new scala.util.Random(shufSeed).shuffle(names)
+      for ((name, fn) <- order if !errors.contains(name)) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          shufSamples(name) = (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => () }
+      }
+    }
+    val orderFlags = results.collect {
+      case (name, med) if med > 0 && shufSamples.get(name).exists { s =>
+        math.max(s / med, med / s) > 1.5 && math.abs(s - med) > 0.1
+      } => short(name) + ":" + r3(shufSamples(name) / med)
+    }
     // per-query lines: survive tail capture / mid-suite crashes, and carry
     // the full spread + sample count that the compact final line omits
-    results.foreach { case (name, med) =>
+    def benchqLine(name: String, med: Double): String = {
       val xs = samples.getOrElse(name, Nil)
       val spread = if (xs.isEmpty) -1.0 else xs.max - xs.min
+      val shuf = shufSamples.get(name).map(s => s""","shuf":${r3(s)}""").getOrElse("")
       val err = errors.get(name).map(e => s""","err":"$e"""").getOrElse("")
-      println(s"""BENCHQ {"name":"$name","median":${r3(med)},"spread":${r3(spread)},"n":${xs.size}$err}""")
+      s"""{"name":"$name","median":${r3(med)},"spread":${r3(spread)},"n":${xs.size}$shuf$err}"""
     }
+    results.foreach { case (name, med) => println("BENCHQ " + benchqLine(name, med)) }
     // Final-line keys are the qNN prefix (the driver contract's own
     // example spells them "q1"): full names ride in the BENCHQ lines
     // above, and the abbreviation keeps the WHOLE final line (~1.5 KB for
     // 91 queries) inside the driver's 2000-char tail-capture window so it
     // parses instead of arriving head-truncated.
-    def short(name: String): String = name.takeWhile(_ != '_')
     val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1)
@@ -159,10 +192,24 @@ object Bench {
         } else ""
       } catch { case _: Throwable => "" }
     }
+    // Compact variance + order summaries for the driver tail (round-10
+    // verdict item 7): medians alone hid the q105-trio's position
+    // dependence. "spreadw" = worst-3 spread/median ratios (median
+    // >0.1 s so jitter on 20 ms queries doesn't dominate); "order" =
+    // every query the shuffled rep flagged, with its shuffled/median
+    // ratio — empty flag string means run order did not matter.
+    val spreadW = results.collect {
+      case (name, med) if med > 0.1 && samples.getOrElse(name, Nil).size >= 2 =>
+        val xs = samples(name)
+        short(name) -> (xs.max - xs.min) / med
+    }.sortBy(-_._2).take(3)
+      .map { case (n, r) => s"$n:${r3(r)}" }.mkString(",")
+    val orderJson =
+      s""","order":{"seed":$shufSeed,"flag":"${orderFlags.mkString(",")}"},"spreadw":"$spreadW""""
     // total LAST in the object: even a head-truncated capture still ends
     // with ...,"metric":"total","value":N} so the headline is recoverable
     val finalJson =
-      s"""{"queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir","canary":{"start":${r3(canaryStart)},"end":${r3(canaryEnd)}}$normJson,"unit":"sec","metric":"total","value":${r3(total)}}"""
+      s"""{"queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir","canary":{"start":${r3(canaryStart)},"end":${r3(canaryEnd)}}$normJson$orderJson,"unit":"sec","metric":"total","value":${r3(total)}}"""
     println(finalJson)
     // Belt and suspenders: the artifact also lands in a file, so the
     // round record no longer depends on the driver's stdout tail-capture
@@ -172,12 +219,7 @@ object Bench {
     try {
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      val benchqLines = results.map { case (name, med) =>
-        val xs = samples.getOrElse(name, Nil)
-        val spread = if (xs.isEmpty) -1.0 else xs.max - xs.min
-        val err = errors.get(name).map(e => s""","err":"$e"""").getOrElse("")
-        s"""{"name":"$name","median":${r3(med)},"spread":${r3(spread)},"n":${xs.size}$err}"""
-      }
+      val benchqLines = results.map { case (name, med) => benchqLine(name, med) }
       val fileJson = benchqLines.mkString(
         s"""{"final":$finalJson,\n"benchq":[\n""", ",\n", "\n]}\n")
       java.nio.file.Files.write(p, fileJson.getBytes("UTF-8"))
