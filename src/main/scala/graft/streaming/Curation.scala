@@ -24,6 +24,15 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   */
 object Curation {
 
+  /** TimeMode matching the TTL request: Spark rejects TTL'd state under
+    * `TimeMode.None` ([STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL]),
+    * so a real retention horizon needs ProcessingTime — while the parity
+    * specs (TTL NONE) keep the time-independent NoTime plan. Every
+    * ttl-threading builder below derives its mode from here; the
+    * StreamingStateSizeSpec TTL arm exercises the ProcessingTime path. */
+  private def timeModeFor(ttl: TTLConfig): TimeMode =
+    if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+
   /** One document arriving at the dedup gate. `is_seed` rows BOOTSTRAP
     * state (existing-corpus members: mark the key seen, emit nothing);
     * stream rows are admitted iff their key is unseen. Seeds are fed as
@@ -82,7 +91,7 @@ object Curation {
     docs
       .groupByKey(_.key)
       .transformWithState(new IncrementalDedupProcessor(dedupWithinStream, ttl),
-        TimeMode.None(), OutputMode.Append())
+        timeModeFor(ttl), OutputMode.Append())
   }
 
   // ---- streaming dataset card ----------------------------------------------
@@ -132,7 +141,7 @@ object Curation {
     docs
       .groupByKey(_.source)
       .transformWithState(new SourceCardProcessor(ttl),
-        TimeMode.None(), OutputMode.Update())
+        timeModeFor(ttl), OutputMode.Update())
   }
 
   // ---- streaming quota cap ---------------------------------------------------
@@ -188,7 +197,7 @@ object Curation {
     docs
       .groupByKey(_.cell)
       .transformWithState(new QuotaCapProcessor(k, ttl),
-        TimeMode.None(), OutputMode.Append())
+        timeModeFor(ttl), OutputMode.Append())
   }
 
   // ---- streaming line-level dedup --------------------------------------------
@@ -242,7 +251,7 @@ object Curation {
     lines
       .groupByKey(_.line)
       .transformWithState(new LineDedupProcessor(ttl),
-        TimeMode.None(), OutputMode.Append())
+        timeModeFor(ttl), OutputMode.Append())
   }
 
   // ---- composable end-to-end curation pipeline ------------------------------
@@ -340,7 +349,7 @@ object Curation {
     import lines.sparkSession.implicits._
     val verdicts = lines.groupByKey(_.line)
       .transformWithState(new LineVerdictProcessor(ttl),
-        TimeMode.None(), OutputMode.Append())
+        timeModeFor(ttl), OutputMode.Append())
     val rebuilt = verdicts.groupByKey(_.doc_id)
       .transformWithState(new DocReassembleProcessor,
         TimeMode.None(), OutputMode.Append())

@@ -1,0 +1,142 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-more-decade scaling audit for the five heaviest scalers
+  * (round-10 verdict item 4): q06 range join, q23 near-dup Jaccard,
+  * q126 weighted Jaccard, q130 source overlap, q164 association rules.
+  *
+  * `BenchScaling` measures sf0.001 → sf0.01 → sf0.1; this tool
+  * synthesizes sf1-equivalent inputs by unioning the sf0.1 tables K ∈
+  * {2, 4, 10} times (the round-4 q23 recipe) with id-domain remapping:
+  *
+  *  - documents: doc_id shifted per replica, text byte-identical — so
+  *    true duplicate groups grow to size K and the TRUE PAIR count grows
+  *    ~K² by construction. That is deliberate: the prune claims under
+  *    audit say runtime tracks the PAIR count (candidates ∝ true pairs),
+  *    not the corpus square, so the table reports time against measured
+  *    output pairs, the `ratio-vs-pair-count` evidence.
+  *  - events: event_id AND user_id shifted per replica — K× users at the
+  *    same per-user density, the natural decade for a range join whose
+  *    pair space is Σ_user (events in window)².
+  *  - lineitem: l_orderkey shifted per replica (K× baskets over the SAME
+  *    part/brand catalog — q164's pair space is catalog-bounded).
+  *  - part: written through unchanged (the catalog).
+  *
+  * Output: `BENCH_SCALING_DEEP_r11.json` (override with
+  * SPARK_GRAFT_SCALING_DEEP_OUT) with per-query rows
+  * {K, seconds, output rows} + derived per-pair and per-K ratios, plus
+  * SCALEDEEP progress lines; canary-bracketed like every bench artifact.
+  */
+object BenchScalingDeep {
+
+  private val Targets = Seq(
+    "q06_range_join", "q23_dedup_near_jaccard", "q126_weighted_jaccard",
+    "q130_source_overlap", "q164_association_rules")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALING_DEEP_OUT", "BENCH_SCALING_DEEP_r11.json")
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_WORK", "/tmp/graft_scale")
+    val scales = sys.env.get("SPARK_GRAFT_SCALES")
+      .map(_.split(",").flatMap(_.trim.toIntOption).toSeq).getOrElse(Seq(1, 2, 4, 10))
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).getOrElse(2))
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val queries = graft.SparkEntry.queries.filter { case (n, _) => Targets.contains(n) }
+    require(queries.size == Targets.size, s"missing targets: ${Targets.diff(queries.keys.toSeq)}")
+
+    /** Materialize the K-times-unioned tables under `work/K/`. Ids shift
+      * by replica so every table keeps a dense, collision-free key
+      * domain; parquet written from the NORMALIZED load (Tables.load), so
+      * timestamps round-trip as plain TIMESTAMP. */
+    def materialize(k: Int): String = {
+      val dir = s"$work/$k"
+      val done = new java.io.File(s"$dir/_DONE")
+      if (done.exists()) return dir
+      def shifted(name: String, idCols: Seq[String]): DataFrame = {
+        val t = graft.rel.Tables.load(spark, base, name)
+        val spans = idCols.map(c =>
+          c -> (t.agg(max(col(c))).first().getLong(0) + 1L)).toMap
+        (0 until k).map { r =>
+          idCols.foldLeft(t) { (df, c) =>
+            df.withColumn(c, col(c) + lit(r.toLong * spans(c)))
+          }
+        }.reduce(_ unionByName _)
+      }
+      shifted("documents", Seq("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      shifted("events", Seq("event_id", "user_id"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      shifted("lineitem", Seq("l_orderkey"))
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      graft.rel.Tables.load(spark, base, "part")
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      done.createNewFile()
+      dir
+    }
+
+    def canary(): Double = graft.BenchUtil.canary()
+    def r3(v: Double): String = graft.BenchUtil.r3(v)
+
+    // JIT/codegen warmup on the smallest SF (the Bench recipe)
+    queries.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
+    }
+    val canaryStart = canary()
+
+    case class Obs(name: String, k: Int, sec: Double, rows: Long)
+    val obs = scala.collection.mutable.ArrayBuffer.empty[Obs]
+    for (k <- scales) {
+      val dir = if (k == 1) base else materialize(k)
+      for ((name, fn) <- queries.toSeq.sortBy(_._1)) {
+        var best = Double.MaxValue
+        var rows = -1L
+        for (_ <- 1 to reps) {
+          val t0 = System.nanoTime()
+          try {
+            rows = fn(spark, dir).count()
+            best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            println(s"SCALEDEEP_ERR $name k=$k ${e.getMessage}"); best = -1.0 }
+        }
+        obs += Obs(name, k, best, rows)
+        println(s"""SCALEDEEP {"name":"$name","k":$k,"sec":${r3(best)},"rows":$rows}""")
+      }
+    }
+    val canaryEnd = canary()
+
+    // Per query: time and pair(row) growth vs K, and the time-per-pair
+    // trend (flat or falling = runtime tracks the pair count; rising =
+    // superlinear in pairs, the defect the audit hunts).
+    val json = Targets.map { name =>
+      val series = obs.filter(_.name == name).sortBy(_.k)
+      val base1 = series.find(_.k == 1)
+      val rowsJson = series.map { o =>
+        val tRatio = base1.filter(b => b.sec > 0 && o.sec > 0).map(b => o.sec / b.sec)
+        val rRatio = base1.filter(b => b.rows > 0 && o.rows >= 0)
+          .map(b => o.rows.toDouble / b.rows)
+        s"""{"k":${o.k},"sec":${r3(o.sec)},"rows":${o.rows}""" +
+          tRatio.map(t => s""","t_ratio":${r3(t)}""").getOrElse("") +
+          rRatio.map(t => s""","rows_ratio":${r3(t)}""").getOrElse("") +
+          tRatio.flatMap(t => rRatio.filter(_ > 0).map(rr =>
+            s""","t_per_rows":${r3(t / rr)}""")).getOrElse("") + "}"
+      }.mkString("[", ",", "]")
+      s""""$name":$rowsJson"""
+    }.mkString("{", ",", "}")
+    val doc = s"""{"scales":[${scales.mkString(",")}],"reps":$reps,"cpus":$cpus,""" +
+      s""""base":"$base","canary":{"start":${r3(canaryStart)},"end":${r3(canaryEnd)}},""" +
+      s""""queries":$json}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), doc)
+    println(s"SCALING_DEEP_ARTIFACT $out")
+    spark.stop()
+  }
+}
