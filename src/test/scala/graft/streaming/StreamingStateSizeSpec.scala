@@ -152,6 +152,47 @@ class StreamingStateSizeSpec extends AnyFunSuite {
     }
   }
 
+  test("chain with a real (long-horizon) TTL: mixed time modes in one query " +
+       "— three ProcessingTime stages + the NoTime reassembler — admit the " +
+       "same set as the TTL-NONE chain") {
+    withRocksDb {
+      // timeModeFor gives the ttl-threading stages ProcessingTime while
+      // DocReassembleProcessor stays NoTime; this pins that Spark accepts
+      // the mixed-mode plan AND that a horizon no batch outlives changes
+      // nothing semantically. ProcessingTime-mode queries spin
+      // clock-advance batches, so this uses the progress-poll harness
+      // (see the TTL arm below), not processAllAvailable.
+      import org.apache.spark.sql.streaming.Trigger
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val docs = syntheticPages(300)
+      val batches = docs.grouped(150).map(toLines).toSeq
+      def run(ttl: TTLConfig): Set[(String, Long, Long)] = {
+        val mem = MemoryStream[PageLine]
+        val name = s"mixed_mode_${System.nanoTime()}"
+        val q = Curation.curationPipelineStream(mem.toDS(), quotaK = 2000, ttl)
+          .writeStream.format("memory").queryName(name).outputMode("append")
+          .trigger(Trigger.ProcessingTime(250)).start()
+        var fed = 0
+        batches.foreach { b =>
+          mem.addData(b: _*)
+          fed += b.length
+          val deadline = System.currentTimeMillis + 60000
+          def seen: Long = q.recentProgress.map(_.numInputRows).sum
+          while (seen < fed && System.currentTimeMillis < deadline) Thread.sleep(100)
+          assert(seen >= fed, s"chain did not commit $fed rows in 60 s")
+        }
+        q.stop()
+        spark.table(name).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      }
+      val baseline = run(TTLConfig.NONE)
+      val ttld = run(TTLConfig(Duration.ofMinutes(10)))
+      assert(baseline.nonEmpty && ttld == baseline,
+        s"mixed-mode chain diverged: extra=${ttld diff baseline} missing=${baseline diff ttld}")
+    }
+  }
+
   test("TTL arm: an expired line is forgotten and its next occurrence " +
        "re-admitted — the ledger is bounded by the retention horizon") {
     withRocksDb {
