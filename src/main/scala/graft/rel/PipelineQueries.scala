@@ -488,7 +488,19 @@ object PipelineQueries {
 
   private def weightedJaccardFrom(shw: DataFrame, tw: DataFrame,
                                   tau: Double): DataFrame = {
-    val inter = shw.as("a").join(shw.as("b"),
+    // Pin the self-join's parallelism: AQE sizes (and coalesces) the
+    // join-input exchange by POSTINGS bytes, but this join's OUTPUT is
+    // the candidate-pair explosion — orders of magnitude larger than its
+    // input on duplicate-heavy corpora — so input-sized coalescing can
+    // funnel the whole explosion through a handful of tasks (observed at
+    // the 10× blow-up: a 29 s stage on 10 tasks of a 32-core box). An
+    // explicit shingle-keyed repartition at the session's configured
+    // shuffle parallelism replaces the implicit exchange (same shuffle
+    // count — the checkpointed postings have no recognized partitioning)
+    // and is exchange-reused across both sides of the self-join.
+    val wide = shw.repartition(
+      shw.sparkSession.sessionState.conf.numShufflePartitions, col("s"))
+    val inter = wide.as("a").join(wide.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), col("a.iw").as("iw0"))
       .groupBy("d1", "d2").agg(sum(col("iw0")).as("iw"))
@@ -602,34 +614,67 @@ object PipelineQueries {
     * The A/B (`tools/WeightedJaccardAb`) showed the prefix filter costs
     * more than it saves when nothing floods (2.5 s vs 7.5 s at sf0.1)
     * and the engineered-flood spec shows the opposite when boilerplate
-    * survives the idf cut — so the decision is the measured candidate
-    * pair mass vs a linear-in-corpus budget: pairs > pairsPerDocBudget·N
-    * ⟹ the self-join is superlinear ⟹ prefix-filter. The signal costs
-    * one shingle-keyed aggregate over postings that both forms build
-    * anyway (localCheckpoint'd, so the chosen form reuses them). Both
-    * forms are output-identical (parity-spec'd), so auto-selection can
-    * never change a result — only its cost. */
+    * survives the idf cut. Both forms are output-identical
+    * (parity-spec'd), so auto-selection can never change a result —
+    * only its cost.
+    *
+    * Refined (round 11): the RAW pair mass cannot distinguish a
+    * boilerplate flood (false candidates the prefix filter removes)
+    * from a TRUE-duplicate flood — byte-identical replicas share every
+    * shingle, prefixes included, so nothing is prunable and the
+    * filter's extra passes only cost (measured on a 10×-replica
+    * sf1-equivalent corpus: pruned 646.7 s vs unpruned 37.7 s, a 17×
+    * penalty the old rule would have chosen). The decision now
+    * subtracts the mass EXPLAINED by exact-duplicate groups — each
+    * exact-dup pair shares its whole posting set, ≈ the average
+    * postings/doc — and prefix-filters only when the RESIDUAL
+    * (boilerplate-shaped) mass exceeds the linear budget. The
+    * exact-dup term costs one md5-keyed count aggregate over the docs
+    * (the q21 shape) plus one count of the checkpointed postings, paid
+    * only when the raw mass already tripped the budget.
+    *
+    * Budget calibration (round 11, measured): the sf0.1 corpus carries
+    * 253 candidate pairs/doc and the unpruned form wins there 2.5 s vs
+    * 9–11 s — the original 64/doc budget tripped on a HEALTHY corpus
+    * and would have picked the 4× slower path. Default is now 512/doc:
+    * above the measured-healthy 253, below the engineered boilerplate
+    * floods (≥1400/doc in the specs) where prefix filtering is the
+    * designed win. */
   def weightedJaccardPairsAuto(docs: DataFrame, n: Int, tau: Double,
-                               pairsPerDocBudget: Long = 64L): DataFrame = {
+                               pairsPerDocBudget: Long = 512L): DataFrame = {
     val (shw, tw, pruned) = weightedDecision(docs, n, pairsPerDocBudget)
     if (pruned) weightedJaccardPrunedFrom(shw, tw, tau)
     else weightedJaccardFrom(shw, tw, tau)
   }
 
   /** ONE home for the auto-select predicate: build the postings (shared
-    * with whichever form runs) and compare the measured pair mass to the
-    * linear budget. */
+    * with whichever form runs) and compare the measured RESIDUAL pair
+    * mass (raw mass minus the part explained by exact-duplicate groups,
+    * which no prefix filter can prune) to the linear budget. */
   private def weightedDecision(docs: DataFrame, n: Int,
                                pairsPerDocBudget: Long): (DataFrame, DataFrame, Boolean) = {
     val nDocs = math.max(1L, docs.count())
     val (shw, tw) = weightedPostings(docs, n)
     val (pairs, _) = pairMassOf(shw)
-    (shw, tw, pairs > pairsPerDocBudget * nDocs)
+    val budget = pairsPerDocBudget.toDouble * nDocs
+    val pruned = pairs.toDouble > budget && {
+      // exact-duplicate pair count: byte-identical texts, md5-keyed
+      // (double + saturation like pairMassOf — a dup group of 3e9 rows
+      // would overflow long pair arithmetic)
+      val row = docs.groupBy(md5(col("text")).as("_h"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(expr("cast(c as double) * (c - 1) / 2")).as("p"))
+        .collect()(0)
+      val dupPairs = Option(row.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+      val avgPostings = shw.count().toDouble / nDocs
+      pairs.toDouble - dupPairs * avgPostings > budget
+    }
+    (shw, tw, pruned)
   }
 
   /** The [[weightedJaccardPairsAuto]] decision alone (spec surface). */
   def weightedFormIsPruned(docs: DataFrame, n: Int,
-                           pairsPerDocBudget: Long = 64L): Boolean =
+                           pairsPerDocBudget: Long = 512L): Boolean =
     weightedDecision(docs, n, pairsPerDocBudget)._3
 
   val q126Oracle: String =

@@ -24,10 +24,15 @@ object WeightedJaccardAb {
       val n = f
       println(f"$label rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).getOrElse(3)
+    val (mass, nsh) = PipelineQueries.weightedPairMass(docs, 3)
+    val nd = docs.count()
+    println(s"pairMass=$mass shingles=$nsh nDocs=$nd massPerDoc=${mass / math.max(1L, nd)}")
+    println(s"autoDecision pruned=${PipelineQueries.weightedFormIsPruned(docs, 3)}")
     // warmup both plans once
     PipelineQueries.weightedJaccardPairs(docs, 3, 0.3).count()
     PipelineQueries.weightedJaccardPairsPruned(docs, 3, 0.3).count()
-    for (rep <- 1 to 3) {
+    for (rep <- 1 to reps) {
       time(s"declared rep$rep")(PipelineQueries.weightedJaccardPairs(docs, 3, 0.3).count())
       time(s"pruned   rep$rep")(PipelineQueries.weightedJaccardPairsPruned(docs, 3, 0.3).count())
     }

@@ -417,11 +417,12 @@ class PipelineQueriesSpec extends AnyFunSuite {
       .select($"doc_id", $"text")
     // real corpus: idf pruning leaves a sub-linear pair mass -> declared
     assert(!PipelineQueries.weightedFormIsPruned(corpus, n = 3))
-    // flood: 40 docs sharing a 30-shingle template that SURVIVES the idf
-    // cut (df=40 < N so iw>0) -> pair mass ~ 30·C(40,2) >> 64·N
+    // flood: 100 docs sharing a 30-shingle template that SURVIVES the idf
+    // cut (df=100 < N so iw>0) -> pair mass ~ 30·C(100,2) = 148500,
+    // ~1470/doc >> the 512/doc budget
     val boiler = (1 to 32).map(i => s"b$i").mkString(" ")
-    val rows = (1L to 40L).map(id => (id, s"$boiler u$id")) :+
-      (99L, (1 to 40).map(j => s"v$j").mkString(" ")) // one non-template doc
+    val rows = (1L to 100L).map(id => (id, s"$boiler u$id")) :+
+      (999L, (1 to 40).map(j => s"v$j").mkString(" ")) // one non-template doc
     val flood = rows.toDF("doc_id", "text")
     assert(PipelineQueries.weightedFormIsPruned(flood, n = 3))
     // the selection is cost-only: auto output == declared output on both
@@ -430,6 +431,32 @@ class PipelineQueriesSpec extends AnyFunSuite {
     val want = PipelineQueries.weightedJaccardPairs(flood, n = 3, tau = 0.3)
       .collect().toSeq
     assert(got == want)
+  }
+
+  test("weightedJaccardPairsAuto: a TRUE-duplicate flood (byte-identical " +
+       "replicas) stays on the declared form — exact-dup mass is unprunable " +
+       "and the refined signal subtracts it") {
+    // 20 distinct base docs × 30 byte-identical replicas each: raw pair
+    // mass ≈ C(30,2)·postings ≫ 512·N (the raw-mass rule would prefix-filter,
+    // measured 17× slower at the sf1-equivalent blow-up), but every pair
+    // is an exact duplicate sharing its full posting set — residual
+    // boilerplate mass ≈ 0, so the refined decision keeps the self-join
+    val base = (1 to 20).map(i =>
+      (1 to 48).map(j => s"w${i}_$j").mkString(" "))
+    val rows = for (r <- 0 until 30; (t, i) <- base.zipWithIndex)
+      yield ((r * 100 + i).toLong, t)
+    val replicas = rows.toDF("doc_id", "text")
+    // raw mass really floods (the first gate trips): every shingle has
+    // df=30 -> mass = 46·C(30,2)·20 = 400200 > 512·600 = 307200
+    assert(PipelineQueries.weightedPairMass(replicas, 3)._1 > 512L * 600L)
+    assert(!PipelineQueries.weightedFormIsPruned(replicas, n = 3),
+      "replica flood must NOT pick the prefix filter")
+    // and a boilerplate flood still does (regression guard for the
+    // refinement: dup subtraction must not kill the designed case)
+    val boiler = (1 to 32).map(i => s"b$i").mkString(" ")
+    val brows = (1L to 100L).map(id => (id, s"$boiler u$id")) :+
+      (999L, (1 to 40).map(j => s"v$j").mkString(" "))
+    assert(PipelineQueries.weightedFormIsPruned(brows.toDF("doc_id", "text"), n = 3))
   }
 
   // ---- q136 Zipf slope -------------------------------------------------------
