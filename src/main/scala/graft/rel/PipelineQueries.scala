@@ -561,9 +561,14 @@ object PipelineQueries {
       }
       out.toSeq
     })
+    // same explosion-vs-input hazard as the unpruned self-join (see
+    // weightedJaccardFrom): pin the prefix join's parallelism so AQE's
+    // input-byte coalescing cannot funnel the candidate explosion
+    // through a handful of tasks
     val prefix = sorted
       .select(col("doc_id"), col("tw"),
         explode(prefixUdf(col("ps"), col("tw"))).as("s"))
+      .repartition(shw.sparkSession.sessionState.conf.numShufflePartitions, col("s"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           // keep iff tau·W_B ≤ W_A and mirror, with one micro-unit of
@@ -572,6 +577,10 @@ object PipelineQueries {
           col("b.tw") >= col("a.tw") * tau - 1.0)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+      // the recompute join fans each candidate out by |postings(d1)| —
+      // explosion again, so pin its exchange too (the d2-side join's
+      // input is the already-big fan-out, which AQE sizes correctly)
+      .repartition(shw.sparkSession.sessionState.conf.numShufflePartitions, col("d1"))
     // exact intersection weight, candidates only, from the FULL postings
     val inter = cand
       .join(shw.select(col("doc_id").as("d1"), col("s"), col("iw")), Seq("d1"))
