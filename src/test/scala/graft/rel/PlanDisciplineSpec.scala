@@ -143,6 +143,17 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(scans == 0 && p.contains("Scan ExistingRDD"),
       s"final plan must read the checkpointed postings only ($scans corpus scans):\n$p")
     assert(!p.contains("CartesianProduct"), p)
+    // the self-join's exchange is the EXPLICIT shingle-keyed repartition
+    // at the session's shuffle parallelism (round 11): AQE sizes
+    // exchanges by input bytes, blind to the candidate-pair output
+    // explosion — losing this pin re-opens the 10-tasks-on-32-cores
+    // funnel measured at the 10× blow-up (49.5 s vs 21.0 s)
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val pinned = p.linesIterator.exists(l =>
+      l.contains(s"hashpartitioning(s#") && l.contains(s", $parts), REPARTITION_BY_NUM"))
+    assert(pinned,
+      "self-join lost its explicit shingle-keyed REPARTITION_BY_NUM exchange:\n" +
+        p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
   }
 
   test("q134: every corpus-sized window is partitioned; offsets broadcast back") {
