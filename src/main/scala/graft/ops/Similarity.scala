@@ -255,16 +255,19 @@ object Similarity {
     * or sample cap must not silently reuse centroids fit under other
     * parameters. Get-then-putIfAbsent, NOT computeIfAbsent: the fit is a
     * distributed Spark job and must not run while holding a CHM bin lock
-    * (worst case here is a rare duplicate fit, not a stall). */
+    * (worst case here is a rare duplicate fit, not a stall).
+    *
+    * `n` = the corpus row count, supplied by the caller: it is both the
+    * sampling denominator AND the cache fingerprint (a regenerated corpus
+    * under a reused key almost always changes cardinality, so the
+    * stale-centroid hazard collapses to the same-count rewrite — covered
+    * by the clearCaches hook). Callers count the RAW id/vec frame, where
+    * count(1) prunes every column, NOT a derived (normalized / residual)
+    * frame — a warm cache hit must never pay an O(corpus) decode pass
+    * just to build the key. */
   private def coarseCentersFor(data: DataFrame, nCells: Int,
                                corpusKey: Option[String], keySuffix: String,
-                               sampleCap: Long): Array[Array[Double]] = {
-    // the count is both the sampling denominator AND the cache
-    // fingerprint: a regenerated corpus under a reused key almost always
-    // changes cardinality, so the stale-centroid hazard collapses to the
-    // same-count rewrite (covered by the clearCaches hook). One cheap
-    // count-shaped job per call is the price of falsifiable caching.
-    val n = data.count()
+                               sampleCap: Long, n: Long): Array[Array[Double]] = {
     corpusKey match {
       case Some(key) =>
         val fullKey = s"$key|$keySuffix|$nCells|$sampleCap|n=$n"
@@ -393,11 +396,13 @@ object Similarity {
     * fits share one normalization pass. None ⇔ empty corpus. */
   private def pqModelFor(normed: Dataset[(Long, Array[Double])],
                          m: Int, ks: Int, corpusKey: Option[String],
-                         keySuffix: String, sampleCap: Int): Option[PqModel] = {
+                         keySuffix: String, sampleCap: Int,
+                         total: Long): Option[PqModel] = {
     val spark = normed.sparkSession
     import spark.implicits._
-    // count doubles as the cache fingerprint (see coarseCentersFor)
-    val total = normed.count()
+    // `total` = caller-supplied corpus count: cache fingerprint + sample
+    // denominator (see coarseCentersFor). On a cache hit `normed` is
+    // never touched — no normalization/residual pass runs.
     def sampleVectors(): Array[Array[Double]] = {
       val frac = math.min(1.0, sampleCap.toDouble / math.max(total, 1L))
       val s = if (frac >= 1.0) normed else normed.sample(withReplacement = false, frac, 42L)
@@ -556,12 +561,13 @@ object Similarity {
     val data = emb.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("arr"))
     val normed = normalized(data)
-    // persist only around the fit (count + sampled collect share one
-    // normalization pass); released before returning the lazy plan
-    val cached = normed.persist()
-    val modelOpt =
-      try pqModelFor(cached, m, ks, corpusKey, s"$idCol|$vecCol", sampleCap)
-      finally cached.unpersist()
+    // fingerprint count on the RAW frame (count(1), columns pruned) — a
+    // warm cache hit costs one metadata-cheap job, never a normalization
+    // pass; the miss path reads `normed` exactly once (the sample
+    // collect), so no persist is needed either
+    val n = data.count()
+    val modelOpt = pqModelFor(normed, m, ks, corpusKey,
+      s"$idCol|$vecCol", sampleCap, n)
     if (modelOpt.isEmpty) return emptyTopK(spark) // empty corpus, not a crash
     val model = modelOpt.get
     val modelB = spark.sparkContext.broadcast(model)
@@ -664,17 +670,23 @@ object Similarity {
     val data = emb.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("arr"))
     val normed = normalized(data)
+    // ONE fingerprint count on the RAW frame serves both caches (the
+    // normalization and residual maps are 1:1, so all three frames share
+    // a cardinality). A warm double-hit therefore costs one pruned
+    // count(1) job — NOT a normalization pass plus a residual pass, which
+    // at 100 TB would be two full corpus decodes per query batch.
+    val n = data.count()
     // BOTH fits (coarse quantizer, then PQ codebooks on its residuals)
-    // read the normalized corpus: persist across them so the fit path
-    // pays one normalization pass; cache hits see a persist/unpersist
-    // no-op
+    // read the normalized corpus on a MISS: persist across them so the
+    // fit path pays one normalization pass; cache hits never materialize
+    // it (persist/unpersist stay lazy no-ops)
     val cached = normed.persist()
     val (modelOpt, centers) =
       try {
         // coarse quantizer first over the NORMALIZED vectors (cells
         // partition the unit sphere, matching the inner-product geometry)
         val cs = coarseCentersFor(cached.toDF("vid", "arr"), nCells, corpusKey,
-          s"$idCol|$vecCol|normed", sampleCap.toLong)
+          s"$idCol|$vecCol|normed", sampleCap.toLong, n)
         val mo =
           if (cs.isEmpty) None
           else {
@@ -684,7 +696,8 @@ object Similarity {
             val resids = cached.map { case (id, v) =>
               (id, residual(v, csB.value(nearestCenter(csB.value, v))))
             }
-            pqModelFor(resids, m, ks, corpusKey, s"$idCol|$vecCol|resid", sampleCap)
+            pqModelFor(resids, m, ks, corpusKey, s"$idCol|$vecCol|resid",
+              sampleCap, n)
           }
         (mo, cs)
       } finally cached.unpersist()
@@ -745,7 +758,7 @@ object Similarity {
     val data = emb.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("arr"))
     val centers = coarseCentersFor(data, nCells, corpusKey,
-      s"$idCol|$vecCol", sampleCap)
+      s"$idCol|$vecCol", sampleCap, data.count())
     val centersB = spark.sparkContext.broadcast(centers)
     // corpus-side assignment: argmin over centroids via the shared
     // kernels — identical geometry to ivfPqTopK's coded pass
@@ -829,7 +842,7 @@ object Similarity {
     val data = emb.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("arr"))
     val centers = coarseCentersFor(data, nCells, corpusKey,
-      s"$idCol|$vecCol|semdedup", sampleCap)
+      s"$idCol|$vecCol|semdedup", sampleCap, data.count())
     val centersB = spark.sparkContext.broadcast(centers)
     // multi-probe assignment: each vector lands in its nProbe nearest
     // cells, so a pair is candidate iff the two probe sets intersect —

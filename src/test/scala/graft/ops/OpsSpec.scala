@@ -218,6 +218,52 @@ class OpsSpec extends AnyFunSuite {
     Similarity.clearCaches() // the same-count-rewrite hook stays callable
   }
 
+  test("warm ANN model resolution: cache hit costs a pruned count + query fetch, " +
+    "never a corpus decode pass") {
+    val key = "warm-discipline-" + System.nanoTime()
+    val qids = Seq(0L, 1L, 2L)
+    // one stable frame for both calls: `embs` is a def (fresh parquet
+    // load per access), and a fresh load adds a schema-read job that
+    // would pollute the warm-path job ledger below
+    val corpus = embs
+    // cold call fits + caches BOTH models (coarse centroids, residual PQ)
+    val cold = Similarity.ivfPqTopK(corpus, "vec_id", "embedding", qids, 3,
+      corpusKey = Some(key)).orderBy("qid", "rn").collect().map(_.toSeq).toSeq
+    // warm call: every job the EAGER phase (model resolution) runs is
+    // tagged with this group; the returned plan itself stays lazy. The
+    // contract under test: a double cache hit costs exactly (1) the raw
+    // count(1) fingerprint job and (2) the query-vector collect — NOT a
+    // normalization pass or a residual pass over the corpus (which is
+    // what an O(corpus) fingerprint would cost per batch at 100 TB).
+    val group = "warm-ann-" + System.nanoTime()
+    spark.sparkContext.setJobGroup(group, "warm ANN model resolution", false)
+    val warmDf =
+      try Similarity.ivfPqTopK(corpus, "vec_id", "embedding", qids, 3,
+        corpusKey = Some(key))
+      finally spark.sparkContext.clearJobGroup()
+    // statusTracker is fed by the async listener bus: poll until the
+    // expected jobs appear, then assert none beyond them ever does
+    val deadline = System.nanoTime() + 5000000000L
+    def groupJobs() = spark.sparkContext.statusTracker.getJobIdsForGroup(group)
+    while (groupJobs().length < 2 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    val stages = groupJobs().flatMap(j =>
+      spark.sparkContext.statusTracker.getJobInfo(j).toSeq.flatMap(_.stageIds()))
+      .flatMap(sid => spark.sparkContext.statusTracker.getStageInfo(sid).toSeq)
+      .map(_.name()).toSeq
+    // a model refit would drag in KMeans jobs; a reintroduced O(corpus)
+    // fingerprint would add a third action beyond count + collect (AQE
+    // may wrap the count in one extra result job, hence <= 3)
+    assert(groupJobs().length <= 3 && stages.forall(!_.contains("KMeans")),
+      s"warm model resolution ran ${groupJobs().length} jobs " +
+        s"(want <=3: fingerprint count + query-vector fetch; stages: " +
+        stages.mkString("; ") + ")")
+    // and the warm plan still computes the cold answer
+    val warm = warmDf.orderBy("qid", "rn").collect().map(_.toSeq).toSeq
+    assert(warm == cold, "warm cache-hit path must reproduce the cold result")
+    Similarity.clearCaches()
+  }
+
   test("multimodal: stub kernels deterministic; extractFeatures end-to-end") {
     import spark.implicits._
     val f1 = Multimodal.MediaKernels.featurize("hello world".getBytes("UTF-8"))
