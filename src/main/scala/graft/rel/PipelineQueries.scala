@@ -975,7 +975,14 @@ object PipelineQueries {
     */
   def q130SourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val L = 8
-    val sh = t(s, dir, "documents")
+    // spread(8) before the 8-gram explode: the heaviest serial-split
+    // funnel in the suite (ProfileQ: a 0.6-0.8 s ONE-task stage on a
+    // 32-core box) and the one site where the round-11 suite-wide A/B
+    // measured a win (1.99 -> 1.69 s; the blanket application REGRESSED
+    // 26 other queries because at driver scale the added exchange +
+    // per-stage scheduling outweighs the sub-second serial phase - see
+    // Tables.spread's doc for the full numbers)
+    val sh = Tables.spread(t(s, dir, "documents"), 8)
       .select(col("source"), split(col("text"), " ").as("t"))
       .withColumn("n", size(col("t")))
       .where(col("n") >= L)

@@ -46,4 +46,37 @@ object Tables {
     }
     df
   }
+
+  /** Spread an unsplittably-narrow source before CPU-heavy per-row
+    * expansion (shingling, tokenization, media decode). Parquet splits at
+    * ROW-GROUP granularity, and the driver test tables are
+    * single-row-group files — so without this, a scan feeds its whole
+    * corpus to ONE task and the expansion runs serial no matter how many
+    * cores the cluster has. When the source already yields at least
+    * `parts` splits (any production-scale table), this is a NO-OP — no
+    * exchange enters the plan; the explicit-width round-robin repartition
+    * (whose shuffle is, by construction, sized by the undersized input)
+    * is paid only in the pathological few-split case: tiny files, one
+    * mega row group, gzip JSONL, a single `repartition(1)`'d upstream.
+    * Partition COUNT (`df.rdd.getNumPartitions`) is plan metadata — no
+    * job runs to evaluate the condition.
+    *
+    * USE SPARINGLY, AND ONLY WITH A MEASUREMENT. A round-11 suite-wide
+    * A/B applied this before every CPU-heavy map in the engine (dedup
+    * shingling, ANN encode scans, k-means/MMR pools, token explodes) and
+    * REGRESSED the sf0.1 suite 71.9 → 90.3 s at width 32 (canary-equal
+    * boxes) and still lost at width 8 on 10 of 12 targeted queries: at
+    * driver test scale the serial phase is sub-second, while the added
+    * exchange plus an extra stage's scheduling (55–65 % of a local job's
+    * wall is driver-side gap — see bench_attrib_r11.json) costs more
+    * than the parallelism recovers. The one measured keeper is q130's
+    * 8-gram explode (1.99 → 1.69 s at width 8, the suite's heaviest
+    * one-task stage). The genuine target is a production anti-pattern
+    * this testbed only simulates: a multi-GB gzip member or mega row
+    * group, where the serial phase is minutes, not milliseconds. */
+  def spread(df: DataFrame, parts: Int = 0): DataFrame = {
+    val target =
+      if (parts > 0) parts else df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }

@@ -60,4 +60,21 @@ class TablesSpec extends AnyFunSuite {
     val df = Tables.load(spark, dir, "documents")
     assert(df.count() == 3 && df.columns.toSeq == Seq("doc_id", "text"))
   }
+
+  test("spread: widens a narrow source, no-ops an already-wide one, " +
+    "preserves the row multiset") {
+    val narrow = spark.range(100).toDF("id").coalesce(1)
+    assert(narrow.rdd.getNumPartitions == 1)
+    val wide = Tables.spread(narrow, 8)
+    assert(wide.rdd.getNumPartitions == 8)
+    assert(wide.select(sum(col("id"))).head.getLong(0) == 4950L
+      && wide.count() == 100)
+    // already at/above target: the SAME plan comes back - no exchange
+    val already = spark.range(100).repartition(16).toDF("id")
+    assert(Tables.spread(already, 8) eq already)
+    // parts = 0 targets defaultParallelism
+    val auto = Tables.spread(narrow)
+    assert(auto.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+  }
 }
