@@ -56,10 +56,21 @@ object Tables {
     * `parts` splits (any production-scale table), this is a NO-OP — no
     * exchange enters the plan; the explicit-width round-robin repartition
     * (whose shuffle is, by construction, sized by the undersized input)
-    * is paid only in the pathological few-split case: tiny files, one
-    * mega row group, gzip JSONL, a single `repartition(1)`'d upstream.
-    * Partition COUNT (`df.rdd.getNumPartitions`) is plan metadata — no
-    * job runs to evaluate the condition.
+    * is paid only in the pathological few-split case: tiny files, gzip
+    * JSONL, a single `repartition(1)`'d upstream.
+    *
+    * TWO CONTRACT LIMITS. (1) Apply ONLY directly above a source scan
+    * (narrow plan): for a plan containing an exchange, `df.rdd` under
+    * AQE materializes every upstream shuffle stage just to read the
+    * partition count, and the repartitioned result is a new
+    * QueryExecution that cannot reuse them — the upstream pipeline would
+    * run twice. On a scan-only plan the partition count is pure split
+    * planning; no job runs. (2) The guard keys on SPLIT count, not row
+    * distribution: a multi-GB file with ONE row group plans into many
+    * byte-range splits (≥ target, so this no-ops) yet decodes every row
+    * in the single task owning the row-group start — that case needs
+    * footer inspection (row-group count), which this helper deliberately
+    * does not do.
     *
     * USE SPARINGLY, AND ONLY WITH A MEASUREMENT. A round-11 suite-wide
     * A/B applied this before every CPU-heavy map in the engine (dedup
@@ -72,8 +83,10 @@ object Tables {
     * than the parallelism recovers. The one measured keeper is q130's
     * 8-gram explode (1.99 → 1.69 s at width 8, the suite's heaviest
     * one-task stage). The genuine target is a production anti-pattern
-    * this testbed only simulates: a multi-GB gzip member or mega row
-    * group, where the serial phase is minutes, not milliseconds. */
+    * this testbed only simulates: a multi-GB gzip member (or any truly
+    * few-SPLIT source — see contract limit 2 above for why a mega row
+    * group is NOT detected), where the serial phase is minutes, not
+    * milliseconds. */
   def spread(df: DataFrame, parts: Int = 0): DataFrame = {
     val target =
       if (parts > 0) parts else df.sparkSession.sparkContext.defaultParallelism

@@ -242,11 +242,19 @@ class OpsSpec extends AnyFunSuite {
         corpusKey = Some(key))
       finally spark.sparkContext.clearJobGroup()
     // statusTracker is fed by the async listener bus: poll until the
-    // expected jobs appear, then assert none beyond them ever does
+    // expected jobs appear AND the count is quiescent (two consecutive
+    // equal reads) — exiting on first sight of 2 would let late-surfacing
+    // extra jobs (the regression this test exists for) escape the ledger
     val deadline = System.nanoTime() + 5000000000L
     def groupJobs() = spark.sparkContext.statusTracker.getJobIdsForGroup(group)
-    while (groupJobs().length < 2 && System.nanoTime() < deadline)
-      Thread.sleep(50)
+    var last = -1
+    var settled = false
+    while (!settled && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      val n = groupJobs().length
+      settled = n >= 2 && n == last
+      last = n
+    }
     val stages = groupJobs().flatMap(j =>
       spark.sparkContext.statusTracker.getJobInfo(j).toSeq.flatMap(_.stageIds()))
       .flatMap(sid => spark.sparkContext.statusTracker.getStageInfo(sid).toSeq)

@@ -7,8 +7,15 @@ import graft.SparkTestBase
   * cluster geometry: the driver runs Verify at local[32]/32 shuffle
   * partitions, the specs at local[4]/4, and a production cluster at
   * thousands — a result that drifts with partition count is a latent
-  * oracle mismatch (this is the mechanized form of the round-11 manual
-  * probe: full Verify at CPUS=7 vs CPUS=32, 167/167 both).
+  * oracle mismatch.
+  *
+  * SCOPE: this battery varies REDUCE-side geometry only
+  * (spark.sql.shuffle.partitions 3 vs 32). Scan-side/map-side geometry
+  * (defaultParallelism, leaf split planning) is fixed by the shared
+  * local[4] session and cannot be varied inside one JVM — that axis is
+  * covered by the round-11 MANUAL probe (full Verify at CPUS=7 and
+  * CPUS=32 against the DuckDB oracle, 167/167 both), which this spec
+  * complements, not replaces.
   *
   * Representatives cover the classes where parallelism could plausibly
   * bite: float/decimal aggregation order, distributed argmax loops
