@@ -33,7 +33,17 @@ object BenchScalingDeep {
 
   private val Targets = Seq(
     "q06_range_join", "q23_dedup_near_jaccard", "q126_weighted_jaccard",
-    "q130_source_overlap", "q164_association_rules")
+    "q130_source_overlap", "q164_association_rules",
+    // round-11 second wave: the ANN/embedding family, whose 100-TB
+    // claims (cells prune the scan, codes compress it, SemDeDup cells
+    // bound the pair space) were argued and spec'd but never MEASURED
+    // at a blow-up. embeddings replicate byte-identically (vec_id
+    // shifted), so every vector gains K-1 exact duplicates: the
+    // adversarial case for semantic dedup. q157 is the deliberate
+    // quadratic EXACT baseline (single broadcast tile at this scale -
+    // streamed n x tile n pair work) the pruned paths are judged
+    // against.
+    "q55_ann_ivf", "q76_ann_ivfpq", "q102_semdedup", "q157_knn_graph")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -60,8 +70,6 @@ object BenchScalingDeep {
       * timestamps round-trip as plain TIMESTAMP. */
     def materialize(k: Int): String = {
       val dir = s"$work/$k"
-      val done = new java.io.File(s"$dir/_DONE")
-      if (done.exists()) return dir
       def shifted(name: String, idCols: Seq[String]): DataFrame = {
         val t = graft.rel.Tables.load(spark, base, name)
         val spans = idCols.map(c =>
@@ -72,15 +80,17 @@ object BenchScalingDeep {
           }
         }.reduce(_ unionByName _)
       }
-      shifted("documents", Seq("doc_id"))
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      shifted("events", Seq("event_id", "user_id"))
-        .write.mode("overwrite").parquet(s"$dir/events.parquet")
-      shifted("lineitem", Seq("l_orderkey"))
-        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-      graft.rel.Tables.load(spark, base, "part")
-        .write.mode("overwrite").parquet(s"$dir/part.parquet")
-      done.createNewFile()
+      // per-table done markers (not one _DONE): lets a new target family
+      // add its table into dirs an earlier run already materialized
+      def ensure(name: String)(build: => DataFrame): Unit = {
+        if (!new java.io.File(s"$dir/$name.parquet/_SUCCESS").exists())
+          build.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      }
+      ensure("documents")(shifted("documents", Seq("doc_id")))
+      ensure("events")(shifted("events", Seq("event_id", "user_id")))
+      ensure("lineitem")(shifted("lineitem", Seq("l_orderkey")))
+      ensure("part")(graft.rel.Tables.load(spark, base, "part"))
+      ensure("embeddings")(shifted("embeddings", Seq("vec_id")))
       dir
     }
 
