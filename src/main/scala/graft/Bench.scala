@@ -20,6 +20,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the njobs ledger below reads per-group job counts from the status
+      // store after the whole suite has run; the default retention (1000
+      // jobs) would evict the early groups under 167 queries x reps
+      .config("spark.ui.retainedJobs", "20000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup pass at the smallest SF: JIT + codegen + classloading for
@@ -131,6 +135,39 @@ object Bench {
         } catch { case _: Throwable => () }
       }
     }
+    // Steady-state job-count ledger (round-11 second wave): attribution
+    // showed a local query's wall is mostly jobs × driver-side gap, so
+    // the artifact now records each query's cache-warm Spark job count —
+    // the number that turns a future driver-box flag into an attribution
+    // without a separate ProfileQ session (more jobs = more gap
+    // exposure; a count that CHANGES between rounds = a plan change).
+    // One untimed warm pass, each query under its own job group, read
+    // back from the status tracker after the listener bus drains.
+    // SPARK_GRAFT_NJOBS=0 disables.
+    val njobs = scala.collection.mutable.Map.empty[String, Int]
+    if (sys.env.get("SPARK_GRAFT_NJOBS").forall(_ != "0")) {
+      for ((name, fn) <- names if !errors.contains(name)) {
+        spark.sparkContext.setJobGroup(s"njobs-$name", name, false)
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => () }
+        finally spark.sparkContext.clearJobGroup()
+      }
+      def groupCount(n: String): Int =
+        spark.sparkContext.statusTracker.getJobIdsForGroup(s"njobs-$n").length
+      // async listener bus: poll until the total is stable across two
+      // consecutive reads (same quiescence rule as the OpsSpec ledger)
+      def totalSeen(): Int = names.iterator.map(p => groupCount(p._1)).sum
+      val deadline = System.nanoTime() + 10000000000L
+      var last = -1
+      var now = totalSeen()
+      while (last != now && System.nanoTime() < deadline) {
+        Thread.sleep(200); last = now; now = totalSeen()
+      }
+      names.foreach { case (name, _) =>
+        val n = groupCount(name)
+        if (n > 0) njobs(name) = n
+      }
+    }
     val orderFlags = results.collect {
       case (name, med) if med > 0 && shufSamples.get(name).exists { s =>
         math.max(s / med, med / s) > 1.5 && math.abs(s - med) > 0.1
@@ -142,8 +179,9 @@ object Bench {
       val xs = samples.getOrElse(name, Nil)
       val spread = if (xs.isEmpty) -1.0 else xs.max - xs.min
       val shuf = shufSamples.get(name).map(s => s""","shuf":${r3(s)}""").getOrElse("")
+      val nj = njobs.get(name).map(n => s""","njobs":$n""").getOrElse("")
       val err = errors.get(name).map(e => s""","err":"$e"""").getOrElse("")
-      s"""{"name":"$name","median":${r3(med)},"spread":${r3(spread)},"n":${xs.size}$shuf$err}"""
+      s"""{"name":"$name","median":${r3(med)},"spread":${r3(spread)},"n":${xs.size}$shuf$nj$err}"""
     }
     results.foreach { case (name, med) => println("BENCHQ " + benchqLine(name, med)) }
     // Final-line keys are the qNN prefix (the driver contract's own
@@ -204,8 +242,12 @@ object Bench {
         short(name) -> (xs.max - xs.min) / med
     }.sortBy(-_._2).take(3)
       .map { case (n, r) => s"$n:${r3(r)}" }.mkString(",")
+    // "jobsw" = the 3 highest warm job counts — the queries most exposed
+    // to per-job driver gap on a contended box
+    val jobsW = njobs.toSeq.sortBy(-_._2).take(3)
+      .map { case (n, c) => s"${short(n)}:$c" }.mkString(",")
     val orderJson =
-      s""","order":{"seed":$shufSeed,"flag":"${orderFlags.mkString(",")}"},"spreadw":"$spreadW""""
+      s""","order":{"seed":$shufSeed,"flag":"${orderFlags.mkString(",")}"},"spreadw":"$spreadW","jobsw":"$jobsW""""
     // total LAST in the object: even a head-truncated capture still ends
     // with ...,"metric":"total","value":N} so the headline is recoverable
     val finalJson =
