@@ -125,44 +125,53 @@ object Bench {
     val shufSeed = sys.env.get("SPARK_GRAFT_SHUFFLE_SEED")
       .flatMap(_.toLongOption).getOrElse(20260814L)
     val shufSamples = scala.collection.mutable.Map.empty[String, Double]
-    if (sys.env.get("SPARK_GRAFT_SHUFFLE_REP").forall(_ != "0")) {
+    val shufEnabled = sys.env.get("SPARK_GRAFT_SHUFFLE_REP").forall(_ != "0")
+    if (shufEnabled) {
       val order = new scala.util.Random(shufSeed).shuffle(names)
       for ((name, fn) <- order if !errors.contains(name)) {
+        // tag the rep with a job group: the njobs ledger below reads the
+        // per-query job counts off THIS already-paid execution instead of
+        // running a dedicated extra pass (setJobGroup is a local property
+        // write — it cannot perturb the timing it rides on)
+        spark.sparkContext.setJobGroup(s"njobs-$name", name, false)
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
           shufSamples(name) = (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => () }
+        finally spark.sparkContext.clearJobGroup()
       }
     }
     // Steady-state job-count ledger (round-11 second wave): attribution
     // showed a local query's wall is mostly jobs × driver-side gap, so
-    // the artifact now records each query's cache-warm Spark job count —
-    // the number that turns a future driver-box flag into an attribution
+    // the artifact records each query's cache-warm Spark job count — the
+    // number that turns a future driver-box flag into an attribution
     // without a separate ProfileQ session (more jobs = more gap
     // exposure; a count that CHANGES between rounds = a plan change).
-    // One untimed warm pass, each query under its own job group, read
-    // back from the status tracker after the listener bus drains.
-    // SPARK_GRAFT_NJOBS=0 disables.
+    // The counts ride on the shuffled rep's job groups (no extra pass);
+    // with the shuffled rep disabled, one dedicated untimed warm pass
+    // provides them. SPARK_GRAFT_NJOBS=0 disables.
     val njobs = scala.collection.mutable.Map.empty[String, Int]
+    var njobsPartial = false
     if (sys.env.get("SPARK_GRAFT_NJOBS").forall(_ != "0")) {
-      for ((name, fn) <- names if !errors.contains(name)) {
-        spark.sparkContext.setJobGroup(s"njobs-$name", name, false)
-        try fn(spark, sfDir).count()
-        catch { case _: Throwable => () }
-        finally spark.sparkContext.clearJobGroup()
+      if (!shufEnabled) {
+        for ((name, fn) <- names if !errors.contains(name)) {
+          spark.sparkContext.setJobGroup(s"njobs-$name", name, false)
+          try fn(spark, sfDir).count()
+          catch { case _: Throwable => () }
+          finally spark.sparkContext.clearJobGroup()
+        }
       }
       def groupCount(n: String): Int =
         spark.sparkContext.statusTracker.getJobIdsForGroup(s"njobs-$n").length
-      // async listener bus: poll until the total is stable across two
-      // consecutive reads (same quiescence rule as the OpsSpec ledger)
-      def totalSeen(): Int = names.iterator.map(p => groupCount(p._1)).sum
-      val deadline = System.nanoTime() + 10000000000L
-      var last = -1
-      var now = totalSeen()
-      while (last != now && System.nanoTime() < deadline) {
-        Thread.sleep(200); last = now; now = totalSeen()
-      }
+      // async listener bus: drain to quiescence via the SHARED rule
+      // (BenchUtil.pollQuiescent — same helper as the OpsSpec ledger).
+      // An unsettled poll marks the whole ledger partial rather than
+      // publishing undercounts as truth: a too-low njobs would read as a
+      // phantom plan change next round.
+      val (_, settled) = BenchUtil.pollQuiescent(
+        () => names.iterator.map(p => groupCount(p._1)).sum, minValue = 1)
+      njobsPartial = !settled
       names.foreach { case (name, _) =>
         val n = groupCount(name)
         if (n > 0) njobs(name) = n
@@ -179,7 +188,10 @@ object Bench {
       val xs = samples.getOrElse(name, Nil)
       val spread = if (xs.isEmpty) -1.0 else xs.max - xs.min
       val shuf = shufSamples.get(name).map(s => s""","shuf":${r3(s)}""").getOrElse("")
-      val nj = njobs.get(name).map(n => s""","njobs":$n""").getOrElse("")
+      // a partial (non-quiescent) ledger publishes NO per-row counts — an
+      // undercount would read as a phantom plan change next round
+      val nj = if (njobsPartial) ""
+        else njobs.get(name).map(n => s""","njobs":$n""").getOrElse("")
       val err = errors.get(name).map(e => s""","err":"$e"""").getOrElse("")
       s"""{"name":"$name","median":${r3(med)},"spread":${r3(spread)},"n":${xs.size}$shuf$nj$err}"""
     }
@@ -243,9 +255,11 @@ object Bench {
     }.sortBy(-_._2).take(3)
       .map { case (n, r) => s"$n:${r3(r)}" }.mkString(",")
     // "jobsw" = the 3 highest warm job counts — the queries most exposed
-    // to per-job driver gap on a contended box
+    // to per-job driver gap on a contended box; "(partial)" = the
+    // listener bus never went quiescent, treat every count as a floor
     val jobsW = njobs.toSeq.sortBy(-_._2).take(3)
-      .map { case (n, c) => s"${short(n)}:$c" }.mkString(",")
+      .map { case (n, c) => s"${short(n)}:$c" }.mkString(",") +
+      (if (njobsPartial) "(partial)" else "")
     val orderJson =
       s""","order":{"seed":$shufSeed,"flag":"${orderFlags.mkString(",")}"},"spreadw":"$spreadW","jobsw":"$jobsW""""
     // total LAST in the object: even a head-truncated capture still ends

@@ -24,4 +24,29 @@ object BenchUtil {
   }.min
 
   def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Poll an async-fed counter (the status tracker behind the listener
+    * bus) until quiescent: at least `minValue`, unchanged across
+    * `stableReads` consecutive reads. ONE definition shared by the
+    * Bench njobs ledger and the OpsSpec warm-ANN ledger — the two
+    * callers encode the same drain rule, and a race fix must land in
+    * both at once. Returns (finalValue, settled); `settled = false`
+    * means the deadline expired first and the value may UNDERCOUNT —
+    * callers must mark such readings partial, never publish them as
+    * true counts. */
+  def pollQuiescent(read: () => Int, minValue: Int,
+                    intervalMs: Long = 100L,
+                    deadlineNanos: Long = 10000000000L,
+                    stableReads: Int = 3): (Int, Boolean) = {
+    val deadline = System.nanoTime() + deadlineNanos
+    var streak = 0
+    var last = -1
+    while (streak < stableReads && System.nanoTime() < deadline) {
+      Thread.sleep(intervalMs)
+      val now = read()
+      if (now >= minValue && now == last) streak += 1 else streak = 0
+      last = now
+    }
+    (math.max(last, 0), streak >= stableReads)
+  }
 }

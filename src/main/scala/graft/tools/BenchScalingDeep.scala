@@ -80,8 +80,35 @@ object BenchScalingDeep {
           }
         }.reduce(_ unionByName _)
       }
-      // per-table done markers (not one _DONE): lets a new target family
-      // add its table into dirs an earlier run already materialized
+      // Provenance tag: base path + per-file (size, mtime) of every base
+      // table. A work dir built from a DIFFERENT base (other SF dir, or
+      // the same path regenerated between rounds) is wiped and rebuilt
+      // whole — per-table reuse across bases would silently mix corpora
+      // and publish audit ratios computed on inconsistent inputs.
+      val baseTag = {
+        val files = Seq("documents", "events", "lineitem", "part", "embeddings")
+          .map { t =>
+            val f = new java.io.File(s"$base/$t.parquet")
+            s"$t=${f.length}:${f.lastModified}"
+          }
+        s"$base|${files.mkString(",")}"
+      }
+      val tagFile = java.nio.file.Paths.get(s"$dir/_BASE")
+      val tagMatches = java.nio.file.Files.exists(tagFile) &&
+        java.nio.file.Files.readString(tagFile) == baseTag
+      if (!tagMatches) {
+        // different (or unknown) provenance: start the dir over
+        val d = new java.io.File(dir)
+        if (d.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(d)
+        }
+        d.mkdirs()
+      }
+      // per-table done markers: lets a new target family back-fill its
+      // table into dirs an earlier SAME-BASE run already materialized
       def ensure(name: String)(build: => DataFrame): Unit = {
         if (!new java.io.File(s"$dir/$name.parquet/_SUCCESS").exists())
           build.write.mode("overwrite").parquet(s"$dir/$name.parquet")
@@ -91,6 +118,7 @@ object BenchScalingDeep {
       ensure("lineitem")(shifted("lineitem", Seq("l_orderkey")))
       ensure("part")(graft.rel.Tables.load(spark, base, "part"))
       ensure("embeddings")(shifted("embeddings", Seq("vec_id")))
+      java.nio.file.Files.writeString(tagFile, baseTag)
       dir
     }
 

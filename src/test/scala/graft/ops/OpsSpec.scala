@@ -241,20 +241,15 @@ class OpsSpec extends AnyFunSuite {
       try Similarity.ivfPqTopK(corpus, "vec_id", "embedding", qids, 3,
         corpusKey = Some(key))
       finally spark.sparkContext.clearJobGroup()
-    // statusTracker is fed by the async listener bus: poll until the
-    // expected jobs appear AND the count is quiescent (two consecutive
-    // equal reads) — exiting on first sight of 2 would let late-surfacing
-    // extra jobs (the regression this test exists for) escape the ledger
-    val deadline = System.nanoTime() + 5000000000L
+    // statusTracker is fed by the async listener bus: drain to
+    // quiescence via the SHARED rule (BenchUtil.pollQuiescent — the same
+    // helper Bench's njobs ledger uses, so a race fix lands in both).
+    // Exiting on first sight of 2 would let late-surfacing extra jobs
+    // (the regression this test exists for) escape the ledger.
     def groupJobs() = spark.sparkContext.statusTracker.getJobIdsForGroup(group)
-    var last = -1
-    var settled = false
-    while (!settled && System.nanoTime() < deadline) {
-      Thread.sleep(100)
-      val n = groupJobs().length
-      settled = n >= 2 && n == last
-      last = n
-    }
+    val (_, settled) = graft.BenchUtil.pollQuiescent(
+      () => groupJobs().length, minValue = 2)
+    assert(settled, "status tracker never went quiescent — job ledger unreadable")
     val stages = groupJobs().flatMap(j =>
       spark.sparkContext.statusTracker.getJobInfo(j).toSeq.flatMap(_.stageIds()))
       .flatMap(sid => spark.sparkContext.statusTracker.getStageInfo(sid).toSeq)

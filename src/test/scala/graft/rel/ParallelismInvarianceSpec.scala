@@ -32,11 +32,21 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
   private def canonAt(name: String, parts: Int): Seq[String] = {
     val conf = spark.conf
     val prev = conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled")
     conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // WITHOUT this, AQE coalesces both the 3-wide and the 32-wide run to
+    // ~1 effective reduce partition at sf0.001 (everything is under the
+    // 1 MB minPartitionSize) and the two runs aggregate in nearly the
+    // same order — the battery would pass vacuously. Disabling
+    // coalescing makes 3 and 32 the REAL reduce widths under test.
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try graft.SparkEntry.queries(name)(spark, dir)
       .collect().map(_.toSeq.map(v => String.valueOf(v)).mkString("|"))
       .sorted.toSeq
-    finally conf.set("spark.sql.shuffle.partitions", prev)
+    finally {
+      conf.set("spark.sql.shuffle.partitions", prev)
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
   }
 
   private val representatives = Seq(
