@@ -49,9 +49,11 @@ import org.apache.spark.storage.StorageLevel
   * catalog-bounded-reporting contract as the k-means centroid state,
   * `rel/PipelineQueries.scala`); per-pass driver materialization is the
   * merged count array, capped at active-states × 65536 longs. The cached
-  * projection is unpersisted before return; at 100 TB you can drop the
-  * persist and let each pass re-scan the source with column pruning —
-  * correctness is unaffected (counts are order-free).
+  * projection is unpersisted before return; at 100 TB pass
+  * `cacheScan = false` to drop the persist and let each pass re-scan the
+  * source through the column-pruned codegen projection — correctness is
+  * unaffected (counts are order-free; spec-pinned identical output and
+  * pass count on both arms).
   */
 object ExactQuantiles {
 
@@ -145,8 +147,9 @@ object ExactQuantiles {
   /** Compact per-state window shipped to executors each pass. */
   private final case class Win(offset: Int, lo: Long, hi: Long, width: Long)
 
-  def quantileDisc(df: DataFrame, groupCol: String, reqs: Seq[Req]): DataFrame =
-    quantileDiscWithPasses(df, groupCol, reqs)._1
+  def quantileDisc(df: DataFrame, groupCol: String, reqs: Seq[Req],
+                   cacheScan: Boolean = true): DataFrame =
+    quantileDiscWithPasses(df, groupCol, reqs, cacheScan)._1
 
   /** Hard cap on concurrent (group × request) search states: each active
     * state owns ≤65537 buckets of the shared per-partition count array,
@@ -158,7 +161,8 @@ object ExactQuantiles {
 
   /** [[quantileDisc]] plus the number of refinement passes it ran — the
     * observable the convergence spec pins (≤4 for any double data). */
-  def quantileDiscWithPasses(df: DataFrame, groupCol: String, reqs: Seq[Req]): (DataFrame, Int) = {
+  def quantileDiscWithPasses(df: DataFrame, groupCol: String, reqs: Seq[Req],
+                             cacheScan: Boolean = true): (DataFrame, Int) = {
     require(reqs.nonEmpty, "at least one quantile request")
     val spark = df.sparkSession
     val sc = spark.sparkContext
@@ -171,14 +175,20 @@ object ExactQuantiles {
     // INSIDE the Catalyst projection (whole-stage codegen over the
     // vectorized scan); only the narrow long columns cross into the RDD.
     val proj = keyProjection(df, groupCol, cols)
-    val keys = proj.rdd.mapPartitions { it =>
+    val keysRaw = proj.rdd.mapPartitions { it =>
       it.flatMap { r =>
         val g = r.get(0)
         (0 until nCols).iterator.collect {
           case i if !r.isNullAt(i + 1) => (g, i, r.getLong(i + 1))
         }
       }
-    }.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    // cacheScan = false is the 100-TB arm: every pass re-reads the
+    // source through the pruned codegen projection instead of a
+    // corpus-sized cache (counts are order-free, so replaying the scan
+    // cannot change any answer — spec-pinned)
+    val keys =
+      if (cacheScan) keysRaw.persist(StorageLevel.MEMORY_AND_DISK) else keysRaw
     var survivors: Option[org.apache.spark.rdd.RDD[(Any, Int, Long)]] = None
     var survFilter: Option[org.apache.spark.broadcast.Broadcast[_]] = None
 
@@ -336,7 +346,7 @@ object ExactQuantiles {
       }
       (spark.createDataFrame(sc.parallelize(rows, 1), outSchema), passes)
     } finally {
-      keys.unpersist()
+      if (cacheScan) keys.unpersist()
       survivors.foreach(_.unpersist())
       survFilter.foreach(_.destroy())
     }

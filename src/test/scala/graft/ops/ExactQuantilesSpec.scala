@@ -304,4 +304,24 @@ class ExactQuantilesSpec extends AnyFunSuite {
     assert(out.collect().head.getDouble(1) == 1e-310)
     assert(passes <= 4, s"expected ≤4 refinement passes, ran $passes")
   }
+
+  test("cacheScan=false (the 100-TB re-scan arm): identical output and pass " +
+    "count to the cached arm") {
+    val rnd = new scala.util.Random(68)
+    val rows = (1 to 4000).map { i =>
+      Row(s"g${i % 3}", java.lang.Double.valueOf(rnd.nextGaussian() * 100))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 7),
+      StructType(Seq(StructField("g", StringType), StructField("x", DoubleType))))
+    val reqs = Seq(Req("x", 0.25, "p25"), Req("x", 0.5, "p50"), Req("x", 0.99, "p99"))
+    val (cached, pc) = ExactQuantiles.quantileDiscWithPasses(df, "g", reqs)
+    val (rescan, pr) =
+      ExactQuantiles.quantileDiscWithPasses(df, "g", reqs, cacheScan = false)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.head).toSeq
+    assert(canon(cached) == canon(rescan),
+      "re-scan arm must be bit-identical (counts are order-free)")
+    assert(pc == pr, s"pass counts diverged: cached $pc vs re-scan $pr")
+  }
 }
