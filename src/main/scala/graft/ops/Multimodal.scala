@@ -710,4 +710,149 @@ object Multimodal {
         lit(0).as("width"), lit(0).as("height"), lit(0L).as("duration_ms"))
       .as[MediaRecord]
   }
+
+  // ---- perceptual-hash image near-dup (the image twin of SimHash) ----------
+
+  /** pHash DCT size (input downsample target) and the retained low-
+    * frequency block (top-left LowDim×LowDim of the spectrum → 64 bits). */
+  private val PhashDim = 32
+  private val PhashLowDim = 8
+
+  /** DCT-II basis in 2^20 fixed point, built from [[StrictMath.cos]] —
+    * StrictMath (fdlibm) is specified bit-identical on every JVM/platform,
+    * unlike Math.cos (allowed 1–2 ulp latitude), so the hash below is a
+    * pure deterministic function of the pixels ANYWHERE it runs: the
+    * property that lets a committed fixture oracle gate it and lets two
+    * clusters dedup against each other's hashes. */
+  private lazy val phashBasis: Array[Array[Long]] =
+    Array.tabulate(PhashLowDim, PhashDim) { (k, x) =>
+      Math.round(StrictMath.cos(StrictMath.PI * (2 * x + 1) * k
+        / (2.0 * PhashDim)) * (1L << 20))
+    }
+
+  /** 64-bit perceptual hash (pHash, DCT method) of a decoded image —
+    * INTEGER-EXACT end to end:
+    *
+    *   1. integer luma (77·R + 151·G + 28·B) >> 8;
+    *   2. nearest-neighbor downsample to 32×32 by integer index mapping
+    *      (sx = x·w div 32 — no float resample in the hash path);
+    *   3. 2-D DCT-II of the 32×32 gray plane through the fixed-point
+    *      basis (all-Long accumulation: |coef| ≤ 2^58, no overflow);
+    *   4. keep the top-left 8×8 low-frequency block, EXCLUDING the DC
+    *      term from the median — a uniform brightness shift moves ONLY
+    *      DC, so brightness variants hash identically (spec-pinned);
+    *   5. bit (k·8+l) set iff coefficient > median of the 63 AC terms.
+    *
+    * Near-duplicate images (re-encodes, light noise, brightness edits)
+    * land within a few bits of Hamming distance; unrelated images are
+    * ~32 bits apart (spec-pinned bounds). */
+  def phash64(img: DecodedImage): Long = {
+    val w = img.width; val h = img.height
+    if (w <= 0 || h <= 0) return 0L // degenerate raster: fixed sentinel hash
+    // gray 32×32 plane (row-major), values 0..255
+    val gray = new Array[Long](PhashDim * PhashDim)
+    var y = 0
+    while (y < PhashDim) {
+      val sy = y * h / PhashDim
+      var x = 0
+      while (x < PhashDim) {
+        val sx = x * w / PhashDim
+        val p = (sy * w + sx) * 3
+        val r = img.pixels(p) & 0xFF
+        val g = img.pixels(p + 1) & 0xFF
+        val b = img.pixels(p + 2) & 0xFF
+        gray(y * PhashDim + x) = (77 * r + 151 * g + 28 * b) >> 8
+        x += 1
+      }
+      y += 1
+    }
+    // row pass: tmp(k)(y) = Σ_x basis(k)(x) · gray(y)(x)
+    val tmp = Array.ofDim[Long](PhashLowDim, PhashDim)
+    var k = 0
+    while (k < PhashLowDim) {
+      val bk = phashBasis(k)
+      var yy = 0
+      while (yy < PhashDim) {
+        var s = 0L
+        var x = 0
+        while (x < PhashDim) { s += bk(x) * gray(yy * PhashDim + x); x += 1 }
+        tmp(k)(yy) = s
+        yy += 1
+      }
+      k += 1
+    }
+    // column pass: coef(k)(l) = Σ_y basis(l)(y) · tmp(k)(y)
+    val coef = new Array[Long](PhashLowDim * PhashLowDim)
+    k = 0
+    while (k < PhashLowDim) {
+      var l = 0
+      while (l < PhashLowDim) {
+        val bl = phashBasis(l)
+        var s = 0L
+        var yy = 0
+        while (yy < PhashDim) { s += bl(yy) * tmp(k)(yy); yy += 1 }
+        coef(k * PhashLowDim + l) = s
+        l += 1
+      }
+      k += 1
+    }
+    // median of the 63 AC coefficients (DC at index 0 excluded)
+    val ac = java.util.Arrays.copyOfRange(coef, 1, coef.length)
+    java.util.Arrays.sort(ac)
+    val med = ac(31) // exact middle of 63
+    var hash = 0L
+    var i = 1
+    while (i < coef.length) {
+      if (coef(i) > med) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** pHash of a PPM payload; None for undecodable bytes. */
+  def phashPpm(bytes: Array[Byte]): Option[Long] =
+    MediaKernels.decodePpm(bytes).map(phash64)
+
+  /** Perceptual near-duplicate image pairs over an (id, ppm-bytes) frame:
+    * decode + hash partition-local (the corpus-sized CPU work — one pass,
+    * no shuffle), then block on 8 exact 8-bit bands of the hash and
+    * verify candidates by exact Hamming distance. By pigeonhole, any pair
+    * within Hamming ≤ 7 agrees on at least one full band, so for
+    * `maxHamming ≤ 7` the banded join is a LOSSLESS candidate generator —
+    * the returned pair set equals the brute-force scan's (spec-pinned) at
+    * a per-bucket cost of Σ|bucket|² instead of n².
+    *
+    * Scale shape: identical to [[graft.ops.Dedup.simhashPairs]] — the
+    * self-join shuffles on (band, value) only; 8 rows per image cross the
+    * exchange (the 8-byte hash, never pixels); no corpus broadcast. */
+  def phashPairs(media: DataFrame, idCol: String, bytesCol: String,
+                 maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 7,
+      "8x8-bit banding is only a lossless candidate generator for maxHamming <= 7")
+    val spark = media.sparkSession
+    import spark.implicits._
+    // materialize (id, hash) ONCE — 16 bytes/image: without this both
+    // self-join sides replay the decode+hash pass, and at scale the
+    // decode is the expensive half (the q126/q130 postings discipline)
+    val hashed = media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        phashPpm(bytes).map(h => (id, h))
+      })
+      .toDF("mid", "ph")
+      .localCheckpoint()
+    val banded = hashed.select(col("mid"), col("ph"),
+        explode(array((0 until 8).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("ph"), b * 8).bitwiseAND(lit(0xFFL)).as("bval"))): _*)).as("bb"))
+      .select(col("mid"), col("ph"), col("bb.band"), col("bb.bval"))
+    val popcount = udf((x: Long) => java.lang.Long.bitCount(x))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.mid") < col("b.mid"))
+      .select(col("a.mid").as("d1"), col("b.mid").as("d2"),
+        popcount(col("a.ph").bitwiseXOR(col("b.ph"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

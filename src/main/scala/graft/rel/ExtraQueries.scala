@@ -385,6 +385,53 @@ object ExtraQueries {
     Multimodal.decodePairStats(pairs).toDF().orderBy("media_id")
   }
 
+  /** q168: perceptual-hash image near-duplicate pairs — the IMAGE twin of
+    * q35's SimHash text near-dup, closing the multimodal×dedup cell: a
+    * deduped 100-TB image corpus needs exactly this (re-encodes and light
+    * edits share a pHash within a few bits; LAION-class pipelines dedup
+    * on perceptual/embedding hashes before training). Images are
+    * synthesized deterministically from doc_id (the q74 recipe): 64
+    * "scenes" of 32×32 texture; each doc renders its scene with a
+    * per-variant perturbation — odd variants add a uniform +10 brightness
+    * (moves ONLY the DCT DC term ⇒ hash-identical by construction) and
+    * v%3 pixels get deterministic noise (a few Hamming bits). Same-scene
+    * variants are near-dups the operator must find; different scenes are
+    * unrelated. Deterministic end to end (StrictMath fixed-point DCT) ⇒
+    * committed-fixture oracle, like the ANN/BPE set; the lossless-banding
+    * and brute-force-equality contracts live in PhashSpec.
+    *
+    * Scale shape: decode+hash is ONE partition-local pass (pixels never
+    * shuffle); the self-join shuffles 8 (band, byte) rows per image and
+    * the pair space is Σ per-bucket |bucket|² — the q35 blocking bound. */
+  def q168PhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.ops.Multimodal
+    import graft.ops.Multimodal.MediaKernels
+    val ids = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val scene = id % 64
+        val v = id / 64
+        val px = Array.tabulate[Byte](32 * 32 * 3) { i =>
+          val pix = i / 3; val c = i % 3
+          (((scene * 31 + pix.toLong * (3 + scene) + c * 13) % 200)
+            + (if (v % 2 == 1) 10 else 0)).toByte
+        }
+        var i = 0
+        while (i < v % 3) { // deterministic few-pixel noise
+          val pix = ((scene * 17 + v * 29 + i * 53) % 1024).toInt
+          val c = ((v + i) % 3).toInt
+          val p = pix * 3 + c
+          px(p) = (((px(p) & 0xFF) + 55) % 200).toByte
+          i += 1
+        }
+        (id, MediaKernels.encodePpm(Multimodal.DecodedImage(32, 32, 255, px)))
+      }
+    }.toDF("media_id", "ppm")
+    Multimodal.phashPairs(media, "media_id", "ppm", maxHamming = 6)
+      .orderBy("d1", "d2")
+  }
+
   val q74Oracle: String =
     """WITH ids AS (
          SELECT doc_id AS media_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
@@ -1312,6 +1359,7 @@ object ExtraQueries {
     "q71_gap_fill" -> (q71GapFill _),
     "q72_media_resize_frames" -> (q72MediaResizeFrames _),
     "q74_media_decode" -> (q74MediaDecode _),
+    "q168_phash_neardup" -> (q168PhashNeardup _),
     "q78_lateral_topn" -> (q78LateralTopn _),
     "q79_range_frame" -> (q79RangeFrame _),
     "q80_edit_distance" -> (q80EditDistance _),
@@ -1347,6 +1395,7 @@ object ExtraQueries {
     "q71_gap_fill" -> q71Oracle,
     "q72_media_resize_frames" -> q72Oracle,
     "q74_media_decode" -> q74Oracle,
+    "q168_phash_neardup" -> DataQueries.fixtureOracle("q168_phash_neardup"),
     "q78_lateral_topn" -> q78Oracle,
     "q79_range_frame" -> q79Oracle,
     "q80_edit_distance" -> q80Oracle,

@@ -32,7 +32,9 @@ object MakeAnnFixtures {
     "q09_approx_distinct", "q34_minhash_neardup", "q35_simhash_neardup",
     "q36_ann_lsh", "q39_ml_score", "q42_tfidf_retrieval", "q55_ann_ivf",
     "q75_ann_pq", "q76_ann_ivfpq", "q102_semdedup", "q121_bpe_merges",
-    "q125_bpe_encode", "q128_mmr_select", "q135_compression_ratio")
+    "q125_bpe_encode", "q128_mmr_select", "q135_compression_ratio",
+    // StrictMath fixed-point DCT: bit-deterministic on every platform
+    "q168_phash_neardup")
 
   val SfDir = "/root/testdata/sf0.01"
   val OutDir = "src/test/resources/annfix"
