@@ -125,6 +125,11 @@ object Bench {
     val shufSeed = sys.env.get("SPARK_GRAFT_SHUFFLE_SEED")
       .flatMap(_.toLongOption).getOrElse(20260814L)
     val shufSamples = scala.collection.mutable.Map.empty[String, Double]
+    // a query whose ledger-tagged execution THREW still published the jobs
+    // it launched before failing — an undercount that would read as a
+    // phantom plan change next round (round-12 ADVICE); track failures and
+    // suppress those rows from the njobs ledger below
+    val ledgerFailed = scala.collection.mutable.Set.empty[String]
     val shufEnabled = sys.env.get("SPARK_GRAFT_SHUFFLE_REP").forall(_ != "0")
     if (shufEnabled) {
       val order = new scala.util.Random(shufSeed).shuffle(names)
@@ -138,7 +143,7 @@ object Bench {
         try {
           fn(spark, sfDir).count()
           shufSamples(name) = (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => () }
+        } catch { case _: Throwable => ledgerFailed += name }
         finally spark.sparkContext.clearJobGroup()
       }
     }
@@ -158,7 +163,7 @@ object Bench {
         for ((name, fn) <- names if !errors.contains(name)) {
           spark.sparkContext.setJobGroup(s"njobs-$name", name, false)
           try fn(spark, sfDir).count()
-          catch { case _: Throwable => () }
+          catch { case _: Throwable => ledgerFailed += name }
           finally spark.sparkContext.clearJobGroup()
         }
       }
@@ -174,7 +179,7 @@ object Bench {
       njobsPartial = !settled
       names.foreach { case (name, _) =>
         val n = groupCount(name)
-        if (n > 0) njobs(name) = n
+        if (n > 0 && !ledgerFailed(name)) njobs(name) = n
       }
     }
     val orderFlags = results.collect {

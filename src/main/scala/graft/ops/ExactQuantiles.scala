@@ -218,6 +218,13 @@ object ExactQuantiles {
       // silently drop it. limit() bounds driver materialization BEFORE
       // the require, so a high-cardinality group column fails fast
       // instead of collecting unbounded rows.
+      // Cost model note (round-12 ADVICE): this distinct() is a second
+      // full source scan per call EVEN when cacheScan=true — the
+      // persisted keys RDD cannot serve it (all-null groups are absent
+      // from it), so the cached arm pays ~2× scan cost vs the old
+      // stats-derived catalog. Accepted for the all-null-group
+      // correctness fix; a future refinement is stats-keys ∪ a cheap
+      // anti-join probe for key-less groups when cacheScan=true.
       val groups: Seq[Any] =
         proj.select(col(groupCol)).distinct().limit(MaxStates + 1).collect().map(_.get(0)).toSeq
       require(groups.length <= MaxStates,

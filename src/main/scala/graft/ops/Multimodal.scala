@@ -846,6 +846,13 @@ object Multimodal {
           struct(lit(b).as("band"),
             shiftrightunsigned(col("ph"), b * 8).bitwiseAND(lit(0xFFL)).as("bval"))): _*)).as("bb"))
       .select(col("mid"), col("ph"), col("bb.band"), col("bb.bval"))
+      // pin exchange parallelism before the self-join: AQE sizes the
+      // exchange by INPUT bytes (16 B/image survives the checkpoint) and is
+      // blind to the candidate-pair explosion a duplicate-heavy corpus
+      // produces — the q126/q130 coalescing hazard, compounded here because
+      // localCheckpoint pinned the pre-join partitioning (round-12 ADVICE)
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("band"), col("bval"))
     val popcount = udf((x: Long) => java.lang.Long.bitCount(x))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&

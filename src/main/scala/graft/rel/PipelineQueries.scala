@@ -675,6 +675,14 @@ object PipelineQueries {
         .agg(sum(expr("cast(c as double) * (c - 1) / 2")).as("p"))
         .collect()(0)
       val dupPairs = Option(row.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+      // Caveat (round-12 ADVICE): dupPairs × GLOBAL avg postings/doc
+      // approximates the dup-explained mass; a corpus mixing SHORT
+      // replicated docs with LONG unique docs over-subtracts (replica
+      // groups' true shared postings sit below the average), so the
+      // unpruned form can win the decision on a genuine boilerplate
+      // flood. Cost-only — both forms are parity-spec'd output-identical
+      // — and the 512/doc budget above was calibrated with this
+      // approximation in place; revisit both together if retuning.
       val avgPostings = shw.count().toDouble / nDocs
       pairs.toDouble - dupPairs * avgPostings > budget
     }

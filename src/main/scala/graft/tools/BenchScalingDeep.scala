@@ -138,14 +138,21 @@ object BenchScalingDeep {
       for ((name, fn) <- queries.toSeq.sortBy(_._1)) {
         var best = Double.MaxValue
         var rows = -1L
+        var failed = false
         for (_ <- 1 to reps) {
           val t0 = System.nanoTime()
           try {
             rows = fn(spark, dir).count()
+            // min over SUCCESSFUL reps only: a transient failure must not
+            // poison later good samples (the old best = -1.0 sentinel made
+            // math.min(-1, t) stick at -1 forever — round-12 ADVICE)
             best = math.min(best, (System.nanoTime() - t0) / 1e9)
           } catch { case e: Throwable =>
-            println(s"SCALEDEEP_ERR $name k=$k ${e.getMessage}"); best = -1.0 }
+            println(s"SCALEDEEP_ERR $name k=$k ${e.getMessage}"); failed = true }
         }
+        if (best == Double.MaxValue) best = -1.0
+        if (failed && best > 0)
+          println(s"SCALEDEEP_NOTE $name k=$k best taken over successful reps only")
         obs += Obs(name, k, best, rows)
         println(s"""SCALEDEEP {"name":"$name","k":$k,"sec":${r3(best)},"rows":$rows}""")
       }

@@ -156,6 +156,22 @@ class PlanDisciplineSpec extends AnyFunSuite {
         p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
   }
 
+  test("q168: banded pHash self-join pins its exchange width (round-12 ADVICE)") {
+    val p = plan("q168_phash_neardup")
+    // same hazard class as q126: the banded (band, bval) frame is 16
+    // bytes/image after the checkpoint, so AQE would coalesce the
+    // self-join exchange by input size while a duplicate-heavy image
+    // corpus explodes the pair OUTPUT through those few tasks; the
+    // explicit (band, bval) repartition pins the width
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val pinned = p.linesIterator.exists(l =>
+      l.contains("hashpartitioning(band#") && l.contains(s", $parts), REPARTITION_BY_NUM"))
+    assert(pinned,
+      "banded self-join lost its explicit (band, bval) REPARTITION_BY_NUM exchange:\n" +
+        p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q134: every corpus-sized window is partitioned; offsets broadcast back") {
     val p = plan("q134_interleave_order")
     // the corpus windows partition by source / by round; the only
