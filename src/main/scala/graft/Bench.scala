@@ -37,10 +37,31 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(o => o.contains(n.takeWhile(_ != '_'))) }
-    if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)
+    // SPARK_GRAFT_WARMUP=0 disables (attribution experiments: simulate a
+    // cold suite head on purpose)
+    if (sys.env.get("SPARK_GRAFT_WARMUP").forall(_ != "0") &&
+        new java.io.File(warmupDir).isDirectory && warmupDir != sfDir)
       names.foreach { case (_, fn) =>
         try fn(spark, warmupDir).count() catch { case _: Throwable => () }
       }
+    // Discarded sf-target head-warm pass (round-11 verdict item 2): the
+    // sf0.001 warmup warms plan shapes but NOT the sf0.1-sized AQE/
+    // scheduler path, so on a contended box the first fixed-order queries
+    // (q02/q03/q04) inherited suite-start warm-up as their own time. Run
+    // the first N queries once at the TARGET SF and discard the times
+    // from the medians — but record them in the artifact: they are
+    // first-touch-at-suite-head samples, exactly the attribution data
+    // the r11 trio lacked. SPARK_GRAFT_HEAD_WARM=0 disables.
+    val headWarmN = sys.env.get("SPARK_GRAFT_HEAD_WARM")
+      .flatMap(_.toIntOption).getOrElse(5)
+    val headWarm = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    names.take(math.max(0, headWarmN)).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        headWarm(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => () }
+    }
     // toIntOption: a malformed env value falls back to the default
     // instead of aborting the whole bench before any query runs
     val reps = math.max(1,
@@ -182,6 +203,28 @@ object Bench {
         if (n > 0 && !ledgerFailed(name)) njobs(name) = n
       }
     }
+    // Cold-path column (round-11 verdict item 4): the fit-once cached-
+    // model family's medians measure the WARM path only; a capacity
+    // planner needs the fit cost as a number, not an argument. After all
+    // timed phases, clear every model cache before each family query and
+    // time one cold run (fit + query). Runs LAST so the refit cannot
+    // pollute medians or the order check. SPARK_GRAFT_COLD=0 disables.
+    val coldFamily = sys.env.getOrElse("SPARK_GRAFT_COLD",
+      "q39,q42,q55,q75,q76,q102,q121,q125")
+    val cold = scala.collection.mutable.Map.empty[String, Double]
+    if (coldFamily != "0") {
+      val fam = coldFamily.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      for ((name, fn) <- names
+           if fam.contains(name.takeWhile(_ != '_')) && !errors.contains(name)) {
+        graft.ops.Similarity.clearCaches()
+        graft.ml.Retrieval.clearCache()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          cold(name) = (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => () }
+      }
+    }
     val orderFlags = results.collect {
       case (name, med) if med > 0 && shufSamples.get(name).exists { s =>
         math.max(s / med, med / s) > 1.5 && math.abs(s - med) > 0.1
@@ -197,8 +240,13 @@ object Bench {
       // undercount would read as a phantom plan change next round
       val nj = if (njobsPartial) ""
         else njobs.get(name).map(n => s""","njobs":$n""").getOrElse("")
+      val cd = cold.get(name).map(c => s""","cold":${r3(c)}""").getOrElse("")
       val err = errors.get(name).map(e => s""","err":"$e"""").getOrElse("")
-      s"""{"name":"$name","median":${r3(med)},"spread":${r3(spread)},"n":${xs.size}$shuf$nj$err}"""
+      // raw samples (reverse-chronological): spread alone cannot localize
+      // WHICH rep was slow — first-rep-only inflation vs steady slowness
+      // is precisely the suite-head attribution question
+      val raw = if (xs.isEmpty) "" else xs.map(r3).mkString(""","xs":[""", ",", "]")
+      s"""{"name":"$name","median":${r3(med)},"spread":${r3(spread)},"n":${xs.size}$shuf$nj$cd$err$raw}"""
     }
     results.foreach { case (name, med) => println("BENCHQ " + benchqLine(name, med)) }
     // Final-line keys are the qNN prefix (the driver contract's own
@@ -267,10 +315,19 @@ object Bench {
       (if (njobsPartial) "(partial)" else "")
     val orderJson =
       s""","order":{"seed":$shufSeed,"flag":"${orderFlags.mkString(",")}"},"spreadw":"$spreadW","jobsw":"$jobsW""""
+    // cold-path column: fit+query seconds per cached-model query (cleared
+    // caches), next to their warm medians in "queries"
+    val coldJson = if (cold.isEmpty) "" else cold.toSeq.sortBy(_._1)
+      .map { case (n, v) => "\"" + short(n) + "\":" + r3(v) }
+      .mkString(""","cold":{""", ",", "}")
+    // discarded sf-target head-warm times (suite-head first-touch samples)
+    val headWarmJson = if (headWarm.isEmpty) "" else headWarm.toSeq
+      .map { case (n, v) => "\"" + short(n) + "\":" + r3(v) }
+      .mkString(""","headwarm":{""", ",", "}")
     // total LAST in the object: even a head-truncated capture still ends
     // with ...,"metric":"total","value":N} so the headline is recoverable
     val finalJson =
-      s"""{"queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir","canary":{"start":${r3(canaryStart)},"end":${r3(canaryEnd)}}$normJson$orderJson,"unit":"sec","metric":"total","value":${r3(total)}}"""
+      s"""{"queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir","canary":{"start":${r3(canaryStart)},"end":${r3(canaryEnd)}}$normJson$orderJson$coldJson$headWarmJson,"unit":"sec","metric":"total","value":${r3(total)}}"""
     println(finalJson)
     // Belt and suspenders: the artifact also lands in a file, so the
     // round record no longer depends on the driver's stdout tail-capture
