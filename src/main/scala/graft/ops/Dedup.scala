@@ -293,20 +293,26 @@ object Dedup {
     * on their shingle sets, so precision is 1; only recall is
     * probabilistic (spec asserts >= 0.9 vs [[jaccardPairs]]).
     */
+  /** FNV-fold of each band's r consecutive minhash slots into one 64-bit
+    * band signature — ONE definition shared by the batch self-join and the
+    * streaming membership processor ([[graft.streaming.Curation]]), so
+    * their bucketing is bit-identical by construction. */
+  def bandSignatures(sig: Array[Long], bands: Int): Array[Long] = {
+    val r = sig.length / bands
+    Array.tabulate(bands) { b =>
+      var h = 0xcbf29ce484222325L
+      var i = b * r
+      while (i < (b + 1) * r) { h ^= sig(i); h *= 0x100000001b3L; i += 1 }
+      h
+    }
+  }
+
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         n: Int, tau: Double,
                         numHashes: Int = 18, bands: Int = 6): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val r = numHashes / bands
-    val sigUdf = udf((sh: Seq[String]) => {
-      val sig = minhashSignature(sh, numHashes)
-      (0 until bands).map { b =>
-        var h = 0xcbf29ce484222325L
-        var i = b * r
-        while (i < (b + 1) * r) { h ^= sig(i); h *= 0x100000001b3L; i += 1 }
-        h
-      }
-    })
+    val sigUdf = udf((sh: Seq[String]) =>
+      bandSignatures(minhashSignature(sh, numHashes), bands).toSeq)
     val withSh = df.select(col(idCol).as("doc"), shingles(col(textCol), n).as("sh"))
       .where(size(col("sh")) > 0)
     val banded = withSh

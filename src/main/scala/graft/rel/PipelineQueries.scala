@@ -1558,6 +1558,20 @@ object PipelineQueries {
        SELECT vid, CAST(rk AS BIGINT) AS rk, nbr, CAST(d2 AS BIGINT) AS d2
        FROM r WHERE rk <= 3 ORDER BY vid, rk"""
 
+  // ---- q169: beam-search ANN over the kNN graph -----------------------------
+
+  /** Graph-traversal ANN (the last modern-ANN cell next to LSH/IVF/PQ):
+    * greedy beam search over q157's exact kNN graph —
+    * [[graft.ops.Similarity.beamSearchAnn]] holds the kernel (per-round
+    * adjacency join + visited anti-join + TopKPerKey beam cut) and the
+    * determinism contract (integer distances, fixed round budget, so the
+    * answer is a pure corpus function ⇒ committed-fixture oracle; the
+    * recall-vs-brute spec lives in BeamAnnSpec). Same query set and
+    * output shape as q24's brute baseline. */
+  def q169BeamAnn(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.beamSearchAnn(t(s, dir, "embeddings"),
+      "vec_id", "embedding", queryIds = 0L until 10L, k = 5)
+
   // ---- q162: nearest-centroid classifier evaluation -------------------------
 
   /** Embedding-space health check: fit one centroid per LABEL (the
@@ -1655,7 +1669,8 @@ object PipelineQueries {
     "q136_zipf_slope" -> (q136ZipfSlope _),
     "q156_random_projection" -> (q156RandomProjection _),
     "q157_knn_graph" -> (q157KnnGraph _),
-    "q162_centroid_eval" -> (q162CentroidEval _))
+    "q162_centroid_eval" -> (q162CentroidEval _),
+    "q169_beam_ann" -> (q169BeamAnn _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
@@ -1675,5 +1690,6 @@ object PipelineQueries {
     "q136_zipf_slope" -> q136Oracle,
     "q156_random_projection" -> q156Oracle,
     "q157_knn_graph" -> q157Oracle,
-    "q162_centroid_eval" -> q162Oracle)
+    "q162_centroid_eval" -> q162Oracle,
+    "q169_beam_ann" -> DataQueries.fixtureOracle("q169_beam_ann"))
 }

@@ -339,6 +339,120 @@ object Curation {
     }
   }
 
+  // ---- streaming NEAR-dup (banded MinHash membership) ------------------------
+  //
+  // The exact gate above admits a document iff its content KEY is novel;
+  // a live ingestion pipeline also dedups FUZZILY (the r11 verdict's one
+  // missing streaming twin). This is batch q34's banded-MinHash machinery
+  // ([[graft.ops.Dedup.minhashCandidates]]) as keyed state: the stateless
+  // front half (shingle → minhash → band fold) runs per arriving document
+  // with the SAME kernels the batch path uses, and the batch self-join on
+  // (band, bsig) becomes a (band, bsig)-keyed membership processor — each
+  // bucket's state is the doc ids seen in it, and a new arrival pairs with
+  // every stored member. A second keyed stage emits each (d1, d2) pair
+  // once (bands overlap by design: OR-amplification).
+  //
+  // Scale shape: buckets shard across the RocksDB store exactly like the
+  // batch exchange's hash partitions; per-bucket state is capped at
+  // `maxBucket` ids (a flooded boilerplate bucket stops ADMITTING members
+  // but keeps pairing arrivals against the stored ones — bounded state,
+  // candidate loss only among over-cap member pairs, the same mass the
+  // batch path's pair explosion guards exist for) and TTL bounds
+  // retention to the dedup horizon. Candidates estimate; a deployment
+  // verifies exact Jaccard against a doc store downstream, exactly like
+  // the batch op verifies its candidate set (parity spec does this and
+  // matches q34's output rows).
+
+  /** One document entering the near-dup gate. */
+  final case class NearDupDoc(doc_id: Long, text: String)
+
+  /** A document's membership row for one LSH bucket. */
+  final case class BandedDoc(bucket: String, doc_id: Long)
+
+  /** A candidate near-duplicate pair, `d1 < d2`. */
+  final case class CandPair(d1: Long, d2: Long)
+
+  /** (band, bsig)-keyed membership: state = the doc ids stored in this
+    * bucket (ListState, ≤ `maxBucket`); every NEW doc pairs with each
+    * stored member plus the earlier new docs of its own micro-batch —
+    * the streaming unrolling of the batch `a.bsig = b.bsig AND a.doc <
+    * b.doc` self-join, so feeding a corpus in any batching yields the
+    * batch candidate set (exact while no bucket overflows). */
+  final class BandMembershipProcessor(maxBucket: Int,
+                                      ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[String, BandedDoc, CandPair] {
+    @transient private var members: org.apache.spark.sql.streaming.ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[Long]("bucketMembers",
+        Encoders.scalaLong, ttl)
+    override def handleInputRows(key: String, rows: Iterator[BandedDoc],
+                                 timers: TimerValues): Iterator[CandPair] = {
+      val stored = members.get().toArray
+      // deterministic in-batch order (min doc id first) + idempotent
+      // against same-batch re-delivery of one doc's bucket row
+      val fresh = rows.map(_.doc_id).toArray.distinct.sorted
+        .filterNot(stored.contains)
+      if (fresh.isEmpty) return Iterator.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var room = maxBucket - stored.length
+      fresh.foreach { d =>
+        stored.foreach(m => out += CandPair(math.min(m, d), math.max(m, d)))
+        admitted.foreach(m => out += CandPair(math.min(m, d), math.max(m, d)))
+        // over-cap arrivals still PAIR against members but are not stored:
+        // state stays ≤ maxBucket under a boilerplate flood
+        if (room > 0) { admitted += d; room -= 1 }
+      }
+      if (admitted.nonEmpty) members.appendList(admitted.toArray)
+      out.iterator
+    }
+  }
+
+  /** Pair-keyed once-only emitter: bands overlap (OR-amplification), so
+    * the same (d1, d2) surfaces from several buckets — one boolean per
+    * emitted pair keeps the output stream a SET, like the batch
+    * `.distinct()`. */
+  final class PairOnceProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[String, CandPair, CandPair] {
+    @transient private var emitted: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      emitted = getHandle.getValueState[Boolean]("pairEmitted",
+        Encoders.scalaBoolean, ttl)
+    override def handleInputRows(key: String, rows: Iterator[CandPair],
+                                 timers: TimerValues): Iterator[CandPair] = {
+      if (emitted.exists()) Iterator.empty
+      else { emitted.update(true); Iterator.single(rows.next()) }
+    }
+  }
+
+  /** Candidate near-duplicate pairs over a document stream — the
+    * continuous form of q34's banded-MinHash candidate generation, same
+    * kernels, same banding parameters. Requires the RocksDB state store
+    * provider (state API v2), like the other processors here. */
+  def nearDupCandidateStream(docs: Dataset[NearDupDoc], n: Int = 3,
+                             numHashes: Int = 18, bands: Int = 6,
+                             maxBucket: Int = 1024,
+                             ttl: TTLConfig = TTLConfig.NONE): Dataset[CandPair] = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    import docs.sparkSession.implicits._
+    val banded: Dataset[BandedDoc] = docs.flatMap { d =>
+      val sh = graft.ops.Dedup.shinglesFromText(d.text, n)
+      if (sh.isEmpty) Iterator.empty
+      else {
+        val sig = graft.ops.Dedup.minhashSignature(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(sh), numHashes)
+        graft.ops.Dedup.bandSignatures(sig, bands).iterator.zipWithIndex
+          .map { case (bsig, b) => BandedDoc(s"$b:$bsig", d.doc_id) }
+      }
+    }
+    val cands = banded.groupByKey(_.bucket)
+      .transformWithState(new BandMembershipProcessor(maxBucket, ttl),
+        timeModeFor(ttl), OutputMode.Append())
+    cands.groupByKey(p => p.d1 + ":" + p.d2)
+      .transformWithState(new PairOnceProcessor(ttl),
+        timeModeFor(ttl), OutputMode.Append())
+  }
+
   /** The full continuous curation chain — line dedup → doc reassembly →
     * corpus dedup (keep-first on the REBUILT content) → per-lang quota —
     * as ONE streaming query: four keyed state operators under a single

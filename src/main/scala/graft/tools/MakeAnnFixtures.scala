@@ -34,7 +34,9 @@ object MakeAnnFixtures {
     "q75_ann_pq", "q76_ann_ivfpq", "q102_semdedup", "q121_bpe_merges",
     "q125_bpe_encode", "q128_mmr_select", "q135_compression_ratio",
     // StrictMath fixed-point DCT: bit-deterministic on every platform
-    "q168_phash_neardup")
+    "q168_phash_neardup",
+    // integer distances + fixed round budget: pure corpus function
+    "q169_beam_ann")
 
   val SfDir = "/root/testdata/sf0.01"
   val OutDir = "src/test/resources/annfix"

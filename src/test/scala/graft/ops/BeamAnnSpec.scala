@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.rel.Tables
+
+/** Beam-search ANN over the kNN graph (declared q169): recall against
+  * the exact integer top-k, determinism across input partitionings, and
+  * the bounded-state plan contract (no cartesian, queries broadcast). */
+class BeamAnnSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = SparkTestBase.Sf0001
+  private val k = 5
+
+  /** Exact per-query top-k replay with the operator's own integer
+    * algebra (micro-quantize, Σ(a−b)², ties by id). */
+  private lazy val exact: Map[Long, Seq[Long]] = {
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").cast("long"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    (0L until 10L).map { qid =>
+      val q = vecs.find(_._1 == qid).get._2
+      val ranked = vecs.filter(_._1 != qid).map { case (id, v) =>
+        var s = 0L; var i = 0
+        val n = math.min(q.length, v.length)
+        while (i < n) { val d = q(i) - v(i); s += d * d; i += 1 }
+        (s, id)
+      }.sortBy(identity).take(k).map(_._2).toSeq
+      qid -> ranked
+    }.toMap
+  }
+
+  test("q169 recall >= 0.9 vs the exact top-5 (the fixed round budget is " +
+    "sufficient on the fixture corpus)") {
+    val got = graft.rel.PipelineQueries.q169BeamAnn(spark, dir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.map(_.getLong(2)).toSet }
+    assert(got.keySet == (0L until 10L).toSet, s"queries missing: ${got.keySet}")
+    val recalls = exact.map { case (qid, ex) =>
+      got(qid).intersect(ex.toSet).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall $mean < 0.9 (per-query: $recalls)")
+  }
+
+  test("deterministic: a 7-way repartitioned corpus walks to the identical " +
+    "answer (integer distances + fixed budget = pure corpus function)") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.beamSearchAnn(df, "vec_id", "embedding", 0L until 10L, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(run(emb.repartition(7)) == run(emb))
+  }
+
+  test("per-round state is beam-bounded: entry table broadcasts, no " +
+    "cartesian against the corpus") {
+    val df = graft.rel.PipelineQueries.q169BeamAnn(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"beam search must never cartesian against the corpus:\n$p")
+  }
+}
