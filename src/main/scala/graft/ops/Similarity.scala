@@ -952,18 +952,25 @@ object Similarity {
     * from, and this is the query-time half (Malkov & Yashunin 2016's
     * SEARCH-LAYER with a fixed round budget).
     *
-    * Relational formulation: a query's walk state is a BEAM of its best
-    * `beamWidth` nodes so far. Each round expands every beam node through
-    * the adjacency table (one equi-join), drops already-visited nodes
-    * (anti-join against the per-query visited set), scores the fresh
-    * frontier (integer `graft_sqdist_q` — q157's exactness contract, so
-    * the trajectory is deterministic on any engine/partitioning), and
-    * re-cuts beam ∪ frontier with [[graft.plans.TopK.perKey]]. All |Q|
+    * Relational formulation: the whole walk state is ONE per-query
+    * LEDGER of every (node, d2) ever scored — "visited" is by
+    * construction the scored set (expansion only ever starts from the
+    * beam, and the beam is the ledger's top `beamWidth` cut, so
+    * TopK(TopK(S) ∪ Δ) = TopK(S ∪ Δ) makes the derived beam identical
+    * to an explicitly-carried one). Each round derives the beam with
+    * [[graft.plans.TopK.perKey]], expands it through the adjacency
+    * table (one equi-join), drops already-scored nodes (anti-join
+    * against the ledger), scores the fresh frontier (integer
+    * `graft_sqdist_q` — q157's exactness contract, so the trajectory is
+    * deterministic on any engine/partitioning), and unions it into the
+    * ledger — the round's single localCheckpoint, so the driver loop's
+    * lineage stays flat and the frontier plan runs ONCE per round
+    * (carrying beam + visited as separate checkpoints re-ran the
+    * frontier for each: measured 68 steady-state jobs → this shape's
+    * ~half, the driver-gap term that dominates locally). All |Q|
     * queries advance in the SAME join — per-round cost is bounded by
-    * |Q|·beamWidth·graphK rows, never the corpus — and each round is
-    * localCheckpointed so the driver loop's lineage stays flat
-    * (bounded state: |Q|·beamWidth beam rows + the growing-but-
-    * ≤ |Q|·beamWidth·graphK·rounds visited ledger).
+    * |Q|·beamWidth·graphK rows, never the corpus — and the ledger is
+    * bounded by |Q|·beamWidth·graphK·rounds rows.
     *
     * Entry points are the `entries` corpus nodes with the smallest
     * xxhash64 id hash — deterministic, content-independent, spread
@@ -1017,26 +1024,20 @@ object Similarity {
         .where(col("node") =!= col("qid")) // ANN convention: self excluded
         .withColumn("d2", d2of(col("qv"), col("nv")))
         .select(col("qid"), col("qv"), col("node"), col("d2"))
-      var beam = graft.plans.TopK.perKey(
-        scoreOf(qs.crossJoin(broadcast(entry))),
-        Seq("qid"), Seq(col("d2").asc, col("node").asc), beamWidth)
-        .localCheckpoint()
-      var visited = qs.crossJoin(broadcast(entry))
-        .select(col("qid"), col("node")).localCheckpoint()
+      var ledger = scoreOf(qs.crossJoin(broadcast(entry))).localCheckpoint()
       for (_ <- 1 to rounds) {
+        val beam = graft.plans.TopK.perKey(ledger,
+          Seq("qid"), Seq(col("d2").asc, col("node").asc), beamWidth)
         val frontier = beam.select(col("qid"), col("qv"), col("node"))
           .join(graph, col("node") === col("vid"))
           .select(col("qid"), col("qv"), col("nbr").as("node"))
           .dropDuplicates("qid", "node")
-          .join(visited, Seq("qid", "node"), "left_anti")
-        visited = visited.union(frontier.select(col("qid"), col("node")))
-          .localCheckpoint()
-        beam = graft.plans.TopK.perKey(beam.union(scoreOf(frontier)),
-          Seq("qid"), Seq(col("d2").asc, col("node").asc), beamWidth)
-          .localCheckpoint()
+          .join(ledger.select(col("qid"), col("node")),
+            Seq("qid", "node"), "left_anti")
+        ledger = ledger.union(scoreOf(frontier)).localCheckpoint()
       }
       val w = Window.partitionBy("qid").orderBy(col("d2"), col("node"))
-      beam.withColumn("rk", row_number().over(w).cast("long"))
+      ledger.withColumn("rk", row_number().over(w).cast("long"))
         .where(col("rk") <= k)
         .select(col("qid"), col("rk"), col("node").as("nbr"), col("d2"))
         .orderBy("qid", "rk")
