@@ -298,6 +298,10 @@ object Dedup {
     * streaming membership processor ([[graft.streaming.Curation]]), so
     * their bucketing is bit-identical by construction. */
   def bandSignatures(sig: Array[Long], bands: Int): Array[Long] = {
+    // guard here, not only in callers: an indivisible banding would
+    // silently drop the trailing signature slots
+    require(sig.length % bands == 0,
+      s"signature length ${sig.length} must be divisible by bands=$bands")
     val r = sig.length / bands
     Array.tabulate(bands) { b =>
       var h = 0xcbf29ce484222325L

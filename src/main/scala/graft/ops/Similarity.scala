@@ -907,7 +907,21 @@ object Similarity {
         expr(s"transform(CAST($vecCol AS ARRAY<DOUBLE>), " +
           "x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"))
       .as[(Long, Array[Long])].persist()
-    try {
+    try knnGraphFromQuantized(vecs, k, maxBroadcastRows)
+    finally vecs.unpersist()
+  }
+
+  /** [[knnGraph]] over an ALREADY micro-quantized (id, vec) corpus —
+    * lets a caller that has the quantized frame persisted (e.g.
+    * [[beamSearchAnn]]) build the graph without a second corpus scan +
+    * transform + cache. Caller manages the input's persistence; the
+    * tile scan materializes its output internally, so the result does
+    * not depend on the input staying cached. */
+  def knnGraphFromQuantized(vecs: Dataset[(Long, Array[Long])], k: Int,
+                            maxBroadcastRows: Long = 1000000L): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    {
       val total = vecs.count()
       val cands = tiledScan[(Long, Array[Long]), (Long, Long, Long)](
         vecs, total, maxBroadcastRows, _._1,
@@ -943,7 +957,7 @@ object Similarity {
       top.withColumn("rk", row_number().over(w).cast("long"))
         .select(col("vid"), col("rk"), col("nbr"), col("d2"))
         .orderBy("vid", "rk")
-    } finally vecs.unpersist()
+    }
   }
 
   /** Graph-traversal ANN: greedy BEAM SEARCH over the exact kNN graph
@@ -957,7 +971,10 @@ object Similarity {
     * construction the scored set (expansion only ever starts from the
     * beam, and the beam is the ledger's top `beamWidth` cut, so
     * TopK(TopK(S) ∪ Δ) = TopK(S ∪ Δ) makes the derived beam identical
-    * to an explicitly-carried one). Each round derives the beam with
+    * to an explicitly-carried one). The ledger is seeded with the query
+    * node itself at d2 = 0 (queries here are corpus members), so its own
+    * out-edges — the graph's qid→true-kNN list — expand in round 1;
+    * self is excluded only from the final top-k. Each round derives the beam with
     * [[graft.plans.TopK.perKey]], expands it through the adjacency
     * table (one equi-join), drops already-scored nodes (anti-join
     * against the ledger), scores the fresh frontier (integer
@@ -990,9 +1007,16 @@ object Similarity {
   def beamSearchAnn(emb: DataFrame, idCol: String, vecCol: String,
                     queryIds: Seq[Long], k: Int, graphK: Int = 8,
                     beamWidth: Int = 32, rounds: Int = 4,
-                    entries: Int = 8): DataFrame = {
+                    entries: Int = 8,
+                    // per-round materializer: localCheckpoint keeps the
+                    // driver loop's lineage flat; a reliable .checkpoint()
+                    // suits long walks on a real cluster; tests pass
+                    // identity to expose the full multi-round plan
+                    checkpoint: DataFrame => DataFrame = _.localCheckpoint()
+                   ): DataFrame = {
     require(k <= beamWidth, "final k must fit in the beam")
     val spark = emb.sparkSession
+    import spark.implicits._
     def quant(name: String): Column =
       expr(s"transform(CAST($name AS ARRAY<DOUBLE>), " +
         "x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))")
@@ -1010,11 +1034,13 @@ object Similarity {
       // kNN over random high-dim points measurably stalls — recall 0.46
       // on the fixture); adding every edge's reverse is the NSW recipe
       // and restores navigability (0.46 → ≥0.9 measured)
-      val fwd = knnGraph(emb, idCol, vecCol, graphK).select(col("vid"), col("nbr"))
-      val graph = fwd
+      // the graph is built from THIS call's persisted quantized corpus —
+      // knnGraph(emb, ...) would re-scan + re-quantize + re-cache it
+      val fwd = knnGraphFromQuantized(vecs.as[(Long, Array[Long])], graphK)
+        .select(col("vid"), col("nbr"))
+      val graph = checkpoint(fwd
         .union(fwd.select(col("nbr").as("vid"), col("vid").as("nbr")))
-        .dropDuplicates("vid", "nbr")
-        .localCheckpoint()
+        .dropDuplicates("vid", "nbr"))
       val qs = vecs.where(col("node").isin(queryIds: _*))
         .select(col("node").as("qid"), col("nv").as("qv"))
       val entry = vecs.select(col("node"))
@@ -1024,7 +1050,16 @@ object Similarity {
         .where(col("node") =!= col("qid")) // ANN convention: self excluded
         .withColumn("d2", d2of(col("qv"), col("nv")))
         .select(col("qid"), col("qv"), col("node"), col("d2"))
-      var ledger = scoreOf(qs.crossJoin(broadcast(entry))).localCheckpoint()
+      // seed the ledger with the query node ITSELF at d2 = 0: it tops the
+      // beam in round 1, so its own adjacency — the graph's qid→true-kNN
+      // out-edges, the single most informative edge set — is expanded
+      // immediately (without the seed, scoreOf's self-filter kept qid out
+      // of the ledger forever: the anti-join could never suppress its
+      // re-arrival via reverse edges, and its out-edges never expanded)
+      val seed = qs.select(col("qid"), col("qv"),
+        col("qid").as("node"), lit(0L).as("d2"))
+      var ledger = checkpoint(
+        scoreOf(qs.crossJoin(broadcast(entry))).union(seed))
       for (_ <- 1 to rounds) {
         val beam = graft.plans.TopK.perKey(ledger,
           Seq("qid"), Seq(col("d2").asc, col("node").asc), beamWidth)
@@ -1034,10 +1069,11 @@ object Similarity {
           .dropDuplicates("qid", "node")
           .join(ledger.select(col("qid"), col("node")),
             Seq("qid", "node"), "left_anti")
-        ledger = ledger.union(scoreOf(frontier)).localCheckpoint()
+        ledger = checkpoint(ledger.union(scoreOf(frontier)))
       }
       val w = Window.partitionBy("qid").orderBy(col("d2"), col("node"))
-      ledger.withColumn("rk", row_number().over(w).cast("long"))
+      ledger.where(col("node") =!= col("qid")) // ANN convention: self excluded
+        .withColumn("rk", row_number().over(w).cast("long"))
         .where(col("rk") <= k)
         .select(col("qid"), col("rk"), col("node").as("nbr"), col("d2"))
         .orderBy("qid", "rk")

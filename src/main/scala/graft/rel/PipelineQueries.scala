@@ -1562,8 +1562,9 @@ object PipelineQueries {
 
   /** Graph-traversal ANN (the last modern-ANN cell next to LSH/IVF/PQ):
     * greedy beam search over q157's exact kNN graph —
-    * [[graft.ops.Similarity.beamSearchAnn]] holds the kernel (per-round
-    * adjacency join + visited anti-join + TopKPerKey beam cut) and the
+    * [[graft.ops.Similarity.beamSearchAnn]] holds the kernel (a per-query
+    * scored LEDGER seeded with the query node; per-round derived-beam
+    * adjacency join + ledger anti-join + TopKPerKey cut) and the
     * determinism contract (integer distances, fixed round budget, so the
     * answer is a pure corpus function ⇒ committed-fixture oracle; the
     * recall-vs-brute spec lives in BeamAnnSpec). Same query set and

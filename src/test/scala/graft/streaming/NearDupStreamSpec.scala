@@ -179,36 +179,16 @@ class NearDupStreamSpec extends AnyFunSuite {
   test("TTL arm: an expired bucket forgets its members — the near-dup " +
     "horizon is the retention horizon") {
     withRocksDb {
-      import org.apache.spark.sql.streaming.Trigger
       import spark.implicits._
       val (base, variant) = nearPair
       def runInc(ttl: TTLConfig): Set[(Long, Long)] = {
-        val src = java.nio.file.Files.createTempDirectory("graft-nd-src").toString
-        val out = java.nio.file.Files.createTempDirectory("graft-nd-out").toString + "/data"
-        val ckpt = java.nio.file.Files.createTempDirectory("graft-nd-ckpt").toString
-        val schema = org.apache.spark.sql.Encoders.product[NearDupDoc].schema
-        def incarnation(batch: Seq[NearDupDoc]): Unit = {
-          batch.toDF().coalesce(1).write.mode("append").json(src)
-          // ProcessingTime-mode transformWithState spins clock batches:
-          // poll committed input rows, never processAllAvailable (the
-          // StreamingStateSizeSpec TTL-arm harness)
-          val q = Curation.nearDupCandidateStream(
-              spark.readStream.schema(schema).json(src).as[NearDupDoc], ttl = ttl)
-            .writeStream.format("parquet")
-            .option("path", out).option("checkpointLocation", ckpt)
-            .trigger(Trigger.ProcessingTime(250))
-            .start()
-          val deadline = System.currentTimeMillis + 60000
-          def seen: Long = q.recentProgress.map(_.numInputRows).sum
-          while (seen < batch.length && System.currentTimeMillis < deadline)
-            Thread.sleep(100)
-          val ok = seen >= batch.length
-          q.stop()
-          assert(ok, s"incarnation did not commit its ${batch.length} rows in 60 s")
-        }
-        incarnation(Seq(NearDupDoc(1L, base)))
-        Thread.sleep(1600) // > the 800 ms TTL horizon
-        incarnation(Seq(NearDupDoc(2L, variant)))
+        // shared ProcessingTime incarnation harness (see TtlIncarnations);
+        // 1600 ms between incarnations > the 800 ms TTL horizon
+        val out = TtlIncarnations.feed(spark,
+          Seq(Seq(NearDupDoc(1L, base)), Seq(NearDupDoc(2L, variant))),
+          waitBetweenMs = 1600,
+          (docs: org.apache.spark.sql.Dataset[NearDupDoc]) =>
+            Curation.nearDupCandidateStream(docs, ttl = ttl))
         // a pair-free run leaves a schema-less (or absent) sink dir
         try spark.read.parquet(out).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet

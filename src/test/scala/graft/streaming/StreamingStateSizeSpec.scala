@@ -208,41 +208,17 @@ class StreamingStateSizeSpec extends AnyFunSuite {
       // a ProcessingTime-mode query runs continuous empty micro-batches
       // between data arrivals, which a spec should not sit inside; TTL
       // expiry is wall-clock, so it fires across incarnations just as it
-      // would across triggers.
-      import org.apache.spark.sql.streaming.Trigger
+      // would across triggers. The incarnation/polling mechanics live in
+      // the shared TtlIncarnations harness.
       import spark.implicits._
       def run(ttl: TTLConfig): Seq[Long] = {
-        val src = java.nio.file.Files.createTempDirectory("graft-ttl-src").toString
-        val out = java.nio.file.Files.createTempDirectory("graft-ttl-out").toString + "/data"
-        val ckpt = java.nio.file.Files.createTempDirectory("graft-ttl-ckpt").toString
-        val schema = org.apache.spark.sql.Encoders.product[Curation.LineIn].schema
-        def incarnation(batch: Seq[Curation.LineIn]): Unit = {
-          batch.toDF().coalesce(1).write.mode("append").json(src)
-          // A ProcessingTime-mode transformWithState query schedules
-          // batches continuously to advance its clock, so BOTH
-          // AvailableNow termination and processAllAvailable's no-new-data
-          // signal never fire (observed: >1000 empty batches). The robust
-          // completion signal is the PROGRESS log: our appended file is
-          // the first batch of the incarnation, so poll recentProgress
-          // until its rows show as committed input, then stop. The
-          // 250 ms trigger throttles the clock spin while polling.
-          val q = Curation.lineDedupStream(
-              spark.readStream.schema(schema).json(src).as[Curation.LineIn], ttl)
-            .writeStream.format("parquet")
-            .option("path", out).option("checkpointLocation", ckpt)
-            .trigger(Trigger.ProcessingTime(250))
-            .start()
-          val deadline = System.currentTimeMillis + 60000
-          def seen: Long = q.recentProgress.map(_.numInputRows).sum
-          while (seen < batch.length && System.currentTimeMillis < deadline)
-            Thread.sleep(100)
-          val ok = seen >= batch.length
-          q.stop()
-          assert(ok, s"incarnation did not commit its ${batch.length} rows in 60 s")
-        }
-        incarnation(Seq(Curation.LineIn("shared line", 0L, 0)))
-        Thread.sleep(1600) // > the 800 ms TTL horizon
-        incarnation(Seq(Curation.LineIn("shared line", 1L, 0)))
+        // 1600 ms between incarnations > the 800 ms TTL horizon
+        val out = TtlIncarnations.feed(spark,
+          Seq(Seq(Curation.LineIn("shared line", 0L, 0)),
+            Seq(Curation.LineIn("shared line", 1L, 0))),
+          waitBetweenMs = 1600,
+          (lines: org.apache.spark.sql.Dataset[Curation.LineIn]) =>
+            Curation.lineDedupStream(lines, ttl))
         spark.read.parquet(out).collect().map(_.getLong(0)).toSeq.sorted
       }
       val noTtl = run(TTLConfig.NONE)
