@@ -51,9 +51,13 @@ object Bench {
     // the first N queries once at the TARGET SF and discard the times
     // from the medians — but record them in the artifact: they are
     // first-touch-at-suite-head samples, exactly the attribution data
-    // the r11 trio lacked. SPARK_GRAFT_HEAD_WARM=0 disables.
+    // the r11 trio lacked. SPARK_GRAFT_HEAD_WARM=0 disables; it also
+    // defaults OFF when SPARK_GRAFT_WARMUP=0 — that knob's documented
+    // purpose is "simulate a cold suite head", which a default head-warm
+    // pass would silently defeat (set HEAD_WARM explicitly to combine).
     val headWarmN = sys.env.get("SPARK_GRAFT_HEAD_WARM")
-      .flatMap(_.toIntOption).getOrElse(5)
+      .flatMap(_.toIntOption)
+      .getOrElse(if (sys.env.get("SPARK_GRAFT_WARMUP").contains("0")) 0 else 5)
     val headWarm = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     names.take(math.max(0, headWarmN)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -275,8 +279,22 @@ object Bench {
       try {
         if (java.nio.file.Files.exists(java.nio.file.Paths.get(basePath))) {
           val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(basePath))
+          // scan ONLY the "queries" map: a baseline refreshed from a
+          // round-12+ final line also carries cold/headwarm maps whose
+          // "qNN":N.NNN entries would otherwise overwrite the medians
+          // (toMap keeps the last match — q39's baseline would silently
+          // become its cold fit time)
+          val qSlice = {
+            val i = txt.indexOf("\"queries\":{")
+            if (i < 0) txt
+            else {
+              val start = i + "\"queries\":{".length
+              val end = txt.indexOf("}", start)
+              if (end < 0) txt else txt.substring(start, end)
+            }
+          }
           val qre = """"(q[0-9a-z_]+)":([0-9.]+)""".r
-          val baseQ = qre.findAllMatchIn(txt)
+          val baseQ = qre.findAllMatchIn(qSlice)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
           val cre = """"canary":([0-9.]+)""".r
           val baseCanary = cre.findFirstMatchIn(txt).map(_.group(1).toDouble)

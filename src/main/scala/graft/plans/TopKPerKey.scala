@@ -147,6 +147,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
             } else if (ord.compare(row, h.head) < 0) {
               bytes -= sizeOf(h.dequeue())
               val c = row.copy(); bytes += sizeOf(c); h.enqueue(c)
+              // replacement rows can be LARGER than what they displace
+              // (top-k ordered by a size-correlated score): the replace
+              // path must trip the budget too, or state grows toward
+              // keys×k×maxRowSize with the check never firing
+              if (bytes > budgetBytes && heaps.size > 1) overflowed = true
             }
           case None =>
             // copy the (reused) projection buffer only when the key is
@@ -184,9 +189,16 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
               heaps.get(keyProj(row)) match {
                 case Some(h) if h.size >= limit =>
                   if (ord.compare(row, h.head) < 0) {
-                    // replace-only: row count frozen, bytes adjusted
-                    bytes -= sizeOf(h.dequeue())
-                    val c = row.copy(); bytes += sizeOf(c); h.enqueue(c)
+                    // replace-only, and only when the byte delta keeps the
+                    // frozen state ≤ budget — a bigger-and-better row is
+                    // passed through unreduced instead (still correct: the
+                    // final stage cuts exactly; the heap's retained worse
+                    // row is a superset row). Without the delta check the
+                    // "frozen" state grows toward keys×k×maxRowSize.
+                    if (bytes - sizeOf(h.head) + sizeOf(row) <= budgetBytes) {
+                      bytes -= sizeOf(h.dequeue())
+                      val c = row.copy(); bytes += sizeOf(c); h.enqueue(c)
+                    } else { pending = row; return true }
                   }
                   // else: dominated by `limit` better same-key rows —
                   // drop it, exactly the reduction the heap exists for
@@ -234,7 +246,12 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
         var curKey: Array[Byte] = null
         var curCount = 0
         var emitted = 0L
-        val limited = sorter.sortedIterator().filter { e =>
+        // metric flushed by the task-completion listener: exhaustion-time
+        // flushing loses the count whenever a downstream limit stops
+        // consuming early (the listener reads the var's final value)
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => retained.add(emitted)))
+        sorter.sortedIterator().filter { e =>
           if (curKey == null || !java.util.Arrays.equals(curKey, e.key)) {
             curKey = e.key; curCount = 1
           } else curCount += 1
@@ -242,17 +259,6 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
           if (keep) emitted += 1
           keep
         }.map(_.row: InternalRow)
-        // metric flushed lazily ONCE at exhaustion: count what the
-        // streaming limit actually emitted
-        var flushed = false
-        new Iterator[InternalRow] {
-          override def hasNext: Boolean = {
-            val h = limited.hasNext
-            if (!h && !flushed) { flushed = true; retained.add(emitted) }
-            h
-          }
-          override def next(): InternalRow = limited.next()
-        }
       }
     }, preservesPartitioning = true)
   }
@@ -270,11 +276,19 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
   * key the caller's `rowOrd` ranks best-first, so a streaming "first k
   * per group" over the merged output is the exact per-key top-k.
   *
-  * Spill files go to `java.io.tmpdir` and are deleted after reading plus
-  * defensively on task completion (crash-path leftovers). */
+  * Spill files go under Spark's configured local dirs (`spark.local.dir`
+  * / `SPARK_LOCAL_DIRS`, first entry) — NOT `java.io.tmpdir`, which on
+  * many hosts is RAM-backed tmpfs where a "disk" spill relieves nothing —
+  * and are deleted after reading plus defensively on task completion
+  * (which also closes any streams a downstream early-exit abandoned).
+  * The k-way merge holds at most [[ExternalGroupLimitSorter.MaxOpenRuns]]
+  * run files open at once: excess runs are hierarchically pre-merged into
+  * consolidated runs first, so run count (inputBytes/budgetBytes) never
+  * translates into file-descriptor count. */
 private[plans] final class ExternalGroupLimitSorter(
     numFields: Int, rowOrd: org.apache.spark.sql.catalyst.expressions.BaseOrdering,
     budgetBytes: Long, spillMetric: SQLMetric) {
+  import ExternalGroupLimitSorter.MaxOpenRuns
 
   final case class Entry(key: Array[Byte], row: UnsafeRow)
 
@@ -288,10 +302,27 @@ private[plans] final class ExternalGroupLimitSorter(
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Entry]
   private var bufBytes = 0L
   private val spills = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
-  // crash-path cleanup; files on the happy path are deleted after reading
+  // every file ever created (registered BEFORE its write starts, so a
+  // mid-write failure still gets cleaned) + every stream ever opened (a
+  // consumer abandoning the merge mid-stream would otherwise hold FDs
+  // until GC finalization)
+  private val allFiles = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+  private val openStreams = scala.collection.mutable.ArrayBuffer.empty[java.io.Closeable]
   Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
-    spills.foreach(f => if (f.exists()) f.delete())
+    openStreams.foreach(s => try s.close() catch { case _: Throwable => () })
+    allFiles.foreach(f => if (f.exists()) f.delete())
   })
+
+  private lazy val spillDir: java.io.File = {
+    val configured = Option(org.apache.spark.SparkEnv.get).map(_.conf)
+      .flatMap(_.getOption("spark.local.dir"))
+      .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+      .flatMap(_.split(",").map(_.trim).find(_.nonEmpty))
+    val d = new java.io.File(
+      configured.getOrElse(System.getProperty("java.io.tmpdir")))
+    d.mkdirs()
+    d
+  }
 
   def insert(key: Array[Byte], row: UnsafeRow): Unit = {
     // copy BOTH on intake: the UnsafeRow may alias the child's reused
@@ -305,21 +336,25 @@ private[plans] final class ExternalGroupLimitSorter(
     if (bufBytes > budgetBytes) spillRun()
   }
 
-  private def spillRun(): Unit = {
-    val sorted = buf.sorted(entryOrd)
-    val f = java.io.File.createTempFile("graft-topk-spill", ".run")
+  private def writeRun(entries: Iterator[Entry]): java.io.File = {
+    val f = java.io.File.createTempFile("graft-topk-spill", ".run", spillDir)
+    allFiles += f
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(f), 1 << 16))
     try {
       val writeBuffer = new Array[Byte](1 << 12)
-      sorted.foreach { e =>
+      entries.foreach { e =>
         out.writeInt(e.key.length)
         out.write(e.key)
         out.writeInt(e.row.getSizeInBytes)
         e.row.writeToStream(out, writeBuffer)
       }
     } finally out.close()
-    spills += f
+    f
+  }
+
+  private def spillRun(): Unit = {
+    spills += writeRun(buf.sorted(entryOrd).iterator)
     spillMetric.add(bufBytes)
     buf.clear()
     bufBytes = 0L
@@ -327,6 +362,15 @@ private[plans] final class ExternalGroupLimitSorter(
 
   /** One grouped+ordered pass over everything inserted. Call once. */
   def sortedIterator(): Iterator[Entry] = {
+    // hierarchical pre-merge: never hold more than MaxOpenRuns run files
+    // open at once (with the default budget a ~100 GB hot-key task would
+    // otherwise open ~1600 streams and blow the FD ulimit)
+    while (spills.length > MaxOpenRuns) {
+      val batch = spills.take(MaxOpenRuns).toSeq
+      spills.remove(0, MaxOpenRuns)
+      spills += writeRun(mergeRuns(batch.map(readRun)))
+      batch.foreach(f => if (f.exists()) f.delete())
+    }
     val inMem = buf.sorted(entryOrd).iterator
     if (spills.isEmpty) inMem
     else {
@@ -338,6 +382,7 @@ private[plans] final class ExternalGroupLimitSorter(
   private def readRun(f: java.io.File): Iterator[Entry] = {
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
       new java.io.FileInputStream(f), 1 << 16))
+    openStreams += in
     new Iterator[Entry] {
       private var nextEntry: Entry = fetch()
       private def fetch(): Entry =
@@ -378,6 +423,11 @@ private[plans] final class ExternalGroupLimitSorter(
 }
 
 private[plans] object ExternalGroupLimitSorter {
+  /** Max run files held open simultaneously by the k-way merge; past it
+    * runs are hierarchically consolidated first. 32 × 64 KiB read buffers
+    * = 2 MiB, far under any FD or memory concern per task. */
+  val MaxOpenRuns = 32
+
   /** Unsigned lexicographic byte compare (length as final tiebreak).
     * Equal key VALUES project to identical bytes, which is all the
     * grouping needs; the relative order of distinct keys is arbitrary

@@ -88,6 +88,39 @@ class TopKPressureSpec extends AnyFunSuite {
     }
   }
 
+  test("replace path accounts byte growth: better-ranked rows are BIGGER " +
+    "(size-correlated score) — budget still trips and the result stays exact") {
+    // 100 keys × k=2 and ASCENDING scores with size-correlated payloads:
+    // the per-key heaps fill with tiny early rows, then every later row
+    // REPLACES a retained row with a strictly larger one. Pre-fix the
+    // replace path adjusted `bytes` but never re-checked the budget, so
+    // state grew toward keys×k×maxRowSize with the guard never firing.
+    spark.conf.set(TopK.BudgetConfKey, (64 * 1024).toString)
+    try {
+      val sized = spark.range(0, 20000).select(
+        (col("id") % 100).as("grp"),
+        col("id").as("event_id"),
+        col("id").as("score"),
+        expr("repeat('x', CAST(id / 20 AS INT))").as("pad"))
+      val df = TopK.perKey(sized, Seq("grp"),
+        Seq(col("score").desc, col("event_id")), k = 2)
+      // collect df ITSELF (not a .select) so the metric asserts read the
+      // execs that actually ran
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = Window.partitionBy("grp").orderBy(col("score").desc, col("event_id"))
+      val twin = sized.withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+        .select("grp", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == twin,
+        s"replace-path degradation diverged: custom-only=${got -- twin}, " +
+          s"twin-only=${twin -- got}")
+      val Seq(_, partialExec) = collectTopK(finalPlan(df)).sortBy(_.partial)
+      assert(partialExec.metrics("fallbackTasks").value >= 1,
+        "replace-path growth never tripped the budget — the size-correlated " +
+          "accounting hole is back")
+    } finally spark.conf.unset(TopK.BudgetConfKey)
+  }
+
   test("global top-k (empty key) still heaps under a tiny budget " +
     "(single-key state cannot overflow)") {
     spark.conf.set(TopK.BudgetConfKey, (16 * 1024).toString)
