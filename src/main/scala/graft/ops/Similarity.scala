@@ -1063,7 +1063,12 @@ object Similarity {
       for (_ <- 1 to rounds) {
         val beam = graft.plans.TopK.perKey(ledger,
           Seq("qid"), Seq(col("d2").asc, col("node").asc), beamWidth)
-        val frontier = beam.select(col("qid"), col("qv"), col("node"))
+        // BROADCAST the beam side: it is ≤ |Q|·beamWidth rows while the
+        // graph is n·graphK edges — without the hint the planner shuffles
+        // the GRAPH every round (measured at the 10× blow-up: the walk
+        // term grew with the corpus; broadcast makes each round one
+        // map-side pass over the checkpointed edge table, no exchange)
+        val frontier = broadcast(beam.select(col("qid"), col("qv"), col("node")))
           .join(graph, col("node") === col("vid"))
           .select(col("qid"), col("qv"), col("nbr").as("node"))
           .dropDuplicates("qid", "node")

@@ -667,24 +667,28 @@ object PipelineQueries {
     val (pairs, _) = pairMassOf(shw)
     val budget = pairsPerDocBudget.toDouble * nDocs
     val pruned = pairs.toDouble > budget && {
-      // exact-duplicate pair count: byte-identical texts, md5-keyed
-      // (double + saturation like pairMassOf — a dup group of 3e9 rows
-      // would overflow long pair arithmetic)
-      val row = docs.groupBy(md5(col("text")).as("_h"))
-        .agg(count(lit(1)).as("c"))
-        .agg(sum(expr("cast(c as double) * (c - 1) / 2")).as("p"))
+      // exact-duplicate EXPLAINED pair mass, per md5 group: every
+      // byte-identical replica carries the identical posting set, so a
+      // group of c docs with np postings each explains exactly
+      // C(c,2) × np of the raw mass (round 12, replacing the global
+      // avg-postings approximation the ADVICE flagged: a corpus mixing
+      // SHORT replicated docs with LONG unique ones over-subtracted and
+      // could keep the unpruned form on a genuine boilerplate flood).
+      // Double + saturation like pairMassOf — a dup group of 3e9 rows
+      // would overflow long pair arithmetic. One extra doc-keyed count
+      // + join over the already-built postings, paid only when the raw
+      // mass tripped the budget.
+      val perDoc = shw.groupBy("doc_id").agg(count(lit(1)).as("np"))
+      val row = docs.select(col("doc_id"), md5(col("text")).as("_h"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("np"))
+        .groupBy("_h")
+        .agg(count(lit(1)).as("c"), max(col("np")).as("np"))
+        .agg(sum(expr(
+          "cast(c as double) * (c - 1) / 2 * cast(np as double)")).as("m"))
         .collect()(0)
-      val dupPairs = Option(row.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
-      // Caveat (round-12 ADVICE): dupPairs × GLOBAL avg postings/doc
-      // approximates the dup-explained mass; a corpus mixing SHORT
-      // replicated docs with LONG unique docs over-subtracts (replica
-      // groups' true shared postings sit below the average), so the
-      // unpruned form can win the decision on a genuine boilerplate
-      // flood. Cost-only — both forms are parity-spec'd output-identical
-      // — and the 512/doc budget above was calibrated with this
-      // approximation in place; revisit both together if retuning.
-      val avgPostings = shw.count().toDouble / nDocs
-      pairs.toDouble - dupPairs * avgPostings > budget
+      val dupMass = Option(row.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+      pairs.toDouble - dupMass > budget
     }
     (shw, tw, pruned)
   }

@@ -43,7 +43,13 @@ object BenchScalingDeep {
     // quadratic EXACT baseline (single broadcast tile at this scale -
     // streamed n x tile n pair work) the pruned paths are judged
     // against.
-    "q55_ann_ivf", "q76_ann_ivfpq", "q102_semdedup", "q157_knn_graph")
+    "q55_ann_ivf", "q76_ann_ivfpq", "q102_semdedup", "q157_knn_graph",
+    // round 12: graph-traversal ANN. The claim under audit is the
+    // serving-side split: the kNN-graph BUILD is the quadratic kernel
+    // (q157's, amortized once per corpus) while the walk itself is
+    // |Q|-bounded — so q169's time should track q157's build curve and
+    // the gap between them (the walk) should stay flat across K
+    "q169_beam_ann")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -61,8 +67,15 @@ object BenchScalingDeep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val queries = graft.SparkEntry.queries.filter { case (n, _) => Targets.contains(n) }
-    require(queries.size == Targets.size, s"missing targets: ${Targets.diff(queries.keys.toSeq)}")
+    // SPARK_GRAFT_SCALING_TARGETS=q169,q157 restricts to the named qNN
+    // prefixes (single-family re-measures without the full 4-decade run)
+    val targetFilter = sys.env.get("SPARK_GRAFT_SCALING_TARGETS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val activeTargets = Targets.filter(t =>
+      targetFilter.forall(f => f.contains(t.takeWhile(_ != '_'))))
+    val queries = graft.SparkEntry.queries.filter { case (n, _) => activeTargets.contains(n) }
+    require(queries.size == activeTargets.size,
+      s"missing targets: ${activeTargets.diff(queries.keys.toSeq)}")
 
     /** Materialize the K-times-unioned tables under `work/K/`. Ids shift
       * by replica so every table keeps a dense, collision-free key
@@ -162,7 +175,7 @@ object BenchScalingDeep {
     // Per query: time and pair(row) growth vs K, and the time-per-pair
     // trend (flat or falling = runtime tracks the pair count; rising =
     // superlinear in pairs, the defect the audit hunts).
-    val json = Targets.map { name =>
+    val json = activeTargets.map { name =>
       val series = obs.filter(_.name == name).sortBy(_.k)
       val base1 = series.find(_.k == 1)
       val rowsJson = series.map { o =>

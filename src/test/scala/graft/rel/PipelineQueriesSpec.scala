@@ -459,6 +459,30 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(PipelineQueries.weightedFormIsPruned(brows.toDF("doc_id", "text"), n = 3))
   }
 
+  test("weightedJaccardPairsAuto: MIXED corpus — short byte-identical " +
+       "replicas plus a long-doc boilerplate flood still picks the prefix " +
+       "filter (per-group dup mass, not a global average, is subtracted)") {
+    // 10 SHORT bases (6 tokens → 4 postings) × 200 replicas: a large
+    // dup-PAIR count (10·C(200,2) ≈ 199k) carrying tiny per-pair posting
+    // mass (×4 ≈ 0.8M); 250 LONG docs sharing a 60-shingle template: a
+    // genuinely prunable flood (60·C(250,2) ≈ 1.87M) against a
+    // 512·N ≈ 1.15M budget. The retired global-average approximation
+    // (avg postings ≈ 10, pulled up 2.5× by the long docs) would have
+    // subtracted ≈ 2.0M from the 2.66M raw mass and kept the measured-
+    // slower unpruned self-join on this flood; the per-group subtraction
+    // removes only the true 0.8M and correctly prunes — the ADVICE-
+    // flagged over-subtraction case, now a pinned behavior.
+    val shortBase = (1 to 10).map(i =>
+      (1 to 6).map(j => s"s${i}_$j").mkString(" "))
+    val dups = for (r <- 0 until 200; (t, i) <- shortBase.zipWithIndex)
+      yield ((r * 100 + i).toLong, t)
+    val boiler = (1 to 62).map(i => s"b$i").mkString(" ")
+    val floods = (100000L until 100250L).map(id => (id, s"$boiler u$id"))
+    val mixed = (dups ++ floods).toDF("doc_id", "text")
+    assert(PipelineQueries.weightedFormIsPruned(mixed, n = 3),
+      "mixed short-dup + long-boilerplate corpus must pick the prefix filter")
+  }
+
   // ---- q136 Zipf slope -------------------------------------------------------
 
   test("zipfSlope: two-point hand case and negative slope on the real corpus") {
