@@ -1045,7 +1045,13 @@ object Similarity {
         .select(col("node").as("qid"), col("nv").as("qv"))
       val entry = vecs.select(col("node"))
         .orderBy(mix(col("node")), col("node")).limit(entries)
-      def scoreOf(frontier: DataFrame): DataFrame = frontier
+      // broadcast the frontier here too: it is ≤ |Q|·beamWidth·graphK
+      // rows against the n-row corpus, and its lineage (join + dedup +
+      // anti-join off a checkpointed RDD) gives the planner no reliable
+      // size estimate — without the hint a cluster can sort-merge the
+      // persisted corpus every round, the exact per-round exchange the
+      // adjacency-join hint eliminates
+      def scoreOf(frontier: DataFrame): DataFrame = broadcast(frontier)
         .join(vecs, "node")
         .where(col("node") =!= col("qid")) // ANN convention: self excluded
         .withColumn("d2", d2of(col("qv"), col("nv")))

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   *    part/brand catalog — q164's pair space is catalog-bounded).
   *  - part: written through unchanged (the catalog).
   *
-  * Output: `BENCH_SCALING_DEEP_r11.json` (override with
+  * Output: `BENCH_SCALING_DEEP_r12.json` (override with
   * SPARK_GRAFT_SCALING_DEEP_OUT) with per-query rows
   * {K, seconds, output rows} + derived per-pair and per-K ratios, plus
   * SCALEDEEP progress lines; canary-bracketed like every bench artifact.
@@ -53,7 +53,7 @@ object BenchScalingDeep {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val out = sys.env.getOrElse("SPARK_GRAFT_SCALING_DEEP_OUT", "BENCH_SCALING_DEEP_r11.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALING_DEEP_OUT", "BENCH_SCALING_DEEP_r12.json")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_WORK", "/tmp/graft_scale")
     val scales = sys.env.get("SPARK_GRAFT_SCALES")
@@ -73,6 +73,18 @@ object BenchScalingDeep {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val activeTargets = Targets.filter(t =>
       targetFilter.forall(f => f.contains(t.takeWhile(_ != '_'))))
+    // fail fast on a typo'd / full-name filter token: an empty or
+    // partially-matched selection would run a subset (or NOTHING) and
+    // overwrite the committed artifact at `out` with it
+    targetFilter.foreach { f =>
+      val unmatched = f.filterNot(tok => Targets.exists(_.startsWith(tok + "_")))
+      require(unmatched.isEmpty,
+        s"SPARK_GRAFT_SCALING_TARGETS tokens match no target qNN prefix: " +
+          s"${unmatched.mkString(",")} (targets: ${Targets.mkString(",")})")
+      require(sys.env.contains("SPARK_GRAFT_SCALING_DEEP_OUT"),
+        "a filtered run must set SPARK_GRAFT_SCALING_DEEP_OUT — the default " +
+          s"path would overwrite the committed full artifact with a subset")
+    }
     val queries = graft.SparkEntry.queries.filter { case (n, _) => activeTargets.contains(n) }
     require(queries.size == activeTargets.size,
       s"missing targets: ${activeTargets.diff(queries.keys.toSeq)}")
