@@ -1014,48 +1014,11 @@ object Similarity {
                     // identity to expose the full multi-round plan
                     checkpoint: DataFrame => DataFrame = _.localCheckpoint()
                    ): DataFrame = {
-    require(k <= beamWidth, "final k must fit in the beam")
-    val spark = emb.sparkSession
-    import spark.implicits._
-    def quant(name: String): Column =
-      expr(s"transform(CAST($name AS ARRAY<DOUBLE>), " +
-        "x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))")
-    def d2of(a: Column, b: Column): Column =
-      graft.exprs.GraftFunctions.call("graft_sqdist_q", a, b)
-    // deterministic spread hash for entry election: xxhash64 is a native
-    // codegen'd 64-bit mix (a wrapping-multiply splitmix spelled as
-    // column algebra trips ANSI overflow checking)
-    def mix(c: Column): Column = xxhash64(c)
     val vecs = emb.select(col(idCol).cast("long").as("node"),
-      quant(vecCol).as("nv")).persist()
+      quantized(vecCol).as("nv")).persist()
     try {
-      // SYMMETRIZED adjacency: the raw kNN digraph funnels into in-degree
-      // hubs and strands low-in-degree nodes (greedy search on directed
-      // kNN over random high-dim points measurably stalls — recall 0.46
-      // on the fixture); adding every edge's reverse is the NSW recipe
-      // and restores navigability (0.46 → ≥0.9 measured)
-      // the graph is built from THIS call's persisted quantized corpus —
-      // knnGraph(emb, ...) would re-scan + re-quantize + re-cache it
-      val fwd = knnGraphFromQuantized(vecs.as[(Long, Array[Long])], graphK)
-        .select(col("vid"), col("nbr"))
-      val graph = checkpoint(fwd
-        .union(fwd.select(col("nbr").as("vid"), col("vid").as("nbr")))
-        .dropDuplicates("vid", "nbr"))
       val qs = vecs.where(col("node").isin(queryIds: _*))
         .select(col("node").as("qid"), col("nv").as("qv"))
-      val entry = vecs.select(col("node"))
-        .orderBy(mix(col("node")), col("node")).limit(entries)
-      // broadcast the frontier here too: it is ≤ |Q|·beamWidth·graphK
-      // rows against the n-row corpus, and its lineage (join + dedup +
-      // anti-join off a checkpointed RDD) gives the planner no reliable
-      // size estimate — without the hint a cluster can sort-merge the
-      // persisted corpus every round, the exact per-round exchange the
-      // adjacency-join hint eliminates
-      def scoreOf(frontier: DataFrame): DataFrame = broadcast(frontier)
-        .join(vecs, "node")
-        .where(col("node") =!= col("qid")) // ANN convention: self excluded
-        .withColumn("d2", d2of(col("qv"), col("nv")))
-        .select(col("qid"), col("qv"), col("node"), col("d2"))
       // seed the ledger with the query node ITSELF at d2 = 0: it tops the
       // beam in round 1, so its own adjacency — the graph's qid→true-kNN
       // out-edges, the single most informative edge set — is expanded
@@ -1064,30 +1027,114 @@ object Similarity {
       // re-arrival via reverse edges, and its out-edges never expanded)
       val seed = qs.select(col("qid"), col("qv"),
         col("qid").as("node"), lit(0L).as("d2"))
-      var ledger = checkpoint(
-        scoreOf(qs.crossJoin(broadcast(entry))).union(seed))
-      for (_ <- 1 to rounds) {
-        val beam = graft.plans.TopK.perKey(ledger,
-          Seq("qid"), Seq(col("d2").asc, col("node").asc), beamWidth)
-        // BROADCAST the beam side: it is ≤ |Q|·beamWidth rows while the
-        // graph is n·graphK edges — without the hint the planner shuffles
-        // the GRAPH every round (measured at the 10× blow-up: the walk
-        // term grew with the corpus; broadcast makes each round one
-        // map-side pass over the checkpointed edge table, no exchange)
-        val frontier = broadcast(beam.select(col("qid"), col("qv"), col("node")))
-          .join(graph, col("node") === col("vid"))
-          .select(col("qid"), col("qv"), col("nbr").as("node"))
-          .dropDuplicates("qid", "node")
-          .join(ledger.select(col("qid"), col("node")),
-            Seq("qid", "node"), "left_anti")
-        ledger = checkpoint(ledger.union(scoreOf(frontier)))
-      }
-      val w = Window.partitionBy("qid").orderBy(col("d2"), col("node"))
-      ledger.where(col("node") =!= col("qid")) // ANN convention: self excluded
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .where(col("rk") <= k)
-        .select(col("qid"), col("rk"), col("node").as("nbr"), col("d2"))
-        .orderBy("qid", "rk")
+      beamWalk(vecs, qs, Some(seed), excludeSelf = true,
+        k, graphK, beamWidth, rounds, entries, checkpoint)
     } finally vecs.unpersist()
+  }
+
+  /** Out-of-corpus serving variant of [[beamSearchAnn]]: the queries are
+    * EXTERNAL vectors (`queries(qidCol, qvecCol)`), not corpus members —
+    * the HNSW serving shape proper, where query ids are caller labels in
+    * their own namespace. No self-seed exists (the query is not a graph
+    * node) and no self-exclusion applies (a corpus node id equal to a
+    * query label is a coincidence, not identity), so the walk is the
+    * pure entry-point navigation the in-corpus navigability spec
+    * measures; everything else — graph, budget, determinism contract —
+    * is shared with the in-corpus form. */
+  def beamSearchAnnVectors(emb: DataFrame, idCol: String, vecCol: String,
+                           queries: DataFrame, qidCol: String, qvecCol: String,
+                           k: Int, graphK: Int = 8, beamWidth: Int = 32,
+                           rounds: Int = 4, entries: Int = 8,
+                           checkpoint: DataFrame => DataFrame = _.localCheckpoint()
+                          ): DataFrame = {
+    val vecs = emb.select(col(idCol).cast("long").as("node"),
+      quantized(vecCol).as("nv")).persist()
+    try {
+      val qs = queries.select(col(qidCol).cast("long").as("qid"),
+        quantized(qvecCol).as("qv"))
+      beamWalk(vecs, qs, seed = None, excludeSelf = false,
+        k, graphK, beamWidth, rounds, entries, checkpoint)
+    } finally vecs.unpersist()
+  }
+
+  /** Micro-unit quantization shared by the beam-search forms (q157's
+    * exactness contract: integer distances ⇒ deterministic walks). */
+  private def quantized(name: String): Column =
+    expr(s"transform(CAST($name AS ARRAY<DOUBLE>), " +
+      "x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))")
+
+  /** The shared walk: graph build off the caller-persisted quantized
+    * corpus, entry election, scored-ledger rounds, final top-k cut.
+    * `seed` rows (qid, qv, node, d2) pre-populate the ledger (the
+    * in-corpus self-seed); `excludeSelf` applies the node ≠ qid
+    * convention, meaningful only when query ids ARE corpus node ids. */
+  private def beamWalk(vecs: DataFrame, qs: DataFrame, seed: Option[DataFrame],
+                       excludeSelf: Boolean, k: Int, graphK: Int,
+                       beamWidth: Int, rounds: Int, entries: Int,
+                       checkpoint: DataFrame => DataFrame): DataFrame = {
+    require(k <= beamWidth, "final k must fit in the beam")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    def d2of(a: Column, b: Column): Column =
+      graft.exprs.GraftFunctions.call("graft_sqdist_q", a, b)
+    // deterministic spread hash for entry election: xxhash64 is a native
+    // codegen'd 64-bit mix (a wrapping-multiply splitmix spelled as
+    // column algebra trips ANSI overflow checking)
+    def mix(c: Column): Column = xxhash64(c)
+    // SYMMETRIZED adjacency: the raw kNN digraph funnels into in-degree
+    // hubs and strands low-in-degree nodes (greedy search on directed
+    // kNN over random high-dim points measurably stalls — recall 0.46
+    // on the fixture); adding every edge's reverse is the NSW recipe
+    // and restores navigability (0.46 → ≥0.9 measured)
+    // the graph is built from the caller's persisted quantized corpus —
+    // knnGraph(emb, ...) would re-scan + re-quantize + re-cache it
+    val fwd = knnGraphFromQuantized(vecs.as[(Long, Array[Long])], graphK)
+      .select(col("vid"), col("nbr"))
+    val graph = checkpoint(fwd
+      .union(fwd.select(col("nbr").as("vid"), col("vid").as("nbr")))
+      .dropDuplicates("vid", "nbr"))
+    val entry = vecs.select(col("node"))
+      .orderBy(mix(col("node")), col("node")).limit(entries)
+    // broadcast the frontier here too: it is ≤ |Q|·beamWidth·graphK
+    // rows against the n-row corpus, and its lineage (join + dedup +
+    // anti-join off a checkpointed RDD) gives the planner no reliable
+    // size estimate — without the hint a cluster can sort-merge the
+    // persisted corpus every round, the exact per-round exchange the
+    // adjacency-join hint eliminates
+    def scoreOf(frontier: DataFrame): DataFrame = {
+      val joined = broadcast(frontier).join(vecs, "node")
+      val filtered =
+        if (excludeSelf) joined.where(col("node") =!= col("qid"))
+        else joined
+      filtered.withColumn("d2", d2of(col("qv"), col("nv")))
+        .select(col("qid"), col("qv"), col("node"), col("d2"))
+    }
+    val entryScored = scoreOf(qs.crossJoin(broadcast(entry)))
+    var ledger = checkpoint(
+      seed.map(entryScored.union).getOrElse(entryScored))
+    for (_ <- 1 to rounds) {
+      val beam = graft.plans.TopK.perKey(ledger,
+        Seq("qid"), Seq(col("d2").asc, col("node").asc), beamWidth)
+      // BROADCAST the beam side: it is ≤ |Q|·beamWidth rows while the
+      // graph is n·graphK edges — without the hint the planner shuffles
+      // the GRAPH every round (measured at the 10× blow-up: the walk
+      // term grew with the corpus; broadcast makes each round one
+      // map-side pass over the checkpointed edge table, no exchange)
+      val frontier = broadcast(beam.select(col("qid"), col("qv"), col("node")))
+        .join(graph, col("node") === col("vid"))
+        .select(col("qid"), col("qv"), col("nbr").as("node"))
+        .dropDuplicates("qid", "node")
+        .join(ledger.select(col("qid"), col("node")),
+          Seq("qid", "node"), "left_anti")
+      ledger = checkpoint(ledger.union(scoreOf(frontier)))
+    }
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("node"))
+    val finalRows =
+      if (excludeSelf) ledger.where(col("node") =!= col("qid"))
+      else ledger
+    finalRows.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("node").as("nbr"), col("d2"))
+      .orderBy("qid", "rk")
   }
 }

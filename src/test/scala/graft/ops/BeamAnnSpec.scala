@@ -66,6 +66,50 @@ class BeamAnnSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"mean recall $mean < 0.9 (per-query: $recalls)")
   }
 
+  test("out-of-corpus serving variant: external perturbed query vectors " +
+    "reach recall >= 0.9 by pure entry-point navigation (no seed), and " +
+    "query labels colliding with corpus ids are NOT self-excluded") {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+    val raw = emb.select(col("vec_id").cast("long"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // external queries = corpus vectors nudged off-lattice on one
+    // dimension; qid deliberately REUSES the source corpus id — if the
+    // variant wrongly applied the in-corpus self-exclusion, it would
+    // drop node i (each query's best match) and recall would collapse
+    val qvecs = (0L until 10L).map { i =>
+      val v = raw.find(_._1 == i).get._2.clone()
+      v(0) += 0.01
+      (i, v.toSeq)
+    }
+    val queries = qvecs.toDF("qid", "qv")
+    val got = Similarity.beamSearchAnnVectors(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k).collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.map(_.getLong(2)).toSet }
+    val corpusQ = raw.map { case (id, v) =>
+      (id, v.map(x => math.floor(x * 1e6 + 0.5).toLong)) }
+    val recalls = qvecs.map { case (qid, qv) =>
+      val q = qv.map(x => math.floor(x * 1e6 + 0.5).toLong).toArray
+      val ex = corpusQ.map { case (id, v) =>
+        var s = 0L; var i = 0
+        val n = math.min(q.length, v.length)
+        while (i < n) { val d = q(i) - v(i); s += d * d; i += 1 }
+        (s, id)
+      }.sortBy(identity).take(k).map(_._2).toSet
+      // the nearest corpus vector (the perturbation source, node = qid)
+      // must be found: the self-exclusion-leak canary
+      assert(got(qid).contains(qid),
+        s"query $qid lost its source vector — self-exclusion leaked " +
+          s"into the out-of-corpus variant? got ${got(qid)}")
+      got(qid).intersect(ex).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"mean recall: $mean (per-query: ${recalls.sorted.mkString(", ")})")
+    assert(mean >= 0.9, s"mean recall $mean < 0.9 (per-query: $recalls)")
+  }
+
   test("deterministic: a 7-way repartitioned corpus walks to the identical " +
     "answer (integer distances + fixed budget = pure corpus function)") {
     val emb = Tables.load(spark, dir, "embeddings")
