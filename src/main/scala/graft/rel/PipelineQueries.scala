@@ -1577,6 +1577,27 @@ object PipelineQueries {
     graft.ops.Similarity.beamSearchAnn(t(s, dir, "embeddings"),
       "vec_id", "embedding", queryIds = 0L until 10L, k = 5)
 
+  // ---- q170: beam-search ANN for EXTERNAL query vectors ----------------------
+
+  /** The serving half of q169: ANN for query vectors that are NOT corpus
+    * members ([[graft.ops.Similarity.beamSearchAnnVectors]] — no
+    * self-seed, no self-exclusion, query labels in their own namespace).
+    * The declared query derives its external vectors deterministically
+    * from the corpus (vectors 0–9 nudged +0.01 off-lattice on dimension
+    * qid mod 8, labels 9000+qid), so the answer stays a pure corpus
+    * function ⇒ committed-fixture oracle; the recall and
+    * label-collision-canary specs live in BeamAnnSpec. */
+  def q170BeamAnnVectors(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb
+      .where(col("vec_id").cast("long").between(0L, 9L))
+      .select((col("vec_id").cast("long") + 9000L).as("qid"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "(x, i) -> IF(i = CAST(vec_id AS INT) % 8, x + 0.01, x))").as("qv"))
+    graft.ops.Similarity.beamSearchAnnVectors(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5)
+  }
+
   // ---- q162: nearest-centroid classifier evaluation -------------------------
 
   /** Embedding-space health check: fit one centroid per LABEL (the
@@ -1675,7 +1696,8 @@ object PipelineQueries {
     "q156_random_projection" -> (q156RandomProjection _),
     "q157_knn_graph" -> (q157KnnGraph _),
     "q162_centroid_eval" -> (q162CentroidEval _),
-    "q169_beam_ann" -> (q169BeamAnn _))
+    "q169_beam_ann" -> (q169BeamAnn _),
+    "q170_beam_ann_vectors" -> (q170BeamAnnVectors _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
@@ -1696,5 +1718,6 @@ object PipelineQueries {
     "q156_random_projection" -> q156Oracle,
     "q157_knn_graph" -> q157Oracle,
     "q162_centroid_eval" -> q162Oracle,
-    "q169_beam_ann" -> DataQueries.fixtureOracle("q169_beam_ann"))
+    "q169_beam_ann" -> DataQueries.fixtureOracle("q169_beam_ann"),
+    "q170_beam_ann_vectors" -> DataQueries.fixtureOracle("q170_beam_ann_vectors"))
 }

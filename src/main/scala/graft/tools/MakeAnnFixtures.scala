@@ -36,7 +36,9 @@ object MakeAnnFixtures {
     // StrictMath fixed-point DCT: bit-deterministic on every platform
     "q168_phash_neardup",
     // integer distances + fixed round budget: pure corpus function
-    "q169_beam_ann")
+    "q169_beam_ann",
+    // same contract, external-vector serving form
+    "q170_beam_ann_vectors")
 
   val SfDir = "/root/testdata/sf0.01"
   val OutDir = "src/test/resources/annfix"
