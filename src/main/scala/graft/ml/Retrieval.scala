@@ -60,7 +60,27 @@ object Retrieval {
       val cached = tfIdfCache.get(key)
       if (cached != null) cached
       else {
-        val fitted = fitTfIdf(docs, numFeatures)._1
+        // L2: an IDF fit published by an earlier JVM (MLlib native
+        // persistence — the idf vector round-trips through parquet
+        // doubles exactly; HashingTF is stateless and rebuilt from
+        // numFeatures). The dir only appears via ModelStore's atomic
+        // rename, so existence implies a complete model.
+        val diskKey = s"$corpusKey|$numFeatures|n=${key._3}"
+        val fromDisk = graft.ops.ModelStore.dirFor("tfidf", diskKey)
+        val fitted = fromDisk match {
+          case Some((dir, true)) =>
+            val tf = new HashingTF().setInputCol("toks").setOutputCol("tf")
+              .setNumFeatures(numFeatures)
+            TfIdfModel(tf, IDFModel.load(dir.getPath))
+          case _ =>
+            val f = fitTfIdf(docs, numFeatures)._1
+            fromDisk.foreach { case (dir, _) =>
+              val tmp = graft.ops.ModelStore.tmpSibling(dir)
+              f.idf.write.overwrite().save(tmp.getPath)
+              graft.ops.ModelStore.publishParquet(tmp, dir)
+            }
+            f
+        }
         val prev = tfIdfCache.putIfAbsent(key, fitted)
         if (prev != null) prev else fitted
       }

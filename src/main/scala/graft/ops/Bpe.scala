@@ -186,11 +186,39 @@ object Bpe {
     merges.toSeq
   }
 
-  /** Declared-query form: the merge table as a DataFrame. */
-  def merges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+  /** [[learnMerges]] with the [[ModelStore]] disk L2: the merge table is
+    * a model-sized artifact (nMerges rows) refit identically by every new
+    * JVM, so persisting it keyed by (corpusKey, params, corpus row count)
+    * turns the per-process relearn — the whole vocabulary induction pass —
+    * into one tiny file read plus the fingerprint count. The count runs
+    * on the RAW docs frame (columns pruned), the q55/q76 cache
+    * discipline; the same-count-rewrite staleness hazard and
+    * [[ModelStore.clear]] hook apply. Byte-exact by construction:
+    * merges round-trip as exact ints/UTF strings/longs, and learnMerges
+    * itself is deterministic (integer counts, total-order argmax) — the
+    * committed q121/q125 fixtures gate any drift. */
+  def learnMergesCached(docs: DataFrame, textCol: String, nMerges: Int,
+                        corpusKey: String, minCount: Long = 2L,
+                        driverVocabBound: Long = 200000L): Seq[Merge] = {
+    val key = s"$corpusKey|$textCol|$nMerges|$minCount|n=${docs.count()}"
+    ModelStore.loadMerges(key).getOrElse {
+      val m = learnMerges(docs, textCol, nMerges, minCount, driverVocabBound)
+      ModelStore.saveMerges(key, m)
+      m
+    }
+  }
+
+  /** Declared-query form: the merge table as a DataFrame. `corpusKey`
+    * opts into the disk-cached fit. */
+  def merges(docs: DataFrame, textCol: String, nMerges: Int,
+             corpusKey: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    learnMerges(docs, textCol, nMerges).toDF()
+    val learned = corpusKey match {
+      case Some(k) => learnMergesCached(docs, textCol, nMerges, k)
+      case None => learnMerges(docs, textCol, nMerges)
+    }
+    learned.toDF()
       .select(col("rank"), col("left"), col("right"), col("pair_count"))
   }
 }

@@ -274,7 +274,13 @@ object Similarity {
         val cached = quantizerCache.get(fullKey)
         if (cached != null) cached
         else {
-          val fitted = fitQuantizer(data, nCells, sampleCap, n)
+          // L2: a fit published by an earlier JVM (ModelStore round-trips
+          // raw double bits, so disk-served centers are bit-identical)
+          val fitted = ModelStore.loadCenters(fullKey).getOrElse {
+            val f = fitQuantizer(data, nCells, sampleCap, n)
+            ModelStore.saveCenters(fullKey, f)
+            f
+          }
           val prev = quantizerCache.putIfAbsent(fullKey, fitted)
           if (prev != null) prev else fitted
         }
@@ -418,7 +424,10 @@ object Similarity {
         val fullKey = s"$key|$keySuffix|$m|$ks|$sampleCap|n=$total"
         val cached = pqCache.get(fullKey)
         if (cached != null) Some(cached)
-        else fitFromSample().map { fitted =>
+        else ModelStore.loadPq(fullKey).orElse(fitFromSample().map { f =>
+          // publish the fresh fit for later JVMs (bit-exact round-trip)
+          ModelStore.savePq(fullKey, f); f
+        }).map { fitted =>
           val prev = pqCache.putIfAbsent(fullKey, fitted)
           if (prev != null) prev else fitted
         }
@@ -960,6 +969,200 @@ object Similarity {
     }
   }
 
+  /** APPROXIMATE k-nearest-neighbor graph by NN-DESCENT (Dong, Moses &
+    * Li, WWW 2011) — the sub-quadratic replacement for [[knnGraph]]'s
+    * exact O(n²) tile scan. Same output schema and exactness contract
+    * for every emitted edge (micro-quantized BIGINT distances, (d2, nbr)
+    * total order); what is approximate is only WHICH neighbors are found
+    * (the recall-vs-exact spec in KnnGraphApproxSpec is the semantic
+    * gate).
+    *
+    * Algorithm: initialize each node's neighbor list from deterministic
+    * hash buckets (all pairs within a ≈`4·iterK`-node xxhash bucket —
+    * the content-independent random init of the paper, spelled as one
+    * bounded self-join), then iterate the NN-descent step: a neighbor
+    * of a neighbor is likely a neighbor, so each round joins the
+    * SYMMETRIZED adjacency with itself on the shared source node,
+    * scores the fresh (never-scored) candidate pairs, and heap-cuts
+    * every list back to `iterK` with [[graft.plans.TopK.perKey]].
+    *
+    * Every round is bounded, the property the exact scan lacks:
+    * - reverse degree is CAPPED at `iterK` before the join (the paper's
+    *   reverse-list sampling): kNN in-degree is the skewed quantity —
+    *   a hub with 10⁴ in-edges would otherwise square into 10⁸
+    *   candidate rows for one key — so adjacency degree is ≤ 2·iterK
+    *   everywhere and the candidate space is ≤ 4·iterK²·n rows/round;
+    * - the self-join's exchange is pinned to full shuffle width
+    *   (`repartition(N, u)`): its OUTPUT explodes ≈2·iterK× over its
+    *   input, exactly the shape AQE's input-byte sizing coalesces into
+    *   a handful of straggler partitions (q126's measured 49.5→21.0 s
+    *   fix);
+    * - one `checkpoint` per round keeps the driver loop's lineage flat
+    *   and the round's plan running once (the q169 ledger discipline).
+    *
+    * Total work O(n · iterK² · rounds) vs the exact scan's O(n²·d):
+    * at 10⁹ vectors that is the difference between ~10¹³ bounded-join
+    * rows and an infeasible 10¹⁸-pair scan. Fixed `rounds` (no
+    * convergence test) keeps the output a pure corpus function —
+    * deterministic init, integer distances, total-order cuts — so the
+    * declared form (q171) carries a committed-fixture oracle like q169.
+    * [[beamSearchAnn]]'s prebuilt-graph overload serves off this
+    * build's persisted output (q172): build once offline, walk forever. */
+  def knnGraphApprox(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                     rounds: Int = 4, iterK: Int = -1,
+                     checkpoint: DataFrame => DataFrame = _.localCheckpoint()
+                    ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col(idCol).cast("long"),
+        quantized(vecCol))
+      .as[(Long, Array[Long])].persist()
+    try knnGraphApproxFromQuantized(vecs, k, rounds, iterK, checkpoint)
+    finally vecs.unpersist()
+  }
+
+  /** [[knnGraphApprox]] over an already micro-quantized corpus (the
+    * [[knnGraphFromQuantized]] pairing). Caller manages persistence of
+    * `vecsIn`; every round's state is materialized via `checkpoint`, so
+    * the result does not depend on the input staying cached. */
+  def knnGraphApproxFromQuantized(vecsIn: Dataset[(Long, Array[Long])], k: Int,
+                                  rounds: Int = 4, iterK: Int = -1,
+                                  checkpoint: DataFrame => DataFrame = _.localCheckpoint()
+                                 ): DataFrame = {
+    val spark = vecsIn.sparkSession
+    val shufN = spark.sessionState.conf.numShufflePartitions
+    val vecs = vecsIn.toDF("node", "nv")
+    val n = vecs.count()
+    // working-list width: THE recall knob, and it must grow (mildly)
+    // with n — on uniform random 64-d vectors, the no-structure worst
+    // case, a FIXED width decays with corpus size (kw=16: recall 0.96 at
+    // n=500 but 0.74 at n=2000 after 4 rounds; kw=24 restores 0.95 at
+    // n=2000), the NN-descent paper's K~log n guidance. 2.2·log₂n gives
+    // 20 at n=500, 24 at n=2000, ~66 at 10⁹ — the HNSW M=16–64 band —
+    // and per-round work stays O(n·kw²), sub-quadratic throughout.
+    // Wider lists beat extra rounds: more transitivity paths per round
+    // vs re-walking the ones it has (kw=8 flatlined at 0.59 after 8
+    // rounds while kw=16×4 reached 0.96 at n=500).
+    val kw = if (iterK > 0) iterK
+      else math.max(2 * k,
+        math.ceil(2.2 * math.log(n.toDouble + 1) / math.log(2.0)).toInt)
+    def d2of(a: Column, b: Column): Column =
+      graft.exprs.GraftFunctions.call("graft_sqdist_q", a, b)
+    // score a (vid, nbr) candidate frame: two id-equi-joins fetch the
+    // quantized vectors (both sides hash-partitioned by id at scale —
+    // candidates are O(n·iterK²) rows, never broadcastable)
+    def scored(cand: DataFrame): DataFrame =
+      cand.join(vecs.select(col("node").as("vid"), col("nv").as("va")), "vid")
+        .join(vecs.select(col("node").as("nbr"), col("nv").as("vb")), "nbr")
+        .select(col("vid"), col("nbr"), d2of(col("va"), col("vb")).as("d2"))
+    def cutKw(df: DataFrame): DataFrame =
+      graft.plans.TopK.perKey(df, Seq("vid"),
+        Seq(col("d2").asc, col("nbr").asc), kw)
+    // ---- init: SALTED deterministic xxhash cliques --------------------
+    // One hash partition alone would strand the descent: every clique's
+    // neighbor-of-neighbor closure is the clique itself, all of whose
+    // pairs were already scored at init, so no round can ever add an
+    // edge (measured: recall flatlined at the init-only 0.07). The union
+    // of `initSalts` INDEPENDENT clique partitions is a connected
+    // expander w.h.p. — the role the paper's random k-regular init
+    // plays — while staying a bounded self-join (≈ salts·bucket·n pairs,
+    // no global sort, no dense-id assumption). (A sign-LSH/SimHash
+    // seeded init was measured and REJECTED: on the uniform 64-d test
+    // vectors random hyperplane bits carry almost no neighbor signal —
+    // recall 0.710 vs 0.744 at kw=16 — and it costs expander diversity;
+    // content-aware seeding only pays on clustered corpora, which the
+    // working-width rule above already handles conservatively.)
+    val nBuckets = math.max(1L, n / math.max(1, 2 * kw))
+    val initSalts = 3
+    // all salts ride ONE self-join: bucket ids are disambiguated by salt
+    // (b·salts + t), so cliques from different partitions never collide
+    // and the whole init is a single width-pinned exchange pair instead
+    // of one per salt. Each unordered pair is scored ONCE (d2 is
+    // symmetric); both directed copies are exploded back out
+    // post-scoring.
+    val bucketed = (0 until initSalts).map { t =>
+      vecs.select(col("node"),
+        (pmod(xxhash64(col("node"), lit(t)), lit(nBuckets)) * initSalts + t)
+          .as("b"))
+    }.reduce(_ union _)
+    val bl = bucketed.select(col("b"), col("node").as("vid"))
+      .repartition(shufN, col("b"))
+    val br = bucketed.select(col("b"), col("node").as("nbr"))
+      .repartition(shufN, col("b"))
+    val initPairs = bl.join(br, "b").where(col("vid") < col("nbr"))
+      .select("vid", "nbr").dropDuplicates("vid", "nbr")
+    // ---- NN-descent rounds (INCREMENTAL: the paper's new/old flags) ---
+    // Only pairs with at least one NEW endpoint-edge are generated each
+    // round: any old×old pair was already generated in the round its
+    // younger edge arrived, so rescanning it finds nothing. Converged
+    // lists stop producing candidates and late rounds collapse to the
+    // shrinking frontier — measured 6.6 s → ~3 s on the sf0.1 table
+    // (and the property that keeps round cost ∝ churn, not corpus, at
+    // scale). `isnew` is aggregated with max() across the fwd/reverse
+    // duplicate of an edge (dropDuplicates would pick an arbitrary side
+    // and make the candidate set partitioning-dependent).
+    // emit both directed copies of a scored pair in ONE pass (an
+    // explode, not a union of two projections — a union would run the
+    // scoring subtree twice per consumer)
+    def bothDirections(scoredPairs: DataFrame): DataFrame =
+      scoredPairs.select(explode(array(
+          struct(col("vid"), col("nbr"), col("d2")),
+          struct(col("nbr").as("vid"), col("vid").as("nbr"), col("d2"))))
+        .as("e")).select(col("e.vid"), col("e.nbr"), col("e.d2"))
+    // (AQE stays ON for the loop: its per-exchange query-stage jobs cost
+    // driver gap locally — 77 jobs vs 19 — but its runtime size-based
+    // broadcast of the bounded join sides wins more than the gaps cost:
+    // measured 7.5 s with AQE vs 9.0–9.8 s without. The width pins below
+    // close the one AQE hazard, input-byte coalescing of exploding
+    // exchanges.)
+    var g = checkpoint(
+      cutKw(bothDirections(scored(initPairs))).withColumn("isnew", lit(true)))
+    for (_ <- 1 to rounds) {
+      val fwd = g.select(col("vid"), col("nbr"), col("d2"), col("isnew"))
+      // reverse edges capped at iterK per node (in-degree is the skewed
+      // side); ranking reuses the stored d2 so the cap is deterministic
+      val revCapped = graft.plans.TopK.perKey(
+        g.select(col("nbr").as("vid"), col("vid").as("nbr"),
+          col("d2"), col("isnew")),
+        Seq("vid"), Seq(col("d2").asc, col("nbr").asc), kw)
+      // ONE width-pinned exchange serves the whole round head: the
+      // repartition on the source node feeds (a) the isnew-merging
+      // aggregate — hashpartitioning(u) satisfies ClusteredDistribution
+      // (u, v), so the groupBy adds no exchange — and (b) BOTH sides of
+      // the self-join, which filter/project from it partitioning-intact.
+      // The explicit pin (not AQE's choice) is the q126 rule: the join's
+      // OUTPUT fans out 2·iterK× over its input, exactly the shape
+      // AQE's input-byte sizing would coalesce into stragglers.
+      // (max(isnew) rather than dropDuplicates: an edge can arrive new
+      // in one direction and old via the reverse cap, and an arbitrary
+      // pick would make the candidate set partitioning-dependent.)
+      val adj = fwd.union(revCapped)
+        .repartition(shufN, col("vid"))
+        .groupBy(col("vid").as("u"), col("nbr").as("v"))
+        .agg(max(col("isnew")).as("isnew"))
+      // neighbor-of-neighbor: NEW edges paired against the full
+      // adjacency (both output orders, so both endpoint lists learn)
+      val lft = adj.where(col("isnew")).select(col("u"), col("v").as("v1"))
+      val rgt = adj.select(col("u"), col("v").as("v2"))
+      val cand = lft.join(rgt, "u").where(col("v1") =!= col("v2"))
+        .select(explode(array(
+            struct(col("v1").as("vid"), col("v2").as("nbr")),
+            struct(col("v2").as("vid"), col("v1").as("nbr"))))
+          .as("e")).select(col("e.vid"), col("e.nbr"))
+        .dropDuplicates("vid", "nbr")
+      val fresh = cand.join(g.select("vid", "nbr"), Seq("vid", "nbr"), "left_anti")
+      g = checkpoint(cutKw(
+        g.withColumn("isnew", lit(false)).select("vid", "nbr", "d2", "isnew")
+          .union(scored(fresh).withColumn("isnew", lit(true)))))
+    }
+    val top = graft.plans.TopK.perKey(g, Seq("vid"),
+      Seq(col("d2").asc, col("nbr").asc), k)
+    val w = Window.partitionBy("vid").orderBy(col("d2"), col("nbr"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("vid"), col("rk"), col("nbr"), col("d2"))
+      .orderBy("vid", "rk")
+  }
+
   /** Graph-traversal ANN: greedy BEAM SEARCH over the exact kNN graph
     * (declared q169) — the HNSW-family serving pattern, single-layer:
     * [[knnGraph]] is exactly the structure NSW/HNSW construction starts
@@ -1057,6 +1260,57 @@ object Similarity {
     } finally vecs.unpersist()
   }
 
+  /** [[beamSearchAnn]] served off a PREBUILT kNN graph — the build/serve
+    * split the 100-TB story needs: `graph` is the persisted output of
+    * [[knnGraph]] or [[knnGraphApprox]] (any frame with `vid`/`nbr`
+    * columns, e.g. read back from parquet), built ONCE offline; this
+    * call only walks it. The walk's plan therefore contains zero graph-
+    * construction stages (no tile scan, no descent rounds — the
+    * job-ledger spec in BeamAnnServeSpec pins that), and per-batch cost
+    * is the walk's own O(|Q|·beamWidth·graphK·rounds·d). Edges are
+    * symmetrized inside the walk (the NSW navigability recipe), so
+    * callers persist the raw directed build output as-is. */
+  def beamSearchAnnOnGraph(graph: DataFrame,
+                           emb: DataFrame, idCol: String, vecCol: String,
+                           queryIds: Seq[Long], k: Int,
+                           beamWidth: Int = 32, rounds: Int = 4,
+                           entries: Int = 8,
+                           checkpoint: DataFrame => DataFrame = _.localCheckpoint()
+                          ): DataFrame = {
+    val vecs = emb.select(col(idCol).cast("long").as("node"),
+      quantized(vecCol).as("nv")).persist()
+    try {
+      val qs = vecs.where(col("node").isin(queryIds: _*))
+        .select(col("node").as("qid"), col("nv").as("qv"))
+      val seed = qs.select(col("qid"), col("qv"),
+        col("qid").as("node"), lit(0L).as("d2"))
+      beamWalk(vecs, qs, Some(seed), excludeSelf = true,
+        k, graphK = 0, beamWidth, rounds, entries, checkpoint,
+        prebuilt = Some(graph))
+    } finally vecs.unpersist()
+  }
+
+  /** [[beamSearchAnnVectors]] served off a prebuilt graph — the external-
+    * vector serving form of [[beamSearchAnnOnGraph]] (same split, same
+    * contract; no self-seed, no self-exclusion). */
+  def beamSearchAnnVectorsOnGraph(graph: DataFrame,
+                                  emb: DataFrame, idCol: String, vecCol: String,
+                                  queries: DataFrame, qidCol: String, qvecCol: String,
+                                  k: Int, beamWidth: Int = 32, rounds: Int = 4,
+                                  entries: Int = 8,
+                                  checkpoint: DataFrame => DataFrame = _.localCheckpoint()
+                                 ): DataFrame = {
+    val vecs = emb.select(col(idCol).cast("long").as("node"),
+      quantized(vecCol).as("nv")).persist()
+    try {
+      val qs = queries.select(col(qidCol).cast("long").as("qid"),
+        quantized(qvecCol).as("qv"))
+      beamWalk(vecs, qs, seed = None, excludeSelf = false,
+        k, graphK = 0, beamWidth, rounds, entries, checkpoint,
+        prebuilt = Some(graph))
+    } finally vecs.unpersist()
+  }
+
   /** Micro-unit quantization shared by the beam-search forms (q157's
     * exactness contract: integer distances ⇒ deterministic walks). */
   private def quantized(name: String): Column =
@@ -1067,11 +1321,15 @@ object Similarity {
     * corpus, entry election, scored-ledger rounds, final top-k cut.
     * `seed` rows (qid, qv, node, d2) pre-populate the ledger (the
     * in-corpus self-seed); `excludeSelf` applies the node ≠ qid
-    * convention, meaningful only when query ids ARE corpus node ids. */
+    * convention, meaningful only when query ids ARE corpus node ids.
+    * `prebuilt` (vid, nbr, …) skips the inline graph build entirely —
+    * the build/serve split: [[knnGraph]]/[[knnGraphApprox]] output
+    * persisted once offline, walked here with zero build stages. */
   private def beamWalk(vecs: DataFrame, qs: DataFrame, seed: Option[DataFrame],
                        excludeSelf: Boolean, k: Int, graphK: Int,
                        beamWidth: Int, rounds: Int, entries: Int,
-                       checkpoint: DataFrame => DataFrame): DataFrame = {
+                       checkpoint: DataFrame => DataFrame,
+                       prebuilt: Option[DataFrame] = None): DataFrame = {
     require(k <= beamWidth, "final k must fit in the beam")
     val spark = vecs.sparkSession
     import spark.implicits._
@@ -1087,9 +1345,15 @@ object Similarity {
     // on the fixture); adding every edge's reverse is the NSW recipe
     // and restores navigability (0.46 → ≥0.9 measured)
     // the graph is built from the caller's persisted quantized corpus —
-    // knnGraph(emb, ...) would re-scan + re-quantize + re-cache it
-    val fwd = knnGraphFromQuantized(vecs.as[(Long, Array[Long])], graphK)
-      .select(col("vid"), col("nbr"))
+    // knnGraph(emb, ...) would re-scan + re-quantize + re-cache it —
+    // unless a PREBUILT edge table is served in (q172: the persisted
+    // offline build, so the walk's plan contains no build stages at all)
+    val fwd = prebuilt match {
+      case Some(edges) => edges.select(col("vid"), col("nbr"))
+      case None =>
+        knnGraphFromQuantized(vecs.as[(Long, Array[Long])], graphK)
+          .select(col("vid"), col("nbr"))
+    }
     val graph = checkpoint(fwd
       .union(fwd.select(col("nbr").as("vid"), col("vid").as("nbr")))
       .dropDuplicates("vid", "nbr"))

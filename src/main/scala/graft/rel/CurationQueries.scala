@@ -1265,7 +1265,8 @@ object CurationQueries {
     * BpeSpec pinning the classic hand-computed example and the
     * determinism/cross-parallelism contract. */
   def q121BpeMerges(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Bpe.merges(t(s, dir, "documents"), "text", nMerges = 24)
+    graft.ops.Bpe.merges(t(s, dir, "documents"), "text", nMerges = 24,
+        corpusKey = Some(dir))
       .orderBy("rank")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

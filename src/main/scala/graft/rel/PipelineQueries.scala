@@ -371,7 +371,8 @@ object PipelineQueries {
     */
   def q125BpeEncode(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    bpeEncodeDocs(docs, graft.ops.Bpe.learnMerges(docs, "text", nMerges = 48))
+    bpeEncodeDocs(docs,
+      graft.ops.Bpe.learnMergesCached(docs, "text", nMerges = 48, corpusKey = dir))
   }
 
   /** Core of q125: encode `docs.text` with a learned merge table. */
@@ -1598,6 +1599,62 @@ object PipelineQueries {
       queries, "qid", "qv", k = 5)
   }
 
+  // ---- q171: NN-descent approximate kNN graph -------------------------------
+
+  /** q157's graph by SUB-QUADRATIC construction
+    * ([[graft.ops.Similarity.knnGraphApprox]], NN-descent): salted-clique
+    * init + bounded neighbor-of-neighbor rounds, O(n·iterK²·rounds) work
+    * against the exact scan's O(n²·d) — the build that stays feasible at
+    * 10⁹ vectors. Same schema and per-edge integer-distance exactness as
+    * q157; deterministic end to end (hash init, total-order cuts, fixed
+    * rounds) ⇒ committed-fixture oracle; the recall-vs-exact gate lives
+    * in KnnGraphApproxSpec. */
+  def q171KnnGraphApprox(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.knnGraphApprox(t(s, dir, "embeddings"),
+      "vec_id", "embedding", k = 3)
+
+  // ---- q172: beam-search ANN served off a PERSISTED graph -------------------
+
+  /** The build/serve split q169 argues but does not exercise: the kNN
+    * graph (q171's approximate build at graphK=8) is built ONCE per
+    * corpus, published to parquet through [[graft.ops.ModelStore]]'s
+    * atomic-rename protocol, and every later invocation — any JVM —
+    * reads the edge table back and only WALKS it
+    * ([[graft.ops.Similarity.beamSearchAnnOnGraph]]). Warm plan contains
+    * zero graph-construction stages (BeamAnnServeSpec pins the job
+    * ledger); output is a pure corpus function either way ⇒
+    * committed-fixture oracle. Same query set and output shape as q169. */
+  def q172BeamAnnServed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.ops.Similarity.beamSearchAnnOnGraph(servedGraphFor(s, dir, emb),
+      emb, "vec_id", "embedding", queryIds = 0L until 10L, k = 5)
+  }
+
+  /** Build-once / read-forever resolution of the served kNN graph: the
+    * ModelStore key embeds the corpus dir and row count (the cached-fit
+    * family's fingerprint discipline — counted on the raw scan, columns
+    * pruned), the build is staged to a process-unique temp dir and
+    * atomically renamed in, so concurrent builders race benignly and a
+    * reader only ever sees a complete edge table. Store disabled (env
+    * `SPARK_GRAFT_MODEL_DIR=""`) falls back to the inline build —
+    * correct, just unamortized. */
+  private def servedGraphFor(s: SparkSession, dir: String,
+                             emb: DataFrame): DataFrame = {
+    def build() = graft.ops.Similarity.knnGraphApprox(
+      emb, "vec_id", "embedding", k = 8)
+    val n = emb.select(col("vec_id")).count()
+    val key = s"$dir|knn_graph_approx|k=8|n=$n"
+    graft.ops.ModelStore.dirFor("graph", key) match {
+      case Some((dest, true)) => s.read.parquet(dest.getPath)
+      case Some((dest, false)) =>
+        val tmp = graft.ops.ModelStore.tmpSibling(dest)
+        build().write.mode("overwrite").parquet(tmp.getPath)
+        graft.ops.ModelStore.publishParquet(tmp, dest)
+        s.read.parquet(dest.getPath)
+      case None => build()
+    }
+  }
+
   // ---- q162: nearest-centroid classifier evaluation -------------------------
 
   /** Embedding-space health check: fit one centroid per LABEL (the
@@ -1697,7 +1754,9 @@ object PipelineQueries {
     "q157_knn_graph" -> (q157KnnGraph _),
     "q162_centroid_eval" -> (q162CentroidEval _),
     "q169_beam_ann" -> (q169BeamAnn _),
-    "q170_beam_ann_vectors" -> (q170BeamAnnVectors _))
+    "q170_beam_ann_vectors" -> (q170BeamAnnVectors _),
+    "q171_knn_graph_approx" -> (q171KnnGraphApprox _),
+    "q172_beam_ann_served" -> (q172BeamAnnServed _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
@@ -1719,5 +1778,7 @@ object PipelineQueries {
     "q157_knn_graph" -> q157Oracle,
     "q162_centroid_eval" -> q162Oracle,
     "q169_beam_ann" -> DataQueries.fixtureOracle("q169_beam_ann"),
-    "q170_beam_ann_vectors" -> DataQueries.fixtureOracle("q170_beam_ann_vectors"))
+    "q170_beam_ann_vectors" -> DataQueries.fixtureOracle("q170_beam_ann_vectors"),
+    "q171_knn_graph_approx" -> DataQueries.fixtureOracle("q171_knn_graph_approx"),
+    "q172_beam_ann_served" -> DataQueries.fixtureOracle("q172_beam_ann_served"))
 }

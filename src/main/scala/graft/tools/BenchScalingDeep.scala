@@ -49,7 +49,15 @@ object BenchScalingDeep {
     // (q157's, amortized once per corpus) while the walk itself is
     // |Q|-bounded — so q169's time should track q157's build curve and
     // the gap between them (the walk) should stay flat across K
-    "q169_beam_ann")
+    "q169_beam_ann",
+    // round 13: the sub-quadratic replacement for the build half. The
+    // claim under audit: NN-descent's per-decade growth is O(n·kw²) —
+    // near-linear with the mild log² working-width term — and must sit
+    // WELL under q157's quadratic curve at K=10, or the "feasible at
+    // 10⁹ vectors" story has no measurement behind it. q172 rides along
+    // to price the SERVED walk (build amortized to its first K-run via
+    // the ModelStore graph parquet).
+    "q171_knn_graph_approx", "q172_beam_ann_served")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

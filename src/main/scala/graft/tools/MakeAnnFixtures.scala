@@ -38,7 +38,11 @@ object MakeAnnFixtures {
     // integer distances + fixed round budget: pure corpus function
     "q169_beam_ann",
     // same contract, external-vector serving form
-    "q170_beam_ann_vectors")
+    "q170_beam_ann_vectors",
+    // NN-descent build: hash init + total-order cuts + fixed rounds
+    "q171_knn_graph_approx",
+    // walk over the persisted q171-style graph: same purity argument
+    "q172_beam_ann_served")
 
   val SfDir = "/root/testdata/sf0.01"
   val OutDir = "src/test/resources/annfix"

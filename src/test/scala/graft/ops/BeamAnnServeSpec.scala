@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.rel.Tables
+
+/** Build/serve split for graph ANN (declared q172): a prebuilt persisted
+  * edge table walked with zero graph-construction work, exact parity with
+  * the inline-build walk, and the serve-path job ledger. */
+class BeamAnnServeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = SparkTestBase.Sf0001
+  private val k = 5
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("parity: walking a PREBUILT exact-kNN edge table reproduces the " +
+    "inline-build walk bit for bit (same graph, same walk, same budget)") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val inline = rows(Similarity.beamSearchAnn(
+      emb, "vec_id", "embedding", 0L until 10L, k, graphK = 8))
+    val graph = Similarity.knnGraph(emb, "vec_id", "embedding", k = 8)
+      .localCheckpoint()
+    val served = rows(Similarity.beamSearchAnnOnGraph(
+      graph, emb, "vec_id", "embedding", 0L until 10L, k))
+    assert(served == inline,
+      "the prebuilt-graph overload must walk to the identical answer")
+  }
+
+  test("the serve path runs NO build stages: its job ledger is strictly " +
+    "smaller than the inline build+walk, and bounded") {
+    val emb = Tables.load(spark, dir, "embeddings").localCheckpoint()
+    // graph persisted to parquet first — the q172 shape: serving reads
+    // edges from storage, the build ran offline
+    val tmp = java.nio.file.Files.createTempDirectory("graft-serve").toFile
+    try {
+      Similarity.knnGraph(emb, "vec_id", "embedding", k = 8)
+        .write.mode("overwrite").parquet(tmp.getPath + "/graph")
+      val graph = spark.read.parquet(tmp.getPath + "/graph")
+      def ledger(label: String)(body: => Unit): Int = {
+        val group = s"$label-${System.nanoTime()}"
+        spark.sparkContext.setJobGroup(group, label, false)
+        try body finally spark.sparkContext.clearJobGroup()
+        val (jobs, settled) = graft.BenchUtil.pollQuiescent(
+          () => spark.sparkContext.statusTracker.getJobIdsForGroup(group).length,
+          minValue = 1)
+        assert(settled, s"$label: status tracker never went quiescent")
+        jobs
+      }
+      val inlineJobs = ledger("inline") {
+        Similarity.beamSearchAnn(emb, "vec_id", "embedding",
+          0L until 10L, k, graphK = 8).collect()
+      }
+      val serveJobs = ledger("serve") {
+        Similarity.beamSearchAnnOnGraph(graph, emb, "vec_id", "embedding",
+          0L until 10L, k).collect()
+      }
+      info(s"inline build+walk: $inlineJobs jobs; serve-only: $serveJobs jobs")
+      // the build is the corpus count + tile collect + tile scan + merge —
+      // the serve ledger must drop all of it (strict margin), and stay
+      // within the walk's own steady-state budget (entry scoring + graph
+      // symmetrize checkpoint + 4 rounds of derive/expand/score/checkpoint)
+      assert(serveJobs < inlineJobs,
+        s"serving off a prebuilt graph must not rebuild it " +
+          s"($serveJobs vs $inlineJobs)")
+      // measured walk-only budget: 41 (entry scoring + symmetrize
+      // checkpoint + 4 rounds, most jobs being AQE broadcast exchanges)
+      assert(serveJobs <= 42, s"serve-path walk budget blew up: $serveJobs jobs")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
+  test("q172 declared form: first call publishes the graph through " +
+    "ModelStore, later calls read it back; both produce the identical " +
+    "fixture answer and recall vs exact top-5 >= 0.9 over the approx graph") {
+    val first = rows(graft.rel.PipelineQueries.q172BeamAnnServed(spark, dir))
+    val second = rows(graft.rel.PipelineQueries.q172BeamAnnServed(spark, dir))
+    assert(first == second, "served walk must be a pure corpus function")
+    // exact integer top-5 replay (the BeamAnnSpec oracle)
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id").cast("long"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val recalls = (0L until 10L).map { qid =>
+      val q = vecs.find(_._1 == qid).get._2
+      val ex = vecs.filter(_._1 != qid).map { case (id, v) =>
+        var s = 0L; var i = 0
+        val n = math.min(q.length, v.length)
+        while (i < n) { val d = q(i) - v(i); s += d * d; i += 1 }
+        (s, id)
+      }.sortBy(identity).take(k).map(_._2).toSet
+      val got = first.filter(_._1 == qid).map(_._3).toSet
+      got.intersect(ex).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall over the served approximate graph: $mean%.3f")
+    assert(mean >= 0.9, s"mean recall $mean < 0.9 (per-query: $recalls)")
+  }
+}
