@@ -403,31 +403,35 @@ object ExtraQueries {
     * Scale shape: decode+hash is ONE partition-local pass (pixels never
     * shuffle); the self-join shuffles 8 (band, byte) rows per image and
     * the pair space is Σ per-bucket |bucket|² — the q35 blocking bound. */
+  /** The q168 scene/variant PPM for one id — shared with the streaming
+    * twin's spec so stream and batch are fed byte-identical payloads. */
+  def sceneVariantPpm(id: Long): Array[Byte] = {
+    import graft.ops.Multimodal
+    import graft.ops.Multimodal.MediaKernels
+    val scene = id % 64
+    val v = id / 64
+    val px = Array.tabulate[Byte](32 * 32 * 3) { i =>
+      val pix = i / 3; val c = i % 3
+      (((scene * 31 + pix.toLong * (3 + scene) + c * 13) % 200)
+        + (if (v % 2 == 1) 10 else 0)).toByte
+    }
+    var i = 0
+    while (i < v % 3) { // deterministic few-pixel noise
+      val pix = ((scene * 17 + v * 29 + i * 53) % 1024).toInt
+      val c = ((v + i) % 3).toInt
+      val p = pix * 3 + c
+      px(p) = (((px(p) & 0xFF) + 55) % 200).toByte
+      i += 1
+    }
+    MediaKernels.encodePpm(Multimodal.DecodedImage(32, 32, 255, px))
+  }
+
   def q168PhashNeardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.ops.Multimodal
-    import graft.ops.Multimodal.MediaKernels
     val ids = t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
-    val media = ids.mapPartitions { it =>
-      it.map { id =>
-        val scene = id % 64
-        val v = id / 64
-        val px = Array.tabulate[Byte](32 * 32 * 3) { i =>
-          val pix = i / 3; val c = i % 3
-          (((scene * 31 + pix.toLong * (3 + scene) + c * 13) % 200)
-            + (if (v % 2 == 1) 10 else 0)).toByte
-        }
-        var i = 0
-        while (i < v % 3) { // deterministic few-pixel noise
-          val pix = ((scene * 17 + v * 29 + i * 53) % 1024).toInt
-          val c = ((v + i) % 3).toInt
-          val p = pix * 3 + c
-          px(p) = (((px(p) & 0xFF) + 55) % 200).toByte
-          i += 1
-        }
-        (id, MediaKernels.encodePpm(Multimodal.DecodedImage(32, 32, 255, px)))
-      }
-    }.toDF("media_id", "ppm")
+    val media = ids.mapPartitions(_.map(id => (id, sceneVariantPpm(id))))
+      .toDF("media_id", "ppm")
     Multimodal.phashPairs(media, "media_id", "ppm", maxHamming = 6)
       .orderBy("d1", "d2")
   }

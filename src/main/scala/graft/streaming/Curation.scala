@@ -453,6 +453,92 @@ object Curation {
         timeModeFor(ttl), OutputMode.Append())
   }
 
+  /** One image (PPM payload) entering the perceptual near-dup gate. */
+  final case class MediaDoc(media_id: Long, bytes: Array[Byte])
+
+  /** A hashed image's membership row for one 8-bit pHash band. */
+  final case class PhashBanded(bucket: String, media_id: Long, ph: Long)
+
+  /** A stored band-bucket member: id + full hash (16 B — the payload
+    * never enters state). */
+  final case class PhashMember(media_id: Long, ph: Long)
+
+  /** (band, byte)-keyed membership over the 8×8-bit pHash bands — the
+    * image twin of [[BandMembershipProcessor]], with one structural
+    * difference: members carry their full 64-bit hash, so candidate
+    * pairs are Hamming-VERIFIED at emission (the batch operator's
+    * `popcount(xor) ≤ maxHamming` filter) instead of estimated. The
+    * emitted stream is therefore the batch q168 pair set itself, not a
+    * candidate superset. Pigeonhole keeps the banding lossless for
+    * maxHamming ≤ 7, exactly as in [[graft.ops.Multimodal.phashPairs]]. */
+  final class PhashBandProcessor(maxBucket: Int, maxHamming: Int,
+                                 ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[String, PhashBanded, CandPair] {
+    @transient private var members: org.apache.spark.sql.streaming.ListState[PhashMember] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[PhashMember]("bucketMembers",
+        Encoders.product[PhashMember], ttl)
+    override def handleInputRows(key: String, rows: Iterator[PhashBanded],
+                                 timers: TimerValues): Iterator[CandPair] = {
+      val stored = members.get().toArray
+      val storedIds = stored.map(_.media_id).toSet
+      // deterministic in-batch order + idempotent against re-delivery
+      // (one id always carries one hash: the hash is a pure function of
+      // the immutable payload)
+      val fresh = rows.map(r => PhashMember(r.media_id, r.ph)).toArray
+        .distinctBy(_.media_id).sortBy(_.media_id)
+        .filterNot(m => storedIds.contains(m.media_id))
+      if (fresh.isEmpty) return Iterator.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[PhashMember]
+      def pair(a: PhashMember, b: PhashMember): Unit =
+        if (java.lang.Long.bitCount(a.ph ^ b.ph) <= maxHamming)
+          out += CandPair(math.min(a.media_id, b.media_id),
+            math.max(a.media_id, b.media_id))
+      var room = maxBucket - stored.length
+      fresh.foreach { m =>
+        stored.foreach(pair(_, m))
+        admitted.foreach(pair(_, m))
+        // over-cap arrivals still pair against members but are not
+        // stored: state stays ≤ maxBucket under a re-encode flood
+        if (room > 0) { admitted += m; room -= 1 }
+      }
+      if (admitted.nonEmpty) members.appendList(admitted.toArray)
+      out.iterator
+    }
+  }
+
+  /** Perceptual near-duplicate image pairs over a media stream — the
+    * continuous form of q168's banded pHash self-join
+    * ([[graft.ops.Multimodal.phashPairs]]): decode + hash in the
+    * stateless map (pixels never enter state or shuffle — 8 rows of
+    * ≤ 16 B cross per image), (band, byte)-keyed membership with
+    * Hamming verification at emission, and a pair-ledger dedup across
+    * the overlapping bands. Feeding a corpus in any batching yields the
+    * batch pair set (exact while no bucket overflows); TTL bounds
+    * retention to the dedup horizon. Requires the RocksDB state store
+    * provider, like the other processors here. */
+  def phashNearDupStream(media: Dataset[MediaDoc], maxHamming: Int = 6,
+                         maxBucket: Int = 1024,
+                         ttl: TTLConfig = TTLConfig.NONE): Dataset[CandPair] = {
+    require(maxHamming <= 7,
+      "8x8-bit banding is only a lossless candidate generator for maxHamming <= 7")
+    import media.sparkSession.implicits._
+    val banded: Dataset[PhashBanded] = media.flatMap { m =>
+      graft.ops.Multimodal.phashPpm(m.bytes) match {
+        case Some(h) => (0 until 8).iterator.map(b =>
+          PhashBanded(s"$b:${(h >>> (b * 8)) & 0xFFL}", m.media_id, h))
+        case None => Iterator.empty
+      }
+    }
+    val verified = banded.groupByKey(_.bucket)
+      .transformWithState(new PhashBandProcessor(maxBucket, maxHamming, ttl),
+        timeModeFor(ttl), OutputMode.Append())
+    verified.groupByKey(p => p.d1 + ":" + p.d2)
+      .transformWithState(new PairOnceProcessor(ttl),
+        timeModeFor(ttl), OutputMode.Append())
+  }
+
   /** The full continuous curation chain — line dedup → doc reassembly →
     * corpus dedup (keep-first on the REBUILT content) → per-lang quota —
     * as ONE streaming query: four keyed state operators under a single
