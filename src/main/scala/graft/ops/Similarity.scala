@@ -1202,6 +1202,22 @@ object Similarity {
     * (500 random 64-d vectors, the hardest navigability case): beam 8 →
     * recall 0.46, beam 32 → ≥ 0.9.
     *
+    * `entries` is the coarse LAYER of the walk (HNSW's other half, in
+    * its degenerate scan form): all `entries` landmark nodes — smallest
+    * xxhash64, content-independent — are scored map-side into the
+    * initial ledger, so the walk starts near the answer and needs fewer
+    * rounds. Scoring a landmark costs one map-side distance eval
+    * (|Q|·entries rows — no round, no exchange), while a round costs
+    * ~7 jobs of the driver loop, so entries are the cheap half of the
+    * budget. Measured on the graphK=3 navigability probe: the old
+    * (entries=8, rounds=4) budget reads recall 0.94 at 45 steady-state
+    * jobs; (64, 3) reads the same 0.94 at 38 jobs — one whole round
+    * bought back; 128 entries SATURATES (0.92 — extra random landmarks
+    * dilute the beam), hence the 64 default. A full landmark-graph
+    * descent (sample √n, build a second graph, walk it first) is the
+    * non-degenerate form — unjustified while the scan layer saturates
+    * at 64 points (BeamBudgetSweep is the harness).
+    *
     * Scale shape: at 100 TB the graph is built once offline (the q157
     * scan) and this search touches it `rounds` times per query BATCH via
     * joins — per-query work is O(beamWidth·graphK·rounds·d), the property
@@ -1209,8 +1225,8 @@ object Similarity {
     * (q55/q76) stay the scan-side arms. */
   def beamSearchAnn(emb: DataFrame, idCol: String, vecCol: String,
                     queryIds: Seq[Long], k: Int, graphK: Int = 8,
-                    beamWidth: Int = 32, rounds: Int = 4,
-                    entries: Int = 8,
+                    beamWidth: Int = 32, rounds: Int = 3,
+                    entries: Int = 64,
                     // per-round materializer: localCheckpoint keeps the
                     // driver loop's lineage flat; a reliable .checkpoint()
                     // suits long walks on a real cluster; tests pass
@@ -1247,7 +1263,7 @@ object Similarity {
   def beamSearchAnnVectors(emb: DataFrame, idCol: String, vecCol: String,
                            queries: DataFrame, qidCol: String, qvecCol: String,
                            k: Int, graphK: Int = 8, beamWidth: Int = 32,
-                           rounds: Int = 4, entries: Int = 8,
+                           rounds: Int = 3, entries: Int = 64,
                            checkpoint: DataFrame => DataFrame = _.localCheckpoint()
                           ): DataFrame = {
     val vecs = emb.select(col(idCol).cast("long").as("node"),
@@ -1273,8 +1289,8 @@ object Similarity {
   def beamSearchAnnOnGraph(graph: DataFrame,
                            emb: DataFrame, idCol: String, vecCol: String,
                            queryIds: Seq[Long], k: Int,
-                           beamWidth: Int = 32, rounds: Int = 4,
-                           entries: Int = 8,
+                           beamWidth: Int = 32, rounds: Int = 3,
+                           entries: Int = 64,
                            checkpoint: DataFrame => DataFrame = _.localCheckpoint()
                           ): DataFrame = {
     val vecs = emb.select(col(idCol).cast("long").as("node"),
@@ -1296,8 +1312,8 @@ object Similarity {
   def beamSearchAnnVectorsOnGraph(graph: DataFrame,
                                   emb: DataFrame, idCol: String, vecCol: String,
                                   queries: DataFrame, qidCol: String, qvecCol: String,
-                                  k: Int, beamWidth: Int = 32, rounds: Int = 4,
-                                  entries: Int = 8,
+                                  k: Int, beamWidth: Int = 32, rounds: Int = 3,
+                                  entries: Int = 64,
                                   checkpoint: DataFrame => DataFrame = _.localCheckpoint()
                                  ): DataFrame = {
     val vecs = emb.select(col(idCol).cast("long").as("node"),

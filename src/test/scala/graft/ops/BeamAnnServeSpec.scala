@@ -61,12 +61,12 @@ class BeamAnnServeSpec extends AnyFunSuite {
       // the build is the corpus count + tile collect + tile scan + merge —
       // the serve ledger must drop all of it (strict margin), and stay
       // within the walk's own steady-state budget (entry scoring + graph
-      // symmetrize checkpoint + 4 rounds of derive/expand/score/checkpoint)
+      // symmetrize checkpoint + 3 rounds of derive/expand/score/checkpoint)
       assert(serveJobs < inlineJobs,
         s"serving off a prebuilt graph must not rebuild it " +
           s"($serveJobs vs $inlineJobs)")
-      // measured walk-only budget: 41 (entry scoring + symmetrize
-      // checkpoint + 4 rounds, most jobs being AQE broadcast exchanges)
+      // measured walk-only budget: 34 (entry scoring + symmetrize
+      // checkpoint + 3 rounds, most jobs being AQE broadcast exchanges)
       assert(serveJobs <= 42, s"serve-path walk budget blew up: $serveJobs jobs")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }

@@ -124,7 +124,7 @@ class BeamAnnSpec extends AnyFunSuite {
     // the production path localCheckpoints each round, which truncates
     // lineage to a LogicalRDD and would make this pin vacuous — pass an
     // identity materializer so the executedPlan contains EVERY round's
-    // joins (entry scoring + 4 × (adjacency, anti, scoring))
+    // joins (entry scoring + 3 × (adjacency, anti, scoring))
     val emb = Tables.load(spark, dir, "embeddings")
     val df = Similarity.beamSearchAnn(emb, "vec_id", "embedding",
       0L until 10L, k, checkpoint = identity)
