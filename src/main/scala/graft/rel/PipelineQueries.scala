@@ -1655,6 +1655,29 @@ object PipelineQueries {
     }
   }
 
+  // ---- q173: EXTERNAL-vector beam ANN served off the persisted graph --------
+
+  /** The last cell of the serving matrix: q170's external query vectors
+    * (caller-label namespace, no self-seed/self-exclusion) walked over
+    * the SAME persisted graph q172 serves from
+    * ([[graft.ops.Similarity.beamSearchAnnVectorsOnGraph]]) — the full
+    * production shape: graph built once offline (q171's sub-quadratic
+    * descent), published through ModelStore, and queried with vectors
+    * that were never in the corpus. Query derivation is q170's
+    * deterministic nudge, so the answer is a pure corpus function ⇒
+    * committed-fixture oracle. */
+  def q173BeamAnnVectorsServed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb
+      .where(col("vec_id").cast("long").between(0L, 9L))
+      .select((col("vec_id").cast("long") + 9000L).as("qid"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "(x, i) -> IF(i = CAST(vec_id AS INT) % 8, x + 0.01, x))").as("qv"))
+    graft.ops.Similarity.beamSearchAnnVectorsOnGraph(
+      servedGraphFor(s, dir, emb), emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5)
+  }
+
   // ---- q162: nearest-centroid classifier evaluation -------------------------
 
   /** Embedding-space health check: fit one centroid per LABEL (the
@@ -1756,7 +1779,8 @@ object PipelineQueries {
     "q169_beam_ann" -> (q169BeamAnn _),
     "q170_beam_ann_vectors" -> (q170BeamAnnVectors _),
     "q171_knn_graph_approx" -> (q171KnnGraphApprox _),
-    "q172_beam_ann_served" -> (q172BeamAnnServed _))
+    "q172_beam_ann_served" -> (q172BeamAnnServed _),
+    "q173_beam_ann_vectors_served" -> (q173BeamAnnVectorsServed _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
@@ -1780,5 +1804,7 @@ object PipelineQueries {
     "q169_beam_ann" -> DataQueries.fixtureOracle("q169_beam_ann"),
     "q170_beam_ann_vectors" -> DataQueries.fixtureOracle("q170_beam_ann_vectors"),
     "q171_knn_graph_approx" -> DataQueries.fixtureOracle("q171_knn_graph_approx"),
-    "q172_beam_ann_served" -> DataQueries.fixtureOracle("q172_beam_ann_served"))
+    "q172_beam_ann_served" -> DataQueries.fixtureOracle("q172_beam_ann_served"),
+    "q173_beam_ann_vectors_served" ->
+      DataQueries.fixtureOracle("q173_beam_ann_vectors_served"))
 }

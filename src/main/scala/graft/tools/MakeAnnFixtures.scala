@@ -42,7 +42,9 @@ object MakeAnnFixtures {
     // NN-descent build: hash init + total-order cuts + fixed rounds
     "q171_knn_graph_approx",
     // walk over the persisted q171-style graph: same purity argument
-    "q172_beam_ann_served")
+    "q172_beam_ann_served",
+    // external vectors over the same persisted graph
+    "q173_beam_ann_vectors_served")
 
   val SfDir = "/root/testdata/sf0.01"
   val OutDir = "src/test/resources/annfix"

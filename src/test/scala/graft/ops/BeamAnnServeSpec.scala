@@ -98,4 +98,21 @@ class BeamAnnServeSpec extends AnyFunSuite {
     info(f"mean recall over the served approximate graph: $mean%.3f")
     assert(mean >= 0.9, s"mean recall $mean < 0.9 (per-query: $recalls)")
   }
+
+  test("q173 external-vector serving over the persisted graph: each query " +
+    "finds its perturbation source (top-1) and the answer is pure") {
+    val first = rows(graft.rel.PipelineQueries.q173BeamAnnVectorsServed(spark, dir))
+    val second = rows(graft.rel.PipelineQueries.q173BeamAnnVectorsServed(spark, dir))
+    assert(first == second, "served external walk must be a pure corpus function")
+    // qid 9000+i derives from corpus vector i nudged +0.01 on one
+    // dimension: the nearest corpus node is i itself at d2 = 1e8 exactly
+    // (0.01 micro-quantized squared); rank-1 must be the source — the
+    // external form must not self-exclude or miss its own neighborhood
+    (0L until 10L).foreach { i =>
+      val top = first.find(r => r._1 == 9000L + i && r._2 == 1L)
+        .getOrElse(sys.error(s"query ${9000 + i} missing rank 1"))
+      assert(top._3 == i && top._4 == 100000000L,
+        s"query ${9000 + i}: expected source $i at d2=1e8, got $top")
+    }
+  }
 }
