@@ -216,10 +216,25 @@ object Bench {
     val coldFamily = sys.env.getOrElse("SPARK_GRAFT_COLD",
       "q39,q42,q55,q75,q76,q102,q121,q125")
     val cold = scala.collection.mutable.Map.empty[String, Double]
+    val coldFit = scala.collection.mutable.Map.empty[String, Double]
     if (coldFamily != "0") {
       val fam = coldFamily.split(",").map(_.trim).filter(_.nonEmpty).toSet
       for ((name, fn) <- names
            if fam.contains(name.takeWhile(_ != '_')) && !errors.contains(name)) {
+        // Since round 13 the ModelStore disk L2 sits under the in-memory
+        // caches, so clearing only the L1s prices a NEW-JVM start (model
+        // loaded from disk) — that is `cold`, the per-process number.
+        // `coldfit` additionally wipes the disk store and prices the TRUE
+        // refit — the once-per-corpus number. Fit first (populates the
+        // store), then the disk-warm run.
+        graft.ops.Similarity.clearCaches()
+        graft.ml.Retrieval.clearCache()
+        graft.ops.ModelStore.clear()
+        val tf = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          coldFit(name) = (System.nanoTime() - tf) / 1e9
+        } catch { case _: Throwable => () }
         graft.ops.Similarity.clearCaches()
         graft.ml.Retrieval.clearCache()
         val t0 = System.nanoTime()
@@ -244,7 +259,8 @@ object Bench {
       // undercount would read as a phantom plan change next round
       val nj = if (njobsPartial) ""
         else njobs.get(name).map(n => s""","njobs":$n""").getOrElse("")
-      val cd = cold.get(name).map(c => s""","cold":${r3(c)}""").getOrElse("")
+      val cd = cold.get(name).map(c => s""","cold":${r3(c)}""").getOrElse("") +
+        coldFit.get(name).map(c => s""","coldfit":${r3(c)}""").getOrElse("")
       val err = errors.get(name).map(e => s""","err":"$e"""").getOrElse("")
       // raw samples (reverse-chronological): spread alone cannot localize
       // WHICH rep was slow — first-rep-only inflation vs steady slowness
@@ -347,9 +363,12 @@ object Bench {
       s""","order":{"seed":$shufSeed,"flag":"${orderFlags.mkString(",")}"},"spreadw":"$spreadW","jobsw":"$jobsW""""
     // cold-path column: fit+query seconds per cached-model query (cleared
     // caches), next to their warm medians in "queries"
-    val coldJson = if (cold.isEmpty) "" else cold.toSeq.sortBy(_._1)
+    val coldJson = (if (cold.isEmpty) "" else cold.toSeq.sortBy(_._1)
       .map { case (n, v) => "\"" + short(n) + "\":" + r3(v) }
-      .mkString(""","cold":{""", ",", "}")
+      .mkString(""","cold":{""", ",", "}")) +
+      (if (coldFit.isEmpty) "" else coldFit.toSeq.sortBy(_._1)
+        .map { case (n, v) => "\"" + short(n) + "\":" + r3(v) }
+        .mkString(""","coldfit":{""", ",", "}"))
     // discarded sf-target head-warm times (suite-head first-touch samples)
     val headWarmJson = if (headWarm.isEmpty) "" else headWarm.toSeq
       .map { case (n, v) => "\"" + short(n) + "\":" + r3(v) }
