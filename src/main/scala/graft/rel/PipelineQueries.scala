@@ -1639,11 +1639,12 @@ object PipelineQueries {
     * `SPARK_GRAFT_MODEL_DIR=""`) falls back to the inline build —
     * correct, just unamortized. */
   private def servedGraphFor(s: SparkSession, dir: String,
-                             emb: DataFrame): DataFrame = {
+                             emb: DataFrame, k: Int = 8,
+                             tag: String = "knn_graph_approx"): DataFrame = {
     def build() = graft.ops.Similarity.knnGraphApprox(
-      emb, "vec_id", "embedding", k = 8)
+      emb, "vec_id", "embedding", k)
     val n = emb.select(col("vec_id")).count()
-    val key = s"$dir|knn_graph_approx|k=8|n=$n"
+    val key = s"$dir|$tag|k=$k|n=$n"
     graft.ops.ModelStore.dirFor("graph", key) match {
       case Some((dest, true)) => s.read.parquet(dest.getPath)
       case Some((dest, false)) =>
@@ -1676,6 +1677,31 @@ object PipelineQueries {
     graft.ops.Similarity.beamSearchAnnVectorsOnGraph(
       servedGraphFor(s, dir, emb), emb, "vec_id", "embedding",
       queries, "qid", "qv", k = 5)
+  }
+
+  // ---- q174: incremental kNN-graph insert -----------------------------------
+
+  /** Graph MAINTENANCE — the delta-ingest half of the build/serve story
+    * ([[graft.ops.Similarity.knnGraphInsert]], the HNSW insertion recipe
+    * as bounded joins): the corpus splits into a BASE (≈11/12 of rows, a
+    * SF-parametric modular rule — no counts needed) whose k=3 graph is
+    * built once sub-quadratically and published through ModelStore (the
+    * q172 protocol, its own fingerprint key), and a DELTA batch that is
+    * walk-placed into the persisted graph, exact-scanned against itself,
+    * and adoption-merged into the ≤ m·k affected base lists — the base
+    * corpus is never rescanned and untouched rows pass through
+    * byte-identically. Output is the full post-insert edge table, q157's
+    * schema. Deterministic end to end ⇒ committed-fixture oracle; the
+    * recall-vs-full-rebuild, improvement-invariant, pass-through and
+    * boundedness gates live in KnnGraphInsertSpec. */
+  def q174KnnGraphInsert(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val deltaMark = pmod(col("vec_id").cast("long"), lit(12L)) === lit(11L)
+    val base = emb.where(!deltaMark)
+    val delta = emb.where(deltaMark)
+    graft.ops.Similarity.knnGraphInsert(
+      servedGraphFor(s, dir, base, k = 3, tag = "knn_graph_approx_base"),
+      base, "vec_id", "embedding", delta, "vec_id", "embedding", k = 3)
   }
 
   // ---- q162: nearest-centroid classifier evaluation -------------------------
@@ -1780,7 +1806,8 @@ object PipelineQueries {
     "q170_beam_ann_vectors" -> (q170BeamAnnVectors _),
     "q171_knn_graph_approx" -> (q171KnnGraphApprox _),
     "q172_beam_ann_served" -> (q172BeamAnnServed _),
-    "q173_beam_ann_vectors_served" -> (q173BeamAnnVectorsServed _))
+    "q173_beam_ann_vectors_served" -> (q173BeamAnnVectorsServed _),
+    "q174_knn_graph_insert" -> (q174KnnGraphInsert _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
@@ -1806,5 +1833,7 @@ object PipelineQueries {
     "q171_knn_graph_approx" -> DataQueries.fixtureOracle("q171_knn_graph_approx"),
     "q172_beam_ann_served" -> DataQueries.fixtureOracle("q172_beam_ann_served"),
     "q173_beam_ann_vectors_served" ->
-      DataQueries.fixtureOracle("q173_beam_ann_vectors_served"))
+      DataQueries.fixtureOracle("q173_beam_ann_vectors_served"),
+    "q174_knn_graph_insert" ->
+      DataQueries.fixtureOracle("q174_knn_graph_insert"))
 }

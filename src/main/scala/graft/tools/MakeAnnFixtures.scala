@@ -44,7 +44,10 @@ object MakeAnnFixtures {
     // walk over the persisted q171-style graph: same purity argument
     "q172_beam_ann_served",
     // external vectors over the same persisted graph
-    "q173_beam_ann_vectors_served")
+    "q173_beam_ann_vectors_served",
+    // walk placement + exact delta scan + total-order merges: pure
+    // function of (graph, base, delta)
+    "q174_knn_graph_insert")
 
   val SfDir = "/root/testdata/sf0.01"
   val OutDir = "src/test/resources/annfix"
