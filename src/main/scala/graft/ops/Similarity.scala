@@ -1363,7 +1363,14 @@ object Similarity {
     * [[knnGraph]]/[[knnGraphApprox]]/this function over `baseEmb` at
     * this same `k` (d2 IS required here, unlike the serve-only walk);
     * new ids share the graph's id namespace and must be disjoint from
-    * base ids (they become graph nodes — not q170's label namespace). */
+    * base ids (they become graph nodes — not q170's label namespace).
+    * The DELTA must be batch-sized, not corpus-sized: the walk
+    * broadcasts its beam (m·beamWidth rows CARRYING the query vectors —
+    * ~550 B/row at d=64, so ~2.6 GB at m=10⁵), which is the right
+    * trade for a delta but not for a backlog. A larger ingest loops
+    * this function over bounded chunks — each chunk's walk then also
+    * sees the edges its predecessors inserted, the same arrival
+    * semantics as HNSW's one-at-a-time insert. */
   def knnGraphInsert(graph: DataFrame,
                      baseEmb: DataFrame, idCol: String, vecCol: String,
                      newEmb: DataFrame, newIdCol: String, newVecCol: String,

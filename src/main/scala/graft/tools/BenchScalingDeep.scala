@@ -57,7 +57,14 @@ object BenchScalingDeep {
     // 10⁹ vectors" story has no measurement behind it. q172 rides along
     // to price the SERVED walk (build amortized to its first K-run via
     // the ModelStore graph parquet).
-    "q171_knn_graph_approx", "q172_beam_ann_served")
+    "q171_knn_graph_approx", "q172_beam_ann_served",
+    // round 13 second wave: incremental insert. The claim under audit:
+    // insert cost tracks the DELTA (walk placement + m² intra-batch +
+    // m·k adoption), not the corpus — the replicated embeddings keep
+    // the 11:1 base/delta split at every K, so both halves grow 10×
+    // across the decade and the ratio prices maintenance vs the q171
+    // full rebuild it replaces
+    "q174_knn_graph_insert")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
