@@ -1443,6 +1443,40 @@ object Similarity {
     } finally { baseVecs.unpersist(); newVecs.unpersist() }
   }
 
+  /** Backlog form of [[knnGraphInsert]]: a delta too large for one
+    * batch loops over `chunks` deterministic hash partitions, each
+    * chunk inserted against the graph AND corpus state its
+    * predecessors left — HNSW's one-at-a-time arrival semantics at
+    * batch granularity (a later chunk's walk can land on, and link to,
+    * an earlier chunk's nodes; the chain spec pins that with a twin
+    * pair split across chunks). Keeps every per-chunk bound of the
+    * single-batch form: the beam broadcast carries one chunk's
+    * vectors, the intra scan is (m/chunks)², adoption touches
+    * ≤ (m/chunks)·k keys per round of the loop. Chunking is by
+    * xxhash64 of the id — content-independent and partitioning-free,
+    * so the result is a pure function of (graph, base, delta, chunks). */
+  def knnGraphInsertChunked(graph: DataFrame,
+                            baseEmb: DataFrame, idCol: String, vecCol: String,
+                            newEmb: DataFrame, newIdCol: String, newVecCol: String,
+                            k: Int, chunks: Int, beamWidth: Int = 48,
+                            rounds: Int = 4, entries: Int = 64,
+                            checkpoint: DataFrame => DataFrame = _.localCheckpoint()
+                           ): DataFrame = {
+    require(chunks >= 1, "chunks must be >= 1")
+    var g = graph
+    var corpus = baseEmb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"))
+    val delta = newEmb.select(col(newIdCol).cast("long").as("id"),
+      col(newVecCol).as("v"))
+    for (c <- 0 until chunks) {
+      val chunk = delta.where(pmod(xxhash64(col("id")), lit(chunks)) === c)
+      g = checkpoint(knnGraphInsert(g, corpus, "id", "v", chunk, "id", "v",
+        k, beamWidth, rounds, entries, checkpoint))
+      corpus = corpus.union(chunk)
+    }
+    g.orderBy("vid", "rk")
+  }
+
   /** Micro-unit quantization shared by the beam-search forms (q157's
     * exactness contract: integer distances ⇒ deterministic walks). */
   private def quantized(name: String): Column =

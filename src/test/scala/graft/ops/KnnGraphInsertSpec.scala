@@ -126,6 +126,49 @@ class KnnGraphInsertSpec extends AnyFunSuite {
     assert(again.sorted.toSeq == insertedRows.sorted.toSeq)
   }
 
+  test("chunked backlog insert keeps the single-batch quality gates: " +
+    "full node coverage and delta recall >= 0.9 vs the exact rebuild " +
+    "when the delta arrives as 3 hash chunks") {
+    val rows = Similarity.knnGraphInsertChunked(
+        baseGraph, base, "vec_id", "embedding",
+        delta, "vec_id", "embedding", k, chunks = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val allIds = emb.select(col("vec_id").cast("long")).collect()
+      .map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == allIds)
+    val ins = edgeSets(rows.toSeq)
+    val recalls = deltaIds.toSeq.map { vid =>
+      ins(vid).intersect(rebuiltSets(vid)).size.toDouble / rebuiltSets(vid).size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"chunked delta-node mean recall: $mean%.4f")
+    assert(mean >= 0.9, s"chunked delta recall $mean < 0.9")
+  }
+
+  test("chunk chaining: a later chunk's walk sees an earlier chunk's " +
+    "nodes (twin pair split across chunks links at d2=0)") {
+    import spark.implicits._
+    // pick two fresh ids that land in different chunks under the
+    // operator's own xxhash64 rule
+    val buckets = spark.range(9001, 9041)
+      .select(col("id"), pmod(xxhash64(col("id")), lit(2L)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val early = buckets.find(_._2 == 0L).get._1
+    val late = buckets.find(_._2 == 1L).get._1
+    val vec3 = emb.where(col("vec_id").cast("long") === 3L).select(col("embedding"))
+    val twins = vec3.select(lit(early).as("vec_id"), col("embedding"))
+      .union(vec3.select(lit(late).as("vec_id"), col("embedding")))
+    val rows = Similarity.knnGraphInsertChunked(
+        baseGraph, base, "vec_id", "embedding",
+        twins, "vec_id", "embedding", k, chunks = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.contains((late, early, 0L)),
+      s"chunk-1 twin $late did not link to chunk-0 twin $early at d2=0 " +
+        "(later chunks must walk the corpus state earlier chunks left)")
+    assert(rows.contains((late, 3L, 0L)) && rows.contains((early, 3L, 0L)),
+      "both twins must still link to their base original at d2=0")
+  }
+
   test("duplicate-twin hand case: inserting a byte-identical copy of a " +
     "base vector places it at d2=0 on its twin and the twin adopts it " +
     "back at rank 1") {
