@@ -1704,6 +1704,33 @@ object PipelineQueries {
       base, "vec_id", "embedding", delta, "vec_id", "embedding", k = 3)
   }
 
+  // ---- q175: kNN-graph delete with local repair -----------------------------
+
+  /** The retraction verb of the graph lifecycle
+    * ([[graft.ops.Similarity.knnGraphDelete]]): a right-to-be-forgotten
+    * batch — the same SF-parametric 1-in-12 slice q174 INSERTS, so the
+    * two queries are inverse maintenance steps over the same split —
+    * is deleted from a full-corpus graph (built sub-quadratically once
+    * through ModelStore, its own fingerprint key) and every torn
+    * surviving list is repaired through its symmetric 2-hop
+    * neighborhood, exact distances, TopK cuts. The delete-id collect
+    * is the documented bounded pattern: a retraction batch is
+    * model-sized by contract (it broadcasts inside the delete). Output
+    * is the tombstone-free post-delete edge table, q157's schema.
+    * Deterministic ⇒ committed-fixture oracle; the repaired-recall,
+    * tombstone-free, bounded-touch and determinism gates live in
+    * KnnGraphDeleteSpec. */
+  def q175KnnGraphDelete(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val delIds = emb
+      .where(pmod(col("vec_id").cast("long"), lit(12L)) === lit(11L))
+      .select(col("vec_id").cast("long"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    graft.ops.Similarity.knnGraphDelete(
+      servedGraphFor(s, dir, emb, k = 3, tag = "knn_graph_approx_full3"),
+      emb, "vec_id", "embedding", delIds, k = 3)
+  }
+
   // ---- q162: nearest-centroid classifier evaluation -------------------------
 
   /** Embedding-space health check: fit one centroid per LABEL (the
@@ -1807,7 +1834,8 @@ object PipelineQueries {
     "q171_knn_graph_approx" -> (q171KnnGraphApprox _),
     "q172_beam_ann_served" -> (q172BeamAnnServed _),
     "q173_beam_ann_vectors_served" -> (q173BeamAnnVectorsServed _),
-    "q174_knn_graph_insert" -> (q174KnnGraphInsert _))
+    "q174_knn_graph_insert" -> (q174KnnGraphInsert _),
+    "q175_knn_graph_delete" -> (q175KnnGraphDelete _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
@@ -1835,5 +1863,7 @@ object PipelineQueries {
     "q173_beam_ann_vectors_served" ->
       DataQueries.fixtureOracle("q173_beam_ann_vectors_served"),
     "q174_knn_graph_insert" ->
-      DataQueries.fixtureOracle("q174_knn_graph_insert"))
+      DataQueries.fixtureOracle("q174_knn_graph_insert"),
+    "q175_knn_graph_delete" ->
+      DataQueries.fixtureOracle("q175_knn_graph_delete"))
 }

@@ -47,7 +47,10 @@ object MakeAnnFixtures {
     "q173_beam_ann_vectors_served",
     // walk placement + exact delta scan + total-order merges: pure
     // function of (graph, base, delta)
-    "q174_knn_graph_insert")
+    "q174_knn_graph_insert",
+    // broadcast drops + symmetric 2-hop repair + total-order cuts:
+    // pure function of (graph, corpus, deletes)
+    "q175_knn_graph_delete")
 
   val SfDir = "/root/testdata/sf0.01"
   val OutDir = "src/test/resources/annfix"
