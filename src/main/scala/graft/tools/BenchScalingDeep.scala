@@ -64,7 +64,11 @@ object BenchScalingDeep {
     // the 11:1 base/delta split at every K, so both halves grow 10×
     // across the decade and the ratio prices maintenance vs the q171
     // full rebuild it replaces
-    "q174_knn_graph_insert")
+    "q174_knn_graph_insert",
+    // the retraction verb: delete cost must track the batch (drops +
+    // torn-list walk repair), not the corpus — the 1-in-12 slice and
+    // the corpus grow 10× together across the decade
+    "q175_knn_graph_delete")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -112,6 +112,28 @@ class KnnGraphDeleteSpec extends AnyFunSuite {
     assert(again.sorted.toSeq == deletedRows.sorted.toSeq)
   }
 
+  test("lifecycle round trip: inserting a batch then deleting it " +
+    "returns the original graph at recall >= 0.95 per node") {
+    val delta = emb.where(pmod(col("vec_id").cast("long"), lit(10L)) === lit(7L))
+    val g0 = Similarity.knnGraph(survivors, "vec_id", "embedding", k)
+    val g1 = Similarity.knnGraphInsert(g0, survivors, "vec_id", "embedding",
+      delta, "vec_id", "embedding", k)
+    val g2 = Similarity.knnGraphDelete(g1, emb, "vec_id", "embedding",
+      delIds, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val orig = edgeSets(g0.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+    val back = edgeSets(g2.toSeq)
+    assert(back.keySet == orig.keySet,
+      "round trip changed the node set")
+    val recalls = orig.toSeq.map { case (vid, ex) =>
+      back(vid).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"round-trip mean recall vs the original graph: $mean%.4f")
+    assert(mean >= 0.95, s"round-trip recall $mean < 0.95")
+  }
+
   test("torn-list hand case: deleting a node's rank-1 neighbor repairs " +
     "its list to the rebuild's rank-1 for that node") {
     val del = delIds.toSet
