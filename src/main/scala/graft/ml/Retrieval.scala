@@ -67,19 +67,36 @@ object Retrieval {
         // rename, so existence implies a complete model.
         val diskKey = s"$corpusKey|$numFeatures|n=${key._3}"
         val fromDisk = graft.ops.ModelStore.dirFor("tfidf", diskKey)
+        def fitAndPublish(): TfIdfModel = {
+          val f = fitTfIdf(docs, numFeatures)._1
+          fromDisk.foreach { case (dir, _) =>
+            try {
+              val tmp = graft.ops.ModelStore.tmpSibling(dir)
+              f.idf.write.overwrite().save(graft.ops.ModelStore.sparkPath(tmp))
+              graft.ops.ModelStore.publishParquet(tmp, dir)
+            } catch { case scala.util.control.NonFatal(_) =>
+              // cache publish is best-effort: an unwritable store costs
+              // the amortization, never the query
+              ()
+            }
+          }
+          f
+        }
         val fitted = fromDisk match {
           case Some((dir, true)) =>
-            val tf = new HashingTF().setInputCol("toks").setOutputCol("tf")
-              .setNumFeatures(numFeatures)
-            TfIdfModel(tf, IDFModel.load(dir.getPath))
-          case _ =>
-            val f = fitTfIdf(docs, numFeatures)._1
-            fromDisk.foreach { case (dir, _) =>
-              val tmp = graft.ops.ModelStore.tmpSibling(dir)
-              f.idf.write.overwrite().save(tmp.getPath)
-              graft.ops.ModelStore.publishParquet(tmp, dir)
+            try {
+              val tf = new HashingTF().setInputCol("toks").setOutputCol("tf")
+                .setNumFeatures(numFeatures)
+              TfIdfModel(tf, IDFModel.load(graft.ops.ModelStore.sparkPath(dir)))
+            } catch { case scala.util.control.NonFatal(_) =>
+              // corrupt or format-incompatible persisted model (the
+              // Version salt guards OUR fit algorithm, not Spark's
+              // MLlib on-disk layout): drop it and refit, so the store
+              // heals instead of failing q42 in every later process
+              graft.ops.ModelStore.dropDir(dir)
+              fitAndPublish()
             }
-            f
+          case _ => fitAndPublish()
         }
         val prev = tfIdfCache.putIfAbsent(key, fitted)
         if (prev != null) prev else fitted

@@ -32,16 +32,29 @@ import java.nio.file.{Files, StandardCopyOption}
   *
   * Location: `SPARK_GRAFT_MODEL_DIR` (default `/tmp/graft_models`); set
   * it to the empty string to disable persistence entirely (every fit
-  * stays in-process — the prior rounds' behavior). At cluster scale the
-  * dir is shared storage (the same place the q172 graph parquet lives):
-  * models are driver-side artifacts of bounded size (centers: nCells·d
-  * doubles; PQ: m·ks·dsub doubles; merges: nMerges rows), never
-  * corpus-sized. */
+  * stays in-process — the prior rounds' behavior). Filesystem contract:
+  * a POSIX path; the `.bin` models are driver-side artifacts of bounded
+  * size (centers: nCells·d doubles; PQ: m·ks·dsub doubles; merges:
+  * nMerges rows), while DIR artifacts (the q172 graph parquet, MLlib
+  * model dirs) are written by Spark tasks under a pinned `file:` scheme
+  * ([[sparkPath]]) — so on a multi-node cluster the store must be a
+  * mount visible to driver and executors at the same path (NFS/Lustre);
+  * an HDFS/S3-backed store needs a FileSystem-API publish in place of
+  * the java.io rename. Every store failure is BEST-EFFORT degraded:
+  * an unwritable store costs the amortization, a corrupt artifact is
+  * dropped and refit — the store can slow a query, never fail it. */
 object ModelStore {
+
+  /** Test seam: when set, takes precedence over SPARK_GRAFT_MODEL_DIR.
+    * The test harness points this at a per-JVM temp dir (deleted on
+    * exit) so suites stay hermetic — unique-keyed spec fits would
+    * otherwise accumulate in the world-shared default dir forever. */
+  @volatile var overrideDir: Option[String] = None
 
   /** Resolved base dir, or None when disabled. Lazily created. */
   def baseDir: Option[File] = {
-    val raw = sys.env.getOrElse("SPARK_GRAFT_MODEL_DIR", "/tmp/graft_models")
+    val raw = overrideDir.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_MODEL_DIR", "/tmp/graft_models"))
     if (raw.isEmpty) None
     else {
       val f = new File(raw)
@@ -90,6 +103,24 @@ object ModelStore {
       (dir, dir.isDirectory)
     }
 
+  /** Best-effort recursive removal of a persisted dir artifact — the
+    * invalidation hook for a corrupt or format-incompatible model dir
+    * (e.g. an MLlib persistence layout a newer Spark cannot load): drop
+    * it so this and every later process refits instead of tripping on
+    * the same bytes forever. */
+  def dropDir(dir: File): Unit =
+    try deleteRecursively(dir)
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Spark path for a [[dirFor]] artifact, pinned to the `file:` scheme
+    * so the Spark reader/writer and the java.io rename in
+    * [[publishParquet]] agree on ONE filesystem regardless of
+    * `fs.defaultFS`. Contract: the store lives on a path visible to
+    * driver AND executors alike (local mode, or a shared NFS/Lustre
+    * mount on a cluster); an HDFS/S3-backed store needs a
+    * FileSystem-API publish in place of the java.io rename. */
+  def sparkPath(dir: File): String = "file:" + dir.getAbsolutePath
+
   /** Process-unique sibling temp dir for staging a [[dirFor]] artifact. */
   def tmpSibling(dest: File): File =
     new File(dest.getParentFile,
@@ -106,22 +137,42 @@ object ModelStore {
   private def atomicWrite(dest: File)(body: DataOutputStream => Unit): Unit = {
     val tmp = new File(dest.getParentFile,
       dest.getName + s".tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
-    val out = new DataOutputStream(new java.io.BufferedOutputStream(new FileOutputStream(tmp)))
-    try { body(out) } finally out.close()
-    try Files.move(tmp.toPath, dest.toPath, StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: java.io.IOException =>
-      // a concurrent fitter won the rename with identical bytes
-      tmp.delete()
+    try {
+      val out = new DataOutputStream(new java.io.BufferedOutputStream(new FileOutputStream(tmp)))
+      try { body(out) } finally out.close()
+      try Files.move(tmp.toPath, dest.toPath, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.io.IOException =>
+        // a concurrent fitter won the rename with identical bytes
+        tmp.delete()
+      }
+    } catch { case scala.util.control.NonFatal(_) =>
+      // the disk cache is OPPORTUNISTIC: an unwritable store (read-only
+      // /tmp, foreign-owned dir, full disk) must cost the amortization,
+      // never the query — the fit that was about to be cached is still
+      // in hand and in the L1
+      tmp.delete(); ()
     }
   }
+
+  /** Sanity bound on a length prefix read from disk: a torn or corrupt
+    * file must land in the refit path, not in NegativeArraySizeException
+    * or an OOM-sized allocation (both escape an IOException-only catch). */
+  private def chk(n: Int): Int =
+    if (n < 0 || n > (1 << 27))
+      throw new java.io.IOException(s"implausible length prefix $n")
+    else n
 
   private def read[A](f: File)(body: DataInputStream => A): Option[A] =
     if (!f.isFile) None
     else {
-      val in = new DataInputStream(new java.io.BufferedInputStream(new FileInputStream(f)))
-      try Some(body(in))
-      catch { case _: java.io.IOException => None } // torn legacy file: refit
-      finally in.close()
+      try {
+        val in = new DataInputStream(new java.io.BufferedInputStream(new FileInputStream(f)))
+        try Some(body(in)) finally in.close()
+      } catch { case scala.util.control.NonFatal(_) =>
+        // torn/corrupt file: DELETE it so the next process refits
+        // cleanly instead of tripping on the same bytes forever
+        f.delete(); None
+      }
     }
 
   // ---- centers: Array[Array[Double]] (IVF coarse quantizer) -----------
@@ -139,7 +190,7 @@ object ModelStore {
 
   def loadCenters(key: String): Option[Array[Array[Double]]] =
     fileFor("centers", key).flatMap(read(_) { in =>
-      Array.fill(in.readInt())(Array.fill(in.readInt())(in.readDouble()))
+      Array.fill(chk(in.readInt()))(Array.fill(chk(in.readInt()))(in.readDouble()))
     })
 
   // ---- PQ codebooks ---------------------------------------------------
@@ -162,7 +213,7 @@ object ModelStore {
     fileFor("pq", key).flatMap(read(_) { in =>
       val m = in.readInt(); val ks = in.readInt(); val dsub = in.readInt()
       val books = Array.fill(m)(
-        Array.fill(in.readInt())(Array.fill(in.readInt())(in.readDouble())))
+        Array.fill(chk(in.readInt()))(Array.fill(chk(in.readInt()))(in.readDouble())))
       Similarity.PqModel(m, ks, dsub, books)
     })
 
@@ -181,7 +232,7 @@ object ModelStore {
 
   def loadMerges(key: String): Option[Seq[Bpe.Merge]] =
     fileFor("bpe", key).flatMap(read(_) { in =>
-      Seq.fill(in.readInt())(
+      Seq.fill(chk(in.readInt()))(
         Bpe.Merge(in.readInt(), in.readUTF(), in.readUTF(), in.readLong()))
     })
 }

@@ -1151,6 +1151,17 @@ object Similarity {
           .as("e")).select(col("e.vid"), col("e.nbr"))
         .dropDuplicates("vid", "nbr")
       val fresh = cand.join(g.select("vid", "nbr"), Seq("vid", "nbr"), "left_anti")
+      // scoring runs PER DIRECTION, so a both-directions-fresh pair
+      // (the common case) rides the vector-fetch joins and the d2
+      // kernel twice. The init path's score-once-explode-after shape
+      // was ported here and MEASURED SLOWER (q171 sf0.1 ONLY-harness
+      // A/B: 6.7 s per-direction vs 10.1 s canonical-collapse): the
+      // collapse needs a (min,max)-keyed groupBy exchange per round
+      // plus a flag-filtered explode, and that exchange costs more
+      // than the saved d2 evals — the codegen kernel on 64-long
+      // arrays is cheap, exchanges are not. Init differs because its
+      // clique pairs are BORN canonical (vid < nbr from the bucket
+      // self-join) — no collapse exchange needed there.
       g = checkpoint(cutKw(
         g.withColumn("isnew", lit(false)).select("vid", "nbr", "d2", "isnew")
           .union(scored(fresh).withColumn("isnew", lit(true)))))

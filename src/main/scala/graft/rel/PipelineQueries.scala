@@ -1645,13 +1645,29 @@ object PipelineQueries {
       emb, "vec_id", "embedding", k)
     val n = emb.select(col("vec_id")).count()
     val key = s"$dir|$tag|k=$k|n=$n"
+    // paths ride ModelStore.sparkPath (file: scheme) so the Spark
+    // reader/writer and the java.io rename agree on one filesystem;
+    // every store failure degrades to the inline build (unamortized,
+    // never failed) and a corrupt persisted dir is dropped so the
+    // store heals
+    def publishAndRead(dest: java.io.File): DataFrame = {
+      val tmp = graft.ops.ModelStore.tmpSibling(dest)
+      build().write.mode("overwrite")
+        .parquet(graft.ops.ModelStore.sparkPath(tmp))
+      graft.ops.ModelStore.publishParquet(tmp, dest)
+      s.read.parquet(graft.ops.ModelStore.sparkPath(dest))
+    }
     graft.ops.ModelStore.dirFor("graph", key) match {
-      case Some((dest, true)) => s.read.parquet(dest.getPath)
+      case Some((dest, true)) =>
+        try s.read.parquet(graft.ops.ModelStore.sparkPath(dest))
+        catch { case scala.util.control.NonFatal(_) =>
+          graft.ops.ModelStore.dropDir(dest)
+          try publishAndRead(dest)
+          catch { case scala.util.control.NonFatal(_) => build() }
+        }
       case Some((dest, false)) =>
-        val tmp = graft.ops.ModelStore.tmpSibling(dest)
-        build().write.mode("overwrite").parquet(tmp.getPath)
-        graft.ops.ModelStore.publishParquet(tmp, dest)
-        s.read.parquet(dest.getPath)
+        try publishAndRead(dest)
+        catch { case scala.util.control.NonFatal(_) => build() }
       case None => build()
     }
   }

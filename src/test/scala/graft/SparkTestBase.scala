@@ -5,6 +5,22 @@ import org.apache.spark.sql.SparkSession
 /** Shared local SparkSession for specs (one JVM-wide session; Spark
   * sessions are expensive and getOrCreate dedupes across suites). */
 object SparkTestBase {
+  // hermetic per-JVM ModelStore: spec fits (many with unique nanoTime
+  // corpus keys) land in a temp dir deleted on exit, not in the
+  // world-shared default store
+  locally {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-modelstore-test").toFile
+    graft.ops.ModelStore.overrideDir = Some(tmp.getAbsolutePath)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
