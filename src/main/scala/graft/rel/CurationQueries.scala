@@ -1269,6 +1269,171 @@ object CurationQueries {
         corpusKey = Some(dir))
       .orderBy("rank")
 
+  // ---- q176: retrieval evaluation metrics (P@k / recall@k / MRR / nDCG@k) ----
+
+  /** Ranking-quality evaluation of a retrieval run — the metric battery
+    * (precision@10, recall@10, MRR, DCG/nDCG@10) every retriever behind a
+    * RAG pipeline is tuned against, and the retriever-side complement of
+    * the reference's ANSWER-side metrics (EM `utils.py:316`, token F1
+    * `utils.py:318-331`, RougeL — its pipeline scores generations but
+    * never the passage ranking they came from; this closes that cell next
+    * to q104's BM25 scorer and q42's TF-IDF retriever).
+    *
+    * Shape: a fixed 6-query × 2-term query set (broadcast literal) turns
+    * the corpus into a (qid, doc_id) term-frequency table in ONE
+    * tokenize+join pass; the RUN is the per-qid top-10 by (tf-sum DESC,
+    * doc_id) — an all-integer score, so the ranking is a total order both
+    * engines replay exactly — cut by the custom [[graft.plans.TopKPerKey]]
+    * operator (bounded heaps; the row_number that assigns ranks then
+    * numbers only the ≤ 10·|Q| survivors, never |Q|·n rows — the q119
+    * recipe). QRELS are graded off an independent signal (mintf over the
+    * pair: rel 2 when both terms appear ≥ 3×, rel 1 at = 2, else 0), so
+    * run order and relevance order genuinely disagree and nDCG lands in
+    * (0.80, 1.0) rather than degenerating to 1.
+    *
+    * Exactness: the nDCG discount 1/log2(rank+1) is the ONLY
+    * transcendental in the family, and ranks only ever reach 10 — so the
+    * 10 discounts ship as micro-unit BIGINT literals (round(1e9/log2(r+1)),
+    * identical digits in both engines) and DCG/IDCG become exact integer
+    * dot products: gain ∈ {0,1,3} (2^rel − 1) × disc_n9, summed as
+    * BIGINTs. IDCG needs no ideal-ranking sort — it is the closed form
+    * Σ disc over the first n2 ranks at gain 3 and the next nrel−n2 at
+    * gain 1, computed by crossing the |Q|-row rel-count table with the
+    * 10-row discount table. The terminal divisions (recall, MRR = 1/rank,
+    * nDCG = dcg/idcg) divide exactly-representable integers — identical
+    * IEEE ops in both engines — then floor at 1e-6. Full hash oracle.
+    *
+    * Scale: one corpus scan (tokenize → broadcast-join the query terms →
+    * two map-side-combinable aggregates); everything after the TopKPerKey
+    * cut and the rel-count rollup is |Q|-sized. No window ever touches a
+    * corpus-sized table; |Q| grows the run cut's key count, not its
+    * per-key state. */
+  def q176RetrievalMetrics(s: SparkSession, dir: String): DataFrame =
+    retrievalMetricsAt10(t(s, dir, "documents"),
+      Seq((1L, "spark"), (1L, "join"), (2L, "merge"), (2L, "sort"),
+        (3L, "window"), (3L, "agg"), (4L, "hash"), (4L, "scan"),
+        (5L, "stream"), (5L, "batch"), (6L, "filter"), (6L, "group")))
+
+  /** Core of [[q176RetrievalMetrics]] over any (doc_id, text) frame —
+    * the spec drives it with a hand-sized corpus whose metric values are
+    * computed by hand. */
+  def retrievalMetricsAt10(docs: DataFrame, qtermPairs: Seq[(Long, String)]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val r6 = (c: Column) => floor(c * 1000000.0 + 0.5) / 1000000.0
+    val qterms = qtermPairs.toDF("qid", "term")
+    val disc = Seq((1, 1000000000L), (2, 630929754L), (3, 500000000L),
+      (4, 430676558L), (5, 386852807L), (6, 356207187L), (7, 333333333L),
+      (8, 315464877L), (9, 301029996L), (10, 289064826L))
+      .toDF("rnk", "disc_n9")
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+    val tf = toks.join(broadcast(qterms), col("tk") === col("term"))
+      .groupBy("qid", "doc_id", "term").agg(count(lit(1)).as("c"))
+    val dstat = tf.groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("nterms"), min(col("c")).as("mintf"),
+        sum(col("c")).as("tfsum"))
+    val qrels = dstat.select(col("qid"), col("doc_id"),
+      when(col("nterms") === 2 && col("mintf") >= 3, 2)
+        .when(col("nterms") === 2 && col("mintf") === 2, 1)
+        .otherwise(0).as("rel"))
+    val cut = graft.plans.TopK.perKey(dstat, Seq("qid"),
+      Seq(col("tfsum").desc, col("doc_id")), 10)
+    val w = Window.partitionBy("qid").orderBy(col("tfsum").desc, col("doc_id"))
+    val run = cut.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 10).select(col("qid"), col("doc_id"), col("rnk"))
+    val rels = qrels.withColumnRenamed("qid", "rq").withColumnRenamed("doc_id", "rd")
+    val hits = run
+      .join(rels, col("qid") === col("rq") && col("doc_id") === col("rd"), "left")
+      .select(col("qid"), col("rnk"), coalesce(col("rel"), lit(0)).as("rel"))
+    val relcnt = qrels.groupBy("qid").agg(
+      sum(when(col("rel") === 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("rel") >= 1, 1L).otherwise(0L)).as("nrel"))
+    val dcg = hits.join(broadcast(disc), Seq("rnk"))
+      .groupBy("qid").agg(
+        sum(when(col("rel") === 2, 3L).when(col("rel") === 1, 1L).otherwise(0L)
+          * col("disc_n9")).as("dcg_n9"),
+        sum(when(col("rel") >= 1, 1L).otherwise(0L)).as("hits_at_10"),
+        min(when(col("rel") >= 1, col("rnk"))).as("first_rel"))
+    val idcg = relcnt.crossJoin(broadcast(disc))
+      .groupBy("qid").agg(sum(
+        when(col("rnk") <= least(col("n2"), lit(10)), lit(3L) * col("disc_n9"))
+          .when(col("rnk") <= least(col("nrel"), lit(10)), col("disc_n9"))
+          .otherwise(0L)).as("idcg_n9"))
+    dcg.join(relcnt, Seq("qid")).join(idcg, Seq("qid"))
+      .select(col("qid"), col("nrel").as("n_rel"), col("hits_at_10"),
+        r6(col("hits_at_10").cast("double") / 10.0).as("precision_at_10"),
+        when(col("nrel") === 0, 0.0)
+          .otherwise(r6(col("hits_at_10").cast("double") / col("nrel").cast("double")))
+          .as("recall_at_10"),
+        when(col("first_rel").isNull, 0.0)
+          .otherwise(r6(lit(1.0) / col("first_rel").cast("double"))).as("mrr"),
+        col("dcg_n9"),
+        when(col("idcg_n9") === 0, 0.0)
+          .otherwise(r6(col("dcg_n9").cast("double") / col("idcg_n9").cast("double")))
+          .as("ndcg_at_10"))
+      .orderBy("qid")
+  }
+
+  val q176Oracle: String =
+    """WITH q(qid, term) AS (VALUES (CAST(1 AS BIGINT),'spark'),(1,'join'),
+         (2,'merge'),(2,'sort'),(3,'window'),(3,'agg'),(4,'hash'),(4,'scan'),
+         (5,'stream'),(5,'batch'),(6,'filter'),(6,'group')),
+       disc(rnk, disc_n9) AS (VALUES (1,CAST(1000000000 AS BIGINT)),
+         (2,630929754),(3,500000000),(4,430676558),(5,386852807),
+         (6,356207187),(7,333333333),(8,315464877),(9,301029996),
+         (10,289064826)),
+       toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+                FROM documents),
+       tf AS (SELECT q.qid, t.doc_id, t.tk, COUNT(*) AS c
+              FROM toks t JOIN q ON t.tk = q.term GROUP BY 1, 2, 3),
+       dstat AS (SELECT qid, doc_id, COUNT(*) AS nterms, MIN(c) AS mintf,
+                   SUM(c) AS tfsum
+                 FROM tf GROUP BY 1, 2),
+       qrels AS (SELECT qid, doc_id,
+                   CASE WHEN nterms = 2 AND mintf >= 3 THEN 2
+                        WHEN nterms = 2 AND mintf = 2 THEN 1 ELSE 0 END AS rel
+                 FROM dstat),
+       run AS (SELECT qid, doc_id, rnk FROM (
+                 SELECT qid, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY tfsum DESC, doc_id) AS rnk
+                 FROM dstat) WHERE rnk <= 10),
+       hits AS (SELECT r.qid, r.rnk, COALESCE(rel.rel, 0) AS rel
+                FROM run r LEFT JOIN qrels rel
+                  ON r.qid = rel.qid AND r.doc_id = rel.doc_id),
+       relcnt AS (SELECT qid, COUNT(*) FILTER (WHERE rel = 2) AS n2,
+                    COUNT(*) FILTER (WHERE rel >= 1) AS nrel
+                  FROM qrels GROUP BY 1),
+       dcg AS (SELECT h.qid,
+                 SUM((CASE h.rel WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END)
+                     * d.disc_n9) AS dcg_n9,
+                 SUM(CASE WHEN h.rel >= 1 THEN 1 ELSE 0 END) AS hits_at_10,
+                 MIN(CASE WHEN h.rel >= 1 THEN h.rnk END) AS first_rel
+               FROM hits h JOIN disc d ON h.rnk = d.rnk GROUP BY 1),
+       idcg AS (SELECT rc.qid,
+                  SUM(CASE WHEN d.rnk <= LEAST(rc.n2, 10) THEN 3 * d.disc_n9
+                           WHEN d.rnk <= LEAST(rc.nrel, 10) THEN d.disc_n9
+                           ELSE 0 END) AS idcg_n9
+                FROM relcnt rc CROSS JOIN disc d GROUP BY 1)
+       SELECT g.qid, CAST(rc.nrel AS BIGINT) AS n_rel,
+         CAST(g.hits_at_10 AS BIGINT) AS hits_at_10,
+         floor(CAST(g.hits_at_10 AS DOUBLE) / 10.0 * 1000000.0 + 0.5)
+           / 1000000.0 AS precision_at_10,
+         CASE WHEN rc.nrel = 0 THEN 0.0
+              ELSE floor(CAST(g.hits_at_10 AS DOUBLE) / CAST(rc.nrel AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 END AS recall_at_10,
+         CASE WHEN g.first_rel IS NULL THEN 0.0
+              ELSE floor(1.0 / CAST(g.first_rel AS DOUBLE) * 1000000.0 + 0.5)
+                   / 1000000.0 END AS mrr,
+         CAST(g.dcg_n9 AS BIGINT) AS dcg_n9,
+         CASE WHEN i.idcg_n9 = 0 THEN 0.0
+              ELSE floor(CAST(g.dcg_n9 AS DOUBLE) / CAST(i.idcg_n9 AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 END AS ndcg_at_10
+       FROM dcg g JOIN relcnt rc ON g.qid = rc.qid
+         JOIN idcg i ON g.qid = i.qid
+       ORDER BY g.qid"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_binaryfile_source" -> (q99BinaryfileSource _),
     "q100_repetition_signals" -> (q100RepetitionSignals _),
@@ -1292,7 +1457,8 @@ object CurationQueries {
     "q118_mixture_resample" -> (q118MixtureResample _),
     "q119_topk_per_group" -> (q119TopKPerGroup _),
     "q120_histogram_quantiles" -> (q120HistogramQuantiles _),
-    "q121_bpe_merges" -> (q121BpeMerges _))
+    "q121_bpe_merges" -> (q121BpeMerges _),
+    "q176_retrieval_metrics" -> (q176RetrievalMetrics _))
 
   val oracles: Map[String, String] = Map(
     "q99_binaryfile_source" -> q99Oracle,
@@ -1317,5 +1483,6 @@ object CurationQueries {
     "q118_mixture_resample" -> q118Oracle,
     "q119_topk_per_group" -> q119Oracle,
     "q120_histogram_quantiles" -> q120Oracle,
-    "q121_bpe_merges" -> DataQueries.fixtureOracle("q121_bpe_merges"))
+    "q121_bpe_merges" -> DataQueries.fixtureOracle("q121_bpe_merges"),
+    "q176_retrieval_metrics" -> q176Oracle)
 }

@@ -122,6 +122,11 @@ object SqlFrontDoorWideSpec {
     def m(pairs: (String, (String => String, String))*) = Map(pairs: _*)
     m(
       "q06_range_join" -> (id _, "epoch_ns + // div"),
+      "q176_retrieval_metrics" -> ((s: String) => s.replace("1000000.0", "1e6"),
+        "micro-unit literal 1000000.0 → 1e6 (DECIMAL-typed in Spark's parser, " +
+          "which would retype the BIGINT/literal divisions the metrics end on; " +
+          "the q117 CAST-to-DECIMAL spelling sidesteps this, the bare-double " +
+          "metric columns here cannot) + string_split/unnest renames"),
       "q15_string_funcs" -> ((s: String) =>
         s.replace("regexp_matches(p_name, 'bolt|ring')", "(p_name RLIKE 'bolt|ring')"),
         "regexp_matches → RLIKE"),
