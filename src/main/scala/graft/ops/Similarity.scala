@@ -1027,7 +1027,8 @@ object Similarity {
     * the result does not depend on the input staying cached. */
   def knnGraphApproxFromQuantized(vecsIn: Dataset[(Long, Array[Long])], k: Int,
                                   rounds: Int = 4, iterK: Int = -1,
-                                  checkpoint: DataFrame => DataFrame = _.localCheckpoint()
+                                  checkpoint: DataFrame => DataFrame = _.localCheckpoint(),
+                                  warmInit: Option[DataFrame] = None
                                  ): DataFrame = {
     val spark = vecsIn.sparkSession
     val shufN = spark.sessionState.conf.numShufflePartitions
@@ -1115,8 +1116,23 @@ object Similarity {
     // measured 7.5 s with AQE vs 9.0–9.8 s without. The width pins below
     // close the one AQE hazard, input-byte coalescing of exploding
     // exchanges.)
-    var g = checkpoint(
-      cutKw(bothDirections(scored(initPairs))).withColumn("isnew", lit(true)))
+    // warm start (graph MERGE): already-scored edges — e.g. the union of
+    // two shard indexes — join the clique init as round-0 state. Their d2
+    // came from the same exact integer kernel, so the groupBy-min is a
+    // pure dedup against clique pairs that rescored the same edge; every
+    // warm edge is NEW (its neighbor-of-neighbor closure has never been
+    // explored across the shard boundary). The cliques stay at full
+    // strength: they are the cross-shard expander the union graphs lack.
+    val initScored = bothDirections(scored(initPairs))
+    val seeded = warmInit match {
+      case Some(warm) =>
+        initScored.select("vid", "nbr", "d2")
+          .union(warm.select(col("vid").cast("long"), col("nbr").cast("long"),
+            col("d2").cast("long")))
+          .groupBy("vid", "nbr").agg(min(col("d2")).as("d2"))
+      case None => initScored
+    }
+    var g = checkpoint(cutKw(seeded).withColumn("isnew", lit(true)))
     for (_ <- 1 to rounds) {
       val fwd = g.select(col("vid"), col("nbr"), col("d2"), col("isnew"))
       // reverse edges capped at iterK per node (in-degree is the skewed
@@ -1172,6 +1188,49 @@ object Similarity {
     top.withColumn("rk", row_number().over(w).cast("long"))
       .select(col("vid"), col("rk"), col("nbr"), col("d2"))
       .orderBy("vid", "rk")
+  }
+
+  /** MERGE two kNN-graph indexes into one index over the union corpus —
+    * the index-COMPACTION verb completing the lifecycle (build, publish,
+    * serve, insert q174, delete q175, merge): the shape under sharded
+    * construction at 10⁹ vectors (build S shard indexes independently —
+    * each its own sub-quadratic [[knnGraphApprox]] job over n/S rows —
+    * then fold them together), and under federation (yesterday's index +
+    * today's, two crawls, two sources).
+    *
+    * A naive union of the edge tables is NOT an index over the union: it
+    * has zero cross-shard edges, and a node whose true union-top-k live
+    * entirely in the other shard serves garbage. The merge is NN-descent
+    * ([[knnGraphApproxFromQuantized]]) WARM-STARTED from the union of
+    * both edge tables: the shard lists arrive as round-0 state flagged
+    * NEW (their neighbor-of-neighbor closures have never crossed the
+    * boundary), the salted cliques provide the cross-shard expander, and
+    * because every node starts with its shard-local near-neighborhood
+    * already solved, the descent needs FEWER rounds than a from-scratch
+    * build (default 3 vs the build's 4; KnnGraphMergeSpec measures the
+    * round-for-round advantage). Work stays O(n·kw²·rounds); the warm
+    * edges' distances are exact and are never recomputed (groupBy-min
+    * dedup against clique rescores).
+    *
+    * `graphA`/`graphB` are (vid, rk, nbr, d2) edge tables over DISJOINT
+    * id sets (the [[knnGraph]]/[[knnGraphApprox]] output shape — rk is
+    * ignored); `emb` is the union corpus carrying every id of both.
+    * Deterministic for deterministic inputs (hash init, total-order
+    * cuts, fixed rounds) ⇒ fixture-oracle eligible. */
+  def knnGraphMerge(graphA: DataFrame, graphB: DataFrame,
+                    emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                    rounds: Int = 3, iterK: Int = -1,
+                    checkpoint: DataFrame => DataFrame = _.localCheckpoint()
+                   ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val warm = graphA.select(col("vid"), col("nbr"), col("d2"))
+      .union(graphB.select(col("vid"), col("nbr"), col("d2")))
+    val vecs = emb.select(col(idCol).cast("long"), quantized(vecCol))
+      .as[(Long, Array[Long])].persist()
+    try knnGraphApproxFromQuantized(vecs, k, rounds, iterK, checkpoint,
+      warmInit = Some(warm))
+    finally vecs.unpersist()
   }
 
   /** Graph-traversal ANN: greedy BEAM SEARCH over the exact kNN graph

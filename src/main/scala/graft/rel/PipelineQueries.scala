@@ -1747,6 +1747,34 @@ object PipelineQueries {
       emb, "vec_id", "embedding", delIds, k = 3)
   }
 
+  // ---- q177: kNN-graph shard MERGE (index compaction) ------------------------
+
+  /** The index-COMPACTION verb closing the graph lifecycle
+    * ([[graft.ops.Similarity.knnGraphMerge]]): the corpus splits into
+    * two shards by a SF-parametric modular rule (vec_id parity — no
+    * counts needed), each shard's k=3 index is built sub-quadratically
+    * ONCE and published through ModelStore (the q172 protocol, one
+    * fingerprint key per shard), and the merge folds the two edge
+    * tables into one index over the union corpus — NN-descent
+    * warm-started from the shard lists, so it converges in fewer rounds
+    * than a from-scratch build (3 vs 4) and never recomputes a warm
+    * distance. This is the sharded-construction shape at 10⁹ vectors
+    * (S independent build jobs, then pairwise folds) and the federation
+    * shape (yesterday's index + today's). Output is the merged edge
+    * table, q157's schema. Deterministic ⇒ committed-fixture oracle;
+    * the recall-vs-exact-union, per-edge exactness, warm-advantage and
+    * determinism gates live in KnnGraphMergeSpec. */
+  def q177KnnGraphMerge(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val markA = pmod(col("vec_id").cast("long"), lit(2L)) === lit(0L)
+    val shardA = emb.where(markA)
+    val shardB = emb.where(!markA)
+    graft.ops.Similarity.knnGraphMerge(
+      servedGraphFor(s, dir, shardA, k = 3, tag = "knn_graph_approx_shard_a"),
+      servedGraphFor(s, dir, shardB, k = 3, tag = "knn_graph_approx_shard_b"),
+      emb, "vec_id", "embedding", k = 3)
+  }
+
   // ---- q162: nearest-centroid classifier evaluation -------------------------
 
   /** Embedding-space health check: fit one centroid per LABEL (the
@@ -1851,7 +1879,8 @@ object PipelineQueries {
     "q172_beam_ann_served" -> (q172BeamAnnServed _),
     "q173_beam_ann_vectors_served" -> (q173BeamAnnVectorsServed _),
     "q174_knn_graph_insert" -> (q174KnnGraphInsert _),
-    "q175_knn_graph_delete" -> (q175KnnGraphDelete _))
+    "q175_knn_graph_delete" -> (q175KnnGraphDelete _),
+    "q177_knn_graph_merge" -> (q177KnnGraphMerge _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
@@ -1881,5 +1910,7 @@ object PipelineQueries {
     "q174_knn_graph_insert" ->
       DataQueries.fixtureOracle("q174_knn_graph_insert"),
     "q175_knn_graph_delete" ->
-      DataQueries.fixtureOracle("q175_knn_graph_delete"))
+      DataQueries.fixtureOracle("q175_knn_graph_delete"),
+    "q177_knn_graph_merge" ->
+      DataQueries.fixtureOracle("q177_knn_graph_merge"))
 }

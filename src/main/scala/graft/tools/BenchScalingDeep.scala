@@ -68,7 +68,13 @@ object BenchScalingDeep {
     // the retraction verb: delete cost must track the batch (drops +
     // torn-list walk repair), not the corpus — the 1-in-12 slice and
     // the corpus grow 10× together across the decade
-    "q175_knn_graph_delete")
+    "q175_knn_graph_delete",
+    // the compaction verb: the merge is warm-started NN-descent at
+    // rounds=3 over the union, so its decade growth must track q171's
+    // sub-quadratic curve (shard builds amortize via ModelStore after
+    // the first K-run) — NOT the q157 quadratic rebuild a naive
+    // re-index would pay
+    "q177_knn_graph_merge")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

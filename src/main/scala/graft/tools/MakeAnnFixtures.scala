@@ -50,7 +50,10 @@ object MakeAnnFixtures {
     "q174_knn_graph_insert",
     // broadcast drops + symmetric 2-hop repair + total-order cuts:
     // pure function of (graph, corpus, deletes)
-    "q175_knn_graph_delete")
+    "q175_knn_graph_delete",
+    // warm-started NN-descent over deterministic shard graphs: pure
+    // function of the union corpus
+    "q177_knn_graph_merge")
 
   val SfDir = "/root/testdata/sf0.01"
   val OutDir = "src/test/resources/annfix"

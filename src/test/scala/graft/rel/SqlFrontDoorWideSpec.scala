@@ -502,7 +502,7 @@ object SqlFrontDoorWideSpec {
     "q168_phash_neardup", "q169_beam_ann", "q170_beam_ann_vectors",
     "q171_knn_graph_approx", "q172_beam_ann_served",
     "q173_beam_ann_vectors_served", "q174_knn_graph_insert",
-    "q175_knn_graph_delete")
+    "q175_knn_graph_delete", "q177_knn_graph_merge")
 
   /** Oracles with NO Spark-SQL twin, each blocked by a named engine
     * feature (not by laziness) that the gap-pin tests below assert is
