@@ -1,0 +1,145 @@
+package graft.streaming
+
+import java.io.File
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming kNN-graph index maintenance: a CDC stream of vector
+  * inserts/deletes keeps a PERSISTED graph index current between full
+  * builds — the online half of the lifecycle whose batch verbs are
+  * q174 ([[graft.ops.Similarity.knnGraphInsert]]) and q175
+  * ([[graft.ops.Similarity.knnGraphDelete]]).
+  *
+  * Shape: `foreachBatch`, not a keyed state processor — the state here
+  * is the WHOLE index (the n·k edge table plus the corpus it indexes),
+  * which lives in versioned parquet on shared storage, never in
+  * per-executor streaming state. Each micro-batch applies deletes first
+  * (against the pre-batch state), then inserts (HNSW arrival semantics
+  * at micro-batch granularity — exactly `knnGraphInsertChunked`'s
+  * contract with the stream supplying the chunk boundaries), and
+  * publishes a NEW version directory; the version pointer is the commit.
+  *
+  * Exactly-once across restarts rides Structured Streaming's contract:
+  * batch ids are stable under checkpoint replay, so `applyBatch` is
+  * IDEMPOTENT by versioning state dirs with the batch id — a replayed
+  * batch sees `version <= latest` and returns without touching state
+  * (the classic foreachBatch dedup recipe). Publication is atomic: the
+  * version directory is staged under a process-unique temp name and
+  * renamed in ([[graft.ops.ModelStore.publishParquet]]), then the
+  * LATEST pointer file is swapped by rename — a reader (the q172-style
+  * serving path) only ever sees a complete, committed version.
+  *
+  * Scale notes: per batch the graph work is the q174/q175 bound (walk
+  * placement + batch-sized joins; the corpus never rescans), and the
+  * corpus/graph rewrite is one distributed parquet write. At lake scale
+  * the corpus copy is replaced by the table format's own append/delete
+  * (the state dir here makes the recipe concrete and testable); the
+  * edge table rewrite stays O(n·k) rows — 16 bytes a row, the same
+  * artifact ModelStore already serves.
+  *
+  * Contract: rows are (op, vec_id, embedding) with op ∈ {"I", "D"};
+  * delete ids must exist in the pre-batch corpus, insert ids must be
+  * new, and one batch must not both insert and delete the same id
+  * (CDC compaction upstream owns that collapse). A delete batch is
+  * model-sized by the q175 contract (it broadcasts inside the verb).
+  */
+object IndexMaintenance {
+
+  private def versionDir(stateDir: String, v: Long) = new File(stateDir, s"v$v")
+  private def pointer(stateDir: String) = new File(stateDir, "LATEST")
+
+  /** The committed version id, or None before [[init]]. */
+  def latestVersion(stateDir: String): Option[Long] = {
+    val p = pointer(stateDir)
+    if (!p.isFile) None
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(p.toPath),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      s.toLongOption
+    }
+  }
+
+  /** Read the committed (corpus, graph) pair. */
+  def readState(spark: SparkSession, stateDir: String): (DataFrame, DataFrame) = {
+    val v = latestVersion(stateDir).getOrElse(
+      sys.error(s"no committed index state under $stateDir"))
+    val d = versionDir(stateDir, v)
+    (spark.read.parquet(graft.ops.ModelStore.sparkPath(new File(d, "corpus"))),
+      spark.read.parquet(graft.ops.ModelStore.sparkPath(new File(d, "graph"))))
+  }
+
+  /** Stage (corpus, graph) as version `v` and commit it by pointer swap.
+    * Old versions beyond the previous one are removed (two survive: a
+    * reader holding the prior pointer finishes its scan unharmed). */
+  private def commit(stateDir: String, v: Long,
+                     corpus: DataFrame, graph: DataFrame): Unit = {
+    val dest = versionDir(stateDir, v)
+    val tmp = graft.ops.ModelStore.tmpSibling(dest)
+    corpus.write.mode("overwrite")
+      .parquet(graft.ops.ModelStore.sparkPath(new File(tmp, "corpus")))
+    graph.write.mode("overwrite")
+      .parquet(graft.ops.ModelStore.sparkPath(new File(tmp, "graph")))
+    graft.ops.ModelStore.publishParquet(tmp, dest)
+    val ptmp = new File(stateDir, s".LATEST.tmp.${tmp.getName}")
+    java.nio.file.Files.write(ptmp.toPath,
+      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(ptmp.toPath, pointer(stateDir).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // GC: keep v and the immediately previous committed version
+    Option(new File(stateDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .flatMap(f => f.getName.drop(1).toLongOption.map(_ -> f))
+      .filter { case (ver, _) => ver < v }.sortBy(-_._1).drop(1)
+      .foreach { case (_, f) => graft.ops.ModelStore.dropDir(f) }
+  }
+
+  /** Seed the state with a built index (version -1, before any batch). */
+  def init(stateDir: String, corpus: DataFrame, graph: DataFrame): Unit = {
+    new File(stateDir).mkdirs()
+    commit(stateDir, -1L, corpus, graph)
+  }
+
+  /** Apply one CDC micro-batch. Idempotent: a batch id at or below the
+    * committed version is a checkpoint replay and is skipped whole. */
+  def applyBatch(batch: DataFrame, batchId: Long, stateDir: String, k: Int,
+                 checkpoint: DataFrame => DataFrame = _.localCheckpoint()): Unit = {
+    val spark = batch.sparkSession
+    val latest = latestVersion(stateDir).getOrElse(
+      sys.error(s"index state not initialized under $stateDir"))
+    if (batchId <= latest) return
+    val (corpus, graph) = readState(spark, stateDir)
+    val rows = batch.select(col("op"), col("vec_id").cast("long").as("vec_id"),
+      col("embedding")).localCheckpoint()
+    // delete ids are model-sized by contract (q175's documented bound)
+    val delIds = rows.where(col("op") === "D").select("vec_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val inserts = rows.where(col("op") === "I")
+      .select(col("vec_id"), col("embedding"))
+    val (c1, g1) =
+      if (delIds.isEmpty) (corpus, graph)
+      else (corpus.where(!col("vec_id").isin(delIds: _*)),
+        graft.ops.Similarity.knnGraphDelete(graph, corpus, "vec_id",
+          "embedding", delIds, k, checkpoint = checkpoint))
+    val (c2, g2) =
+      if (inserts.isEmpty) (c1, g1)
+      else (c1.unionByName(inserts),
+        graft.ops.Similarity.knnGraphInsert(g1, c1, "vec_id", "embedding",
+          inserts, "vec_id", "embedding", k, checkpoint = checkpoint))
+    commit(stateDir, batchId, c2, g2)
+  }
+
+  /** Attach the maintenance sink to a streaming (op, vec_id, embedding)
+    * frame. `Trigger.AvailableNow` + the checkpoint dir give the
+    * drain-and-stop incarnation shape the restart specs use; a
+    * production deployment passes its own trigger via the returned
+    * query's builder instead. */
+  def graphMaintenanceStream(cdc: DataFrame, stateDir: String, k: Int,
+                             checkpointDir: String): StreamingQuery =
+    cdc.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((b: DataFrame, id: Long) => applyBatch(b, id, stateDir, k))
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
