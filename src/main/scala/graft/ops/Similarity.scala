@@ -1224,8 +1224,19 @@ object Similarity {
                    ): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // Federation hygiene: a shard index may be OLDER than the union
+    // corpus (ids since deleted). Warm edges are never rescored or
+    // corpus-checked downstream — the descent only scores FRESH
+    // candidates — so a stale endpoint would ride straight into the
+    // merged index as a ghost node the serving walk then dereferences.
+    // Two semi-joins (bounded: the edge table is n·k rows) drop any edge
+    // touching a non-member before it can seed anything.
+    val ids = emb.select(col(idCol).cast("long").as("node"))
     val warm = graphA.select(col("vid"), col("nbr"), col("d2"))
       .union(graphB.select(col("vid"), col("nbr"), col("d2")))
+      .join(ids.select(col("node").as("vid")), Seq("vid"), "left_semi")
+      .join(ids.select(col("node").as("nbr")), Seq("nbr"), "left_semi")
+      .select("vid", "nbr", "d2")
     val vecs = emb.select(col(idCol).cast("long"), quantized(vecCol))
       .as[(Long, Array[Long])].persist()
     try knnGraphApproxFromQuantized(vecs, k, rounds, iterK, checkpoint,

@@ -1330,12 +1330,18 @@ object CurationQueries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
     val tf = toks.join(broadcast(qterms), col("tk") === col("term"))
       .groupBy("qid", "doc_id", "term").agg(count(lit(1)).as("c"))
+    // relevance grades against the query's OWN term count (the declared
+    // set is all-2-term, where this reduces to nterms = 2 — the oracle's
+    // spelling — but the core must not silently zero qrels for a caller's
+    // 3-term query)
+    val qsize = qterms.groupBy("qid").agg(count(lit(1)).as("qn"))
     val dstat = tf.groupBy("qid", "doc_id")
       .agg(count(lit(1)).as("nterms"), min(col("c")).as("mintf"),
         sum(col("c")).as("tfsum"))
+      .join(broadcast(qsize), Seq("qid"))
     val qrels = dstat.select(col("qid"), col("doc_id"),
-      when(col("nterms") === 2 && col("mintf") >= 3, 2)
-        .when(col("nterms") === 2 && col("mintf") === 2, 1)
+      when(col("nterms") === col("qn") && col("mintf") >= 3, 2)
+        .when(col("nterms") === col("qn") && col("mintf") === 2, 1)
         .otherwise(0).as("rel"))
     val cut = graft.plans.TopK.perKey(dstat, Seq("qid"),
       Seq(col("tfsum").desc, col("doc_id")), 10)

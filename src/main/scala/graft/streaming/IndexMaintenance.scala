@@ -70,10 +70,16 @@ object IndexMaintenance {
   }
 
   /** Stage (corpus, graph) as version `v` and commit it by pointer swap.
-    * Old versions beyond the previous one are removed (two survive: a
-    * reader holding the prior pointer finishes its scan unharmed). */
+    * Versions older than the previous `keepVersions - 1` committed ones
+    * are removed; the default 2 covers a reader whose lazy scan spans
+    * ONE commit — a reader that can lag further (long-lived served
+    * DataFrames under a fast-committing stream) must raise
+    * `keepVersions` to its lag bound, there is no lease protocol here.
+    * Single-writer by contract (one streaming query owns a stateDir):
+    * that is what makes reaping FOREIGN staging leftovers safe below. */
   private def commit(stateDir: String, v: Long,
-                     corpus: DataFrame, graph: DataFrame): Unit = {
+                     corpus: DataFrame, graph: DataFrame,
+                     keepVersions: Int): Unit = {
     val dest = versionDir(stateDir, v)
     val tmp = graft.ops.ModelStore.tmpSibling(dest)
     corpus.write.mode("overwrite")
@@ -87,24 +93,49 @@ object IndexMaintenance {
     java.nio.file.Files.move(ptmp.toPath, pointer(stateDir).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // GC: keep v and the immediately previous committed version
-    Option(new File(stateDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+    val entries = Option(new File(stateDir).listFiles()).getOrElse(Array.empty)
+    // GC committed versions: keep v plus the previous keepVersions - 1
+    entries.filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        !f.getName.contains(".tmp"))
       .flatMap(f => f.getName.drop(1).toLongOption.map(_ -> f))
-      .filter { case (ver, _) => ver < v }.sortBy(-_._1).drop(1)
+      .filter { case (ver, _) => ver < v }.sortBy(-_._1)
+      .drop(math.max(0, keepVersions - 1))
       .foreach { case (_, f) => graft.ops.ModelStore.dropDir(f) }
+    // reap staging orphans from crashed earlier attempts: our own tmp was
+    // just renamed away, so any surviving *.tmp-* dir or .LATEST.tmp.*
+    // file belongs to a commit that died mid-write (single-writer
+    // contract — nothing else can be staging here concurrently)
+    entries.filter(f => f.isDirectory && f.getName.contains(".tmp-") &&
+        f.getName != tmp.getName)
+      .foreach(graft.ops.ModelStore.dropDir)
+    entries.filter(f => f.isFile && f.getName.startsWith(".LATEST.tmp.") &&
+        f.getName != ptmp.getName)
+      .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
   }
 
-  /** Seed the state with a built index (version -1, before any batch). */
+  /** Seed the state with a built index (version -1, before any batch).
+    * Refuses to re-seed a live stateDir: rolling the pointer back over
+    * committed versions would revert readers to the seed AND make the
+    * existing checkpoint's batch ids all look replayed. */
   def init(stateDir: String, corpus: DataFrame, graph: DataFrame): Unit = {
+    require(latestVersion(stateDir).isEmpty,
+      s"$stateDir already holds committed index state (version " +
+        s"${latestVersion(stateDir).get}); refusing to re-seed — point new " +
+        "corpora at a fresh stateDir")
     new File(stateDir).mkdirs()
-    commit(stateDir, -1L, corpus, graph)
+    commit(stateDir, -1L, corpus, graph, keepVersions = 2)
   }
 
   /** Apply one CDC micro-batch. Idempotent: a batch id at or below the
-    * committed version is a checkpoint replay and is skipped whole. */
+    * committed version is a checkpoint replay and is skipped whole —
+    * which is also why the streaming CHECKPOINT and the stateDir are a
+    * paired unit: resetting the checkpoint re-numbers source batches
+    * from 0, and this guard would then silently drop genuinely new data.
+    * Never reset one without the other; the id-disjointness requires
+    * below turn the double-apply half of that mistake into a fail-fast. */
   def applyBatch(batch: DataFrame, batchId: Long, stateDir: String, k: Int,
-                 checkpoint: DataFrame => DataFrame = _.localCheckpoint()): Unit = {
+                 checkpoint: DataFrame => DataFrame = _.localCheckpoint(),
+                 keepVersions: Int = 2): Unit = {
     val spark = batch.sparkSession
     val latest = latestVersion(stateDir).getOrElse(
       sys.error(s"index state not initialized under $stateDir"))
@@ -112,11 +143,35 @@ object IndexMaintenance {
     val (corpus, graph) = readState(spark, stateDir)
     val rows = batch.select(col("op"), col("vec_id").cast("long").as("vec_id"),
       col("embedding")).localCheckpoint()
+    // fail fast on ops outside the contract: silently dropping an
+    // unrecognized op (an upstream "U", a case drift) would diverge the
+    // index from its source with no signal
+    val badOps = rows.where(col("op") =!= "I" && col("op") =!= "D")
+      .select("op").distinct().collect().map(_.getString(0))
+    require(badOps.isEmpty,
+      s"batch $batchId carries unsupported ops ${badOps.mkString(",")} — " +
+        "the CDC contract is op IN ('I','D')")
     // delete ids are model-sized by contract (q175's documented bound)
     val delIds = rows.where(col("op") === "D").select("vec_id")
       .collect().map(_.getLong(0)).toSeq.sorted
     val inserts = rows.where(col("op") === "I")
       .select(col("vec_id"), col("embedding"))
+    // id-disjointness contract checks, both one bounded pass: deletes
+    // must hit live rows, inserts must be new ids (a violated insert is
+    // the checkpoint-reset double-apply signature — fail, don't corrupt)
+    if (delIds.nonEmpty) {
+      val live = corpus.where(col("vec_id").isin(delIds: _*))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val missing = delIds.filterNot(live)
+      require(missing.isEmpty,
+        s"batch $batchId deletes ids absent from the live corpus: " +
+          s"${missing.take(5).mkString(",")}")
+    }
+    val clash = inserts.join(corpus, Seq("vec_id"), "left_semi")
+      .select("vec_id").limit(5).collect().map(_.getLong(0))
+    require(clash.isEmpty,
+      s"batch $batchId inserts ids already live (checkpoint-reset " +
+        s"double-apply?): ${clash.mkString(",")}")
     val (c1, g1) =
       if (delIds.isEmpty) (corpus, graph)
       else (corpus.where(!col("vec_id").isin(delIds: _*)),
@@ -127,19 +182,22 @@ object IndexMaintenance {
       else (c1.unionByName(inserts),
         graft.ops.Similarity.knnGraphInsert(g1, c1, "vec_id", "embedding",
           inserts, "vec_id", "embedding", k, checkpoint = checkpoint))
-    commit(stateDir, batchId, c2, g2)
+    commit(stateDir, batchId, c2, g2, keepVersions)
   }
 
   /** Attach the maintenance sink to a streaming (op, vec_id, embedding)
-    * frame. `Trigger.AvailableNow` + the checkpoint dir give the
-    * drain-and-stop incarnation shape the restart specs use; a
-    * production deployment passes its own trigger via the returned
-    * query's builder instead. */
+    * frame. The default `Trigger.AvailableNow` is the drain-and-stop
+    * incarnation shape the restart specs use; a continuous deployment
+    * passes its own trigger (e.g. `Trigger.ProcessingTime`) here — it
+    * cannot be changed after `start()`. */
   def graphMaintenanceStream(cdc: DataFrame, stateDir: String, k: Int,
-                             checkpointDir: String): StreamingQuery =
+                             checkpointDir: String,
+                             trigger: Trigger = Trigger.AvailableNow(),
+                             keepVersions: Int = 2): StreamingQuery =
     cdc.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch((b: DataFrame, id: Long) => applyBatch(b, id, stateDir, k))
-      .trigger(Trigger.AvailableNow())
+      .foreachBatch((b: DataFrame, id: Long) =>
+        applyBatch(b, id, stateDir, k, keepVersions = keepVersions))
+      .trigger(trigger)
       .start()
 }

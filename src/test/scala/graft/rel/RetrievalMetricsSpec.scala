@@ -48,6 +48,21 @@ class RetrievalMetricsSpec extends AnyFunSuite {
     assert(expNdcg > 0.79 && expNdcg < 0.80) // strictly inside (0,1)
   }
 
+  test("3-term query grades against its own term count, not a hardcoded 2") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b b b c c c"), // all three >=3 -> rel 2
+      (2L, "a a b b c c"),       // all three =2  -> rel 1
+      (3L, "a a a b b b")        // missing c     -> rel 0
+    ).toDF("doc_id", "text")
+    val r = CurationQueries
+      .retrievalMetricsAt10(docs, Seq((1L, "a"), (1L, "b"), (1L, "c")))
+      .collect().head
+    assert(r.getAs[Long]("n_rel") == 2L, "both full-coverage docs must grade rel >= 1")
+    assert(r.getAs[Long]("hits_at_10") == 2L)
+    assert(r.getAs[Double]("recall_at_10") == 1.0)
+  }
+
   test("empty-relevance query: zero metrics, no NaN/null leakage") {
     import spark.implicits._
     // beta never co-occurs >=2x with alpha: nrel = 0 for the query, so

@@ -116,6 +116,31 @@ class IndexMaintenanceStreamSpec extends AnyFunSuite {
       == edges(foldFinal._2))
   }
 
+  test("contract guards fail fast: re-seed of a live stateDir, unknown op, " +
+    "insert of a live id (the checkpoint-reset double-apply signature), " +
+    "delete of an absent id") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-idx-guard").toString
+    IndexMaintenance.init(stateDir, base, g0)
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.init(stateDir, base, g0)
+    }
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.applyBatch(
+        Seq(Cdc("U", 200L, vec(200))).toDF(), 0L, stateDir, k)
+    }
+    intercept[IllegalArgumentException] { // id 5 is live in the base corpus
+      IndexMaintenance.applyBatch(
+        Seq(Cdc("I", 5L, vec(5))).toDF(), 0L, stateDir, k)
+    }
+    intercept[IllegalArgumentException] { // id 999 was never inserted
+      IndexMaintenance.applyBatch(
+        Seq(Cdc("D", 999L, Seq.empty)).toDF(), 0L, stateDir, k)
+    }
+    // every rejected batch left the committed state untouched
+    assert(IndexMaintenance.latestVersion(stateDir).contains(-1L))
+  }
+
   test("served state is tombstone-free and covers exactly the live corpus") {
     val (corpus, graph) = {
       import spark.implicits._
