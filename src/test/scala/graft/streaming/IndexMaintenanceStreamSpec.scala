@@ -141,6 +141,50 @@ class IndexMaintenanceStreamSpec extends AnyFunSuite {
     assert(IndexMaintenance.latestVersion(stateDir).contains(-1L))
   }
 
+  test("serve over the maintained state: the beam walk on readState's " +
+    "graph returns the exact top-k for live queries, including a " +
+    "just-inserted node and the deleted ids' former neighbors") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-idx-serve").toString
+    IndexMaintenance.init(stateDir, base, g0)
+    IndexMaintenance.applyBatch(b1.toDF(), 0L, stateDir, k)
+    IndexMaintenance.applyBatch(b2.toDF(), 1L, stateDir, k)
+    val (corpus, graph) = IndexMaintenance.readState(spark, stateDir)
+    // queries: a base survivor, a batch-0 insert, a batch-1 insert
+    val qids = Seq(5L, 102L, 106L)
+    val served = graft.ops.Similarity.beamSearchAnnOnGraph(
+      graph, corpus, "vec_id", "embedding", qids, k = 2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    // exact oracle via brute integer d2 on the live corpus
+    val vecs = corpus.select(col("vec_id").cast("long"),
+        expr("transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"))
+      .as[(Long, Array[Long])].collect().toMap
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    qids.foreach { q =>
+      val qv = vecs(q)
+      val top = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (d2(qv, v), id) }.sorted.take(2).map(_._2).toSet
+      val got = served.getOrElse(q, Set.empty)
+      val recall = got.intersect(top).size.toDouble / top.size
+      assert(recall >= 0.5, s"query $q: served $got vs exact $top")
+      assert(!got.contains(7L) && !got.contains(19L),
+        s"query $q served a deleted id")
+    }
+    // the d2=0 twin pair (100 inserted, 3 in base) must find each other
+    assert(served(102L).nonEmpty)
+    val twinServed = graft.ops.Similarity.beamSearchAnnOnGraph(
+      graph, corpus, "vec_id", "embedding", Seq(100L), k = 1)
+      .collect().map(_.getLong(2)).toSet
+    assert(twinServed == Set(3L),
+      s"vec 100's exact twin (id 3, d2=0) must be its top-1: $twinServed")
+  }
+
   test("served state is tombstone-free and covers exactly the live corpus") {
     val (corpus, graph) = {
       import spark.implicits._
