@@ -1,0 +1,125 @@
+package graft.ops
+
+import java.io.File
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lexical (BM25) retrieval with a BUILD/SERVE split — the text-side
+  * twin of the graph-ANN split (q171/q172): the corpus is tokenized
+  * ONCE into a posting table published through [[ModelStore]], and a
+  * query then touches only its own terms' partitions.
+  *
+  * Artifact layout (one ModelStore dir, atomic-rename published):
+  *   postings/  (tb, term, doc_id, tf, dl) parquet PARTITIONED BY tb —
+  *              tb = xxhash64(term) mod [[TermBuckets]], so a query's
+  *              scan prunes to ≤ |terms| of [[TermBuckets]] directories
+  *              at the LISTING level (PartitionFilters, the q88
+  *              pattern) before any row is read. dl is denormalized
+  *              into the posting row: serving never joins a
+  *              corpus-sized side table.
+  *   stats/     1 row (n_docs, avgdl) — broadcast at serve time.
+  *
+  * Serving recomputes df (document frequency) from the PRUNED postings
+  * — the same marginal q104 derives inline — so served scores are the
+  * identical IEEE expression and the declared served query (q178)
+  * carries q104's full DuckDB hash oracle verbatim.
+  *
+  * Scale: the build is one term-keyed shuffle of the token stream (the
+  * exchange every inverted-index builder pays); the artifact is
+  * O(total tokens) rows of 5 narrow columns; serving work is
+  * proportional to the query terms' posting lists, never the corpus.
+  * At 100 TB the bucket count rises with the vocabulary so each
+  * directory stays splittable-file-sized. */
+object Lexical {
+
+  val TermBuckets = 64
+
+  def termBucket(c: Column): Column =
+    pmod(xxhash64(c), lit(TermBuckets.toLong))
+
+  /** One-pass postings build from a (docId, text) frame: tokenize,
+    * per-(term, doc) counts, document length denormalized in. */
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("t"))
+    val dl = toks.select(col("doc_id"), size(col("t")).cast("double").as("dl"))
+    toks.select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).cast("double").as("tf"))
+      .join(dl, "doc_id")
+      .select(termBucket(col("term")).as("tb"), col("term"),
+        col("doc_id"), col("tf"), col("dl"))
+  }
+
+  /** Corpus-level BM25 stats (the 1-row broadcast side). */
+  def buildStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(size(split(col(textCol), " ")).cast("double").as("dl"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+
+  /** BM25 top-k over a postings/stats pair (however obtained): filter
+    * the query terms (partition-pruned when postings came from the
+    * published artifact), derive df on the pruned slice, score with
+    * q104's exact expression, TakeOrdered the top k. */
+  def bm25TopK(postings: DataFrame, stats: DataFrame,
+               terms: Seq[String], k: Int): DataFrame = {
+    val s = postings.sparkSession
+    import s.implicits._
+    // bucket ids for the query terms, computed by the SAME expression
+    // that wrote the partition column (one |terms|-row local job)
+    val buckets = terms.toDF("term").select(termBucket(col("term")))
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val hit = postings
+      .where(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+    val df = hit.groupBy("term")
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    hit.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(sum(
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * col("tf") * 2.2
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      ).as("score"))
+      .select(col("doc_id"), graft.Stable.r4(col("score")).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  }
+
+  /** Resolve the published postings artifact for a corpus, building and
+    * publishing it on first use (the q172 `servedGraphFor` protocol:
+    * fingerprint key, staged atomic rename, store failure degrades to
+    * the inline build, a corrupt dir is dropped and rebuilt). Returns
+    * (postings, stats). */
+  def servedPostingsFor(s: SparkSession, corpusKey: String,
+                        docs: => DataFrame, idCol: String, textCol: String
+                       ): (DataFrame, DataFrame) = {
+    def inline(): (DataFrame, DataFrame) =
+      (buildPostings(docs, idCol, textCol), buildStats(docs, textCol))
+    def readBack(dest: File): (DataFrame, DataFrame) =
+      (s.read.parquet(ModelStore.sparkPath(new File(dest, "postings"))),
+        s.read.parquet(ModelStore.sparkPath(new File(dest, "stats"))))
+    def publishAndRead(dest: File): (DataFrame, DataFrame) = {
+      val tmp = ModelStore.tmpSibling(dest)
+      buildPostings(docs, idCol, textCol).write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(ModelStore.sparkPath(new File(tmp, "postings")))
+      buildStats(docs, textCol).write.mode("overwrite")
+        .parquet(ModelStore.sparkPath(new File(tmp, "stats")))
+      ModelStore.publishParquet(tmp, dest)
+      readBack(dest)
+    }
+    val n = docs.select(col(idCol)).count()
+    val key = s"$corpusKey|postings|v1|n=$n"
+    ModelStore.dirFor("lexical", key) match {
+      case Some((dest, true)) =>
+        try readBack(dest)
+        catch { case scala.util.control.NonFatal(_) =>
+          ModelStore.dropDir(dest)
+          try publishAndRead(dest)
+          catch { case scala.util.control.NonFatal(_) => inline() }
+        }
+      case Some((dest, false)) =>
+        try publishAndRead(dest)
+        catch { case scala.util.control.NonFatal(_) => inline() }
+      case None => inline()
+    }
+  }
+}

@@ -333,6 +333,29 @@ object CurationQueries {
        SELECT doc_id, floor(score * 10000.0 + 0.5) / 10000.0 AS bm25
        FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20"""
 
+  // ---- q178: BM25 SERVED off ModelStore-persisted postings -------------------
+
+  /** The BUILD/SERVE split for LEXICAL retrieval — q104's scorer with
+    * the corpus pass amortized away, the text-side twin of the graph
+    * family's q171→q172 split ([[graft.ops.Lexical]]): the posting
+    * table (term, doc_id, tf, dl) is built in ONE tokenize+shuffle pass
+    * and published through ModelStore partitioned by a 64-way term-hash
+    * bucket, so a query's scan prunes to ≤ |terms| directories at the
+    * LISTING level (PartitionFilters — the q88 pattern) and serving
+    * work is proportional to the query terms' posting lists, never the
+    * corpus. df re-derives from the pruned slice (a term's postings all
+    * live in its bucket, so the marginal is exact) and the score is
+    * q104's identical IEEE expression — the query carries q104's full
+    * DuckDB hash oracle VERBATIM. Bm25ServedSpec pins bit-for-bit
+    * parity with q104, the PartitionFilters prune, and the
+    * no-tokenize-stages serve plan. */
+  def q178Bm25Served(s: SparkSession, dir: String): DataFrame = {
+    val (postings, stats) = graft.ops.Lexical.servedPostingsFor(
+      s, dir, t(s, dir, "documents"), "doc_id", "text")
+    graft.ops.Lexical.bm25TopK(postings, stats,
+      Seq("spark", "join", "merge"), 20)
+  }
+
   // ---- q105: PageRank (iterative distributed graph compute) ------------------
 
   /** Three unrolled power iterations of PageRank (damping 0.85, no
@@ -1464,7 +1487,8 @@ object CurationQueries {
     "q119_topk_per_group" -> (q119TopKPerGroup _),
     "q120_histogram_quantiles" -> (q120HistogramQuantiles _),
     "q121_bpe_merges" -> (q121BpeMerges _),
-    "q176_retrieval_metrics" -> (q176RetrievalMetrics _))
+    "q176_retrieval_metrics" -> (q176RetrievalMetrics _),
+    "q178_bm25_served" -> (q178Bm25Served _))
 
   val oracles: Map[String, String] = Map(
     "q99_binaryfile_source" -> q99Oracle,
@@ -1490,5 +1514,8 @@ object CurationQueries {
     "q119_topk_per_group" -> q119Oracle,
     "q120_histogram_quantiles" -> q120Oracle,
     "q121_bpe_merges" -> DataQueries.fixtureOracle("q121_bpe_merges"),
-    "q176_retrieval_metrics" -> q176Oracle)
+    "q176_retrieval_metrics" -> q176Oracle,
+    // the served form recomputes q104's exact expression off the
+    // published postings, so the oracle is q104's verbatim
+    "q178_bm25_served" -> q104Oracle)
 }

@@ -122,6 +122,9 @@ object SqlFrontDoorWideSpec {
     def m(pairs: (String, (String => String, String))*) = Map(pairs: _*)
     m(
       "q06_range_join" -> (id _, "epoch_ns + // div"),
+      "q178_bm25_served" -> (id _,
+        "q104's oracle verbatim (served postings recompute the identical " +
+          "expression); same renames as the q104 hand twin, mechanical here"),
       "q176_retrieval_metrics" -> ((s: String) => s.replace("1000000.0", "1e6"),
         "micro-unit literal 1000000.0 → 1e6 (DECIMAL-typed in Spark's parser, " +
           "which would retype the BIGINT/literal divisions the metrics end on; " +
