@@ -59,7 +59,8 @@ class ParallelismInvarianceSpec extends AnyFunSuite {
     "q121_bpe_merges" -> "distributed argmax merge loop",
     "q126_weighted_jaccard" -> "pair-generating self-join + integer weights",
     "q130_source_overlap" -> "distinct-shingle self-join (spread(8) pinned upstream)",
-    "q157_knn_graph" -> "broadcast-tile scan + bounded heaps")
+    "q157_knn_graph" -> "broadcast-tile scan + bounded heaps",
+    "q179_bm25_eval" -> "r4-floored double ranking + integer DCG tail")
 
   representatives.foreach { case (name, why) =>
     test(s"$name identical at shuffle.partitions 3 and 32 ($why)") {
