@@ -37,6 +37,16 @@ object Lexical {
   def termBucket(c: Column): Column =
     pmod(xxhash64(c), lit(TermBuckets.toLong))
 
+  /** THE BM25 per-term expression — single-sourced because three
+    * consumers (inline q104, the served q178 scorer, the q179
+    * evaluation run) and two committed oracles pin it byte-identical:
+    * an edit that reached one copy and not the others would fail the
+    * parity/oracle gates in a non-obvious way. */
+  def bm25Term(tf: Column, df: Column, dl: Column,
+               nDocs: Column, avgdl: Column): Column =
+    log((nDocs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+      (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / avgdl))
+
   /** One-pass postings build from a (docId, text) frame: tokenize,
     * per-(term, doc) counts, document length denormalized in. */
   def buildPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -74,11 +84,8 @@ object Lexical {
     hit.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(stats))
       .groupBy("doc_id")
-      .agg(sum(
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-          * col("tf") * 2.2
-          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-      ).as("score"))
+      .agg(sum(bm25Term(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("avgdl"))).as("score"))
       .select(col("doc_id"), graft.Stable.r4(col("score")).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
   }
@@ -106,8 +113,18 @@ object Lexical {
       ModelStore.publishParquet(tmp, dest)
       readBack(dest)
     }
+    // store disabled -> inline, WITHOUT forcing the fingerprint count
+    // job (the count is the price of the fingerprint discipline, not of
+    // serving — a disabled store shouldn't pay it). The probe key only
+    // resolves a path; it creates nothing.
+    if (ModelStore.dirFor("lexical", "__probe__").isEmpty) return inline()
     val n = docs.select(col(idCol)).count()
-    val key = s"$corpusKey|postings|v1|n=$n"
+    // the key carries every knob that shaped the artifact: n is the
+    // corpus fingerprint, b the partition modulus — serving computes
+    // query buckets with the CURRENT TermBuckets, so reading an
+    // artifact written under a different modulus would silently drop
+    // postings (the q172 k=$k discipline)
+    val key = s"$corpusKey|postings|v1|b=$TermBuckets|n=$n"
     ModelStore.dirFor("lexical", key) match {
       case Some((dest, true)) =>
         try readBack(dest)

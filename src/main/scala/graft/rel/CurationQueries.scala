@@ -307,11 +307,8 @@ object CurationQueries {
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .groupBy("doc_id")
-      .agg(sum(
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-          * col("tf") * 2.2
-          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-      ).as("score"))
+      .agg(sum(graft.ops.Lexical.bm25Term(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("avgdl"))).as("score"))
     score.select(col("doc_id"), graft.Stable.r4(col("score")).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id")).limit(20)
   }
@@ -1518,12 +1515,9 @@ object CurationQueries {
     val scored = tf.join(broadcast(df), Seq("qid", "term"))
       .join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
       .groupBy("qid", "doc_id")
-      .agg(graft.Stable.r4(sum(
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-          * col("c").cast("double") * 2.2
-          / (col("c").cast("double")
-            + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-      )).as("bm25"))
+      .agg(graft.Stable.r4(sum(graft.ops.Lexical.bm25Term(
+        col("c").cast("double"), col("df"), col("dl"),
+        col("n_docs"), col("avgdl")))).as("bm25"))
     val cut = graft.plans.TopK.perKey(scored, Seq("qid"),
       Seq(col("bm25").desc, col("doc_id")), 10)
     val w = Window.partitionBy("qid").orderBy(col("bm25").desc, col("doc_id"))

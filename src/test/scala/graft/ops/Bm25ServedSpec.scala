@@ -13,6 +13,13 @@ class Bm25ServedSpec extends AnyFunSuite {
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
     df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
 
+  // Parity caveat: both paths sum <= 3 per-term doubles per doc, and
+  // addition order is plan-dependent, so a sum landing within 1 ulp of
+  // an x.xxxx5 boundary could flip under Stable.r4 — the SAME hazard
+  // class q104's own DuckDB oracle and its 3-vs-32-partition invariance
+  // pin carry, accepted there and re-checked every run; the shared
+  // Lexical.bm25Term single-sources the expression so the two paths
+  // cannot drift algebraically.
   test("served scores equal the inline q104 scorer bit-for-bit") {
     val served = graft.SparkEntry.queries("q178_bm25_served")(spark, dir)
     val inline = graft.SparkEntry.queries("q104_bm25")(spark, dir)

@@ -177,12 +177,14 @@ class IndexMaintenanceStreamSpec extends AnyFunSuite {
         s"query $q served a deleted id")
     }
     // the d2=0 twin pair (100 inserted, 3 in base) must find each other
-    assert(served(102L).nonEmpty)
-    val twinServed = graft.ops.Similarity.beamSearchAnnOnGraph(
-      graph, corpus, "vec_id", "embedding", Seq(100L), k = 1)
-      .collect().map(_.getLong(2)).toSet
-    assert(twinServed == Set(3L),
-      s"vec 100's exact twin (id 3, d2=0) must be its top-1: $twinServed")
+    // in BOTH directions — a directional repair bug passes a one-way check
+    val twins = graft.ops.Similarity.beamSearchAnnOnGraph(
+      graph, corpus, "vec_id", "embedding", Seq(100L, 3L), k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(twins.get(100L).contains(3L),
+      s"vec 100's exact twin (id 3, d2=0) must be its top-1: $twins")
+    assert(twins.get(3L).contains(100L),
+      s"vec 3's exact twin (id 100, d2=0) must be its top-1: $twins")
   }
 
   test("served state is tombstone-free and covers exactly the live corpus") {
