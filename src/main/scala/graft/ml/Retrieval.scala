@@ -36,26 +36,30 @@ object Retrieval {
     * the fitted document frequencies and pays only the lazy map-side
     * transform. The model is small (one double per hashed feature). */
   private val tfIdfCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long), TfIdfModel]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, (Long, String)), TfIdfModel]()
 
-  /** Drop every fitted TF-IDF model — the explicit invalidation hook for
-    * a corpus rewritten in place with an unchanged row count (the one
-    * staleness case the count fingerprint in [[tfIdfFor]] cannot see). */
+  /** Drop every fitted TF-IDF model. With content-fingerprint keys
+    * staleness self-invalidates; this remains the blunt hook for
+    * reclaiming memory or forcing refits wholesale. */
   def clearCache(): Unit = tfIdfCache.clear()
 
   /** Fit-once / transform-many entry: fit (or fetch) the TF-IDF model for
     * `corpusKey`, then lazily transform `docs` with it — the returned
     * DataFrame is a pure projection with no fitting action in its lineage.
-    * The corpus row count is folded into the cache key as a content
-    * fingerprint: regenerated data under a reused caller key refits
-    * instead of silently scoring with stale document frequencies.
+    * The corpus CONTENT fingerprint (row count + xxhash64 digest,
+    * [[graft.ops.ModelStore.fingerprint]]) is folded into the cache key:
+    * regenerated data under a reused caller key — including an in-place
+    * rewrite at unchanged cardinality — refits instead of silently
+    * scoring with stale document frequencies.
     * Get-then-putIfAbsent rather than computeIfAbsent: the IDF fit is a
     * distributed job and must not run under a CHM bin lock (worst case is
     * a rare duplicate fit, not a cross-corpus stall).
     */
   def tfIdfFor(docs: DataFrame, corpusKey: String,
                numFeatures: Int = 1 << 16): (TfIdfModel, DataFrame) = {
-    val key = (corpusKey, numFeatures, docs.count())
+    val fp = graft.ops.ModelStore.fingerprint(
+      docs, docs.columns.toSeq.map(org.apache.spark.sql.functions.col): _*)
+    val key = (corpusKey, numFeatures, fp)
     val model = {
       val cached = tfIdfCache.get(key)
       if (cached != null) cached
@@ -65,15 +69,15 @@ object Retrieval {
         // doubles exactly; HashingTF is stateless and rebuilt from
         // numFeatures). The dir only appears via ModelStore's atomic
         // rename, so existence implies a complete model.
-        val diskKey = s"$corpusKey|$numFeatures|n=${key._3}"
-        val fromDisk = graft.ops.ModelStore.dirFor("tfidf", diskKey)
+        val diskKey = s"$corpusKey|$numFeatures|n=${fp._1}|h=${fp._2}"
+        val fromDisk = graft.ops.ModelStore.dirLoc("tfidf", diskKey)
         def fitAndPublish(): TfIdfModel = {
           val f = fitTfIdf(docs, numFeatures)._1
-          fromDisk.foreach { case (dir, _) =>
+          fromDisk.foreach { dir =>
             try {
-              val tmp = graft.ops.ModelStore.tmpSibling(dir)
-              f.idf.write.overwrite().save(graft.ops.ModelStore.sparkPath(tmp))
-              graft.ops.ModelStore.publishParquet(tmp, dir)
+              val tmp = graft.ops.ModelStore.staging(dir)
+              f.idf.write.overwrite().save(tmp.spark)
+              graft.ops.ModelStore.publish(tmp, dir)
             } catch { case scala.util.control.NonFatal(_) =>
               // cache publish is best-effort: an unwritable store costs
               // the amortization, never the query
@@ -83,17 +87,17 @@ object Retrieval {
           f
         }
         val fitted = fromDisk match {
-          case Some((dir, true)) =>
+          case Some(dir) if dir.exists =>
             try {
               val tf = new HashingTF().setInputCol("toks").setOutputCol("tf")
                 .setNumFeatures(numFeatures)
-              TfIdfModel(tf, IDFModel.load(graft.ops.ModelStore.sparkPath(dir)))
+              TfIdfModel(tf, IDFModel.load(dir.spark))
             } catch { case scala.util.control.NonFatal(_) =>
               // corrupt or format-incompatible persisted model (the
               // Version salt guards OUR fit algorithm, not Spark's
               // MLlib on-disk layout): drop it and refit, so the store
               // heals instead of failing q42 in every later process
-              graft.ops.ModelStore.dropDir(dir)
+              graft.ops.ModelStore.drop(dir)
               fitAndPublish()
             }
           case _ => fitAndPublish()

@@ -190,17 +190,23 @@ object Bpe {
     * a model-sized artifact (nMerges rows) refit identically by every new
     * JVM, so persisting it keyed by (corpusKey, params, corpus row count)
     * turns the per-process relearn — the whole vocabulary induction pass —
-    * into one tiny file read plus the fingerprint count. The count runs
-    * on the RAW docs frame (columns pruned), the q55/q76 cache
-    * discipline; the same-count-rewrite staleness hazard and
-    * [[ModelStore.clear]] hook apply. Byte-exact by construction:
+    * into one tiny file read plus the fingerprint aggregate. The
+    * fingerprint runs on the RAW text column (count + content digest,
+    * the q55/q76 cache discipline) so even a same-count in-place corpus
+    * rewrite re-keys and relearns instead of serving stale merges; the
+    * key also carries every learn knob INCLUDING `driverVocabBound` —
+    * it selects between the driver-local and distributed merge loops,
+    * and a cached fit from one path must never be served to a caller
+    * requesting the other (it would mask any divergence between them
+    * across JVMs). Byte-exact by construction:
     * merges round-trip as exact ints/UTF strings/longs, and learnMerges
     * itself is deterministic (integer counts, total-order argmax) — the
     * committed q121/q125 fixtures gate any drift. */
   def learnMergesCached(docs: DataFrame, textCol: String, nMerges: Int,
                         corpusKey: String, minCount: Long = 2L,
                         driverVocabBound: Long = 200000L): Seq[Merge] = {
-    val key = s"$corpusKey|$textCol|$nMerges|$minCount|n=${docs.count()}"
+    val (n, h) = ModelStore.fingerprint(docs.select(col(textCol)), col(textCol))
+    val key = s"$corpusKey|$textCol|$nMerges|$minCount|vb=$driverVocabBound|n=$n|h=$h"
     ModelStore.loadMerges(key).getOrElse {
       val m = learnMerges(docs, textCol, nMerges, minCount, driverVocabBound)
       ModelStore.saveMerges(key, m)

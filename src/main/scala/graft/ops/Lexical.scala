@@ -1,6 +1,5 @@
 package graft.ops
 
-import java.io.File
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -100,40 +99,42 @@ object Lexical {
                        ): (DataFrame, DataFrame) = {
     def inline(): (DataFrame, DataFrame) =
       (buildPostings(docs, idCol, textCol), buildStats(docs, textCol))
-    def readBack(dest: File): (DataFrame, DataFrame) =
-      (s.read.parquet(ModelStore.sparkPath(new File(dest, "postings"))),
-        s.read.parquet(ModelStore.sparkPath(new File(dest, "stats"))))
-    def publishAndRead(dest: File): (DataFrame, DataFrame) = {
-      val tmp = ModelStore.tmpSibling(dest)
+    def readBack(dest: ModelStore.Loc): (DataFrame, DataFrame) =
+      (s.read.parquet(dest.child("postings")),
+        s.read.parquet(dest.child("stats")))
+    def publishAndRead(dest: ModelStore.Loc): (DataFrame, DataFrame) = {
+      val tmp = ModelStore.staging(dest)
       buildPostings(docs, idCol, textCol).write.mode("overwrite")
         .partitionBy("tb")
-        .parquet(ModelStore.sparkPath(new File(tmp, "postings")))
+        .parquet(tmp.child("postings"))
       buildStats(docs, textCol).write.mode("overwrite")
-        .parquet(ModelStore.sparkPath(new File(tmp, "stats")))
-      ModelStore.publishParquet(tmp, dest)
+        .parquet(tmp.child("stats"))
+      ModelStore.publish(tmp, dest)
       readBack(dest)
     }
-    // store disabled -> inline, WITHOUT forcing the fingerprint count
-    // job (the count is the price of the fingerprint discipline, not of
-    // serving — a disabled store shouldn't pay it). The probe key only
-    // resolves a path; it creates nothing.
-    if (ModelStore.dirFor("lexical", "__probe__").isEmpty) return inline()
-    val n = docs.select(col(idCol)).count()
-    // the key carries every knob that shaped the artifact: n is the
-    // corpus fingerprint, b the partition modulus — serving computes
-    // query buckets with the CURRENT TermBuckets, so reading an
-    // artifact written under a different modulus would silently drop
-    // postings (the q172 k=$k discipline)
-    val key = s"$corpusKey|postings|v1|b=$TermBuckets|n=$n"
-    ModelStore.dirFor("lexical", key) match {
-      case Some((dest, true)) =>
+    // store disabled -> inline, WITHOUT forcing the fingerprint job
+    // (the aggregate is the price of the staleness discipline, not of
+    // serving — a disabled store shouldn't pay it)
+    if (!ModelStore.enabled) return inline()
+    // the key carries every knob that shaped the artifact: (n, h) the
+    // CONTENT fingerprint (count + xxhash64 digest of the (id, text)
+    // rows, so an in-place same-count rewrite re-keys instead of
+    // serving stale postings cross-process forever), b the partition
+    // modulus — serving computes query buckets with the CURRENT
+    // TermBuckets, so reading an artifact written under a different
+    // modulus would silently drop postings (the q172 k=$k discipline)
+    val (n, h) = ModelStore.fingerprint(
+      docs.select(col(idCol), col(textCol)), col(idCol), col(textCol))
+    val key = s"$corpusKey|postings|v1|b=$TermBuckets|n=$n|h=$h"
+    ModelStore.dirLoc("lexical", key) match {
+      case Some(dest) if dest.exists =>
         try readBack(dest)
         catch { case scala.util.control.NonFatal(_) =>
-          ModelStore.dropDir(dest)
+          ModelStore.drop(dest)
           try publishAndRead(dest)
           catch { case scala.util.control.NonFatal(_) => inline() }
         }
-      case Some((dest, false)) =>
+      case Some(dest) =>
         try publishAndRead(dest)
         catch { case scala.util.control.NonFatal(_) => inline() }
       case None => inline()

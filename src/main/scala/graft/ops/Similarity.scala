@@ -215,17 +215,19 @@ object Similarity {
     * at serving scale the quantizer is FIT ONCE on a bounded sample and
     * reused for every query batch — refitting k-means per query invocation
     * (8 iterations × a full corpus scan) was the #2 bench cost in round 3.
-    * The fingerprint (row count) is folded into every key so a REGENERATED
-    * corpus under a reused caller key refits instead of silently serving
-    * stale centroids; [[clearCaches]] is the explicit hook for same-count
-    * rewrites. Centroids are tiny (nCells × dim doubles), so an unbounded
+    * The content fingerprint (row count + xxhash64 digest of the raw
+    * (id, vec) rows) is folded into every key, so a REGENERATED corpus
+    * under a reused caller key — including an in-place rewrite at
+    * unchanged cardinality — refits instead of silently serving stale
+    * centroids; [[clearCaches]] remains the blunt full-wipe hook.
+    * Centroids are tiny (nCells × dim doubles), so an unbounded
     * map is fine for any realistic number of distinct corpora per JVM. */
   private val quantizerCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
-  /** Drop every fitted quantizer/PQ model. The explicit invalidation hook
-    * for the one staleness case the count fingerprint cannot see: a
-    * corpus REWRITTEN in place with the same row count. */
+  /** Drop every fitted quantizer/PQ model. With content-fingerprint keys
+    * staleness self-invalidates; this remains the blunt hook for
+    * reclaiming memory or forcing refits wholesale. */
   def clearCaches(): Unit = { quantizerCache.clear(); pqCache.clear() }
 
   /** Fit the IVF coarse quantizer on a bounded deterministic sample.
@@ -250,6 +252,17 @@ object Similarity {
     km.fit(fitInput).clusterCenters.map(_.toArray)
   }
 
+  /** Fingerprint a raw (id, vec) frame for the fitted-model caches:
+    * (count, content digest) via [[ModelStore.fingerprint]] when a
+    * corpusKey opted into caching; (count, "") for uncached one-shot
+    * calls, which still need the count as the sampling denominator but
+    * should not pay the content read. One aggregate job either way. */
+  private def fitFingerprint(data: DataFrame,
+                             corpusKey: Option[String]): (Long, String) =
+    if (corpusKey.isDefined)
+      ModelStore.fingerprint(data, data.columns.toSeq.map(col): _*)
+    else (data.count(), "")
+
   /** Get-or-fit coarse centroids for a (…, arr) frame. The full fit
     * config is part of the cache key: a call with a different column pair
     * or sample cap must not silently reuse centroids fit under other
@@ -257,20 +270,21 @@ object Similarity {
     * distributed Spark job and must not run while holding a CHM bin lock
     * (worst case here is a rare duplicate fit, not a stall).
     *
-    * `n` = the corpus row count, supplied by the caller: it is both the
-    * sampling denominator AND the cache fingerprint (a regenerated corpus
-    * under a reused key almost always changes cardinality, so the
-    * stale-centroid hazard collapses to the same-count rewrite — covered
-    * by the clearCaches hook). Callers count the RAW id/vec frame, where
-    * count(1) prunes every column, NOT a derived (normalized / residual)
-    * frame — a warm cache hit must never pay an O(corpus) decode pass
-    * just to build the key. */
+    * `fp` = the corpus fingerprint supplied by the caller
+    * ([[fitFingerprint]]): the row count is the sampling denominator,
+    * and (count, content digest) together are the cache key — a corpus
+    * rewritten in place, even at unchanged cardinality, re-keys and
+    * refits instead of silently serving stale centroids. Callers
+    * fingerprint the RAW id/vec frame, NOT a derived (normalized /
+    * residual) frame — a warm cache hit pays one aggregate scan of the
+    * raw columns, never a decode/normalization pass. */
   private def coarseCentersFor(data: DataFrame, nCells: Int,
                                corpusKey: Option[String], keySuffix: String,
-                               sampleCap: Long, n: Long): Array[Array[Double]] = {
+                               sampleCap: Long, fp: (Long, String)): Array[Array[Double]] = {
+    val n = fp._1
     corpusKey match {
       case Some(key) =>
-        val fullKey = s"$key|$keySuffix|$nCells|$sampleCap|n=$n"
+        val fullKey = s"$key|$keySuffix|$nCells|$sampleCap|n=$n|h=${fp._2}"
         val cached = quantizerCache.get(fullKey)
         if (cached != null) cached
         else {
@@ -403,12 +417,14 @@ object Similarity {
   private def pqModelFor(normed: Dataset[(Long, Array[Double])],
                          m: Int, ks: Int, corpusKey: Option[String],
                          keySuffix: String, sampleCap: Int,
-                         total: Long): Option[PqModel] = {
+                         fp: (Long, String)): Option[PqModel] = {
     val spark = normed.sparkSession
     import spark.implicits._
-    // `total` = caller-supplied corpus count: cache fingerprint + sample
-    // denominator (see coarseCentersFor). On a cache hit `normed` is
-    // never touched — no normalization/residual pass runs.
+    val total = fp._1
+    // `fp` = caller-supplied corpus fingerprint: (count, content digest)
+    // = cache key, count = sample denominator (see coarseCentersFor).
+    // On a cache hit `normed` is never touched — no normalization/
+    // residual pass runs.
     def sampleVectors(): Array[Array[Double]] = {
       val frac = math.min(1.0, sampleCap.toDouble / math.max(total, 1L))
       val s = if (frac >= 1.0) normed else normed.sample(withReplacement = false, frac, 42L)
@@ -421,7 +437,7 @@ object Similarity {
     }
     corpusKey match {
       case Some(key) =>
-        val fullKey = s"$key|$keySuffix|$m|$ks|$sampleCap|n=$total"
+        val fullKey = s"$key|$keySuffix|$m|$ks|$sampleCap|n=$total|h=${fp._2}"
         val cached = pqCache.get(fullKey)
         if (cached != null) Some(cached)
         else ModelStore.loadPq(fullKey).orElse(fitFromSample().map { f =>
@@ -570,13 +586,13 @@ object Similarity {
     val data = emb.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("arr"))
     val normed = normalized(data)
-    // fingerprint count on the RAW frame (count(1), columns pruned) — a
-    // warm cache hit costs one metadata-cheap job, never a normalization
-    // pass; the miss path reads `normed` exactly once (the sample
-    // collect), so no persist is needed either
-    val n = data.count()
+    // fingerprint on the RAW frame (one aggregate job) — a warm cache
+    // hit costs that one scan, never a normalization pass; the miss
+    // path reads `normed` exactly once (the sample collect), so no
+    // persist is needed either
+    val fp = fitFingerprint(data, corpusKey)
     val modelOpt = pqModelFor(normed, m, ks, corpusKey,
-      s"$idCol|$vecCol", sampleCap, n)
+      s"$idCol|$vecCol", sampleCap, fp)
     if (modelOpt.isEmpty) return emptyTopK(spark) // empty corpus, not a crash
     val model = modelOpt.get
     val modelB = spark.sparkContext.broadcast(model)
@@ -679,12 +695,12 @@ object Similarity {
     val data = emb.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("arr"))
     val normed = normalized(data)
-    // ONE fingerprint count on the RAW frame serves both caches (the
+    // ONE fingerprint aggregate on the RAW frame serves both caches (the
     // normalization and residual maps are 1:1, so all three frames share
-    // a cardinality). A warm double-hit therefore costs one pruned
-    // count(1) job — NOT a normalization pass plus a residual pass, which
-    // at 100 TB would be two full corpus decodes per query batch.
-    val n = data.count()
+    // a fingerprint). A warm double-hit therefore costs one raw-column
+    // scan — NOT a normalization pass plus a residual pass, which at
+    // 100 TB would be two full corpus decodes per query batch.
+    val fp = fitFingerprint(data, corpusKey)
     // BOTH fits (coarse quantizer, then PQ codebooks on its residuals)
     // read the normalized corpus on a MISS: persist across them so the
     // fit path pays one normalization pass; cache hits never materialize
@@ -695,7 +711,7 @@ object Similarity {
         // coarse quantizer first over the NORMALIZED vectors (cells
         // partition the unit sphere, matching the inner-product geometry)
         val cs = coarseCentersFor(cached.toDF("vid", "arr"), nCells, corpusKey,
-          s"$idCol|$vecCol|normed", sampleCap.toLong, n)
+          s"$idCol|$vecCol|normed", sampleCap.toLong, fp)
         val mo =
           if (cs.isEmpty) None
           else {
@@ -706,7 +722,7 @@ object Similarity {
               (id, residual(v, csB.value(nearestCenter(csB.value, v))))
             }
             pqModelFor(resids, m, ks, corpusKey, s"$idCol|$vecCol|resid",
-              sampleCap, n)
+              sampleCap, fp)
           }
         (mo, cs)
       } finally cached.unpersist()
@@ -767,7 +783,7 @@ object Similarity {
     val data = emb.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("arr"))
     val centers = coarseCentersFor(data, nCells, corpusKey,
-      s"$idCol|$vecCol", sampleCap, data.count())
+      s"$idCol|$vecCol", sampleCap, fitFingerprint(data, corpusKey))
     val centersB = spark.sparkContext.broadcast(centers)
     // corpus-side assignment: argmin over centroids via the shared
     // kernels — identical geometry to ivfPqTopK's coded pass
@@ -851,7 +867,7 @@ object Similarity {
     val data = emb.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("arr"))
     val centers = coarseCentersFor(data, nCells, corpusKey,
-      s"$idCol|$vecCol|semdedup", sampleCap, data.count())
+      s"$idCol|$vecCol|semdedup", sampleCap, fitFingerprint(data, corpusKey))
     val centersB = spark.sparkContext.broadcast(centers)
     // multi-probe assignment: each vector lands in its nProbe nearest
     // cells, so a pair is candidate iff the two probe sets intersect —
@@ -1133,7 +1149,18 @@ object Similarity {
       case None => initScored
     }
     var g = checkpoint(cutKw(seeded).withColumn("isnew", lit(true)))
-    for (_ <- 1 to rounds) {
+    // deterministic EARLY EXIT: when a round ends with zero NEW edges
+    // surviving the cut, the next round's candidate frontier is empty by
+    // construction (only new edges generate candidates), so every
+    // remaining round would return g unchanged — stopping is a pure
+    // corpus function (no timing, no sampling) and the final top-k is
+    // IDENTICAL to running all `rounds` out (KnnGraphApproxSpec pins the
+    // round-count invariance). Converged/clustered corpora stop paying
+    // for rounds they can't use; the probe is one cheap scan of the
+    // just-checkpointed round state, skipped after the last round.
+    var round = 1
+    var converged = false
+    while (round <= rounds && !converged) {
       val fwd = g.select(col("vid"), col("nbr"), col("d2"), col("isnew"))
       // reverse edges capped at iterK per node (in-degree is the skewed
       // side); ranking reuses the stored d2 so the cap is deterministic
@@ -1181,6 +1208,8 @@ object Similarity {
       g = checkpoint(cutKw(
         g.withColumn("isnew", lit(false)).select("vid", "nbr", "d2", "isnew")
           .union(scored(fresh).withColumn("isnew", lit(true)))))
+      if (round < rounds) converged = g.where(col("isnew")).isEmpty
+      round += 1
     }
     val top = graft.plans.TopK.perKey(g, Seq("vid"),
       Seq(col("d2").asc, col("nbr").asc), k)
@@ -1188,6 +1217,53 @@ object Similarity {
     top.withColumn("rk", row_number().over(w).cast("long"))
       .select(col("vid"), col("rk"), col("nbr"), col("d2"))
       .orderBy("vid", "rk")
+  }
+
+  /** MEASURED single-box crossover between the exact tile scan and
+    * NN-descent (SURVEY §9, the r13 blow-up audit): overhead-subtracted
+    * marginal slopes put the exact kernel at ~1.1 ns/pair (a tight
+    * codegen loop over primitive longs) vs the descent at ~118
+    * ns/pair-eval (candidates ride shuffled joins), so exact's n² · 1.1
+    * overtakes the descent's n·4kw²·rounds · 118 around n ≈ 8×10⁵.
+    * Below it the quadratic scan is absolutely faster AND exact; above
+    * it the scan's pair count is the thing that stops scaling (10⁹
+    * vectors ⇒ 10¹⁸ pairs, infeasible on any cluster). */
+  val KnnBuildCrossover: Long = 800000L
+
+  /** Build a kNN graph by the MEASURED-optimal construction for the
+    * corpus size (the `weightedJaccardAuto` decision-rule pattern): the
+    * exact [[knnGraph]] tile scan at or below [[KnnBuildCrossover]] rows,
+    * [[knnGraphApprox]]'s NN-descent above. Same output schema either
+    * way; below the bound the result is exact (a strict quality upgrade
+    * over running the descent there), above it the descent's recall
+    * contract applies. Both arms are deterministic pure corpus
+    * functions, so the auto form is fixture-oracle eligible — what
+    * changes at the crossover is cost and recall, never determinism.
+    * This is the build [[graft.rel.PipelineQueries.servedGraphFor]] and
+    * the insert/delete/merge base-graph resolutions publish. */
+  def knnGraphAuto(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                   rounds: Int = 4, iterK: Int = -1,
+                   checkpoint: DataFrame => DataFrame = _.localCheckpoint(),
+                   knownCount: Long = -1L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col(idCol).cast("long"), quantized(vecCol))
+      .as[(Long, Array[Long])].persist()
+    try knnGraphAutoFromQuantized(vecs, k, rounds, iterK, checkpoint, knownCount)
+    finally vecs.unpersist()
+  }
+
+  /** [[knnGraphAuto]] over an already micro-quantized corpus.
+    * `knownCount` lets a caller that already paid the fingerprint
+    * aggregate (e.g. the ModelStore key resolution) supply the row
+    * count instead of re-counting; -1 counts here. */
+  def knnGraphAutoFromQuantized(vecs: Dataset[(Long, Array[Long])], k: Int,
+                                rounds: Int = 4, iterK: Int = -1,
+                                checkpoint: DataFrame => DataFrame = _.localCheckpoint(),
+                                knownCount: Long = -1L): DataFrame = {
+    val n = if (knownCount >= 0L) knownCount else vecs.count()
+    if (n <= KnnBuildCrossover) knnGraphFromQuantized(vecs, k)
+    else knnGraphApproxFromQuantized(vecs, k, rounds, iterK, checkpoint)
   }
 
   /** MERGE two kNN-graph indexes into one index over the union corpus —
@@ -1719,11 +1795,16 @@ object Similarity {
     // the graph is built from the caller's persisted quantized corpus —
     // knnGraph(emb, ...) would re-scan + re-quantize + re-cache it —
     // unless a PREBUILT edge table is served in (q172: the persisted
-    // offline build, so the walk's plan contains no build stages at all)
+    // offline build, so the walk's plan contains no build stages at all).
+    // The inline build is AUTO-selected by corpus size: the exact tile
+    // scan at or below the measured crossover (where it is both faster
+    // and exact), NN-descent above — a one-shot q169-style call never
+    // carries a Θ(n²) stage past the size where that was the right call.
     val fwd = prebuilt match {
       case Some(edges) => edges.select(col("vid"), col("nbr"))
       case None =>
-        knnGraphFromQuantized(vecs.as[(Long, Array[Long])], graphK)
+        knnGraphAutoFromQuantized(vecs.as[(Long, Array[Long])], graphK,
+            checkpoint = checkpoint)
           .select(col("vid"), col("nbr"))
     }
     val graph = checkpoint(fwd

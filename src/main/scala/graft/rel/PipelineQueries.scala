@@ -1630,45 +1630,50 @@ object PipelineQueries {
       emb, "vec_id", "embedding", queryIds = 0L until 10L, k = 5)
   }
 
-  /** Build-once / read-forever resolution of the served kNN graph: the
-    * ModelStore key embeds the corpus dir and row count (the cached-fit
-    * family's fingerprint discipline — counted on the raw scan, columns
-    * pruned), the build is staged to a process-unique temp dir and
-    * atomically renamed in, so concurrent builders race benignly and a
-    * reader only ever sees a complete edge table. Store disabled (env
-    * `SPARK_GRAFT_MODEL_DIR=""`) falls back to the inline build —
-    * correct, just unamortized. */
-  private def servedGraphFor(s: SparkSession, dir: String,
-                             emb: DataFrame, k: Int = 8,
-                             tag: String = "knn_graph_approx"): DataFrame = {
-    def build() = graft.ops.Similarity.knnGraphApprox(
-      emb, "vec_id", "embedding", k)
-    val n = emb.select(col("vec_id")).count()
-    val key = s"$dir|$tag|k=$k|n=$n"
-    // paths ride ModelStore.sparkPath (file: scheme) so the Spark
-    // reader/writer and the java.io rename agree on one filesystem;
+  /** Build-once / read-forever resolution of the served kNN graph. The
+    * build is AUTO-selected by corpus size
+    * ([[graft.ops.Similarity.knnGraphAuto]]: the exact tile scan at or
+    * below the measured n ≈ 8×10⁵ crossover — faster AND exact there —
+    * NN-descent above), the ModelStore key embeds the corpus dir and
+    * the CONTENT fingerprint (row count + xxhash64 digest of the raw
+    * (id, vec) rows, so an in-place same-count rewrite re-keys and
+    * refits instead of serving a stale graph cross-process), and the
+    * build is staged to a process-unique temp dir and atomically
+    * renamed in, so concurrent builders race benignly and a reader
+    * only ever sees a complete edge table. Store disabled (env
+    * `SPARK_GRAFT_MODEL_DIR=""`) falls back to the inline auto build —
+    * correct, just unamortized (and skips the fingerprint job). */
+  private[graft] def servedGraphFor(s: SparkSession, dir: String,
+                                    emb: DataFrame, k: Int = 8,
+                                    tag: String = "knn_graph"): DataFrame = {
+    def build(knownCount: Long) = graft.ops.Similarity.knnGraphAuto(
+      emb, "vec_id", "embedding", k, knownCount = knownCount)
+    if (!graft.ops.ModelStore.enabled) return build(-1L)
+    val (n, h) = graft.ops.ModelStore.fingerprint(
+      emb.select(col("vec_id"), col("embedding")),
+      col("vec_id"), col("embedding"))
+    val key = s"$dir|$tag|k=$k|n=$n|h=$h"
     // every store failure degrades to the inline build (unamortized,
     // never failed) and a corrupt persisted dir is dropped so the
     // store heals
-    def publishAndRead(dest: java.io.File): DataFrame = {
-      val tmp = graft.ops.ModelStore.tmpSibling(dest)
-      build().write.mode("overwrite")
-        .parquet(graft.ops.ModelStore.sparkPath(tmp))
-      graft.ops.ModelStore.publishParquet(tmp, dest)
-      s.read.parquet(graft.ops.ModelStore.sparkPath(dest))
+    def publishAndRead(dest: graft.ops.ModelStore.Loc): DataFrame = {
+      val tmp = graft.ops.ModelStore.staging(dest)
+      build(n).write.mode("overwrite").parquet(tmp.spark)
+      graft.ops.ModelStore.publish(tmp, dest)
+      s.read.parquet(dest.spark)
     }
-    graft.ops.ModelStore.dirFor("graph", key) match {
-      case Some((dest, true)) =>
-        try s.read.parquet(graft.ops.ModelStore.sparkPath(dest))
+    graft.ops.ModelStore.dirLoc("graph", key) match {
+      case Some(dest) if dest.exists =>
+        try s.read.parquet(dest.spark)
         catch { case scala.util.control.NonFatal(_) =>
-          graft.ops.ModelStore.dropDir(dest)
+          graft.ops.ModelStore.drop(dest)
           try publishAndRead(dest)
-          catch { case scala.util.control.NonFatal(_) => build() }
+          catch { case scala.util.control.NonFatal(_) => build(n) }
         }
-      case Some((dest, false)) =>
+      case Some(dest) =>
         try publishAndRead(dest)
-        catch { case scala.util.control.NonFatal(_) => build() }
-      case None => build()
+        catch { case scala.util.control.NonFatal(_) => build(n) }
+      case None => build(n)
     }
   }
 
@@ -1716,7 +1721,7 @@ object PipelineQueries {
     val base = emb.where(!deltaMark)
     val delta = emb.where(deltaMark)
     graft.ops.Similarity.knnGraphInsert(
-      servedGraphFor(s, dir, base, k = 3, tag = "knn_graph_approx_base"),
+      servedGraphFor(s, dir, base, k = 3, tag = "knn_graph_base"),
       base, "vec_id", "embedding", delta, "vec_id", "embedding", k = 3)
   }
 
@@ -1743,7 +1748,7 @@ object PipelineQueries {
       .select(col("vec_id").cast("long"))
       .collect().map(_.getLong(0)).toSeq.sorted
     graft.ops.Similarity.knnGraphDelete(
-      servedGraphFor(s, dir, emb, k = 3, tag = "knn_graph_approx_full3"),
+      servedGraphFor(s, dir, emb, k = 3, tag = "knn_graph_full3"),
       emb, "vec_id", "embedding", delIds, k = 3)
   }
 
@@ -1770,8 +1775,8 @@ object PipelineQueries {
     val shardA = emb.where(markA)
     val shardB = emb.where(!markA)
     graft.ops.Similarity.knnGraphMerge(
-      servedGraphFor(s, dir, shardA, k = 3, tag = "knn_graph_approx_shard_a"),
-      servedGraphFor(s, dir, shardB, k = 3, tag = "knn_graph_approx_shard_b"),
+      servedGraphFor(s, dir, shardA, k = 3, tag = "knn_graph_shard_a"),
+      servedGraphFor(s, dir, shardB, k = 3, tag = "knn_graph_shard_b"),
       emb, "vec_id", "embedding", k = 3)
   }
 

@@ -60,14 +60,44 @@ object IndexMaintenance {
     }
   }
 
-  /** Read the committed (corpus, graph) pair. */
-  def readState(spark: SparkSession, stateDir: String): (DataFrame, DataFrame) = {
+  /** Read the committed (corpus, graph) pair. The returned frames are
+    * LAZY scans of the resolved version directory: a reader that lags
+    * the writer by more than `keepVersions - 1` commits will find its
+    * files GC'd mid-scan (FileNotFoundException from the task side).
+    * `pin = true` materializes both frames eagerly (localCheckpoint)
+    * so the handed-back data outlives any number of commits — the
+    * right mode for long-lived served DataFrames under a
+    * fast-committing stream; the alternative is raising the writer's
+    * `keepVersions` to the reader's lag bound. */
+  def readState(spark: SparkSession, stateDir: String,
+                pin: Boolean = false): (DataFrame, DataFrame) = {
+    val (c, g, _) = readStateVersioned(spark, stateDir, pin)
+    (c, g)
+  }
+
+  /** [[readState]] plus the version it resolved — a lagging reader can
+    * compare against [[latestVersion]] / [[isVersionLive]] and
+    * re-resolve BEFORE a vanished directory surfaces as an opaque
+    * task-side FileNotFoundException. */
+  def readStateVersioned(spark: SparkSession, stateDir: String,
+                         pin: Boolean = false): (DataFrame, DataFrame, Long) = {
     val v = latestVersion(stateDir).getOrElse(
       sys.error(s"no committed index state under $stateDir"))
     val d = versionDir(stateDir, v)
-    (spark.read.parquet(graft.ops.ModelStore.sparkPath(new File(d, "corpus"))),
+    if (!d.isDirectory)
+      sys.error(s"index state $stateDir points at version $v but " +
+        s"$d is gone — the pointer and the GC disagree (corrupt stateDir?)")
+    val raw = (
+      spark.read.parquet(graft.ops.ModelStore.sparkPath(new File(d, "corpus"))),
       spark.read.parquet(graft.ops.ModelStore.sparkPath(new File(d, "graph"))))
+    if (pin) (raw._1.localCheckpoint(), raw._2.localCheckpoint(), v)
+    else (raw._1, raw._2, v)
   }
+
+  /** True while version `v`'s directory survives GC — the lag check for
+    * long-lived lazy readers. */
+  def isVersionLive(stateDir: String, v: Long): Boolean =
+    versionDir(stateDir, v).isDirectory
 
   /** Stage (corpus, graph) as version `v` and commit it by pointer swap.
     * Versions older than the previous `keepVersions - 1` committed ones

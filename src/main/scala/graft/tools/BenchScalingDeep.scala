@@ -78,7 +78,7 @@ object BenchScalingDeep {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val out = sys.env.getOrElse("SPARK_GRAFT_SCALING_DEEP_OUT", "BENCH_SCALING_DEEP_r13.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALING_DEEP_OUT", "BENCH_SCALING_DEEP_r14.json")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_WORK", "/tmp/graft_scale")
     val scales = sys.env.get("SPARK_GRAFT_SCALES")

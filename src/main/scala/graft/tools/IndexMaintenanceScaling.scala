@@ -1,0 +1,118 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling rider for the STREAMING index-maintenance path (round-14
+  * verdict item 6): the batch verbs q174/q175 carry measured decade
+  * rows, but `IndexMaintenance.applyBatch` — the per-micro-batch
+  * composition of delete + insert + versioned-state commit — had none.
+  * The claim under audit: per-batch cost tracks the DELTA plus the two
+  * documented corpus-sized rewrite terms (the O(n·k) edge-table write
+  * and the O(n·d) corpus copy — the named lake-format seam, where a
+  * real table format's append/delete replaces the copy), never the
+  * quadratic rebuild.
+  *
+  * Protocol, per K ∈ {1, 10} over the [[BenchScalingDeep]] blown-up
+  * embeddings (reused from /tmp/graft_scale/K when present, else
+  * materialized with the identical recipe):
+  *  - seed a fresh stateDir with the auto-built k=3 graph over the
+  *    corpus minus the insert slice (offline build — excluded from the
+  *    measured number, like every serve-side audit);
+  *  - `proportional` mode: one CDC batch deleting the 1-in-24 slice
+  *    and inserting the held-out 1-in-24 slice under fresh ids — batch
+  *    grows 10× with the corpus (the q174/q175 shape);
+  *  - `fixed` mode: the same protocol with a 250+250-row batch at
+  *    every K — batch constant, corpus 10×, which ISOLATES the
+  *    corpus-sized rewrite terms: whatever growth survives here is the
+  *    lake seam's price, not the maintenance verbs'.
+  *
+  * Output: one JSON artifact (SPARK_GRAFT_IM_SCALING_OUT, default
+  * im_scaling_r14.json) with rows {k, mode, sec, corpus_rows,
+  * batch_rows}, canary-bracketed like every bench artifact; merged
+  * into the deep-scaling artifact under `riders` by the round script. */
+object IndexMaintenanceScaling {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val out = sys.env.getOrElse("SPARK_GRAFT_IM_SCALING_OUT", "im_scaling_r14.json")
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_WORK", "/tmp/graft_scale")
+    val scales = sys.env.get("SPARK_GRAFT_SCALES")
+      .map(_.split(",").flatMap(_.trim.toIntOption).toSeq).getOrElse(Seq(1, 10))
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def embeddingsFor(k: Int): DataFrame = {
+      if (k == 1) return graft.rel.Tables.load(spark, base, "embeddings")
+      val path = s"$work/$k/embeddings.parquet"
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        // BenchScalingDeep's recipe verbatim: vec_id shifted per replica
+        val t = graft.rel.Tables.load(spark, base, "embeddings")
+        val span = t.agg(max(col("vec_id"))).first().getLong(0) + 1L
+        (0 until k).map(r => t.withColumn("vec_id",
+            col("vec_id") + lit(r.toLong * span)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(path)
+      }
+      spark.read.parquet(path)
+    }
+
+    def canary(): Double = graft.BenchUtil.canary()
+    def r3(v: Double): String = graft.BenchUtil.r3(v)
+    val canaryStart = canary()
+
+    val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (k <- scales; mode <- Seq("proportional", "fixed")) {
+      val emb = embeddingsFor(k).select(col("vec_id").cast("long"),
+        col("embedding")).localCheckpoint()
+      val n = emb.count()
+      val maxId = emb.agg(max(col("vec_id"))).first().getLong(0)
+      // the CDC slices: delete slice lives in the seeded corpus, insert
+      // slice is held OUT of it and arrives under fresh ids
+      val (delMark, insMark) =
+        if (mode == "proportional")
+          (pmod(col("vec_id"), lit(24L)) === 11L,
+            pmod(col("vec_id"), lit(24L)) === 23L)
+        else (col("vec_id") < 250L,
+          col("vec_id") >= 250L && col("vec_id") < 500L)
+      val seedCorpus = emb.where(!insMark).localCheckpoint()
+      val stateDir = java.nio.file.Files
+        .createTempDirectory(s"graft-im-scale-$k-$mode").toFile.getAbsolutePath
+      // offline seed build: auto-selected (exact at these n) — NOT the
+      // measured quantity, exactly as q172 excludes its amortized build
+      graft.streaming.IndexMaintenance.init(stateDir, seedCorpus,
+        graft.ops.Similarity.knnGraphAuto(seedCorpus, "vec_id", "embedding", 3))
+      val batch = seedCorpus.where(delMark)
+          .select(lit("D").as("op"), col("vec_id"), col("embedding"))
+        .unionByName(emb.where(insMark)
+          .select(lit("I").as("op"),
+            (col("vec_id") + lit(maxId + 1L)).as("vec_id"), col("embedding")))
+        .localCheckpoint()
+      val batchRows = batch.count()
+      val t0 = System.nanoTime()
+      graft.streaming.IndexMaintenance.applyBatch(batch, 0L, stateDir, 3)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(s"""IMSCALE {"k":$k,"mode":"$mode","sec":${r3(sec)},""" +
+        s""""corpus_rows":$n,"batch_rows":$batchRows}""")
+      rows += s"""{"k":$k,"mode":"$mode","sec":${r3(sec)},""" +
+        s""""corpus_rows":$n,"batch_rows":$batchRows}"""
+      // reclaim the versioned state (two corpus copies per K point)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(stateDir))
+    }
+    val canaryEnd = canary()
+    val doc = s"""{"scales":[${scales.mkString(",")}],"cpus":$cpus,""" +
+      s""""base":"$base","canary":{"start":${r3(canaryStart)},"end":${r3(canaryEnd)}},""" +
+      rows.mkString(""""rows":[""", ",", "]}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), doc)
+    println(s"IM_SCALING_ARTIFACT $out")
+    spark.stop()
+  }
+}
