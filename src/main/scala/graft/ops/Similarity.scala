@@ -1372,7 +1372,15 @@ object Similarity {
     * bought back; 128 entries SATURATES (0.92 — extra random landmarks
     * dilute the beam), hence the 64 default. A full landmark-graph
     * descent (sample √n, build a second graph, walk it first) is the
-    * non-degenerate form — unjustified while the scan layer saturates
+    * non-degenerate form — still unjustified a decade up (round 14,
+    * 20k distinct uniform vectors at the starved graphK=3 probe:
+    * entries 8 → 128 moves recall only 0.66 → 0.68 at rounds=1 and
+    * 0.74 → 0.78 at rounds=4, while each round buys ~0.04 at 7 jobs —
+    * entry QUALITY is not the binding constraint, graph connectivity
+    * is, and a landmark graph only improves entries) and degenerate to
+    * measure on the replica blow-up corpus (byte-identical twins make
+    * every budget read recall 1.0); unjustified while the scan layer
+    * saturates
     * at 64 points (BeamBudgetSweep is the harness).
     *
     * Scale shape: at 100 TB the graph is built once offline (the q157

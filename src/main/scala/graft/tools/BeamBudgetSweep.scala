@@ -7,7 +7,14 @@ import graft.ops.Similarity
 /** Dev harness: navigability recall (graphK < k) and steady-state job
   * count of the beam walk across (entries, rounds, beamWidth) budgets —
   * the cost model behind the landmark-entry default (round-13 item 5).
-  * Run: {{{ sbt "runMain graft.tools.BeamBudgetSweep /root/testdata/sf0.001" }}} */
+  * Run: {{{ sbt "runMain graft.tools.BeamBudgetSweep /root/testdata/sf0.001" }}}
+  *
+  * SPARK_GRAFT_SWEEP_N=20000 swaps the corpus for n DETERMINISTIC
+  * synthetic uniform 64-d vectors (the KnnGraphApproxSpec worst case, a
+  * decade+ above the 2k table) — the round-14 landmark probe: the
+  * replica blow-up corpus is DEGENERATE for navigability (every query's
+  * top-k are its own byte-identical twins, recall 1.0 at any budget),
+  * so the decade extension needs distinct points. */
 object BeamBudgetSweep {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -16,7 +23,17 @@ object BeamBudgetSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val emb = graft.rel.Tables.load(spark, dir, "embeddings").localCheckpoint()
+    val emb = (sys.env.get("SPARK_GRAFT_SWEEP_N").flatMap(_.toLongOption) match {
+      case Some(n) =>
+        // hash-mixed uniform doubles in [0,1): distinct, deterministic,
+        // structureless — the hardest corpus for a graph walk
+        spark.range(n).toDF("vec_id")
+          .select(col("vec_id"), expr(
+            "transform(sequence(0, 63), j -> " +
+              "pmod(xxhash64(vec_id * 64 + j), 1000000L) / 1000000.0)")
+            .as("embedding"))
+      case None => graft.rel.Tables.load(spark, dir, "embeddings")
+    }).localCheckpoint()
     val k = 5
     val qids = 0L until 10L
     // exact integer top-k (the BeamAnnSpec oracle)
