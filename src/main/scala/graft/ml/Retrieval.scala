@@ -57,8 +57,12 @@ object Retrieval {
     */
   def tfIdfFor(docs: DataFrame, corpusKey: String,
                numFeatures: Int = 1 << 16): (TfIdfModel, DataFrame) = {
+    // fingerprint ONLY the column the fit consumes (the model is a pure
+    // function of the text bag): unrelated-column rewrites must not
+    // refit, and a caller's wide frame must not pay extra hash I/O
     val fp = graft.ops.ModelStore.fingerprint(
-      docs, docs.columns.toSeq.map(org.apache.spark.sql.functions.col): _*)
+      docs.select(org.apache.spark.sql.functions.col("text")),
+      org.apache.spark.sql.functions.col("text"))
     val key = (corpusKey, numFeatures, fp)
     val model = {
       val cached = tfIdfCache.get(key)

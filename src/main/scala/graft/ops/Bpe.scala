@@ -205,6 +205,11 @@ object Bpe {
   def learnMergesCached(docs: DataFrame, textCol: String, nMerges: Int,
                         corpusKey: String, minCount: Long = 2L,
                         driverVocabBound: Long = 200000L): Seq[Merge] = {
+    // disabled store -> straight to the fit, WITHOUT the fingerprint
+    // scan (there is no merge L1; the key would resolve nothing) — the
+    // servedPostingsFor/servedGraphFor discipline
+    if (!ModelStore.enabled)
+      return learnMerges(docs, textCol, nMerges, minCount, driverVocabBound)
     val (n, h) = ModelStore.fingerprint(docs.select(col(textCol)), col(textCol))
     val key = s"$corpusKey|$textCol|$nMerges|$minCount|vb=$driverVocabBound|n=$n|h=$h"
     ModelStore.loadMerges(key).getOrElse {

@@ -29,10 +29,10 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * atomic rename into place — concurrent fitters race benignly (last
   * rename wins with identical bytes; readers only ever see a complete
   * file). Staleness: keys embed the corpus CONTENT FINGERPRINT
-  * ([[Similarity.corpusFingerprint]]: row count + an order-independent
-  * xxhash64 digest of every (id, payload) row), so both row-count changes
-  * AND same-count in-place rewrites re-key; [[clear]] remains the
-  * explicit full-wipe hook.
+  * ([[fingerprint]]: row count + an order-independent xxhash64 digest
+  * of every (id, payload) row), so both row-count changes AND
+  * same-count in-place rewrites re-key; [[clear]] remains the explicit
+  * full-wipe hook.
   *
   * Location: `SPARK_GRAFT_MODEL_DIR`; set it to the empty string to
   * disable persistence entirely (every fit stays in-process — the prior
@@ -95,8 +95,26 @@ object ModelStore {
     * current user does not own (symlink/pre-creation poisoning guard:
     * an attacker-owned dir under /tmp would let them plant artifacts at
     * predictable key hashes and redirect deletes through symlinks). */
+  private def refuse(raw: String, why: String): Option[File] = {
+    if (!warnedForeign.contains(raw)) synchronized {
+      if (!warnedForeign.contains(raw)) {
+        warnedForeign += raw
+        System.err.println(s"[graft] ModelStore disabled: $raw $why " +
+          "(set SPARK_GRAFT_MODEL_DIR to a plain dir you own)")
+      }
+    }
+    None
+  }
+
   private def securedLocalDir(raw: String): Option[File] = {
     val f = new File(raw)
+    // refuse a SYMLINK outright, before following it anywhere: an
+    // attacker-planted link at the predictable per-user path would
+    // otherwise redirect writes — and clear()'s recursive DELETE — into
+    // whatever victim-owned directory it points at, and the ownership
+    // check below (which follows links) would happily approve it
+    if (Files.isSymbolicLink(f.toPath))
+      return refuse(raw, "is a symlink — refusing a redirectable model store")
     if (!f.isDirectory) {
       try Files.createDirectories(f.toPath,
         java.nio.file.attribute.PosixFilePermissions.asFileAttribute(
@@ -109,18 +127,12 @@ object ModelStore {
       val owner =
         try Some(Files.getOwner(f.toPath).getName)
         catch { case scala.util.control.NonFatal(_) => None }
-      if (owner.forall(_ == me)) Some(f)
-      else {
-        if (!warnedForeign.contains(raw)) synchronized {
-          if (!warnedForeign.contains(raw)) {
-            warnedForeign += raw
-            System.err.println(s"[graft] ModelStore disabled: $raw is owned " +
-              s"by ${owner.get}, not $me — refusing a foreign-owned model " +
-              "store (set SPARK_GRAFT_MODEL_DIR to a dir you own)")
-          }
-        }
-        None
-      }
+      // FAIL CLOSED: a guard that cannot establish ownership must not
+      // admit the dir — unreadable ownership is indistinguishable from
+      // the poisoning case it exists to refuse
+      if (owner.contains(me)) Some(f)
+      else refuse(raw, s"is owned by ${owner.getOrElse("<unreadable>")}, " +
+        s"not $me — refusing a foreign-owned model store")
     }
   }
 
@@ -131,7 +143,7 @@ object ModelStore {
   private def backend: Option[Backend] = {
     val raw = rawLocation
     val cached = resolvedFor
-    if (cached._1 == raw) cached._2
+    if (cached._1 == raw && cached._2.isDefined) cached._2
     else {
       val b: Option[Backend] =
         if (raw.isEmpty) None
@@ -143,7 +155,12 @@ object ModelStore {
             Some(FsBackend(fs.makeQualified(p)))
           } catch { case scala.util.control.NonFatal(_) => None }
         } else securedLocalDir(raw).map(LocalBackend.apply)
-      resolvedFor = (raw, b)
+      // memoize SUCCESS only: a transient failure (namenode briefly
+      // unreachable, dir not yet mountable) must retry on the next
+      // access, not pin a long-lived serving process to "disabled"
+      // forever. Refusals stay cheap to re-derive (one stat) and the
+      // warnedForeign set keeps them one-warning loud.
+      if (b.isDefined) resolvedFor = (raw, b)
       b
     }
   }
@@ -269,8 +286,16 @@ object ModelStore {
       if (t.exists()) deleteRecursively(t)
     case (FsLoc(t), FsLoc(d)) =>
       val fs = t.getFileSystem(hadoopConf)
+      // Hadoop rename of a dir ONTO an existing dir moves the source
+      // INTO it (POSIX-mv semantics) — a losing concurrent publisher
+      // would nest its staging copy inside the live artifact instead of
+      // failing like java.io renameTo does. Check first, and clean up
+      // the nested copy if the race slips between check and rename.
+      if (fs.exists(d)) { fs.delete(t, true); return }
       if (!fs.rename(t, d) && !fs.exists(d))
         throw new java.io.IOException(s"cannot publish $t -> $d")
+      val nested = new HPath(d, t.getName)
+      if (fs.exists(nested)) fs.delete(nested, true)
       if (fs.exists(t)) fs.delete(t, true)
     case _ => throw new IllegalArgumentException("mixed-backend publish")
   }

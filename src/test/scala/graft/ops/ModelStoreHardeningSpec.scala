@@ -55,12 +55,21 @@ class ModelStoreHardeningSpec extends AnyFunSuite {
       ModelStore.publish(tmp, loc)
       assert(loc.exists, "published dir artifact must exist")
       assert(spark.read.parquet(loc.child("part")).count() == 5)
-      // a second publisher racing in loses benignly
+      // a second publisher racing in loses benignly — and must NOT nest
+      // its staging copy inside the live artifact (Hadoop rename onto an
+      // existing dir has POSIX-mv move-INTO semantics; the publish path
+      // guards it)
       val tmp2 = ModelStore.staging(loc)
       spark.range(5).toDF("id").write.mode("overwrite")
         .parquet(tmp2.child("part"))
       ModelStore.publish(tmp2, loc)
       assert(spark.read.parquet(loc.child("part")).count() == 5)
+      val artifactDir = new File(root,
+        loc.spark.stripPrefix("file:").split('/').last)
+      val nested = Option(artifactDir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.contains(".tmp-"))
+      assert(nested.isEmpty,
+        s"losing publisher nested its staging copy: ${nested.mkString(",")}")
       ModelStore.drop(loc)
       assert(!loc.exists)
     }
@@ -103,6 +112,24 @@ class ModelStoreHardeningSpec extends AnyFunSuite {
       ModelStore.saveCenters(uniq("foreign"), Array(Array(1.0)))
       assert(Option(foreign.listFiles()).getOrElse(Array.empty).isEmpty,
         "nothing may be written into a foreign-owned dir")
+    }
+  }
+
+  test("a SYMLINKED store path is refused before being followed: an " +
+    "attacker-planted link cannot redirect writes (or clear()'s delete)") {
+    val target = freshLocalDir() // victim-owned real dir
+    val link = new File(freshLocalDir(), "graft_models_link")
+    try java.nio.file.Files.createSymbolicLink(link.toPath, target.toPath)
+    catch { case scala.util.control.NonFatal(_) =>
+      cancel("filesystem does not support symlinks here")
+    }
+    withStore(link.getAbsolutePath) {
+      assert(!ModelStore.enabled, "symlinked store path must disable the store")
+      ModelStore.saveCenters(uniq("sym"), Array(Array(1.0)))
+      assert(Option(target.listFiles()).getOrElse(Array.empty).isEmpty,
+        "nothing may be written through the symlink")
+      ModelStore.clear()
+      assert(target.isDirectory, "clear() must not reach through the symlink")
     }
   }
 
