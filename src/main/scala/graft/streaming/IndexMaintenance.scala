@@ -32,11 +32,24 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Scale notes: per batch the graph work is the q174/q175 bound (walk
   * placement + batch-sized joins; the corpus never rescans), and the
-  * corpus/graph rewrite is one distributed parquet write. At lake scale
-  * the corpus copy is replaced by the table format's own append/delete
-  * (the state dir here makes the recipe concrete and testable); the
-  * edge table rewrite stays O(n·k) rows — 16 bytes a row, the same
-  * artifact ModelStore already serves.
+  * edge-table rewrite stays O(n·k) rows — 16 bytes a row, the same
+  * artifact ModelStore already serves. The corpus has TWO write modes:
+  *  - `compactEvery = 0` (default): full rewrite per batch — one
+  *    distributed parquet copy, O(n·d) per batch. Simple, and fine
+  *    when batches are rare relative to corpus size.
+  *  - `compactEvery = m > 0`: a DELTA LOG, the same recipe a lake
+  *    table format uses for append/delete. A batch writes only its own
+  *    rows (`cdelta/` — inserts with vectors, deletes as tombstones);
+  *    every m-th commit COMPACTS the chain into a fresh full base
+  *    (`corpus/`). Reads resolve the newest base at-or-below the
+  *    version and fold the delta chain order-aware (last op per id
+  *    wins — a delete-then-reinsert across batches resolves to the
+  *    reinserted vector). Per-batch corpus write cost drops from
+  *    O(n·d) to O(batch·d), amortized O(n·d / m) for the compactions;
+  *    the chain never exceeds m - 1 deltas, bounding read-side fold
+  *    work. GC keeps every version at-or-above the BASE of the oldest
+  *    count-kept version, so a kept version's whole base→delta chain
+  *    stays resolvable.
   *
   * Contract: rows are (op, vec_id, embedding) with op ∈ {"I", "D"};
   * delete ids must exist in the pre-batch corpus, insert ids must be
@@ -48,6 +61,58 @@ object IndexMaintenance {
 
   private def versionDir(stateDir: String, v: Long) = new File(stateDir, s"v$v")
   private def pointer(stateDir: String) = new File(stateDir, "LATEST")
+
+  /** Committed version ids present on disk, ascending. */
+  private def committedVersions(stateDir: String): Seq[Long] =
+    Option(new File(stateDir).listFiles()).getOrElse(Array.empty[File])
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        !f.getName.contains(".tmp"))
+      .flatMap(_.getName.drop(1).toLongOption).toSeq.sorted
+
+  /** A BASE version carries a full corpus snapshot; a DELTA version
+    * carries only its own batch rows. `init` and every full-mode or
+    * compacting commit write bases, so full mode is all-bases and the
+    * reader below is mode-agnostic. */
+  private def isBase(stateDir: String, v: Long): Boolean =
+    new File(versionDir(stateDir, v), "corpus").isDirectory
+
+  /** Resolve the corpus AS OF version `v`: the version's own snapshot
+    * when it is a base, else the newest base at-or-below it with the
+    * delta chain folded on top, order-aware — for each id the LAST
+    * delta op wins, so I@5 then D@7 is dead, D@7 then I@9 is live with
+    * the version-9 vector. The touched-id anti-join is broadcast: the
+    * chain is bounded by compactEvery batches, delta-sized by the same
+    * contract that lets q175 broadcast its delete set — the base-sized
+    * side never shuffles. */
+  private def resolveCorpus(spark: SparkSession, stateDir: String,
+                            v: Long): DataFrame = {
+    val own = new File(versionDir(stateDir, v), "corpus")
+    if (own.isDirectory)
+      return spark.read.parquet(graft.ops.ModelStore.sparkPath(own))
+    val vs = committedVersions(stateDir).filter(_ <= v)
+    val b = vs.filter(isBase(stateDir, _)).maxOption.getOrElse(
+      sys.error(s"version $v of $stateDir has no base snapshot at or " +
+        "below it — the reader lags past the GC window (raise " +
+        "keepVersions on the writer, or pin earlier)"))
+    val base = spark.read.parquet(graft.ops.ModelStore.sparkPath(
+      new File(versionDir(stateDir, b), "corpus")))
+    val deltas = vs.filter(_ > b).map { dv =>
+      spark.read.parquet(graft.ops.ModelStore.sparkPath(
+          new File(versionDir(stateDir, dv), "cdelta")))
+        .withColumn("_ver", lit(dv))
+    }.reduce(_ unionByName _)
+    // op is a pure tie-break: one batch never carries both ops for one
+    // id (applyBatch guards it), but a hand-written delta must still
+    // resolve deterministically — "D" sorts before "I", so a tie reads
+    // as deleted, the conservative side
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("_ver").desc, col("op").asc)
+    val last = deltas.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+    base.join(broadcast(last.select("vec_id")), Seq("vec_id"), "left_anti")
+      .unionByName(last.where(col("op") === "I")
+        .select(col("vec_id"), col("embedding")))
+  }
 
   /** The committed version id, or None before [[init]]. */
   def latestVersion(stateDir: String): Option[Long] = {
@@ -88,7 +153,7 @@ object IndexMaintenance {
       sys.error(s"index state $stateDir points at version $v but " +
         s"$d is gone — the pointer and the GC disagree (corrupt stateDir?)")
     val raw = (
-      spark.read.parquet(graft.ops.ModelStore.sparkPath(new File(d, "corpus"))),
+      resolveCorpus(spark, stateDir, v),
       spark.read.parquet(graft.ops.ModelStore.sparkPath(new File(d, "graph"))))
     if (pin) (raw._1.localCheckpoint(), raw._2.localCheckpoint(), v)
     else (raw._1, raw._2, v)
@@ -109,11 +174,16 @@ object IndexMaintenance {
     * that is what makes reaping FOREIGN staging leftovers safe below. */
   private def commit(stateDir: String, v: Long,
                      corpus: DataFrame, graph: DataFrame,
-                     keepVersions: Int): Unit = {
+                     keepVersions: Int,
+                     corpusDelta: Option[DataFrame] = None): Unit = {
     val dest = versionDir(stateDir, v)
     val tmp = graft.ops.ModelStore.tmpSibling(dest)
-    corpus.write.mode("overwrite")
-      .parquet(graft.ops.ModelStore.sparkPath(new File(tmp, "corpus")))
+    corpusDelta match {
+      case Some(delta) => delta.write.mode("overwrite")
+        .parquet(graft.ops.ModelStore.sparkPath(new File(tmp, "cdelta")))
+      case None => corpus.write.mode("overwrite")
+        .parquet(graft.ops.ModelStore.sparkPath(new File(tmp, "corpus")))
+    }
     graph.write.mode("overwrite")
       .parquet(graft.ops.ModelStore.sparkPath(new File(tmp, "graph")))
     graft.ops.ModelStore.publishParquet(tmp, dest)
@@ -125,11 +195,20 @@ object IndexMaintenance {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val entries = Option(new File(stateDir).listFiles()).getOrElse(Array.empty)
     // GC committed versions: keep v plus the previous keepVersions - 1
-    entries.filter(f => f.isDirectory && f.getName.startsWith("v") &&
-        !f.getName.contains(".tmp"))
+    // by count, EXTENDED down to the base of the oldest count-kept
+    // version — a kept delta version is only readable with its base and
+    // the deltas between, so the cutoff is that base, not the count
+    // boundary. In full mode every version is a base and this is
+    // exactly the old keep-the-newest-keepVersions rule.
+    val committed = entries.filter(f => f.isDirectory &&
+        f.getName.startsWith("v") && !f.getName.contains(".tmp"))
       .flatMap(f => f.getName.drop(1).toLongOption.map(_ -> f))
-      .filter { case (ver, _) => ver < v }.sortBy(-_._1)
-      .drop(math.max(0, keepVersions - 1))
+    val oldestKept = (v +: committed.map(_._1).filter(_ < v).sorted.reverse
+      .take(math.max(0, keepVersions - 1))).min
+    val cutoff = committed.map(_._1)
+      .filter(ver => ver <= oldestKept && isBase(stateDir, ver))
+      .maxOption.getOrElse(oldestKept)
+    committed.filter { case (ver, _) => ver < cutoff }
       .foreach { case (_, f) => graft.ops.ModelStore.dropDir(f) }
     // reap staging orphans from crashed earlier attempts: our own tmp was
     // just renamed away, so any surviving *.tmp-* dir or .LATEST.tmp.*
@@ -165,7 +244,7 @@ object IndexMaintenance {
     * below turn the double-apply half of that mistake into a fail-fast. */
   def applyBatch(batch: DataFrame, batchId: Long, stateDir: String, k: Int,
                  checkpoint: DataFrame => DataFrame = _.localCheckpoint(),
-                 keepVersions: Int = 2): Unit = {
+                 keepVersions: Int = 2, compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
     val latest = latestVersion(stateDir).getOrElse(
       sys.error(s"index state not initialized under $stateDir"))
@@ -212,7 +291,27 @@ object IndexMaintenance {
       else (c1.unionByName(inserts),
         graft.ops.Similarity.knnGraphInsert(g1, c1, "vec_id", "embedding",
           inserts, "vec_id", "embedding", k, checkpoint = checkpoint))
-    commit(stateDir, batchId, c2, g2, keepVersions)
+    // delta-log mode: write only this batch's rows unless the chain has
+    // reached compactEvery commits since the newest base, in which case
+    // fold it into a fresh full snapshot. The decision is a pure
+    // function of on-disk state, so a checkpoint replay that re-reaches
+    // this point (pre-commit crash) makes the same call.
+    val delta =
+      if (compactEvery <= 0) None
+      else {
+        val vs = committedVersions(stateDir)
+        val newestBase = vs.filter(isBase(stateDir, _)).maxOption.getOrElse(
+          sys.error(s"$stateDir holds committed versions but no base " +
+            "snapshot — corrupt stateDir (init always writes one)"))
+        if (vs.count(_ > newestBase) + 1 >= compactEvery) None
+        // tombstones don't carry vectors: resolution reads embedding
+        // only for op = I, so nulling it keeps delta bytes at
+        // O(deletes) instead of O(deletes · d) when upstream CDC
+        // echoes the deleted payload
+        else Some(rows.withColumn("embedding",
+          when(col("op") === "I", col("embedding"))))
+      }
+    commit(stateDir, batchId, c2, g2, keepVersions, delta)
   }
 
   /** Attach the maintenance sink to a streaming (op, vec_id, embedding)
@@ -223,11 +322,13 @@ object IndexMaintenance {
   def graphMaintenanceStream(cdc: DataFrame, stateDir: String, k: Int,
                              checkpointDir: String,
                              trigger: Trigger = Trigger.AvailableNow(),
-                             keepVersions: Int = 2): StreamingQuery =
+                             keepVersions: Int = 2,
+                             compactEvery: Int = 0): StreamingQuery =
     cdc.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((b: DataFrame, id: Long) =>
-        applyBatch(b, id, stateDir, k, keepVersions = keepVersions))
+        applyBatch(b, id, stateDir, k, keepVersions = keepVersions,
+          compactEvery = compactEvery))
       .trigger(trigger)
       .start()
 }

@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   *    every K — batch constant, corpus 10×, which ISOLATES the
   *    corpus-sized rewrite terms: whatever growth survives here is the
   *    lake seam's price, not the maintenance verbs'.
+  *  - `*_delta` variants: the identical protocol through the delta-log
+  *    corpus mode (`compactEvery` high enough that the measured batch
+  *    writes only its own rows) — the in-repo answer to the lake seam.
+  *    The rewrite-vs-delta gap at each (K, mode) cell is the O(n·d)
+  *    corpus copy priced directly; what remains in the delta rows is
+  *    the verbs plus the O(n·k) edge-table write.
   *
   * Output: one JSON artifact (SPARK_GRAFT_IM_SCALING_OUT, default
   * im_scaling_r14.json) with rows {k, mode, sec, corpus_rows,
@@ -66,8 +72,11 @@ object IndexMaintenanceScaling {
     def r3(v: Double): String = graft.BenchUtil.r3(v)
     val canaryStart = canary()
 
+    val modes = sys.env.get("SPARK_GRAFT_IM_MODES")
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Seq("proportional", "fixed", "proportional_delta", "fixed_delta"))
     val rows = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (k <- scales; mode <- Seq("proportional", "fixed")) {
+    for (k <- scales; mode <- modes) {
       val emb = embeddingsFor(k).select(col("vec_id").cast("long"),
         col("embedding")).localCheckpoint()
       val n = emb.count()
@@ -75,11 +84,14 @@ object IndexMaintenanceScaling {
       // the CDC slices: delete slice lives in the seeded corpus, insert
       // slice is held OUT of it and arrives under fresh ids
       val (delMark, insMark) =
-        if (mode == "proportional")
+        if (mode.startsWith("proportional"))
           (pmod(col("vec_id"), lit(24L)) === 11L,
             pmod(col("vec_id"), lit(24L)) === 23L)
         else (col("vec_id") < 250L,
           col("vec_id") >= 250L && col("vec_id") < 500L)
+      // delta-log variants: the measured batch writes only its own rows
+      // (compactEvery far above the single measured commit)
+      val compactEvery = if (mode.endsWith("_delta")) 1000 else 0
       val seedCorpus = emb.where(!insMark).localCheckpoint()
       val stateDir = java.nio.file.Files
         .createTempDirectory(s"graft-im-scale-$k-$mode").toFile.getAbsolutePath
@@ -95,12 +107,26 @@ object IndexMaintenanceScaling {
         .localCheckpoint()
       val batchRows = batch.count()
       val t0 = System.nanoTime()
-      graft.streaming.IndexMaintenance.applyBatch(batch, 0L, stateDir, 3)
+      graft.streaming.IndexMaintenance.applyBatch(batch, 0L, stateDir, 3,
+        compactEvery = compactEvery)
       val sec = (System.nanoTime() - t0) / 1e9
-      println(s"""IMSCALE {"k":$k,"mode":"$mode","sec":${r3(sec)},""" +
-        s""""corpus_rows":$n,"batch_rows":$batchRows}""")
-      rows += s"""{"k":$k,"mode":"$mode","sec":${r3(sec)},""" +
-        s""""corpus_rows":$n,"batch_rows":$batchRows}"""
+      // bytes the commit PERSISTED, split corpus-side vs graph-side — the
+      // contention-immune metric that prices the lake seam directly:
+      // wall time at this scale is dominated by the verbs' walk joins
+      // (corpus-sized compute either way), but the storage churn per
+      // batch is exactly what the delta log exists to remove
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+      val v0 = new java.io.File(stateDir, "v0")
+      val corpusBytes = du(new java.io.File(v0, "corpus")) +
+        du(new java.io.File(v0, "cdelta"))
+      val graphBytes = du(new java.io.File(v0, "graph"))
+      val row = s"""{"k":$k,"mode":"$mode","sec":${r3(sec)},""" +
+        s""""corpus_rows":$n,"batch_rows":$batchRows,""" +
+        s""""corpus_write_bytes":$corpusBytes,"graph_write_bytes":$graphBytes}"""
+      println(s"IMSCALE $row")
+      rows += row
       // reclaim the versioned state (two corpus copies per K point)
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()

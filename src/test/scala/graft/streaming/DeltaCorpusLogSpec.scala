@@ -1,0 +1,176 @@
+package graft.streaming
+
+import java.io.File
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+
+/** Delta-log corpus mode for [[IndexMaintenance]] (`compactEvery > 0`):
+  * a micro-batch writes only its own rows (inserts + tombstones), reads
+  * fold the chain onto the newest base, every m-th commit compacts.
+  * The oracle throughout is FULL-rewrite mode — already pinned
+  * bit-for-bit against the explicit batch fold by
+  * IndexMaintenanceStreamSpec — fed the identical CDC stream: the two
+  * modes must be indistinguishable through `readState`. On top of
+  * parity: the on-disk layout (delta versions carry `cdelta/`, bases
+  * `corpus/`), chain-aware GC (a kept delta's base survives the count
+  * window; compaction advances the cutoff), order-aware resolution
+  * (delete-then-reinsert yields the reinserted vector), replay
+  * idempotence, and the lagging-lazy-reader survival that full mode
+  * documents as a hazard. */
+class DeltaCorpusLogSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val k = 3
+
+  private def vec(i: Int): Seq[Double] =
+    Seq.tabulate(8)(j => ((i * 31 + j * 7) % 97) / 10.0)
+
+  private def corpusDf(ids: Seq[Int]): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+  }
+
+  private lazy val base = corpusDf(0 until 40).localCheckpoint()
+  private lazy val g0 = graft.ops.Similarity
+    .knnGraph(base, "vec_id", "embedding", k).localCheckpoint()
+
+  private val b1 = (100 to 104).map(i => Cdc("I", i.toLong, vec(i)))
+  private val b2 = Seq(Cdc("D", 7L, Seq.empty), Cdc("D", 19L, Seq.empty)) ++
+    (105 to 107).map(i => Cdc("I", i.toLong, vec(i)))
+  private val b3 = Seq(Cdc("D", 101L, Seq.empty), Cdc("I", 108L, vec(108)))
+
+  private def freshState(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-dlog-$tag").toString
+    IndexMaintenance.init(d, base, g0)
+    d
+  }
+
+  private def apply(dir: String, id: Long, b: Seq[Cdc], every: Int): Unit = {
+    import spark.implicits._
+    IndexMaintenance.applyBatch(b.toDF(), id, dir, k, compactEvery = every)
+  }
+
+  private def corpusRows(c: DataFrame): Seq[(Long, Seq[Double])] =
+    c.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+
+  private def edges(g: DataFrame): Seq[(Long, Long, Long, Long)] =
+    g.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+
+  private def versionDirs(dir: String): Seq[String] =
+    Option(new File(dir).listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        !f.getName.contains(".tmp")).map(_.getName).toSeq.sorted
+
+  private def payload(dir: String, v: String): String = {
+    val d = new File(dir, v)
+    val has = Seq("corpus", "cdelta").filter(s => new File(d, s).isDirectory)
+    assert(has.size == 1, s"$v carries ${has.mkString("+")}")
+    has.head
+  }
+
+  test("delta mode equals full mode bit-for-bit through readState, and " +
+    "delta versions carry cdelta/ while their base survives the GC count " +
+    "window") {
+    val full = freshState("full"); val dlog = freshState("delta")
+    Seq(full -> 0, dlog -> 10).foreach { case (d, m) =>
+      apply(d, 0L, b1, m); apply(d, 1L, b2, m)
+    }
+    val (fc, fg) = IndexMaintenance.readState(spark, full)
+    val (dc, dg) = IndexMaintenance.readState(spark, dlog)
+    assert(corpusRows(dc) == corpusRows(fc), "corpus diverged from full mode")
+    assert(edges(dg) == edges(fg), "graph diverged from full mode")
+    // full mode: GC kept {v0, v1}; delta mode: v0/v1 are deltas whose
+    // base is v-1, so the chain cutoff keeps it despite keepVersions=2
+    assert(versionDirs(full) == Seq("v0", "v1"))
+    assert(versionDirs(dlog) == Seq("v-1", "v0", "v1"))
+    assert(payload(dlog, "v-1") == "corpus")
+    assert(payload(dlog, "v0") == "cdelta")
+    assert(payload(dlog, "v1") == "cdelta")
+  }
+
+  test("compactEvery=2 compacts on schedule, resolution equals full mode " +
+    "across the compaction, and GC advances to the new base's chain") {
+    val full = freshState("full2"); val dlog = freshState("delta2")
+    Seq(full -> 0, dlog -> 2).foreach { case (d, m) =>
+      apply(d, 0L, b1, m); apply(d, 1L, b2, m); apply(d, 2L, b3, m)
+    }
+    // v0 delta (chain 1 < 2), v1 compacted base (chain would reach 2),
+    // v2 delta on the new base
+    assert(payload(dlog, "v1") == "corpus")
+    assert(payload(dlog, "v2") == "cdelta")
+    // GC after v2: count-kept {v2, v1}, oldest kept v1 IS a base →
+    // cutoff v1; the pre-compaction chain (v-1, v0) is reclaimed
+    assert(versionDirs(dlog) == Seq("v1", "v2"))
+    val (fc, fg) = IndexMaintenance.readState(spark, full)
+    val (dc, dg) = IndexMaintenance.readState(spark, dlog)
+    assert(corpusRows(dc) == corpusRows(fc))
+    assert(edges(dg) == edges(fg))
+  }
+
+  test("order-aware fold: delete-then-reinsert across delta batches " +
+    "resolves to exactly one live row carrying the reinserted vector") {
+    val dlog = freshState("reins")
+    val newVec = vec(777)
+    apply(dlog, 0L, Seq(Cdc("D", 7L, Seq.empty)), 10)
+    apply(dlog, 1L, Seq(Cdc("I", 7L, newVec)), 10)
+    val (c, g) = IndexMaintenance.readState(spark, dlog)
+    val rows7 = corpusRows(c.where(col("vec_id") === 7L))
+    assert(rows7 == Seq((7L, newVec)),
+      s"id 7 must resolve to the batch-1 vector, got $rows7")
+    assert(c.count() == 40, "reinsert must not change cardinality")
+    // the graph was maintained through the verbs: id 7 has a live list
+    assert(g.where(col("vid") === 7L).count() == k)
+  }
+
+  test("checkpoint replay in delta mode is a no-op: no duplicate delta " +
+    "version, state byte-identical") {
+    val dlog = freshState("replay")
+    apply(dlog, 0L, b1, 10)
+    val before = corpusRows(IndexMaintenance.readState(spark, dlog)._1)
+    apply(dlog, 0L, b1, 10) // crash-after-commit replay
+    assert(IndexMaintenance.latestVersion(dlog).contains(0L))
+    assert(versionDirs(dlog) == Seq("v-1", "v0"))
+    assert(corpusRows(IndexMaintenance.readState(spark, dlog)._1) == before)
+    apply(dlog, 1L, b2, 10) // and the next id still applies on top
+    assert(IndexMaintenance.latestVersion(dlog).contains(1L))
+  }
+
+  test("a lazy reader lagging TWO commits still resolves in delta mode " +
+    "(the chain keeps its base alive) — the documented full-mode hazard") {
+    val dlog = freshState("lag")
+    apply(dlog, 0L, b1, 10)
+    val (lazyCorpus, lazyGraph) = IndexMaintenance.readState(spark, dlog)
+    apply(dlog, 1L, b2, 10); apply(dlog, 2L, b3, 10)
+    // v0's chain is {v-1 base, v0}; both survive because v1/v2 are
+    // deltas on the same base — the collect must not FileNotFound
+    assert(lazyCorpus.count() == 45)
+    assert(lazyGraph.count() > 0)
+  }
+
+  test("streaming end-to-end with compactEvery matches full-mode batch " +
+    "application (file source, AvailableNow incarnations, one checkpoint)") {
+    import spark.implicits._
+    val full = freshState("sfull")
+    apply(full, 0L, b1, 0); apply(full, 1L, b2, 0)
+    val dlog = freshState("sdelta")
+    val src = java.nio.file.Files.createTempDirectory("graft-dlog-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dlog-ckpt").toString
+    val schema = "op STRING, vec_id LONG, embedding ARRAY<DOUBLE>"
+    Seq(b1, b2).foreach { b =>
+      b.toDF().coalesce(1).write.mode("append").json(src)
+      val q = IndexMaintenance.graphMaintenanceStream(
+        spark.readStream.schema(schema).json(src), dlog, k, ckpt,
+        compactEvery = 10)
+      assert(q.awaitTermination(120000), "incarnation did not finish in 120 s")
+      q.stop()
+    }
+    assert(payload(dlog, "v0") == "cdelta")
+    assert(payload(dlog, "v1") == "cdelta")
+    val (fc, fg) = IndexMaintenance.readState(spark, full)
+    val (dc, dg) = IndexMaintenance.readState(spark, dlog)
+    assert(corpusRows(dc) == corpusRows(fc))
+    assert(edges(dg) == edges(fg))
+  }
+}
