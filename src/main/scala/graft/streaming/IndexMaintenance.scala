@@ -80,10 +80,13 @@ object IndexMaintenance {
     * when it is a base, else the newest base at-or-below it with the
     * delta chain folded on top, order-aware — for each id the LAST
     * delta op wins, so I@5 then D@7 is dead, D@7 then I@9 is live with
-    * the version-9 vector. The touched-id anti-join is broadcast: the
-    * chain is bounded by compactEvery batches, delta-sized by the same
-    * contract that lets q175 broadcast its delete set — the base-sized
-    * side never shuffles. */
+    * the version-9 vector. The touched-id anti-join is left UNHINTED
+    * deliberately: the chain is up to compactEvery - 1 whole batches,
+    * so unlike q175's single delete set it has no contractual
+    * driver-sized bound — AQE broadcasts it when the accumulated ids
+    * are small (the common case) and falls back to a shuffled join
+    * when a long chain of large batches would blow the broadcast
+    * limit, which is then the correct plan. */
   private def resolveCorpus(spark: SparkSession, stateDir: String,
                             v: Long): DataFrame = {
     val own = new File(versionDir(stateDir, v), "corpus")
@@ -109,7 +112,7 @@ object IndexMaintenance {
       .partitionBy("vec_id").orderBy(col("_ver").desc, col("op").asc)
     val last = deltas.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
-    base.join(broadcast(last.select("vec_id")), Seq("vec_id"), "left_anti")
+    base.join(last.select("vec_id"), Seq("vec_id"), "left_anti")
       .unionByName(last.where(col("op") === "I")
         .select(col("vec_id"), col("embedding")))
   }
@@ -260,11 +263,22 @@ object IndexMaintenance {
     require(badOps.isEmpty,
       s"batch $batchId carries unsupported ops ${badOps.mkString(",")} — " +
         "the CDC contract is op IN ('I','D')")
-    // delete ids are model-sized by contract (q175's documented bound)
+    // delete ids are model-sized by contract (q175's documented bound);
+    // distinct because a repeated tombstone is harmless to full mode but
+    // must not reach the verbs twice
     val delIds = rows.where(col("op") === "D").select("vec_id")
-      .collect().map(_.getLong(0)).toSeq.sorted
+      .collect().map(_.getLong(0)).toSeq.distinct.sorted
     val inserts = rows.where(col("op") === "I")
       .select(col("vec_id"), col("embedding"))
+    // duplicate insert ids WITHIN a batch would corrupt rather than fail:
+    // full mode unions both rows while the delta fold's last-op window
+    // ties on (_ver, op) and keeps one arbitrarily — a silent
+    // mode-divergence, so it fails fast like every other contract breach
+    val dupIns = inserts.groupBy("vec_id").count().where(col("count") > 1)
+      .select("vec_id").limit(5).collect().map(_.getLong(0))
+    require(dupIns.isEmpty,
+      s"batch $batchId carries duplicate insert ids (CDC compaction " +
+        s"upstream owns the collapse): ${dupIns.mkString(",")}")
     // id-disjointness contract checks, both one bounded pass: deletes
     // must hit live rows, inserts must be new ids (a violated insert is
     // the checkpoint-reset double-apply signature — fail, don't corrupt)

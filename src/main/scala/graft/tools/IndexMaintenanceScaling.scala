@@ -35,7 +35,10 @@ import org.apache.spark.sql.functions._
   *
   * Output: one JSON artifact (SPARK_GRAFT_IM_SCALING_OUT, default
   * im_scaling_r14.json) with rows {k, mode, sec, corpus_rows,
-  * batch_rows}, canary-bracketed like every bench artifact; merged
+  * batch_rows, corpus_write_bytes, graph_write_bytes} — sec is
+  * min-of-reps (SPARK_GRAFT_IM_REPS, default 2; single-shot cells at
+  * the driver-loop floor carry ±50% box jitter), bytes are
+  * deterministic — canary-bracketed like every bench artifact; merged
   * into the deep-scaling artifact under `riders` by the round script. */
 object IndexMaintenanceScaling {
 
@@ -46,6 +49,8 @@ object IndexMaintenanceScaling {
     val work = sys.env.getOrElse("SPARK_GRAFT_SCALE_WORK", "/tmp/graft_scale")
     val scales = sys.env.get("SPARK_GRAFT_SCALES")
       .map(_.split(",").flatMap(_.trim.toIntOption).toSeq).getOrElse(Seq(1, 10))
+    val reps = sys.env.get("SPARK_GRAFT_IM_REPS").flatMap(_.toIntOption)
+      .getOrElse(2)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -72,9 +77,17 @@ object IndexMaintenanceScaling {
     def r3(v: Double): String = graft.BenchUtil.r3(v)
     val canaryStart = canary()
 
+    val knownModes =
+      Seq("proportional", "fixed", "proportional_delta", "fixed_delta")
     val modes = sys.env.get("SPARK_GRAFT_IM_MODES")
       .map(_.split(",").map(_.trim).toSeq)
-      .getOrElse(Seq("proportional", "fixed", "proportional_delta", "fixed_delta"))
+      .getOrElse(knownModes)
+    // fail fast on a typo'd mode: startsWith/endsWith dispatch below
+    // would otherwise silently run the full-rewrite protocol under the
+    // requested label — a corrupt artifact that looks like a measurement
+    require(modes.forall(knownModes.contains),
+      s"unknown modes ${modes.filterNot(knownModes.contains).mkString(",")}" +
+        s" — known: ${knownModes.mkString(",")}")
     val rows = scala.collection.mutable.ArrayBuffer.empty[String]
     for (k <- scales; mode <- modes) {
       val emb = embeddingsFor(k).select(col("vec_id").cast("long"),
@@ -93,12 +106,12 @@ object IndexMaintenanceScaling {
       // (compactEvery far above the single measured commit)
       val compactEvery = if (mode.endsWith("_delta")) 1000 else 0
       val seedCorpus = emb.where(!insMark).localCheckpoint()
-      val stateDir = java.nio.file.Files
-        .createTempDirectory(s"graft-im-scale-$k-$mode").toFile.getAbsolutePath
       // offline seed build: auto-selected (exact at these n) — NOT the
-      // measured quantity, exactly as q172 excludes its amortized build
-      graft.streaming.IndexMaintenance.init(stateDir, seedCorpus,
-        graft.ops.Similarity.knnGraphAuto(seedCorpus, "vec_id", "embedding", 3))
+      // measured quantity, exactly as q172 excludes its amortized build;
+      // built ONCE per cell, re-seeded per rep (batch id 0 is idempotent
+      // against a used stateDir, so each rep needs a fresh one)
+      val seedGraph = graft.ops.Similarity
+        .knnGraphAuto(seedCorpus, "vec_id", "embedding", 3).localCheckpoint()
       val batch = seedCorpus.where(delMark)
           .select(lit("D").as("op"), col("vec_id"), col("embedding"))
         .unionByName(emb.where(insMark)
@@ -106,35 +119,46 @@ object IndexMaintenanceScaling {
             (col("vec_id") + lit(maxId + 1L)).as("vec_id"), col("embedding")))
         .localCheckpoint()
       val batchRows = batch.count()
-      val t0 = System.nanoTime()
-      graft.streaming.IndexMaintenance.applyBatch(batch, 0L, stateDir, 3,
-        compactEvery = compactEvery)
-      val sec = (System.nanoTime() - t0) / 1e9
-      // bytes the commit PERSISTED, split corpus-side vs graph-side — the
-      // contention-immune metric that prices the lake seam directly:
-      // wall time at this scale is dominated by the verbs' walk joins
-      // (corpus-sized compute either way), but the storage churn per
-      // batch is exactly what the delta log exists to remove
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
       def du(f: java.io.File): Long =
         if (f.isFile) f.length()
         else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
-      val v0 = new java.io.File(stateDir, "v0")
-      val corpusBytes = du(new java.io.File(v0, "corpus")) +
-        du(new java.io.File(v0, "cdelta"))
-      val graphBytes = du(new java.io.File(v0, "graph"))
+      // min-of-reps (bench discipline): single-shot cells at the ~15 s
+      // driver-loop floor carry ±50% box jitter — two same-binary runs
+      // read 10.2 s and 27.6 s for ONE cell — so the min is the signal
+      var sec = Double.MaxValue
+      var corpusBytes = 0L; var graphBytes = 0L
+      for (_ <- 1 to reps) {
+        val stateDir = java.nio.file.Files
+          .createTempDirectory(s"graft-im-scale-$k-$mode").toFile.getAbsolutePath
+        graft.streaming.IndexMaintenance.init(stateDir, seedCorpus, seedGraph)
+        val t0 = System.nanoTime()
+        graft.streaming.IndexMaintenance.applyBatch(batch, 0L, stateDir, 3,
+          compactEvery = compactEvery)
+        sec = math.min(sec, (System.nanoTime() - t0) / 1e9)
+        // bytes the commit PERSISTED, split corpus-side vs graph-side —
+        // the contention-immune metric that prices the lake seam
+        // directly: wall time at this scale is dominated by the verbs'
+        // walk joins (corpus-sized compute either way), but the storage
+        // churn per batch is exactly what the delta log exists to
+        // remove; deterministic, so reps agree byte-for-byte
+        val v0 = new java.io.File(stateDir, "v0")
+        corpusBytes = du(new java.io.File(v0, "corpus")) +
+          du(new java.io.File(v0, "cdelta"))
+        graphBytes = du(new java.io.File(v0, "graph"))
+        // reclaim the versioned state (two corpus copies per rep)
+        rm(new java.io.File(stateDir))
+      }
       val row = s"""{"k":$k,"mode":"$mode","sec":${r3(sec)},""" +
         s""""corpus_rows":$n,"batch_rows":$batchRows,""" +
         s""""corpus_write_bytes":$corpusBytes,"graph_write_bytes":$graphBytes}"""
       println(s"IMSCALE $row")
       rows += row
-      // reclaim the versioned state (two corpus copies per K point)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(stateDir))
     }
     val canaryEnd = canary()
-    val doc = s"""{"scales":[${scales.mkString(",")}],"cpus":$cpus,""" +
+    val doc = s"""{"scales":[${scales.mkString(",")}],"reps":$reps,"cpus":$cpus,""" +
       s""""base":"$base","canary":{"start":${r3(canaryStart)},"end":${r3(canaryEnd)}},""" +
       rows.mkString(""""rows":[""", ",", "]}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), doc)

@@ -137,6 +137,29 @@ class DeltaCorpusLogSpec extends AnyFunSuite {
     assert(IndexMaintenance.latestVersion(dlog).contains(1L))
   }
 
+  test("duplicate insert ids within one batch fail fast — full mode would " +
+    "union both rows while the delta fold keeps one arbitrarily, a silent " +
+    "mode divergence") {
+    import spark.implicits._
+    val dlog = freshState("dupins")
+    val bad = Seq(Cdc("I", 300L, vec(300)), Cdc("I", 300L, vec(301)))
+    intercept[IllegalArgumentException] {
+      IndexMaintenance.applyBatch(bad.toDF(), 0L, dlog, k, compactEvery = 10)
+    }
+    intercept[IllegalArgumentException] { // and in full mode too
+      IndexMaintenance.applyBatch(bad.toDF(), 0L, dlog, k)
+    }
+    assert(IndexMaintenance.latestVersion(dlog).contains(-1L),
+      "rejected batches must leave committed state untouched")
+    // a repeated TOMBSTONE is harmless (dedup'd before the verbs): both
+    // modes resolve id 7 dead exactly once
+    val rep = Seq(Cdc("D", 7L, Seq.empty), Cdc("D", 7L, Seq.empty))
+    IndexMaintenance.applyBatch(rep.toDF(), 0L, dlog, k, compactEvery = 10)
+    val c = IndexMaintenance.readState(spark, dlog)._1
+    assert(c.where(col("vec_id") === 7L).count() == 0)
+    assert(c.count() == 39)
+  }
+
   test("a lazy reader lagging TWO commits still resolves in delta mode " +
     "(the chain keeps its base alive) — the documented full-mode hazard") {
     val dlog = freshState("lag")
