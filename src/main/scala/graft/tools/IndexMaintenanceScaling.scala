@@ -32,6 +32,12 @@ import org.apache.spark.sql.functions._
   *    The rewrite-vs-delta gap at each (K, mode) cell is the O(n·d)
   *    corpus copy priced directly; what remains in the delta rows is
   *    the verbs plus the O(n·k) edge-table write.
+  *  - `sequence` / `sequence_delta` (opt-in via SPARK_GRAFT_IM_MODES):
+  *    six consecutive batches through one stateDir, totaled — the
+  *    steady state the single-batch cells can't see, including the
+  *    delta mode's compactions (compactEvery = 3) and its chain-fold
+  *    reads. This probe is what caught the unmaterialized-fold
+  *    regression the applyBatch per-batch checkpoint now prevents.
   *
   * Output: one JSON artifact (SPARK_GRAFT_IM_SCALING_OUT, default
   * im_scaling_r14.json) with rows {k, mode, sec, corpus_rows,
@@ -78,7 +84,8 @@ object IndexMaintenanceScaling {
     val canaryStart = canary()
 
     val knownModes =
-      Seq("proportional", "fixed", "proportional_delta", "fixed_delta")
+      Seq("proportional", "fixed", "proportional_delta", "fixed_delta",
+        "sequence", "sequence_delta")
     val modes = sys.env.get("SPARK_GRAFT_IM_MODES")
       .map(_.split(",").map(_.trim).toSeq)
       .getOrElse(knownModes)
@@ -89,7 +96,74 @@ object IndexMaintenanceScaling {
       s"unknown modes ${modes.filterNot(knownModes.contains).mkString(",")}" +
         s" — known: ${knownModes.mkString(",")}")
     val rows = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (k <- scales; mode <- modes) {
+
+    /** The SEQUENCE probe: SIX consecutive CDC batches (100 deletes +
+      * 100 inserts each, disjoint slices) through one stateDir, totaled
+      * — the steady-state cost the single-batch cells can't see, since
+      * it includes the delta mode's compactions (compactEvery = 3 →
+      * two of the six commits fold the chain into a fresh base) AND its
+      * read-side chain folds (batches 2/5 resolve through 2-delta
+      * chains). Totals are min-of-reps; bytes are the SUM over the six
+      * commits, rep-deterministic. */
+    def runSequence(k: Int, mode: String): String = {
+      val emb = embeddingsFor(k).select(col("vec_id").cast("long"),
+        col("embedding")).localCheckpoint()
+      val n = emb.count()
+      val maxId = emb.agg(max(col("vec_id"))).first().getLong(0)
+      val insPool = col("vec_id") >= 1000L && col("vec_id") < 1600L
+      val seedCorpus = emb.where(!insPool).localCheckpoint()
+      val seedGraph = graft.ops.Similarity
+        .knnGraphAuto(seedCorpus, "vec_id", "embedding", 3).localCheckpoint()
+      val batches = (0 until 6).map { i =>
+        val delSlice = col("vec_id") >= i * 100L && col("vec_id") < (i + 1) * 100L
+        val insSlice = col("vec_id") >= 1000L + i * 100L &&
+          col("vec_id") < 1000L + (i + 1) * 100L
+        seedCorpus.where(delSlice)
+            .select(lit("D").as("op"), col("vec_id"), col("embedding"))
+          .unionByName(emb.where(insSlice)
+            .select(lit("I").as("op"),
+              (col("vec_id") + lit(maxId + 1L)).as("vec_id"), col("embedding")))
+          .localCheckpoint()
+      }
+      val compactEvery = if (mode.endsWith("_delta")) 3 else 0
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(du).sum).getOrElse(0L)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      var sec = Double.MaxValue
+      var corpusBytes = 0L; var graphBytes = 0L
+      for (_ <- 1 to reps) {
+        val stateDir = java.nio.file.Files
+          .createTempDirectory(s"graft-im-seq-$k-$mode").toFile.getAbsolutePath
+        graft.streaming.IndexMaintenance.init(stateDir, seedCorpus, seedGraph)
+        var repSec = 0.0; var repCorpus = 0L; var repGraph = 0L
+        batches.zipWithIndex.foreach { case (b, i) =>
+          val t0 = System.nanoTime()
+          graft.streaming.IndexMaintenance.applyBatch(b, i.toLong, stateDir, 3,
+            compactEvery = compactEvery)
+          repSec += (System.nanoTime() - t0) / 1e9
+          val vd = new java.io.File(stateDir, s"v$i")
+          repCorpus += du(new java.io.File(vd, "corpus")) +
+            du(new java.io.File(vd, "cdelta"))
+          repGraph += du(new java.io.File(vd, "graph"))
+        }
+        sec = math.min(sec, repSec)
+        corpusBytes = repCorpus; graphBytes = repGraph
+        rm(new java.io.File(stateDir))
+      }
+      s"""{"k":$k,"mode":"$mode","sec":${r3(sec)},""" +
+        s""""corpus_rows":$n,"batch_rows":200,"batches":6,""" +
+        s""""corpus_write_bytes":$corpusBytes,"graph_write_bytes":$graphBytes}"""
+    }
+
+    for (k <- scales; mode <- modes if mode.startsWith("sequence")) {
+      val row = runSequence(k, mode)
+      println(s"IMSCALE $row")
+      rows += row
+    }
+    for (k <- scales; mode <- modes if !mode.startsWith("sequence")) {
       val emb = embeddingsFor(k).select(col("vec_id").cast("long"),
         col("embedding")).localCheckpoint()
       val n = emb.count()

@@ -137,6 +137,19 @@ class DeltaCorpusLogSpec extends AnyFunSuite {
     assert(IndexMaintenance.latestVersion(dlog).contains(1L))
   }
 
+  test("the delta-fold read plan broadcasts the small chain instead of " +
+    "shuffling the base (AQE's call — the join is deliberately unhinted)") {
+    val dlog = freshState("plan")
+    apply(dlog, 0L, b1, 10); apply(dlog, 1L, b2, 10)
+    val c = IndexMaintenance.readState(spark, dlog)._1
+    c.collect() // force AQE to finalize the adaptive plan
+    val p = c.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"small-chain fold should broadcast, plan was:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "small-chain fold must not sort-merge (shuffles the base)")
+  }
+
   test("duplicate insert ids within one batch fail fast — full mode would " +
     "union both rows while the delta fold keeps one arbitrarily, a silent " +
     "mode divergence") {
