@@ -245,17 +245,30 @@ object ModelStore {
     /** Path for `spark.read`/`df.write`. */
     def spark: String
     def child(name: String): String = spark + "/" + name
+    /** Last path segment (the artifact/staging dir name). */
+    def name: String
   }
   private final case class LocalLoc(f: File) extends Loc {
     def exists: Boolean = f.isDirectory
     def spark: String = "file:" + f.getAbsolutePath
+    def name: String = f.getName
   }
   private final case class FsLoc(p: HPath) extends Loc {
     def exists: Boolean =
       try p.getFileSystem(hadoopConf).getFileStatus(p).isDirectory
       catch { case scala.util.control.NonFatal(_) => false }
     def spark: String = p.toString
+    def name: String = p.getName
   }
+
+  /** CALLER-OWNED path → [[Loc]], backend selected by scheme: a plain
+    * absolute path stays on java.io (atomic POSIX rename), a
+    * scheme-carrying one (`file:`, `hdfs://`, `s3a://`) routes through
+    * the Hadoop FileSystem API. Unlike [[dirLoc]] this does NOT resolve
+    * through the store's configured location or its ownership guards —
+    * the caller owns the path (the streaming index state dir). */
+  def loc(path: String): Loc =
+    if (hasScheme(path)) FsLoc(new HPath(path)) else LocalLoc(new File(path))
 
   private def artifactName(kind: String, key: String): String =
     s"$kind-${hashOf(key)}"

@@ -26,9 +26,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * batch sees `version <= latest` and returns without touching state
   * (the classic foreachBatch dedup recipe). Publication is atomic: the
   * version directory is staged under a process-unique temp name and
-  * renamed in ([[graft.ops.ModelStore.publishParquet]]), then the
-  * LATEST pointer file is swapped by rename — a reader (the q172-style
+  * renamed in ([[graft.ops.ModelStore.publish]]), then the LATEST
+  * pointer file is swapped by rename — a reader (the q172-style
   * serving path) only ever sees a complete, committed version.
+  *
+  * Storage: `stateDir` may be a plain absolute path (java.io fast path,
+  * atomic POSIX rename) or a scheme-carrying one (`file:`, `hdfs://`,
+  * `s3a://`) routed through the Hadoop FileSystem API end to end —
+  * listing, version publish, GC, and the pointer swap (FileContext
+  * overwrite-rename, atomic on HDFS; on copy-rename schemes like S3A
+  * the swap degrades to the scheme's own contract and a reader that
+  * catches the torn window re-resolves). Same dispatch rule as
+  * [[graft.ops.ModelStore]]'s store location.
   *
   * Scale notes: per batch the graph work is the q174/q175 bound (walk
   * placement + batch-sized joins; the corpus never rescans), and the
@@ -59,22 +68,132 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object IndexMaintenance {
 
-  private def versionDir(stateDir: String, v: Long) = new File(stateDir, s"v$v")
-  private def pointer(stateDir: String) = new File(stateDir, "LATEST")
+  // =====================================================================
+  // State-dir backend: java.io for plain paths, Hadoop FileSystem for
+  // scheme-carrying ones. Everything the protocol touches goes through
+  // this seam — version dirs, the pointer file, listing, GC.
+  // =====================================================================
+
+  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private sealed trait StateDir {
+    /** The state dir itself, as given (error messages). */
+    def rootPath: String
+    /** Child path string, scheme-preserving (for ModelStore.loc). */
+    def path(sub: String): String
+    /** Child path for `spark.read`/`df.write`. */
+    def sparkPath(sub: String): String
+    def isDir(sub: String): Boolean
+    /** Names of direct children (dirs and files), empty when absent. */
+    def childNames: Seq[String]
+    def isFileChild(name: String): Boolean
+    def readSmall(name: String): Option[String]
+    /** Write `content` to a temp child then rename onto `destName` —
+      * atomic on POSIX/HDFS, the scheme's own contract elsewhere. */
+    def writeSmallAtomic(tmpName: String, destName: String,
+                         content: String): Unit
+    def deleteFile(name: String): Unit
+    def mkdirs(): Unit
+  }
+
+  private final case class LocalStateDir(root: File) extends StateDir {
+    def rootPath: String = root.getAbsolutePath
+    def path(sub: String): String = new File(root, sub).getAbsolutePath
+    def sparkPath(sub: String): String = "file:" + path(sub)
+    def isDir(sub: String): Boolean = new File(root, sub).isDirectory
+    def childNames: Seq[String] =
+      Option(root.listFiles()).map(_.map(_.getName).toSeq).getOrElse(Seq.empty)
+    def isFileChild(name: String): Boolean = new File(root, name).isFile
+    def readSmall(name: String): Option[String] = {
+      val f = new File(root, name)
+      if (!f.isFile) None
+      else Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
+    def writeSmallAtomic(tmpName: String, destName: String,
+                         content: String): Unit = {
+      val t = new File(root, tmpName)
+      java.nio.file.Files.write(t.toPath,
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(t.toPath, new File(root, destName).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    def deleteFile(name: String): Unit =
+      java.nio.file.Files.deleteIfExists(new File(root, name).toPath)
+    def mkdirs(): Unit = { root.mkdirs(); () }
+  }
+
+  private final case class FsStateDir(root: org.apache.hadoop.fs.Path)
+      extends StateDir {
+    private def fs = root.getFileSystem(hadoopConf)
+    private def p(sub: String) = new org.apache.hadoop.fs.Path(root, sub)
+    def rootPath: String = root.toString
+    def path(sub: String): String = p(sub).toString
+    def sparkPath(sub: String): String = path(sub)
+    def isDir(sub: String): Boolean =
+      try fs.getFileStatus(p(sub)).isDirectory
+      catch { case scala.util.control.NonFatal(_) => false }
+    def childNames: Seq[String] =
+      try fs.listStatus(root).map(_.getPath.getName).toSeq
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    def isFileChild(name: String): Boolean =
+      try fs.getFileStatus(p(name)).isFile
+      catch { case scala.util.control.NonFatal(_) => false }
+    def readSmall(name: String): Option[String] =
+      try {
+        val len = fs.getFileStatus(p(name)).getLen.toInt
+        val in = fs.open(p(name))
+        try {
+          val buf = new Array[Byte](len)
+          in.readFully(0, buf)
+          Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    def writeSmallAtomic(tmpName: String, destName: String,
+                         content: String): Unit = {
+      val out = fs.create(p(tmpName), true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      // FileSystem.rename refuses an existing destination; FileContext
+      // rename with OVERWRITE is the pointer-swap primitive (atomic on
+      // HDFS and local, the scheme's own contract on object stores)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        root.toUri, hadoopConf)
+      fc.rename(p(tmpName), p(destName),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+    def deleteFile(name: String): Unit =
+      try { fs.delete(p(name), false); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+    def mkdirs(): Unit = { fs.mkdirs(root); () }
+  }
+
+  /** Same scheme-dispatch rule as [[graft.ops.ModelStore.loc]]. */
+  private def stateFs(stateDir: String): StateDir =
+    if (stateDir.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:.*"))
+      FsStateDir(new org.apache.hadoop.fs.Path(stateDir))
+    else LocalStateDir(new File(stateDir))
+
+  // =====================================================================
+  // Versioned-state protocol
+  // =====================================================================
 
   /** Committed version ids present on disk, ascending. */
-  private def committedVersions(stateDir: String): Seq[Long] =
-    Option(new File(stateDir).listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
-        !f.getName.contains(".tmp"))
-      .flatMap(_.getName.drop(1).toLongOption).toSeq.sorted
+  private def committedVersions(sd: StateDir): Seq[Long] =
+    sd.childNames
+      .filter(n => n.startsWith("v") && !n.contains(".tmp"))
+      .flatMap(_.drop(1).toLongOption).sorted
 
   /** A BASE version carries a full corpus snapshot; a DELTA version
     * carries only its own batch rows. `init` and every full-mode or
     * compacting commit write bases, so full mode is all-bases and the
     * reader below is mode-agnostic. */
-  private def isBase(stateDir: String, v: Long): Boolean =
-    new File(versionDir(stateDir, v), "corpus").isDirectory
+  private def isBase(sd: StateDir, v: Long): Boolean =
+    sd.isDir(s"v$v/corpus")
 
   /** Resolve the corpus AS OF version `v`: the version's own snapshot
     * when it is a base, else the newest base at-or-below it with the
@@ -87,21 +206,18 @@ object IndexMaintenance {
     * are small (the common case) and falls back to a shuffled join
     * when a long chain of large batches would blow the broadcast
     * limit, which is then the correct plan. */
-  private def resolveCorpus(spark: SparkSession, stateDir: String,
+  private def resolveCorpus(spark: SparkSession, sd: StateDir,
                             v: Long): DataFrame = {
-    val own = new File(versionDir(stateDir, v), "corpus")
-    if (own.isDirectory)
-      return spark.read.parquet(graft.ops.ModelStore.sparkPath(own))
-    val vs = committedVersions(stateDir).filter(_ <= v)
-    val b = vs.filter(isBase(stateDir, _)).maxOption.getOrElse(
-      sys.error(s"version $v of $stateDir has no base snapshot at or " +
+    if (isBase(sd, v))
+      return spark.read.parquet(sd.sparkPath(s"v$v/corpus"))
+    val vs = committedVersions(sd).filter(_ <= v)
+    val b = vs.filter(isBase(sd, _)).maxOption.getOrElse(
+      sys.error(s"version $v of ${sd.rootPath} has no base snapshot at or " +
         "below it — the reader lags past the GC window (raise " +
         "keepVersions on the writer, or pin earlier)"))
-    val base = spark.read.parquet(graft.ops.ModelStore.sparkPath(
-      new File(versionDir(stateDir, b), "corpus")))
+    val base = spark.read.parquet(sd.sparkPath(s"v$b/corpus"))
     val deltas = vs.filter(_ > b).map { dv =>
-      spark.read.parquet(graft.ops.ModelStore.sparkPath(
-          new File(versionDir(stateDir, dv), "cdelta")))
+      spark.read.parquet(sd.sparkPath(s"v$dv/cdelta"))
         .withColumn("_ver", lit(dv))
     }.reduce(_ unionByName _)
     // op is a pure tie-break: one batch never carries both ops for one
@@ -118,15 +234,8 @@ object IndexMaintenance {
   }
 
   /** The committed version id, or None before [[init]]. */
-  def latestVersion(stateDir: String): Option[Long] = {
-    val p = pointer(stateDir)
-    if (!p.isFile) None
-    else {
-      val s = new String(java.nio.file.Files.readAllBytes(p.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      s.toLongOption
-    }
-  }
+  def latestVersion(stateDir: String): Option[Long] =
+    stateFs(stateDir).readSmall("LATEST").flatMap(_.trim.toLongOption)
 
   /** Read the committed (corpus, graph) pair. The returned frames are
     * LAZY scans of the resolved version directory: a reader that lags
@@ -149,15 +258,15 @@ object IndexMaintenance {
     * task-side FileNotFoundException. */
   def readStateVersioned(spark: SparkSession, stateDir: String,
                          pin: Boolean = false): (DataFrame, DataFrame, Long) = {
+    val sd = stateFs(stateDir)
     val v = latestVersion(stateDir).getOrElse(
       sys.error(s"no committed index state under $stateDir"))
-    val d = versionDir(stateDir, v)
-    if (!d.isDirectory)
+    if (!sd.isDir(s"v$v"))
       sys.error(s"index state $stateDir points at version $v but " +
-        s"$d is gone — the pointer and the GC disagree (corrupt stateDir?)")
+        s"v$v is gone — the pointer and the GC disagree (corrupt stateDir?)")
     val raw = (
-      resolveCorpus(spark, stateDir, v),
-      spark.read.parquet(graft.ops.ModelStore.sparkPath(new File(d, "graph"))))
+      resolveCorpus(spark, sd, v),
+      spark.read.parquet(sd.sparkPath(s"v$v/graph")))
     if (pin) (raw._1.localCheckpoint(), raw._2.localCheckpoint(), v)
     else (raw._1, raw._2, v)
   }
@@ -165,7 +274,7 @@ object IndexMaintenance {
   /** True while version `v`'s directory survives GC — the lag check for
     * long-lived lazy readers. */
   def isVersionLive(stateDir: String, v: Long): Boolean =
-    versionDir(stateDir, v).isDirectory
+    stateFs(stateDir).isDir(s"v$v")
 
   /** Stage (corpus, graph) as version `v` and commit it by pointer swap.
     * Versions older than the previous `keepVersions - 1` committed ones
@@ -175,54 +284,51 @@ object IndexMaintenance {
     * `keepVersions` to its lag bound, there is no lease protocol here.
     * Single-writer by contract (one streaming query owns a stateDir):
     * that is what makes reaping FOREIGN staging leftovers safe below. */
-  private def commit(stateDir: String, v: Long,
+  private def commit(sd: StateDir, v: Long,
                      corpus: DataFrame, graph: DataFrame,
                      keepVersions: Int,
                      corpusDelta: Option[DataFrame] = None): Unit = {
-    val dest = versionDir(stateDir, v)
-    val tmp = graft.ops.ModelStore.tmpSibling(dest)
+    val dest = graft.ops.ModelStore.loc(sd.path(s"v$v"))
+    val tmp = graft.ops.ModelStore.staging(dest)
     corpusDelta match {
-      case Some(delta) => delta.write.mode("overwrite")
-        .parquet(graft.ops.ModelStore.sparkPath(new File(tmp, "cdelta")))
-      case None => corpus.write.mode("overwrite")
-        .parquet(graft.ops.ModelStore.sparkPath(new File(tmp, "corpus")))
+      case Some(delta) =>
+        delta.write.mode("overwrite").parquet(tmp.child("cdelta"))
+      case None =>
+        corpus.write.mode("overwrite").parquet(tmp.child("corpus"))
     }
-    graph.write.mode("overwrite")
-      .parquet(graft.ops.ModelStore.sparkPath(new File(tmp, "graph")))
-    graft.ops.ModelStore.publishParquet(tmp, dest)
-    val ptmp = new File(stateDir, s".LATEST.tmp.${tmp.getName}")
-    java.nio.file.Files.write(ptmp.toPath,
-      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(ptmp.toPath, pointer(stateDir).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    val entries = Option(new File(stateDir).listFiles()).getOrElse(Array.empty)
+    graph.write.mode("overwrite").parquet(tmp.child("graph"))
+    graft.ops.ModelStore.publish(tmp, dest)
+    val ptmp = s".LATEST.tmp.${tmp.name}"
+    sd.writeSmallAtomic(ptmp, "LATEST", v.toString)
+    val names = sd.childNames
     // GC committed versions: keep v plus the previous keepVersions - 1
     // by count, EXTENDED down to the base of the oldest count-kept
     // version — a kept delta version is only readable with its base and
     // the deltas between, so the cutoff is that base, not the count
     // boundary. In full mode every version is a base and this is
     // exactly the old keep-the-newest-keepVersions rule.
-    val committed = entries.filter(f => f.isDirectory &&
-        f.getName.startsWith("v") && !f.getName.contains(".tmp"))
-      .flatMap(f => f.getName.drop(1).toLongOption.map(_ -> f))
+    val committed = names
+      .filter(n => n.startsWith("v") && !n.contains(".tmp"))
+      .flatMap(n => n.drop(1).toLongOption.map(_ -> n))
     val oldestKept = (v +: committed.map(_._1).filter(_ < v).sorted.reverse
       .take(math.max(0, keepVersions - 1))).min
     val cutoff = committed.map(_._1)
-      .filter(ver => ver <= oldestKept && isBase(stateDir, ver))
+      .filter(ver => ver <= oldestKept && isBase(sd, ver))
       .maxOption.getOrElse(oldestKept)
     committed.filter { case (ver, _) => ver < cutoff }
-      .foreach { case (_, f) => graft.ops.ModelStore.dropDir(f) }
+      .foreach { case (_, n) =>
+        graft.ops.ModelStore.drop(graft.ops.ModelStore.loc(sd.path(n)))
+      }
     // reap staging orphans from crashed earlier attempts: our own tmp was
     // just renamed away, so any surviving *.tmp-* dir or .LATEST.tmp.*
     // file belongs to a commit that died mid-write (single-writer
     // contract — nothing else can be staging here concurrently)
-    entries.filter(f => f.isDirectory && f.getName.contains(".tmp-") &&
-        f.getName != tmp.getName)
-      .foreach(graft.ops.ModelStore.dropDir)
-    entries.filter(f => f.isFile && f.getName.startsWith(".LATEST.tmp.") &&
-        f.getName != ptmp.getName)
-      .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+    names.filter(n => n.contains(".tmp-") && !n.startsWith(".LATEST") &&
+        n != tmp.name)
+      .foreach(n =>
+        graft.ops.ModelStore.drop(graft.ops.ModelStore.loc(sd.path(n))))
+    names.filter(n => n.startsWith(".LATEST.tmp.") && n != ptmp)
+      .foreach(sd.deleteFile)
   }
 
   /** Seed the state with a built index (version -1, before any batch).
@@ -234,8 +340,9 @@ object IndexMaintenance {
       s"$stateDir already holds committed index state (version " +
         s"${latestVersion(stateDir).get}); refusing to re-seed — point new " +
         "corpora at a fresh stateDir")
-    new File(stateDir).mkdirs()
-    commit(stateDir, -1L, corpus, graph, keepVersions = 2)
+    val sd = stateFs(stateDir)
+    sd.mkdirs()
+    commit(sd, -1L, corpus, graph, keepVersions = 2)
   }
 
   /** Apply one CDC micro-batch. Idempotent: a batch id at or below the
@@ -249,6 +356,7 @@ object IndexMaintenance {
                  checkpoint: DataFrame => DataFrame = _.localCheckpoint(),
                  keepVersions: Int = 2, compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
+    val sd = stateFs(stateDir)
     val latest = latestVersion(stateDir).getOrElse(
       sys.error(s"index state not initialized under $stateDir"))
     if (batchId <= latest) return
@@ -264,8 +372,7 @@ object IndexMaintenance {
     // there the per-scan increment is one small-side join, not a window
     // over the base.
     val corpus =
-      if (latestVersion(stateDir).exists(v => !isBase(stateDir, v)))
-        checkpoint(corpus0)
+      if (!isBase(sd, latest)) checkpoint(corpus0)
       else corpus0
     val rows = batch.select(col("op"), col("vec_id").cast("long").as("vec_id"),
       col("embedding")).localCheckpoint()
@@ -327,8 +434,8 @@ object IndexMaintenance {
     val delta =
       if (compactEvery <= 0) None
       else {
-        val vs = committedVersions(stateDir)
-        val newestBase = vs.filter(isBase(stateDir, _)).maxOption.getOrElse(
+        val vs = committedVersions(sd)
+        val newestBase = vs.filter(isBase(sd, _)).maxOption.getOrElse(
           sys.error(s"$stateDir holds committed versions but no base " +
             "snapshot — corrupt stateDir (init always writes one)"))
         if (vs.count(_ > newestBase) + 1 >= compactEvery) None
@@ -339,7 +446,7 @@ object IndexMaintenance {
         else Some(rows.withColumn("embedding",
           when(col("op") === "I", col("embedding"))))
       }
-    commit(stateDir, batchId, c2, g2, keepVersions, delta)
+    commit(sd, batchId, c2, g2, keepVersions, delta)
   }
 
   /** Attach the maintenance sink to a streaming (op, vec_id, embedding)
