@@ -80,11 +80,13 @@ object ModelStore {
       "/tmp/graft_models-" + sys.props.getOrElse("user.name", "nouser")))
 
   /** RFC-3986 scheme prefix — selects the Hadoop FileSystem backend.
-    * (Plain absolute paths like `/tmp/x` have no scheme.) */
-  private def hasScheme(s: String): Boolean =
+    * (Plain absolute paths like `/tmp/x` have no scheme.) Shared with
+    * [[graft.streaming.IndexMaintenance]] so the store and the state
+    * protocol can never desynchronize their dispatch rule. */
+  private[graft] def hasScheme(s: String): Boolean =
     s.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:.*")
 
-  private def hadoopConf: org.apache.hadoop.conf.Configuration =
+  private[graft] def hadoopConf: org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
@@ -325,29 +327,6 @@ object ModelStore {
       try { p.getFileSystem(hadoopConf).delete(p, true); () }
       catch { case scala.util.control.NonFatal(_) => () }
   }
-
-  // =====================================================================
-  // java.io helpers over CALLER-OWNED directories (the streaming index
-  // state in [[graft.streaming.IndexMaintenance]] manages its own
-  // versioned stateDir with these; they are not store-resolved).
-  // =====================================================================
-
-  /** Spark path for a caller-owned local dir, pinned to the `file:`
-    * scheme so the Spark reader/writer and the java.io rename agree on
-    * ONE filesystem regardless of `fs.defaultFS`. */
-  def sparkPath(dir: File): String = "file:" + dir.getAbsolutePath
-
-  /** Process-unique sibling temp dir for staging a local dir artifact. */
-  def tmpSibling(dest: File): File =
-    new File(dest.getParentFile, dest.getName + uniqSuffix)
-
-  /** Atomically publish a fully-written local directory artifact at
-    * `tmp` to `dest` (rename; a concurrent winner's output is kept). */
-  def publishParquet(tmp: File, dest: File): Unit =
-    publish(LocalLoc(tmp), LocalLoc(dest))
-
-  /** Best-effort recursive removal of a local dir artifact. */
-  def dropDir(dir: File): Unit = drop(LocalLoc(dir))
 
   // =====================================================================
   // .bin model artifacts (centers / PQ / BPE merges)

@@ -74,10 +74,13 @@ object IndexMaintenance {
   // this seam — version dirs, the pointer file, listing, GC.
   // =====================================================================
 
-  private def hadoopConf: org.apache.hadoop.conf.Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
+  // Error posture, deliberately ASYMMETRIC to ModelStore's: the store
+  // swallows FS errors because its degrade path is a refit (safe); here
+  // the degrade path would be GC'ing live state or re-seeding a live
+  // stateDir (data loss), so only a positive does-not-exist maps to
+  // false/None/empty — every other FS failure PROPAGATES and fails the
+  // batch loudly (foreachBatch retries on the stream's schedule).
+  private def hadoopConf = graft.ops.ModelStore.hadoopConf
 
   private sealed trait StateDir {
     /** The state dir itself, as given (error messages). */
@@ -89,7 +92,6 @@ object IndexMaintenance {
     def isDir(sub: String): Boolean
     /** Names of direct children (dirs and files), empty when absent. */
     def childNames: Seq[String]
-    def isFileChild(name: String): Boolean
     def readSmall(name: String): Option[String]
     /** Write `content` to a temp child then rename onto `destName` —
       * atomic on POSIX/HDFS, the scheme's own contract elsewhere. */
@@ -106,7 +108,6 @@ object IndexMaintenance {
     def isDir(sub: String): Boolean = new File(root, sub).isDirectory
     def childNames: Seq[String] =
       Option(root.listFiles()).map(_.map(_.getName).toSeq).getOrElse(Seq.empty)
-    def isFileChild(name: String): Boolean = new File(root, name).isFile
     def readSmall(name: String): Option[String] = {
       val f = new File(root, name)
       if (!f.isFile) None
@@ -134,25 +135,29 @@ object IndexMaintenance {
     def rootPath: String = root.toString
     def path(sub: String): String = p(sub).toString
     def sparkPath(sub: String): String = path(sub)
+    // only a positive does-not-exist is a negative answer; a throttled
+    // namenode or S3 outage must FAIL the caller, not read as "empty
+    // state" — that misread feeds GC (base loss) and init's re-seed
+    // guard (pointer rollback), both unrecoverable
     def isDir(sub: String): Boolean =
       try fs.getFileStatus(p(sub)).isDirectory
-      catch { case scala.util.control.NonFatal(_) => false }
+      catch { case _: java.io.FileNotFoundException => false }
     def childNames: Seq[String] =
       try fs.listStatus(root).map(_.getPath.getName).toSeq
-      catch { case scala.util.control.NonFatal(_) => Seq.empty }
-    def isFileChild(name: String): Boolean =
-      try fs.getFileStatus(p(name)).isFile
-      catch { case scala.util.control.NonFatal(_) => false }
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
     def readSmall(name: String): Option[String] =
       try {
-        val len = fs.getFileStatus(p(name)).getLen.toInt
+        // read to EOF, no stat: a stat-then-sized-read races the
+        // pointer swap (content length can change between the two)
         val in = fs.open(p(name))
         try {
-          val buf = new Array[Byte](len)
-          in.readFully(0, buf)
-          Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](256)
+          var r = in.read(buf)
+          while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+          Some(out.toString(java.nio.charset.StandardCharsets.UTF_8))
         } finally in.close()
-      } catch { case scala.util.control.NonFatal(_) => None }
+      } catch { case _: java.io.FileNotFoundException => None }
     def writeSmallAtomic(tmpName: String, destName: String,
                          content: String): Unit = {
       val out = fs.create(p(tmpName), true)
@@ -172,9 +177,10 @@ object IndexMaintenance {
     def mkdirs(): Unit = { fs.mkdirs(root); () }
   }
 
-  /** Same scheme-dispatch rule as [[graft.ops.ModelStore.loc]]. */
+  /** Same scheme-dispatch rule as [[graft.ops.ModelStore.loc]] — the
+    * SAME helper, so the two can never desynchronize. */
   private def stateFs(stateDir: String): StateDir =
-    if (stateDir.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:.*"))
+    if (graft.ops.ModelStore.hasScheme(stateDir))
       FsStateDir(new org.apache.hadoop.fs.Path(stateDir))
     else LocalStateDir(new File(stateDir))
 
@@ -182,10 +188,12 @@ object IndexMaintenance {
   // Versioned-state protocol
   // =====================================================================
 
-  /** Committed version ids present on disk, ascending. */
+  /** Committed version ids present on disk, ascending. The is-directory
+    * check keeps a stray FILE named v<digits> (operator note, scp
+    * artifact) from being read as a committed version. */
   private def committedVersions(sd: StateDir): Seq[Long] =
     sd.childNames
-      .filter(n => n.startsWith("v") && !n.contains(".tmp"))
+      .filter(n => n.startsWith("v") && !n.contains(".tmp") && sd.isDir(n))
       .flatMap(_.drop(1).toLongOption).sorted
 
   /** A BASE version carries a full corpus snapshot; a DELTA version
@@ -289,6 +297,14 @@ object IndexMaintenance {
                      keepVersions: Int,
                      corpusDelta: Option[DataFrame] = None): Unit = {
     val dest = graft.ops.ModelStore.loc(sd.path(s"v$v"))
+    // a pre-existing dest here is BY DEFINITION a crashed earlier
+    // publish of this same version (applyBatch only reaches commit when
+    // v > pointer, and the pointer swap is the commit): on copy-rename
+    // schemes the leftover can be a TORN copy, and publish's
+    // keep-the-winner short-circuit would then commit the torn dir
+    // forever — drop it and publish the fresh staging instead
+    // (single-writer contract makes this safe)
+    if (dest.exists) graft.ops.ModelStore.drop(dest)
     val tmp = graft.ops.ModelStore.staging(dest)
     corpusDelta match {
       case Some(delta) =>
@@ -312,12 +328,18 @@ object IndexMaintenance {
       .flatMap(n => n.drop(1).toLongOption.map(_ -> n))
     val oldestKept = (v +: committed.map(_._1).filter(_ < v).sorted.reverse
       .take(math.max(0, keepVersions - 1))).min
-    val cutoff = committed.map(_._1)
+    // FAIL-SAFE: GC only when a base at-or-below the oldest kept version
+    // is POSITIVELY identified. No visible base means either a fresh
+    // state (nothing to drop anyway) or an FS blip that hid it — and a
+    // cutoff guessed without a base could drop the very base the kept
+    // deltas need. Skipping costs disk until the next commit retries.
+    committed.map(_._1)
       .filter(ver => ver <= oldestKept && isBase(sd, ver))
-      .maxOption.getOrElse(oldestKept)
-    committed.filter { case (ver, _) => ver < cutoff }
-      .foreach { case (_, n) =>
-        graft.ops.ModelStore.drop(graft.ops.ModelStore.loc(sd.path(n)))
+      .maxOption.foreach { cutoff =>
+        committed.filter { case (ver, _) => ver < cutoff }
+          .foreach { case (_, n) =>
+            graft.ops.ModelStore.drop(graft.ops.ModelStore.loc(sd.path(n)))
+          }
       }
     // reap staging orphans from crashed earlier attempts: our own tmp was
     // just renamed away, so any surviving *.tmp-* dir or .LATEST.tmp.*

@@ -195,7 +195,7 @@ class DeltaCorpusLogSpec extends AnyFunSuite {
     val fsDir = "file:" + underlying
     IndexMaintenance.init(fsDir, base, g0)
     assert(IndexMaintenance.latestVersion(fsDir).contains(-1L))
-    Seq(plain -> "", fsDir -> "fs").foreach { case (d, _) =>
+    Seq(plain, fsDir).foreach { d =>
       apply(d, 0L, b1, 3); apply(d, 1L, b2, 3); apply(d, 2L, b3, 3)
     }
     // compaction fired at v2 (chain: v-1 base, v0/v1 deltas). GC keeps
@@ -218,6 +218,34 @@ class DeltaCorpusLogSpec extends AnyFunSuite {
     val (fc, fg) = IndexMaintenance.readState(spark, fsDir)
     assert(corpusRows(fc) == corpusRows(pc), "FS corpus diverged from plain")
     assert(edges(fg) == edges(pg), "FS graph diverged from plain")
+  }
+
+  test("a crashed publish leaves a torn version dir that the replay " +
+    "replaces instead of adopting, and a stray FILE named v<digits> is " +
+    "not read as a committed version") {
+    import spark.implicits._
+    val dlog = freshState("torn")
+    apply(dlog, 0L, b1, 10)
+    // simulate a crash mid-publish of v1 on a copy-rename scheme: the
+    // pointer still says 0, but a PARTIAL v1 dir exists (junk content)
+    val torn = new File(dlog, "v1"); torn.mkdirs()
+    java.nio.file.Files.write(new File(torn, "garbage").toPath,
+      "torn".getBytes)
+    // a stray operator FILE that looks like a version must be ignored
+    java.nio.file.Files.write(new File(dlog, "v99").toPath,
+      "note to self".getBytes)
+    assert(IndexMaintenance.latestVersion(dlog).contains(0L))
+    // the replayed batch must commit a COMPLETE v1 over the torn one
+    apply(dlog, 1L, b2, 10)
+    assert(IndexMaintenance.latestVersion(dlog).contains(1L))
+    assert(!new File(torn, "garbage").exists(),
+      "torn leftover adopted instead of replaced")
+    val (c, g) = IndexMaintenance.readState(spark, dlog)
+    val full = freshState("tornref")
+    apply(full, 0L, b1, 0); apply(full, 1L, b2, 0)
+    val (fc, fg) = IndexMaintenance.readState(spark, full)
+    assert(corpusRows(c) == corpusRows(fc))
+    assert(edges(g) == edges(fg))
   }
 
   test("streaming end-to-end with compactEvery matches full-mode batch " +
