@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.io.File
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -36,8 +35,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * listing, version publish, GC, and the pointer swap (FileContext
   * overwrite-rename, atomic on HDFS; on copy-rename schemes like S3A
   * the swap degrades to the scheme's own contract and a reader that
-  * catches the torn window re-resolves). Same dispatch rule as
-  * [[graft.ops.ModelStore]]'s store location.
+  * catches the torn window re-resolves). The whole storage seam is
+  * [[StateProtocol]] — shared with the posting-index twin
+  * ([[PostingsMaintenance]]) so a hardening fix lands once.
+  *
+  * Writers: single-writer per stateDir by contract (one streaming query
+  * owns it). [[acquireWriter]] turns that contract into an ENFORCED
+  * epoch lease — two maintenance streams pointed at one stateDir no
+  * longer interleave pointer swaps or GC each other's live bases; the
+  * superseded writer fails loudly with
+  * [[StateProtocol.FencedException]] at its next commit, committed
+  * state intact. [[graphMaintenanceStream]] acquires one automatically.
   *
   * Scale notes: per batch the graph work is the q174/q175 bound (walk
   * placement + batch-sized joins; the corpus never rescans), and the
@@ -68,133 +76,20 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object IndexMaintenance {
 
-  // =====================================================================
-  // State-dir backend: java.io for plain paths, Hadoop FileSystem for
-  // scheme-carrying ones. Everything the protocol touches goes through
-  // this seam — version dirs, the pointer file, listing, GC.
-  // =====================================================================
+  import StateProtocol.{StateDir, stateFs, committedVersions}
 
-  // Error posture, deliberately ASYMMETRIC to ModelStore's: the store
-  // swallows FS errors because its degrade path is a refit (safe); here
-  // the degrade path would be GC'ing live state or re-seeding a live
-  // stateDir (data loss), so only a positive does-not-exist maps to
-  // false/None/empty — every other FS failure PROPAGATES and fails the
-  // batch loudly (foreachBatch retries on the stream's schedule).
-  private def hadoopConf = graft.ops.ModelStore.hadoopConf
+  /** Re-exported so callers need not name the protocol module. */
+  type WriterLease = StateProtocol.WriterLease
 
-  private sealed trait StateDir {
-    /** The state dir itself, as given (error messages). */
-    def rootPath: String
-    /** Child path string, scheme-preserving (for ModelStore.loc). */
-    def path(sub: String): String
-    /** Child path for `spark.read`/`df.write`. */
-    def sparkPath(sub: String): String
-    def isDir(sub: String): Boolean
-    /** Names of direct children (dirs and files), empty when absent. */
-    def childNames: Seq[String]
-    def readSmall(name: String): Option[String]
-    /** Write `content` to a temp child then rename onto `destName` —
-      * atomic on POSIX/HDFS, the scheme's own contract elsewhere. */
-    def writeSmallAtomic(tmpName: String, destName: String,
-                         content: String): Unit
-    def deleteFile(name: String): Unit
-    def mkdirs(): Unit
-  }
-
-  private final case class LocalStateDir(root: File) extends StateDir {
-    def rootPath: String = root.getAbsolutePath
-    def path(sub: String): String = new File(root, sub).getAbsolutePath
-    def sparkPath(sub: String): String = "file:" + path(sub)
-    def isDir(sub: String): Boolean = new File(root, sub).isDirectory
-    def childNames: Seq[String] =
-      Option(root.listFiles()).map(_.map(_.getName).toSeq).getOrElse(Seq.empty)
-    def readSmall(name: String): Option[String] = {
-      val f = new File(root, name)
-      if (!f.isFile) None
-      else Some(new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8))
-    }
-    def writeSmallAtomic(tmpName: String, destName: String,
-                         content: String): Unit = {
-      val t = new File(root, tmpName)
-      java.nio.file.Files.write(t.toPath,
-        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(t.toPath, new File(root, destName).toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-    def deleteFile(name: String): Unit =
-      java.nio.file.Files.deleteIfExists(new File(root, name).toPath)
-    def mkdirs(): Unit = { root.mkdirs(); () }
-  }
-
-  private final case class FsStateDir(root: org.apache.hadoop.fs.Path)
-      extends StateDir {
-    private def fs = root.getFileSystem(hadoopConf)
-    private def p(sub: String) = new org.apache.hadoop.fs.Path(root, sub)
-    def rootPath: String = root.toString
-    def path(sub: String): String = p(sub).toString
-    def sparkPath(sub: String): String = path(sub)
-    // only a positive does-not-exist is a negative answer; a throttled
-    // namenode or S3 outage must FAIL the caller, not read as "empty
-    // state" — that misread feeds GC (base loss) and init's re-seed
-    // guard (pointer rollback), both unrecoverable
-    def isDir(sub: String): Boolean =
-      try fs.getFileStatus(p(sub)).isDirectory
-      catch { case _: java.io.FileNotFoundException => false }
-    def childNames: Seq[String] =
-      try fs.listStatus(root).map(_.getPath.getName).toSeq
-      catch { case _: java.io.FileNotFoundException => Seq.empty }
-    def readSmall(name: String): Option[String] =
-      try {
-        // read to EOF, no stat: a stat-then-sized-read races the
-        // pointer swap (content length can change between the two)
-        val in = fs.open(p(name))
-        try {
-          val out = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](256)
-          var r = in.read(buf)
-          while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
-          Some(out.toString(java.nio.charset.StandardCharsets.UTF_8))
-        } finally in.close()
-      } catch { case _: java.io.FileNotFoundException => None }
-    def writeSmallAtomic(tmpName: String, destName: String,
-                         content: String): Unit = {
-      val out = fs.create(p(tmpName), true)
-      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      // FileSystem.rename refuses an existing destination; FileContext
-      // rename with OVERWRITE is the pointer-swap primitive (atomic on
-      // HDFS and local, the scheme's own contract on object stores)
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        root.toUri, hadoopConf)
-      fc.rename(p(tmpName), p(destName),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    }
-    def deleteFile(name: String): Unit =
-      try { fs.delete(p(name), false); () }
-      catch { case scala.util.control.NonFatal(_) => () }
-    def mkdirs(): Unit = { fs.mkdirs(root); () }
-  }
-
-  /** Same scheme-dispatch rule as [[graft.ops.ModelStore.loc]] — the
-    * SAME helper, so the two can never desynchronize. */
-  private def stateFs(stateDir: String): StateDir =
-    if (graft.ops.ModelStore.hasScheme(stateDir))
-      FsStateDir(new org.apache.hadoop.fs.Path(stateDir))
-    else LocalStateDir(new File(stateDir))
+  /** Acquire the writer lease for `stateDir` (fencing any previous
+    * holder) — pass it to [[applyBatch]] to enforce the single-writer
+    * contract. See [[StateProtocol.acquireWriter]]. */
+  def acquireWriter(stateDir: String): WriterLease =
+    StateProtocol.acquireWriter(stateDir)
 
   // =====================================================================
-  // Versioned-state protocol
+  // Versioned-state protocol (storage seam: StateProtocol)
   // =====================================================================
-
-  /** Committed version ids present on disk, ascending. The is-directory
-    * check keeps a stray FILE named v<digits> (operator note, scp
-    * artifact) from being read as a committed version. */
-  private def committedVersions(sd: StateDir): Seq[Long] =
-    sd.childNames
-      .filter(n => n.startsWith("v") && !n.contains(".tmp") && sd.isDir(n))
-      .flatMap(_.drop(1).toLongOption).sorted
 
   /** A BASE version carries a full corpus snapshot; a DELTA version
     * carries only its own batch rows. `init` and every full-mode or
@@ -243,7 +138,7 @@ object IndexMaintenance {
 
   /** The committed version id, or None before [[init]]. */
   def latestVersion(stateDir: String): Option[Long] =
-    stateFs(stateDir).readSmall("LATEST").flatMap(_.trim.toLongOption)
+    StateProtocol.latestVersion(stateFs(stateDir))
 
   /** Read the committed (corpus, graph) pair. The returned frames are
     * LAZY scans of the resolved version directory: a reader that lags
@@ -284,74 +179,29 @@ object IndexMaintenance {
   def isVersionLive(stateDir: String, v: Long): Boolean =
     stateFs(stateDir).isDir(s"v$v")
 
-  /** Stage (corpus, graph) as version `v` and commit it by pointer swap.
-    * Versions older than the previous `keepVersions - 1` committed ones
-    * are removed; the default 2 covers a reader whose lazy scan spans
-    * ONE commit — a reader that can lag further (long-lived served
-    * DataFrames under a fast-committing stream) must raise
-    * `keepVersions` to its lag bound, there is no lease protocol here.
-    * Single-writer by contract (one streaming query owns a stateDir):
-    * that is what makes reaping FOREIGN staging leftovers safe below. */
+  /** Stage (corpus, graph) as version `v` and commit it by pointer swap
+    * ([[StateProtocol.commitVersion]] — publish, swap, chain-aware GC,
+    * orphan reaping, lease checks). Versions older than the previous
+    * `keepVersions - 1` committed ones are removed; the default 2
+    * covers a reader whose lazy scan spans ONE commit — a reader that
+    * can lag further (long-lived served DataFrames under a
+    * fast-committing stream) must raise `keepVersions` to its lag
+    * bound, there is no lease protocol for READERS. */
   private def commit(sd: StateDir, v: Long,
                      corpus: DataFrame, graph: DataFrame,
                      keepVersions: Int,
-                     corpusDelta: Option[DataFrame] = None): Unit = {
-    val dest = graft.ops.ModelStore.loc(sd.path(s"v$v"))
-    // a pre-existing dest here is BY DEFINITION a crashed earlier
-    // publish of this same version (applyBatch only reaches commit when
-    // v > pointer, and the pointer swap is the commit): on copy-rename
-    // schemes the leftover can be a TORN copy, and publish's
-    // keep-the-winner short-circuit would then commit the torn dir
-    // forever — drop it and publish the fresh staging instead
-    // (single-writer contract makes this safe)
-    if (dest.exists) graft.ops.ModelStore.drop(dest)
-    val tmp = graft.ops.ModelStore.staging(dest)
-    corpusDelta match {
-      case Some(delta) =>
-        delta.write.mode("overwrite").parquet(tmp.child("cdelta"))
-      case None =>
-        corpus.write.mode("overwrite").parquet(tmp.child("corpus"))
+                     corpusDelta: Option[DataFrame] = None,
+                     lease: Option[WriterLease] = None): Unit =
+    StateProtocol.commitVersion(sd, v, keepVersions, isBase(sd, _), lease) {
+      tmp =>
+        corpusDelta match {
+          case Some(delta) =>
+            delta.write.mode("overwrite").parquet(tmp.child("cdelta"))
+          case None =>
+            corpus.write.mode("overwrite").parquet(tmp.child("corpus"))
+        }
+        graph.write.mode("overwrite").parquet(tmp.child("graph"))
     }
-    graph.write.mode("overwrite").parquet(tmp.child("graph"))
-    graft.ops.ModelStore.publish(tmp, dest)
-    val ptmp = s".LATEST.tmp.${tmp.name}"
-    sd.writeSmallAtomic(ptmp, "LATEST", v.toString)
-    val names = sd.childNames
-    // GC committed versions: keep v plus the previous keepVersions - 1
-    // by count, EXTENDED down to the base of the oldest count-kept
-    // version — a kept delta version is only readable with its base and
-    // the deltas between, so the cutoff is that base, not the count
-    // boundary. In full mode every version is a base and this is
-    // exactly the old keep-the-newest-keepVersions rule.
-    val committed = names
-      .filter(n => n.startsWith("v") && !n.contains(".tmp"))
-      .flatMap(n => n.drop(1).toLongOption.map(_ -> n))
-    val oldestKept = (v +: committed.map(_._1).filter(_ < v).sorted.reverse
-      .take(math.max(0, keepVersions - 1))).min
-    // FAIL-SAFE: GC only when a base at-or-below the oldest kept version
-    // is POSITIVELY identified. No visible base means either a fresh
-    // state (nothing to drop anyway) or an FS blip that hid it — and a
-    // cutoff guessed without a base could drop the very base the kept
-    // deltas need. Skipping costs disk until the next commit retries.
-    committed.map(_._1)
-      .filter(ver => ver <= oldestKept && isBase(sd, ver))
-      .maxOption.foreach { cutoff =>
-        committed.filter { case (ver, _) => ver < cutoff }
-          .foreach { case (_, n) =>
-            graft.ops.ModelStore.drop(graft.ops.ModelStore.loc(sd.path(n)))
-          }
-      }
-    // reap staging orphans from crashed earlier attempts: our own tmp was
-    // just renamed away, so any surviving *.tmp-* dir or .LATEST.tmp.*
-    // file belongs to a commit that died mid-write (single-writer
-    // contract — nothing else can be staging here concurrently)
-    names.filter(n => n.contains(".tmp-") && !n.startsWith(".LATEST") &&
-        n != tmp.name)
-      .foreach(n =>
-        graft.ops.ModelStore.drop(graft.ops.ModelStore.loc(sd.path(n))))
-    names.filter(n => n.startsWith(".LATEST.tmp.") && n != ptmp)
-      .foreach(sd.deleteFile)
-  }
 
   /** Seed the state with a built index (version -1, before any batch).
     * Refuses to re-seed a live stateDir: rolling the pointer back over
@@ -373,12 +223,19 @@ object IndexMaintenance {
     * paired unit: resetting the checkpoint re-numbers source batches
     * from 0, and this guard would then silently drop genuinely new data.
     * Never reset one without the other; the id-disjointness requires
-    * below turn the double-apply half of that mistake into a fail-fast. */
+    * below turn the double-apply half of that mistake into a fail-fast.
+    *
+    * `lease`: pass the [[acquireWriter]] token to enforce the
+    * single-writer contract — a writer superseded by a newer acquire
+    * fails with [[StateProtocol.FencedException]] before it can publish,
+    * swap the pointer, or GC. `None` is the legacy by-contract mode. */
   def applyBatch(batch: DataFrame, batchId: Long, stateDir: String, k: Int,
                  checkpoint: DataFrame => DataFrame = _.localCheckpoint(),
-                 keepVersions: Int = 2, compactEvery: Int = 0): Unit = {
+                 keepVersions: Int = 2, compactEvery: Int = 0,
+                 lease: Option[WriterLease] = None): Unit = {
     val spark = batch.sparkSession
     val sd = stateFs(stateDir)
+    StateProtocol.checkWriter(sd, lease, "batch entry")
     val latest = latestVersion(stateDir).getOrElse(
       sys.error(s"index state not initialized under $stateDir"))
     if (batchId <= latest) return
@@ -456,7 +313,13 @@ object IndexMaintenance {
     val delta =
       if (compactEvery <= 0) None
       else {
-        val vs = committedVersions(sd)
+        // only versions AT OR BELOW the pointer count: a published-but-
+        // not-pointer-committed orphan from a crashed commit is not
+        // state (the replay is about to replace it), and counting it
+        // would let the chain transiently reach compactEvery deltas —
+        // the decision must be a pure function of COMMITTED state so a
+        // checkpoint replay makes the same call
+        val vs = committedVersions(sd).filter(_ <= latest)
         val newestBase = vs.filter(isBase(sd, _)).maxOption.getOrElse(
           sys.error(s"$stateDir holds committed versions but no base " +
             "snapshot — corrupt stateDir (init always writes one)"))
@@ -468,24 +331,29 @@ object IndexMaintenance {
         else Some(rows.withColumn("embedding",
           when(col("op") === "I", col("embedding"))))
       }
-    commit(sd, batchId, c2, g2, keepVersions, delta)
+    commit(sd, batchId, c2, g2, keepVersions, delta, lease)
   }
 
   /** Attach the maintenance sink to a streaming (op, vec_id, embedding)
     * frame. The default `Trigger.AvailableNow` is the drain-and-stop
     * incarnation shape the restart specs use; a continuous deployment
     * passes its own trigger (e.g. `Trigger.ProcessingTime`) here — it
-    * cannot be changed after `start()`. */
+    * cannot be changed after `start()`. Acquires the WRITER lease at
+    * attach time: starting a second maintenance stream on the same
+    * stateDir fences this one (it fails loudly at its next commit
+    * instead of corrupting shared state). */
   def graphMaintenanceStream(cdc: DataFrame, stateDir: String, k: Int,
                              checkpointDir: String,
                              trigger: Trigger = Trigger.AvailableNow(),
                              keepVersions: Int = 2,
-                             compactEvery: Int = 0): StreamingQuery =
+                             compactEvery: Int = 0): StreamingQuery = {
+    val lease = acquireWriter(stateDir)
     cdc.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((b: DataFrame, id: Long) =>
         applyBatch(b, id, stateDir, k, keepVersions = keepVersions,
-          compactEvery = compactEvery))
+          compactEvery = compactEvery, lease = Some(lease)))
       .trigger(trigger)
       .start()
+  }
 }

@@ -248,6 +248,48 @@ class DeltaCorpusLogSpec extends AnyFunSuite {
     assert(edges(g) == edges(fg))
   }
 
+  test("GC's keep window is directory-guarded like the read path: a stray " +
+    "FILE named v<digits> between live versions neither consumes a " +
+    "keepVersions slot nor is itself deleted") {
+    import spark.implicits._
+    val dlog = freshState("gcstray") // full mode: every version is a base
+    IndexMaintenance.applyBatch(b1.toDF(), 0L, dlog, k, keepVersions = 3)
+    IndexMaintenance.applyBatch(b2.toDF(), 1L, dlog, k, keepVersions = 3)
+    val stray = new File(dlog, "v2")
+    java.nio.file.Files.write(stray.toPath, "operator note".getBytes)
+    IndexMaintenance.applyBatch(b3.toDF(), 3L, dlog, k, keepVersions = 3)
+    // count-kept = {v3, v1, v0}: the stray FILE v2 must not take v0's
+    // slot (that would GC a version inside the documented keep window);
+    // cutoff v0 reclaims exactly v-1
+    assert(versionDirs(dlog) == Seq("v0", "v1", "v3"))
+    assert(stray.isFile, "GC deleted the stray operator file")
+    assert(IndexMaintenance.readState(spark, dlog)._1.count() > 0)
+  }
+
+  test("a crashed COMPACTION (published base, pointer not swapped) does " +
+    "not derail the replay's decision: the chain count reads only " +
+    "committed state, so the replay compacts exactly as the first attempt") {
+    val dlog = freshState("orphbase")
+    apply(dlog, 0L, b1, 2) // delta v0, chain length 1 < 2
+    // crashed compaction of v1: a published dir with a corpus/ child,
+    // but the pointer still says 0 — counting it as newestBase would
+    // make the replay write a DELTA and stretch the chain to
+    // compactEvery deltas (the doc promises <= compactEvery - 1)
+    val orphan = new File(new File(dlog, "v1"), "corpus"); orphan.mkdirs()
+    java.nio.file.Files.write(new File(orphan, "part-junk").toPath,
+      "x".getBytes)
+    assert(IndexMaintenance.latestVersion(dlog).contains(0L))
+    apply(dlog, 1L, b2, 2) // the replay
+    assert(payload(dlog, "v1") == "corpus",
+      "replay must compact like the crashed attempt, not write a delta")
+    assert(!new File(orphan, "part-junk").exists(),
+      "torn orphan content adopted instead of replaced")
+    val full = freshState("orphref")
+    apply(full, 0L, b1, 0); apply(full, 1L, b2, 0)
+    assert(corpusRows(IndexMaintenance.readState(spark, dlog)._1) ==
+      corpusRows(IndexMaintenance.readState(spark, full)._1))
+  }
+
   test("streaming end-to-end with compactEvery matches full-mode batch " +
     "application (file source, AvailableNow incarnations, one checkpoint)") {
     import spark.implicits._
