@@ -1599,6 +1599,60 @@ object CurationQueries {
          JOIN idcg i ON g.qid = i.qid
        ORDER BY g.qid"""
 
+  // ---- q180: BM25 served through INCREMENTAL posting maintenance (CDC) -------
+
+  /** The posting index maintained, not rebuilt — the lexical twin of
+    * the graph lifecycle's q174/q175, closing the round-14 gap where
+    * any corpus change forced a whole-index rebuild
+    * ([[graft.streaming.PostingsMaintenance]] on the shared
+    * [[graft.streaming.StateProtocol]] delta-log seam): the corpus is
+    * seeded MINUS a held-out slice PLUS a phantom slice, then three CDC
+    * batches run against the versioned posting state — the held-out
+    * docs arrive (insert), the phantoms retire alongside a small real
+    * slice (delete), and that slice REINSERTS with its original text —
+    * landing the maintained state exactly on the `documents` table.
+    * Serving then folds the full 3-delta chain (insert, tombstone,
+    * winning-version reinsert — the hardest read path) and scores with
+    * q104's exact IEEE expression, so the query carries q104's full
+    * DuckDB hash oracle VERBATIM: maintained state is provably
+    * indistinguishable from a rebuild. Per-batch write cost is
+    * O(batch tokens), not O(corpus); the term-bucket listing prune
+    * survives the fold (PostingsMaintenanceSpec pins it, with
+    * compaction parity, replay idempotence, and writer fencing). */
+  def q180Bm25Cdc(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val held = pmod(col("doc_id"), lit(5L)) === 3L
+    val reins = pmod(col("doc_id"), lit(97L)) === 14L && !held
+    // phantom ids live far above any real doc_id at every SF
+    val phantoms = docs.where(pmod(col("doc_id"), lit(7L)) === 2L)
+      .select((col("doc_id") + 100000000L).as("doc_id"),
+        concat(lit("phantom "), col("text")).as("text"))
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft-q180").toString
+    graft.streaming.PostingsMaintenance.init(stateDir,
+      docs.where(!held).unionByName(phantoms), "doc_id", "text")
+    val lease = graft.streaming.PostingsMaintenance.acquireWriter(stateDir)
+    def batch(df: DataFrame, id: Long): Unit =
+      graft.streaming.PostingsMaintenance.applyBatch(df, id, stateDir,
+        compactEvery = 4, lease = Some(lease))
+    def dels(d: DataFrame): DataFrame =
+      d.select(lit("D").as("op"), col("doc_id"),
+        lit(null).cast("string").as("text"))
+    batch(docs.where(held)
+      .select(lit("I").as("op"), col("doc_id"), col("text")), 0L)
+    batch(dels(phantoms).unionByName(dels(docs.where(reins))), 1L)
+    batch(docs.where(reins)
+      .select(lit("I").as("op"), col("doc_id"), col("text")), 2L)
+    val out = graft.streaming.PostingsMaintenance.bm25Serve(s, stateDir,
+      Seq("spark", "join", "merge"), 20).localCheckpoint()
+    // the 20-row result is pinned above; the CDC state is scratch
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(stateDir))
+    out
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_binaryfile_source" -> (q99BinaryfileSource _),
     "q100_repetition_signals" -> (q100RepetitionSignals _),
@@ -1625,7 +1679,8 @@ object CurationQueries {
     "q121_bpe_merges" -> (q121BpeMerges _),
     "q176_retrieval_metrics" -> (q176RetrievalMetrics _),
     "q178_bm25_served" -> (q178Bm25Served _),
-    "q179_bm25_eval" -> (q179Bm25Eval _))
+    "q179_bm25_eval" -> (q179Bm25Eval _),
+    "q180_bm25_cdc" -> (q180Bm25Cdc _))
 
   val oracles: Map[String, String] = Map(
     "q99_binaryfile_source" -> q99Oracle,
@@ -1655,5 +1710,9 @@ object CurationQueries {
     // the served form recomputes q104's exact expression off the
     // published postings, so the oracle is q104's verbatim
     "q178_bm25_served" -> q104Oracle,
-    "q179_bm25_eval" -> q179Oracle)
+    "q179_bm25_eval" -> q179Oracle,
+    // the maintained posting state lands exactly on `documents` after
+    // the CDC sequence and serves q104's exact expression, so the
+    // oracle is q104's verbatim — same recipe as q178
+    "q180_bm25_cdc" -> q104Oracle)
 }
