@@ -109,17 +109,28 @@ object IndexMaintenance {
     * are small (the common case) and falls back to a shuffled join
     * when a long chain of large batches would blow the broadcast
     * limit, which is then the correct plan. */
+  /** The version's resolution chain `[base, d1, …, v]`: the chain FILE
+    * committed with the version when present (listing-independent — the
+    * lagging-listing guarantee, [[StateProtocol.chainOf]]), else the
+    * listing-discovered chain for pre-chain-file state dirs. */
+  private def chainFor(sd: StateDir, v: Long): Seq[Long] =
+    StateProtocol.chainOf(sd, v).getOrElse {
+      val vs = committedVersions(sd).filter(_ <= v)
+      val b = vs.filter(isBase(sd, _)).maxOption.getOrElse(
+        sys.error(s"version $v of ${sd.rootPath} has no base snapshot at or " +
+          "below it — the reader lags past the GC window (raise " +
+          "keepVersions on the writer, or pin earlier)"))
+      b +: vs.filter(_ > b)
+    }
+
   private def resolveCorpus(spark: SparkSession, sd: StateDir,
                             v: Long): DataFrame = {
     if (isBase(sd, v))
       return spark.read.parquet(sd.sparkPath(s"v$v/corpus"))
-    val vs = committedVersions(sd).filter(_ <= v)
-    val b = vs.filter(isBase(sd, _)).maxOption.getOrElse(
-      sys.error(s"version $v of ${sd.rootPath} has no base snapshot at or " +
-        "below it — the reader lags past the GC window (raise " +
-        "keepVersions on the writer, or pin earlier)"))
+    val chain = chainFor(sd, v)
+    val b = chain.head
     val base = spark.read.parquet(sd.sparkPath(s"v$b/corpus"))
-    val deltas = vs.filter(_ > b).map { dv =>
+    val deltas = chain.tail.map { dv =>
       spark.read.parquet(sd.sparkPath(s"v$dv/cdelta"))
         .withColumn("_ver", lit(dv))
     }.reduce(_ unionByName _)
@@ -191,9 +202,10 @@ object IndexMaintenance {
                      corpus: DataFrame, graph: DataFrame,
                      keepVersions: Int,
                      corpusDelta: Option[DataFrame] = None,
-                     lease: Option[WriterLease] = None): Unit =
-    StateProtocol.commitVersion(sd, v, keepVersions, isBase(sd, _), lease) {
-      tmp =>
+                     lease: Option[WriterLease] = None,
+                     chain: Seq[Long]): Unit =
+    StateProtocol.commitVersion(sd, v, keepVersions, isBase(sd, _), lease,
+      chain) { tmp =>
         corpusDelta match {
           case Some(delta) =>
             delta.write.mode("overwrite").parquet(tmp.child("cdelta"))
@@ -214,7 +226,7 @@ object IndexMaintenance {
         "corpora at a fresh stateDir")
     val sd = stateFs(stateDir)
     sd.mkdirs()
-    commit(sd, -1L, corpus, graph, keepVersions = 2)
+    commit(sd, -1L, corpus, graph, keepVersions = 2, chain = Seq(-1L))
   }
 
   /** Apply one CDC micro-batch. Idempotent: a batch id at or below the
@@ -310,28 +322,24 @@ object IndexMaintenance {
     // fold it into a fresh full snapshot. The decision is a pure
     // function of on-disk state, so a checkpoint replay that re-reaches
     // this point (pre-commit crash) makes the same call.
+    // the compaction decision and the committed chain derive from the
+    // POINTER version's own chain (or its listing-discovered equivalent
+    // on a pre-chain-file stateDir): a pure function of committed
+    // state — a published-but-unswapped orphan from a crashed commit is
+    // invisible to it, and a checkpoint replay makes the same call
+    lazy val prevChain = chainFor(sd, latest)
     val delta =
       if (compactEvery <= 0) None
-      else {
-        // only versions AT OR BELOW the pointer count: a published-but-
-        // not-pointer-committed orphan from a crashed commit is not
-        // state (the replay is about to replace it), and counting it
-        // would let the chain transiently reach compactEvery deltas —
-        // the decision must be a pure function of COMMITTED state so a
-        // checkpoint replay makes the same call
-        val vs = committedVersions(sd).filter(_ <= latest)
-        val newestBase = vs.filter(isBase(sd, _)).maxOption.getOrElse(
-          sys.error(s"$stateDir holds committed versions but no base " +
-            "snapshot — corrupt stateDir (init always writes one)"))
-        if (vs.count(_ > newestBase) + 1 >= compactEvery) None
-        // tombstones don't carry vectors: resolution reads embedding
-        // only for op = I, so nulling it keeps delta bytes at
-        // O(deletes) instead of O(deletes · d) when upstream CDC
-        // echoes the deleted payload
-        else Some(rows.withColumn("embedding",
-          when(col("op") === "I", col("embedding"))))
-      }
-    commit(sd, batchId, c2, g2, keepVersions, delta, lease)
+      else if (prevChain.length >= compactEvery) None
+      // tombstones don't carry vectors: resolution reads embedding
+      // only for op = I, so nulling it keeps delta bytes at
+      // O(deletes) instead of O(deletes · d) when upstream CDC
+      // echoes the deleted payload
+      else Some(rows.withColumn("embedding",
+        when(col("op") === "I", col("embedding"))))
+    val chain =
+      if (delta.isEmpty) Seq(batchId) else prevChain :+ batchId
+    commit(sd, batchId, c2, g2, keepVersions, delta, lease, chain)
   }
 
   /** Attach the maintenance sink to a streaming (op, vec_id, embedding)

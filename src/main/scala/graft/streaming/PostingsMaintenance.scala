@@ -83,24 +83,31 @@ object PostingsMaintenance {
   /** Resolve the (doc_id, dl) side table AS OF version `v` — the exact
     * shape [[IndexMaintenance.resolveCorpus]] gives the vector corpus,
     * with the document length in the vector's place. */
+  /** The version's resolution chain `[base, d1, …, v]`: the committed
+    * chain FILE when present (listing-independent, the lagging-listing
+    * guarantee — [[StateProtocol.chainOf]]), else listing discovery for
+    * pre-chain-file state dirs. */
+  private def chainFor(sd: StateDir, v: Long): Seq[Long] =
+    StateProtocol.chainOf(sd, v).getOrElse {
+      val vs = committedVersions(sd).filter(_ <= v)
+      val b = vs.filter(isBase(sd, _)).maxOption.getOrElse(
+        sys.error(s"version $v of ${sd.rootPath} has no base snapshot at or " +
+          "below it — the reader lags past the GC window (raise " +
+          "keepVersions on the writer, or pin earlier)"))
+      b +: vs.filter(_ > b)
+    }
+
   private def resolveDoclen(spark: SparkSession, sd: StateDir,
                             v: Long): DataFrame = {
     if (isBase(sd, v))
       return spark.read.parquet(sd.sparkPath(s"v$v/doclen"))
-    val vs = committedVersions(sd).filter(_ <= v)
-    val b = newestBaseIn(sd, vs, v)
-    val base = spark.read.parquet(sd.sparkPath(s"v$b/doclen"))
-    val last = lastOpPerDoc(spark, sd, vs.filter(_ > b))
+    val chain = chainFor(sd, v)
+    val base = spark.read.parquet(sd.sparkPath(s"v${chain.head}/doclen"))
+    val last = lastOpPerDoc(spark, sd, chain.tail)
     base.join(last.select("doc_id"), Seq("doc_id"), "left_anti")
       .unionByName(last.where(col("op") === "I")
         .select(col("doc_id"), col("dl")))
   }
-
-  private def newestBaseIn(sd: StateDir, vs: Seq[Long], v: Long): Long =
-    vs.filter(isBase(sd, _)).maxOption.getOrElse(
-      sys.error(s"version $v of ${sd.rootPath} has no base snapshot at or " +
-        "below it — the reader lags past the GC window (raise " +
-        "keepVersions on the writer, or pin earlier)"))
 
   /** The chain's last op per doc: (op, doc_id, dl, _ver) with exactly
     * one row per touched doc. Ties inside one version cannot happen
@@ -129,9 +136,9 @@ object PostingsMaintenance {
                               v: Long): DataFrame = {
     if (isBase(sd, v))
       return spark.read.parquet(sd.sparkPath(s"v$v/postings"))
-    val vs = committedVersions(sd).filter(_ <= v)
-    val b = newestBaseIn(sd, vs, v)
-    val chain = vs.filter(_ > b)
+    val full = chainFor(sd, v)
+    val b = full.head
+    val chain = full.tail
     // the base's tb comes back as the partition-inferred integer type;
     // the deltas carry the written long — normalize so the union never
     // leans on set-operation coercion (the cast is evaluable per
@@ -201,7 +208,8 @@ object PostingsMaintenance {
     val doclen = d.select(col("doc_id"), dlExpr)
     val stats = doclen.agg(count(lit(1)).cast("double").as("n_docs"),
       sum(col("dl")).as("sum_dl"))
-    StateProtocol.commitVersion(sd, -1L, 2, isBase(sd, _), None) { tmp =>
+    StateProtocol.commitVersion(sd, -1L, 2, isBase(sd, _), None,
+      chain = Seq(-1L)) { tmp =>
       writeBase(tmp, postings, doclen, stats)
     }
   }
@@ -272,20 +280,15 @@ object PostingsMaintenance {
     val stats = spark.range(1).select(
       lit(prev.getDouble(0) + insAgg.getDouble(0) - delIds.size).as("n_docs"),
       lit(prev.getDouble(1) + insAgg.getDouble(1) - delSum).as("sum_dl"))
-    // delta vs compaction: a pure function of COMMITTED state (<= the
-    // pointer), so a checkpoint replay makes the same call — the
-    // IndexMaintenance recipe verbatim
-    val asDelta =
-      if (compactEvery <= 0) false
-      else {
-        val vs = committedVersions(sd).filter(_ <= latest)
-        val newestBase = vs.filter(isBase(sd, _)).maxOption.getOrElse(
-          sys.error(s"$stateDir holds committed versions but no base " +
-            "snapshot — corrupt stateDir (init always writes one)"))
-        vs.count(_ > newestBase) + 1 < compactEvery
-      }
+    // delta vs compaction from the pointer version's own chain: a pure
+    // function of COMMITTED state, so a checkpoint replay makes the
+    // same call — the IndexMaintenance recipe verbatim
+    lazy val prevChain = chainFor(sd, latest)
+    val asDelta = compactEvery > 0 && prevChain.length < compactEvery
+    val chain =
+      if (asDelta) prevChain :+ batchId else Seq(batchId)
     StateProtocol.commitVersion(sd, batchId, keepVersions, isBase(sd, _),
-      lease) { tmp =>
+      lease, chain) { tmp =>
       if (asDelta) {
         insPost.write.mode("overwrite").parquet(tmp.child("pdelta"))
         // tombstones don't carry a length: the fold reads dl only for

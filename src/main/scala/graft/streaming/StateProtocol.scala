@@ -167,6 +167,20 @@ private[graft] object StateProtocol {
   def latestVersion(sd: StateDir): Option[Long] =
     sd.readSmall("LATEST").flatMap(_.trim.toLongOption)
 
+  /** The version's resolution chain `[base, d1, …, dn=v]` as recorded
+    * INSIDE the version dir at commit time (so it publishes atomically
+    * with the version). This is what makes READS independent of
+    * directory listings: on a list-after-write-lagging store (S3-class)
+    * a listing can omit a just-committed delta, and a fold that
+    * discovered its chain by listing would silently skip it — a partial
+    * read with no signal. The chain file travels with the data; a
+    * reader that can open the version can resolve it exactly. `None`
+    * only for pre-chain-file state dirs (the documented listing
+    * fallback). */
+  def chainOf(sd: StateDir, v: Long): Option[Seq[Long]] =
+    sd.readSmall(s"v$v/chain")
+      .map(_.trim.split(',').toSeq.map(_.trim.toLong))
+
   // =====================================================================
   // Writer fencing
   // =====================================================================
@@ -243,8 +257,11 @@ private[graft] object StateProtocol {
     * staging leftovers safe. */
   def commitVersion(sd: StateDir, v: Long, keepVersions: Int,
                     isBase: Long => Boolean,
-                    lease: Option[WriterLease])
+                    lease: Option[WriterLease],
+                    chain: Seq[Long])
                    (writeTmp: graft.ops.ModelStore.Loc => Unit): Unit = {
+    require(chain.lastOption.contains(v),
+      s"chain ${chain.mkString(",")} must end at the committed version $v")
     // fence BEFORE the expensive distributed writes: a superseded
     // writer should die at the first commit attempt, not after staging
     // a full version it will never publish
@@ -260,6 +277,10 @@ private[graft] object StateProtocol {
     if (dest.exists) graft.ops.ModelStore.drop(dest)
     val tmp = graft.ops.ModelStore.staging(dest)
     writeTmp(tmp)
+    // the chain file rides INSIDE the staged dir so it publishes
+    // atomically with the version's data — see [[chainOf]]
+    sd.writeSmallAtomic(s"${tmp.name}/chain.tmp", s"${tmp.name}/chain",
+      chain.mkString(","))
     // fence between publish and the pointer swap — the swap is the
     // commit, so this is the last cheap exit before the protocol's one
     // irreversible step
