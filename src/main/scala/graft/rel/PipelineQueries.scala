@@ -1859,6 +1859,58 @@ object PipelineQueries {
        FROM a GROUP BY label, pred
        ORDER BY label, pred"""
 
+  // ---- q181/q182: unigram-LM (SentencePiece-style) tokenizer -----------------
+
+  /** The OTHER standard subword induction beside BPE
+    * ([[graft.ops.Unigram]], the SentencePiece unigram model with hard
+    * EM): seed every ≤ 8-code-point substring of the word-frequency
+    * table, then four Viterbi-EM rounds re-count pieces along each
+    * word's maximum-likelihood segmentation, and the top pieces by
+    * (count desc, piece asc) plus the single-character floor survive.
+    * The Viterbi compare is exact BigInt arithmetic (∏counts / C^k
+    * cross-multiplied), so the whole induction is bit-reproducible at
+    * any partitioning and platform — committed-fixture oracle like
+    * q121, with UnigramSpec pinning losslessness, cross-parallelism
+    * determinism, and local/distributed venue parity. Scale shape:
+    * q121's — one corpus pass, rounds over the bounded word table,
+    * model-sized driver state. */
+  def q181UnigramVocab(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Unigram.vocab(t(s, dir, "documents"), "text",
+      vocabSize = 96, seedSize = 2000, rounds = 4)
+      .orderBy("rank")
+
+  /** Encode the corpus with its own learned unigram vocabulary — the
+    * q125 mirror for the unigram model: per-doc word count, piece
+    * count, fan-out, and the encoded text (lossless: concatenating a
+    * word's pieces restores the word; the segmentation is
+    * [[graft.ops.Unigram.segmentWord]]'s exact-integer Viterbi under
+    * the final piece counts, memoized per distinct word within a row —
+    * the q125 encode discipline, same production refinement note). */
+  def q182UnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = graft.ops.Unigram.learnVocab(docs, "text",
+      vocabSize = 96, seedSize = 2000, rounds = 4)
+    val counts = vocab.map(p => p.piece -> p.count).toMap
+    val total = counts.valuesIterator.map(BigInt(_)).sum
+    val spark = docs.sparkSession
+    val cb = spark.sparkContext.broadcast(counts)
+    val enc = udf((ws: Seq[String]) => {
+      val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+      ws.filter(_.nonEmpty).flatMap(w => memo.getOrElseUpdate(w,
+        graft.ops.Unigram.segmentWord(w, cb.value, total)))
+    })
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("enc", enc(col("ws")))
+      .withColumn("nw", expr("size(filter(ws, w -> w != ''))"))
+      .select(col("doc_id"),
+        col("nw").cast("long").as("n_words"),
+        size(col("enc")).cast("long").as("n_pieces"),
+        graft.Stable.r4(size(col("enc")).cast("double")
+          / col("nw").cast("double")).as("pieces_per_word"),
+        array_join(col("enc"), " ").as("unigram_text"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_dup_spans" -> (q122DupSpans _),
     "q123_bigram_lm" -> (q123BigramLm _),
@@ -1885,7 +1937,9 @@ object PipelineQueries {
     "q173_beam_ann_vectors_served" -> (q173BeamAnnVectorsServed _),
     "q174_knn_graph_insert" -> (q174KnnGraphInsert _),
     "q175_knn_graph_delete" -> (q175KnnGraphDelete _),
-    "q177_knn_graph_merge" -> (q177KnnGraphMerge _))
+    "q177_knn_graph_merge" -> (q177KnnGraphMerge _),
+    "q181_unigram_vocab" -> (q181UnigramVocab _),
+    "q182_unigram_encode" -> (q182UnigramEncode _))
 
   val oracles: Map[String, String] = Map(
     "q122_dup_spans" -> q122Oracle,
@@ -1917,5 +1971,7 @@ object PipelineQueries {
     "q175_knn_graph_delete" ->
       DataQueries.fixtureOracle("q175_knn_graph_delete"),
     "q177_knn_graph_merge" ->
-      DataQueries.fixtureOracle("q177_knn_graph_merge"))
+      DataQueries.fixtureOracle("q177_knn_graph_merge"),
+    "q181_unigram_vocab" -> DataQueries.fixtureOracle("q181_unigram_vocab"),
+    "q182_unigram_encode" -> DataQueries.fixtureOracle("q182_unigram_encode"))
 }

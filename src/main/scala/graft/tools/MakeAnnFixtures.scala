@@ -53,7 +53,11 @@ object MakeAnnFixtures {
     "q175_knn_graph_delete",
     // warm-started NN-descent over deterministic shard graphs: pure
     // function of the union corpus
-    "q177_knn_graph_merge")
+    "q177_knn_graph_merge",
+    // exact-BigInt Viterbi EM: integer counts + total-order ranking
+    "q181_unigram_vocab",
+    // the same vocabulary replayed by the same exact segmenter
+    "q182_unigram_encode")
 
   val SfDir = "/root/testdata/sf0.01"
   val OutDir = "src/test/resources/annfix"
