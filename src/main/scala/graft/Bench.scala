@@ -252,6 +252,16 @@ object Bench {
         }
       }
     }
+    // Serving-path quality block (round-14 verdict item 8): recall@5 of
+    // the beam/IVF-PQ serving paths vs exact ground truth at THIS bench
+    // SF, so quality drift gets the same round-over-round trend line as
+    // wall time. Deterministic both sides — any movement is code, not
+    // jitter. Runs after all timed phases; SPARK_GRAFT_RECALL=0 disables.
+    val recallJson =
+      if (sys.env.get("SPARK_GRAFT_RECALL").forall(_ != "0") &&
+          only.isEmpty)
+        BenchRecall.block(spark, sfDir)
+      else ""
     val orderFlags = results.collect {
       case (name, med) if med > 0 && shufSamples.get(name).exists { s =>
         math.max(s / med, med / s) > 1.5 && math.abs(s - med) > 0.1
@@ -385,7 +395,7 @@ object Bench {
     // total LAST in the object: even a head-truncated capture still ends
     // with ...,"metric":"total","value":N} so the headline is recoverable
     val finalJson =
-      s"""{"queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir","canary":{"start":${r3(canaryStart)},"end":${r3(canaryEnd)}}$normJson$orderJson$coldJson$headWarmJson,"unit":"sec","metric":"total","value":${r3(total)}}"""
+      s"""{"queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir","canary":{"start":${r3(canaryStart)},"end":${r3(canaryEnd)}}$normJson$orderJson$coldJson$headWarmJson$recallJson,"unit":"sec","metric":"total","value":${r3(total)}}"""
     println(finalJson)
     // Belt and suspenders: the artifact also lands in a file, so the
     // round record no longer depends on the driver's stdout tail-capture
