@@ -240,11 +240,24 @@ object IndexMaintenance {
     * `lease`: pass the [[acquireWriter]] token to enforce the
     * single-writer contract — a writer superseded by a newer acquire
     * fails with [[StateProtocol.FencedException]] before it can publish,
-    * swap the pointer, or GC. `None` is the legacy by-contract mode. */
+    * swap the pointer, or GC. `None` is the legacy by-contract mode.
+    *
+    * `materializeFold = false` is the lake-scale escape for deployments
+    * that must not copy the corpus per batch: the resolved chain fold
+    * stays a PLAN and every verb job re-pays it as a small-side
+    * broadcast join over the base scan (the plan DeltaCorpusLogSpec
+    * pins; priced by im_sequence's `sequence_delta_identity` arm). It is
+    * deliberately a SEPARATE knob from `checkpoint`: the verbs' walk
+    * loops still need their per-round materializer — threading
+    * `identity` into those nests each round's plan inside the next
+    * over the unmaterialized fold, which grows the analyzed plan
+    * superlinearly in rounds (measured: driver OOM on a 3-batch
+    * sequence at default heap). */
   def applyBatch(batch: DataFrame, batchId: Long, stateDir: String, k: Int,
                  checkpoint: DataFrame => DataFrame = _.localCheckpoint(),
                  keepVersions: Int = 2, compactEvery: Int = 0,
-                 lease: Option[WriterLease] = None): Unit = {
+                 lease: Option[WriterLease] = None,
+                 materializeFold: Boolean = true): Unit = {
     val spark = batch.sparkSession
     val sd = stateFs(stateDir)
     StateProtocol.checkWriter(sd, lease, "batch entry")
@@ -259,11 +272,12 @@ object IndexMaintenance {
     // on a 6-batch sequence). Materialize it ONCE per batch through the
     // caller's checkpoint mode; a base resolves to a plain parquet scan
     // and is left alone. Lake-scale deployments that must not
-    // materialize the corpus pass `identity` and accept the re-fold —
-    // there the per-scan increment is one small-side join, not a window
-    // over the base.
+    // materialize the corpus set `materializeFold = false` and accept
+    // the re-fold — there the per-scan increment is one small-side join,
+    // not a window over the base (see the parameter doc above for why
+    // that is NOT `checkpoint = identity`).
     val corpus =
-      if (!isBase(sd, latest)) checkpoint(corpus0)
+      if (materializeFold && !isBase(sd, latest)) checkpoint(corpus0)
       else corpus0
     val rows = batch.select(col("op"), col("vec_id").cast("long").as("vec_id"),
       col("embedding")).localCheckpoint()

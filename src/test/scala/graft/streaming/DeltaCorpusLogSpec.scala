@@ -150,6 +150,27 @@ class DeltaCorpusLogSpec extends AnyFunSuite {
       "small-chain fold must not sort-merge (shuffles the base)")
   }
 
+  test("materializeFold = false (the lake-scale no-materialize escape) " +
+    "produces state bit-identical to the default per-batch fold") {
+    import spark.implicits._
+    val dflt = freshState("idflt"); val ident = freshState("ident")
+    for ((b, i) <- Seq(b1, b2, b3).zipWithIndex) {
+      IndexMaintenance.applyBatch(b.toDF(), i.toLong, dflt, k,
+        compactEvery = 10)
+      IndexMaintenance.applyBatch(b.toDF(), i.toLong, ident, k,
+        compactEvery = 10, materializeFold = false)
+    }
+    val (cd, gd) = IndexMaintenance.readState(spark, dflt)
+    val (ci, gi) = IndexMaintenance.readState(spark, ident)
+    assert(corpusRows(cd) == corpusRows(ci),
+      "identity fold mode diverged the corpus from the materialized mode")
+    assert(edges(gd) == edges(gi),
+      "identity fold mode diverged the graph from the materialized mode")
+    // its read-side cost shape is the pinned small-chain broadcast plan
+    // (the 'delta-fold read plan broadcasts' test above); the priced
+    // measurement lives in im_sequence's sequence_delta_identity arm
+  }
+
   test("duplicate insert ids within one batch fail fast — full mode would " +
     "union both rows while the delta fold keeps one arbitrarily, a silent " +
     "mode divergence") {
