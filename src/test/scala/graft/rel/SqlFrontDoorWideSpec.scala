@@ -125,6 +125,9 @@ object SqlFrontDoorWideSpec {
       "q178_bm25_served" -> (id _,
         "q104's oracle verbatim (served postings recompute the identical " +
           "expression); same renames as the q104 hand twin, mechanical here"),
+      "q180_bm25_cdc" -> (id _,
+        "q104's oracle verbatim again (the CDC-maintained posting state " +
+          "must serve the identical scores); same mechanical renames"),
       "q179_bm25_eval" -> ((s: String) => s.replace("1000000.0", "1e6"),
         "q176's 1e6 literal patch + mechanical renames; ln/FILTER/LEAST " +
           "parse identically"),
@@ -508,7 +511,8 @@ object SqlFrontDoorWideSpec {
     "q168_phash_neardup", "q169_beam_ann", "q170_beam_ann_vectors",
     "q171_knn_graph_approx", "q172_beam_ann_served",
     "q173_beam_ann_vectors_served", "q174_knn_graph_insert",
-    "q175_knn_graph_delete", "q177_knn_graph_merge")
+    "q175_knn_graph_delete", "q177_knn_graph_merge",
+    "q181_unigram_vocab", "q182_unigram_encode")
 
   /** Oracles with NO Spark-SQL twin, each blocked by a named engine
     * feature (not by laziness) that the gap-pin tests below assert is
