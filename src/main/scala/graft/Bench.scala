@@ -214,7 +214,7 @@ object Bench {
     // time one cold run (fit + query). Runs LAST so the refit cannot
     // pollute medians or the order check. SPARK_GRAFT_COLD=0 disables.
     val coldFamily = sys.env.getOrElse("SPARK_GRAFT_COLD",
-      "q39,q42,q55,q75,q76,q102,q121,q125")
+      "q39,q42,q55,q75,q76,q102,q121,q125,q180")
     val cold = scala.collection.mutable.Map.empty[String, Double]
     val coldFit = scala.collection.mutable.Map.empty[String, Double]
     if (coldFamily != "0") {

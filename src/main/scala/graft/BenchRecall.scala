@@ -94,6 +94,46 @@ object BenchRecall {
       // brute cosine ground truth for the quantized-index family
       val exactCos = pairs(graft.ops.Similarity.cosineTopK(
         emb, "vec_id", "embedding", QueryIds, K), "cand")
+      // maintained-state serving (round-15 verdict item 8): seed the
+      // index WITHOUT a held slice, CDC it back in (insert) and retire
+      // another (delete), then walk the post-CDC graph — the quality of
+      // the maintenance FOLD gets the same trend line as the one-shot
+      // builds. Deterministic end to end (exact build arm at bench n,
+      // exact verbs, total-order walk), scored against the exact top-5
+      // over the post-CDC corpus.
+      val imRecall: Double = {
+        val stateDir = java.nio.file.Files
+          .createTempDirectory("graft-bench-im").toString
+        try {
+          val all = emb.select(col("vec_id").cast("long").as("vec_id"),
+            col("embedding")).localCheckpoint()
+          val held = pmod(col("vec_id"), lit(10L)) === 4L && col("vec_id") >= 10L
+          val dels = pmod(col("vec_id"), lit(10L)) === 6L && col("vec_id") >= 10L
+          val base = all.where(!held).localCheckpoint()
+          val g0 = graft.ops.Similarity.knnGraphAuto(
+            base, "vec_id", "embedding", 8)
+          graft.streaming.IndexMaintenance.init(stateDir, base, g0)
+          graft.streaming.IndexMaintenance.applyBatch(
+            all.where(held).select(lit("I").as("op"), col("vec_id"),
+              col("embedding")), 0L, stateDir, 8)
+          graft.streaming.IndexMaintenance.applyBatch(
+            all.where(dels).select(lit("D").as("op"), col("vec_id"),
+              lit(null).cast("array<double>").as("embedding")),
+            1L, stateDir, 8)
+          val (corpus, graph) = graft.streaming.IndexMaintenance
+            .readState(spark, stateDir, pin = true)
+          val exactPost = exactIntTopK(all.where(!dels), inQueries,
+            excludeSelf = true)
+          val got = pairs(graft.ops.Similarity.beamSearchAnnOnGraph(
+            graph, corpus, "vec_id", "embedding", QueryIds, K), "nbr")
+          meanRecall(got, exactPost)
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(stateDir))
+        }
+      }
       def r3(v: Double): String = BenchUtil.r3(v)
       val entries = Seq(
         "q169" -> meanRecall(pairs(
@@ -105,7 +145,8 @@ object BenchRecall {
           graft.rel.PipelineQueries.q173BeamAnnVectorsServed(spark, sfDir),
           "nbr"), exactExt),
         "q76" -> meanRecall(pairs(
-          graft.rel.DataQueries.q76AnnIvfPq(spark, sfDir), "cand"), exactCos))
+          graft.rel.DataQueries.q76AnnIvfPq(spark, sfDir), "cand"), exactCos),
+        "im" -> imRecall)
       entries.map { case (n, v) => "\"" + n + "\":" + r3(v) }
         .mkString(""","recall":{""", ",", s""","k":$K}""")
     } catch {

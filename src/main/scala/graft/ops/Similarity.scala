@@ -1320,6 +1320,53 @@ object Similarity {
     finally vecs.unpersist()
   }
 
+  /** A beam-walk serving budget: HNSW's (ef, rounds, entry-scan) triple. */
+  final case class BeamBudget(beamWidth: Int, rounds: Int, entries: Int)
+
+  /** Corpus size at and below which the MEASURED fixture budgets
+    * (beam 32, rounds 3, entries 64 — the BeamBudgetSweep optimum)
+    * suffice. Above it recall decays with the walk's hop radius: the
+    * r15 lifecycle audit read 0.84 at n = 1.7×10⁶ on these defaults
+    * where (96, 4, 256) read 1.0 (`descent_lifecycle_r15.json`). */
+  val BeamBudgetRefN: Long = 100000L
+
+  /** The MEASURED serve-budget-vs-n rule (the [[knnGraphAuto]] pattern,
+    * round-15 verdict item 1): walk budgets must GROW with corpus size —
+    * a greedy walk's hop count to a fixed neighborhood scales with
+    * log n, and the beam must widen with it to keep alternate paths
+    * alive. Per decade above [[BeamBudgetRefN]] the rule doubles the
+    * beam (ef), adds one round, and doubles the entry scan — at
+    * n = 1.7×10⁶ that yields (128, 5, 256), strictly dominating the
+    * measured-sufficient (96, 4, 256) point; at gate SFs (n ≤ 2×10³)
+    * it is the identity, so declared-query bytes are unchanged. Caps at
+    * five decades (beam 1024, rounds 8, entries 2048 — the
+    * billion-vector regime, where per-query work is still only
+    * O(beam·graphK·rounds·d)). BeamBudgetRuleProbe is the two-scale
+    * recall evidence. */
+  def beamBudgetFor(n: Long): BeamBudget = {
+    val steps =
+      if (n <= BeamBudgetRefN) 0
+      else math.min(5,
+        math.ceil(math.log10(n.toDouble / BeamBudgetRefN)).toInt)
+    BeamBudget(32 << steps, 3 + steps, 64 << steps)
+  }
+
+  /** Resolve a caller's (beamWidth, rounds, entries) against the rule:
+    * -1 (the serving entry points' default) means "from [[beamBudgetFor]]
+    * at this corpus's size"; an explicit value always wins. `n` is only
+    * forced when some knob is auto — an explicit budget costs no count
+    * job. */
+  private def resolveBudget(bw: Int, rd: Int, en: Int,
+                            n: => Long): BeamBudget = {
+    if (bw > 0 && rd > 0 && en > 0) BeamBudget(bw, rd, en)
+    else {
+      val auto = beamBudgetFor(n)
+      BeamBudget(if (bw > 0) bw else auto.beamWidth,
+        if (rd > 0) rd else auto.rounds,
+        if (en > 0) en else auto.entries)
+    }
+  }
+
   /** Graph-traversal ANN: greedy BEAM SEARCH over the exact kNN graph
     * (declared q169) — the HNSW-family serving pattern, single-layer:
     * [[knnGraph]] is exactly the structure NSW/HNSW construction starts
@@ -1390,8 +1437,8 @@ object Similarity {
     * (q55/q76) stay the scan-side arms. */
   def beamSearchAnn(emb: DataFrame, idCol: String, vecCol: String,
                     queryIds: Seq[Long], k: Int, graphK: Int = 8,
-                    beamWidth: Int = 32, rounds: Int = 3,
-                    entries: Int = 64,
+                    beamWidth: Int = -1, rounds: Int = -1,
+                    entries: Int = -1,
                     // per-round materializer: localCheckpoint keeps the
                     // driver loop's lineage flat; a reliable .checkpoint()
                     // suits long walks on a real cluster; tests pass
@@ -1427,8 +1474,8 @@ object Similarity {
     * is shared with the in-corpus form. */
   def beamSearchAnnVectors(emb: DataFrame, idCol: String, vecCol: String,
                            queries: DataFrame, qidCol: String, qvecCol: String,
-                           k: Int, graphK: Int = 8, beamWidth: Int = 32,
-                           rounds: Int = 3, entries: Int = 64,
+                           k: Int, graphK: Int = 8, beamWidth: Int = -1,
+                           rounds: Int = -1, entries: Int = -1,
                            checkpoint: DataFrame => DataFrame = _.localCheckpoint()
                           ): DataFrame = {
     val vecs = emb.select(col(idCol).cast("long").as("node"),
@@ -1454,8 +1501,8 @@ object Similarity {
   def beamSearchAnnOnGraph(graph: DataFrame,
                            emb: DataFrame, idCol: String, vecCol: String,
                            queryIds: Seq[Long], k: Int,
-                           beamWidth: Int = 32, rounds: Int = 3,
-                           entries: Int = 64,
+                           beamWidth: Int = -1, rounds: Int = -1,
+                           entries: Int = -1,
                            checkpoint: DataFrame => DataFrame = _.localCheckpoint()
                           ): DataFrame = {
     val vecs = emb.select(col(idCol).cast("long").as("node"),
@@ -1477,8 +1524,8 @@ object Similarity {
   def beamSearchAnnVectorsOnGraph(graph: DataFrame,
                                   emb: DataFrame, idCol: String, vecCol: String,
                                   queries: DataFrame, qidCol: String, qvecCol: String,
-                                  k: Int, beamWidth: Int = 32, rounds: Int = 3,
-                                  entries: Int = 64,
+                                  k: Int, beamWidth: Int = -1, rounds: Int = -1,
+                                  entries: Int = -1,
                                   checkpoint: DataFrame => DataFrame = _.localCheckpoint()
                                  ): DataFrame = {
     val vecs = emb.select(col(idCol).cast("long").as("node"),
@@ -1689,7 +1736,26 @@ object Similarity {
                     ): DataFrame = {
     val spark = graph.sparkSession
     import spark.implicits._
-    val del = deleteIds.toDS.toDF("did")
+    knnGraphDelete(graph, baseEmb, idCol, vecCol,
+      deleteIds.toDS.toDF("did"), "did", k, repairRounds, repairBeam,
+      repairEntries, checkpoint)
+  }
+
+  /** DataFrame-side delete batch (round-15 verdict item 5): the ids
+    * never materialize on the driver — a declared query or a CDC sink
+    * hands the batch over as a frame and the broadcasts below carry it
+    * to the executors directly. The batch-sized CONTRACT is unchanged
+    * (it must broadcast); what this overload removes is the API inviting
+    * a corpus-scale `Seq[Long]` on the driver when the caller already
+    * holds the ids distributed. Same algorithm, same output bytes as the
+    * Seq form over equal id sets (KnnGraphDeleteSpec pins the parity). */
+  def knnGraphDelete(graph: DataFrame,
+                     baseEmb: DataFrame, idCol: String, vecCol: String,
+                     deleteIds: DataFrame, delIdCol: String, k: Int,
+                     repairRounds: Int, repairBeam: Int, repairEntries: Int,
+                     checkpoint: DataFrame => DataFrame
+                    ): DataFrame = {
+    val del = deleteIds.select(col(delIdCol).cast("long").as("did"))
     val vecs = baseEmb.select(col(idCol).cast("long").as("node"),
         quantized(vecCol).as("nv"))
       .join(broadcast(del), col("node") === col("did"), "left_anti")
@@ -1747,8 +1813,8 @@ object Similarity {
       val tornSeed = tornQs.select(col("qid"), col("qv"),
         col("qid").as("node"), lit(0L).as("d2"))
       val walked = beamWalk(vecs, tornQs, Some(tornSeed), excludeSelf = true,
-        k, graphK = 0, beamWidth = repairBeam, rounds = repairRounds,
-        entries = repairEntries, checkpoint,
+        k, graphK = 0, beamWidth0 = repairBeam, rounds0 = repairRounds,
+        entries0 = repairEntries, checkpoint,
         prebuilt = Some(kept.select(col("vid"), col("nbr"))))
         .select(col("qid").as("vid"), col("nbr"), col("d2"))
       val lists = graft.plans.TopK.perKey(
@@ -1783,9 +1849,17 @@ object Similarity {
     * persisted once offline, walked here with zero build stages. */
   private def beamWalk(vecs: DataFrame, qs: DataFrame, seed: Option[DataFrame],
                        excludeSelf: Boolean, k: Int, graphK: Int,
-                       beamWidth: Int, rounds: Int, entries: Int,
+                       beamWidth0: Int, rounds0: Int, entries0: Int,
                        checkpoint: DataFrame => DataFrame,
                        prebuilt: Option[DataFrame] = None): DataFrame = {
+    // -1 knobs resolve through the measured serve-budget-vs-n rule
+    // ([[beamBudgetFor]]); the count rides the caller-persisted corpus
+    // and is SHARED with the inline auto-build's routing count below,
+    // so auto mode costs at most one cached-scan job over the walk
+    // (zero when budgets are explicit and the graph is prebuilt)
+    lazy val corpusN = vecs.count()
+    val BeamBudget(beamWidth, rounds, entries) =
+      resolveBudget(beamWidth0, rounds0, entries0, corpusN)
     require(k <= beamWidth, "final k must fit in the beam")
     val spark = vecs.sparkSession
     import spark.implicits._
@@ -1812,7 +1886,7 @@ object Similarity {
       case Some(edges) => edges.select(col("vid"), col("nbr"))
       case None =>
         knnGraphAutoFromQuantized(vecs.as[(Long, Array[Long])], graphK,
-            checkpoint = checkpoint)
+            checkpoint = checkpoint, knownCount = corpusN)
           .select(col("vid"), col("nbr"))
     }
     val graph = checkpoint(fwd

@@ -1621,36 +1621,81 @@ object CurationQueries {
     * compaction parity, replay idempotence, and writer fencing). */
   def q180Bm25Cdc(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val held = pmod(col("doc_id"), lit(5L)) === 3L
-    val reins = pmod(col("doc_id"), lit(97L)) === 14L && !held
-    // phantom ids live far above any real doc_id at every SF
-    val phantoms = docs.where(pmod(col("doc_id"), lit(7L)) === 2L)
-      .select((col("doc_id") + 100000000L).as("doc_id"),
-        concat(lit("phantom "), col("text")).as("text"))
-    val stateDir = java.nio.file.Files
-      .createTempDirectory("graft-q180").toString
-    graft.streaming.PostingsMaintenance.init(stateDir,
-      docs.where(!held).unionByName(phantoms), "doc_id", "text")
-    val lease = graft.streaming.PostingsMaintenance.acquireWriter(stateDir)
-    def batch(df: DataFrame, id: Long): Unit =
-      graft.streaming.PostingsMaintenance.applyBatch(df, id, stateDir,
-        compactEvery = 4, lease = Some(lease))
-    def dels(d: DataFrame): DataFrame =
-      d.select(lit("D").as("op"), col("doc_id"),
-        lit(null).cast("string").as("text"))
-    batch(docs.where(held)
-      .select(lit("I").as("op"), col("doc_id"), col("text")), 0L)
-    batch(dels(phantoms).unionByName(dels(docs.where(reins))), 1L)
-    batch(docs.where(reins)
-      .select(lit("I").as("op"), col("doc_id"), col("text")), 2L)
-    val out = graft.streaming.PostingsMaintenance.bm25Serve(s, stateDir,
-      Seq("spark", "join", "merge"), 20).localCheckpoint()
-    // the 20-row result is pinned above; the CDC state is scratch
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    // seed + 3 CDC batches into `stateDir` so the maintained state lands
+    // exactly on the `documents` table (see scaladoc above)
+    def runCdc(stateDir: String): Unit = {
+      val held = pmod(col("doc_id"), lit(5L)) === 3L
+      val reins = pmod(col("doc_id"), lit(97L)) === 14L && !held
+      // phantom ids: GUARANTEED headroom (max real id + 1 as the
+      // offset), not an assumed 1e8 clearance — an SF whose doc_ids
+      // cross any fixed constant would otherwise fail the insert-clash
+      // require mid-CDC instead of up front
+      val phantomOff =
+        docs.agg(max(col("doc_id"))).first().getLong(0) + 1L
+      val phantoms = docs.where(pmod(col("doc_id"), lit(7L)) === 2L)
+        .select((col("doc_id") + phantomOff).as("doc_id"),
+          concat(lit("phantom "), col("text")).as("text"))
+      graft.streaming.PostingsMaintenance.init(stateDir,
+        docs.where(!held).unionByName(phantoms), "doc_id", "text")
+      val lease = graft.streaming.PostingsMaintenance.acquireWriter(stateDir)
+      def batch(df: DataFrame, id: Long): Unit =
+        graft.streaming.PostingsMaintenance.applyBatch(df, id, stateDir,
+          compactEvery = 4, lease = Some(lease))
+      def dels(d: DataFrame): DataFrame =
+        d.select(lit("D").as("op"), col("doc_id"),
+          lit(null).cast("string").as("text"))
+      batch(docs.where(held)
+        .select(lit("I").as("op"), col("doc_id"), col("text")), 0L)
+      batch(dels(phantoms).unionByName(dels(docs.where(reins))), 1L)
+      batch(docs.where(reins)
+        .select(lit("I").as("op"), col("doc_id"), col("text")), 2L)
     }
-    rm(new java.io.File(stateDir))
-    out
+    def serve(stateDir: String): DataFrame =
+      graft.streaming.PostingsMaintenance.bm25Serve(s, stateDir,
+        Seq("spark", "join", "merge"), 20).localCheckpoint()
+    // scratch fallback: per-invocation temp state, deleted after the
+    // serve — the store-disabled path (and the degrade on store failure)
+    def scratch(): DataFrame = {
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft-q180").toString
+      runCdc(stateDir)
+      val out = serve(stateDir)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(stateDir))
+      out
+    }
+    // Amortization (round-15 verdict item 7): the CDC state is a pure
+    // function of the corpus, so key it by the ModelStore CONTENT
+    // fingerprint and let bench reps (and later JVMs) price the SERVE —
+    // the chain fold + BM25 read path — not the protocol replay. The
+    // replay cost itself stays measured: q180 rides the bench cold
+    // column (coldfit wipes the store and re-runs the full
+    // init+3-batches+serve sequence). Store failures degrade to scratch.
+    if (!graft.ops.ModelStore.enabled) return scratch()
+    val (n, h) = graft.ops.ModelStore.fingerprint(
+      docs, col("doc_id"), col("text"))
+    val key = s"$dir|q180cdc|v1|n=$n|h=$h"
+    def buildAndServe(dest: graft.ops.ModelStore.Loc): DataFrame = {
+      val tmp = graft.ops.ModelStore.staging(dest)
+      runCdc(tmp.spark)
+      graft.ops.ModelStore.publish(tmp, dest)
+      serve(dest.spark)
+    }
+    graft.ops.ModelStore.dirLoc("cdcstate", key) match {
+      case Some(dest) if dest.exists =>
+        try serve(dest.spark)
+        catch { case scala.util.control.NonFatal(_) =>
+          graft.ops.ModelStore.drop(dest)
+          try buildAndServe(dest)
+          catch { case scala.util.control.NonFatal(_) => scratch() }
+        }
+      case Some(dest) =>
+        try buildAndServe(dest)
+        catch { case scala.util.control.NonFatal(_) => scratch() }
+      case None => scratch()
+    }
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1734,22 +1734,27 @@ object PipelineQueries {
     * is deleted from a full-corpus graph (built sub-quadratically once
     * through ModelStore, its own fingerprint key) and every torn
     * surviving list is repaired through its symmetric 2-hop
-    * neighborhood, exact distances, TopK cuts. The delete-id collect
-    * is the documented bounded pattern: a retraction batch is
-    * model-sized by contract (it broadcasts inside the delete). Output
+    * neighborhood, exact distances, TopK cuts. The delete batch rides
+    * the DataFrame overload — no driver-side id materialization; the
+    * batch-sized contract (it broadcasts inside the delete) is
+    * enforced by shape, not by a collect. Output
     * is the tombstone-free post-delete edge table, q157's schema.
     * Deterministic ⇒ committed-fixture oracle; the repaired-recall,
     * tombstone-free, bounded-touch and determinism gates live in
     * KnnGraphDeleteSpec. */
   def q175KnnGraphDelete(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
+    // the batch stays a FRAME end to end (round-15 verdict item 5): no
+    // driver-side id materialization in the declared plan — the delete
+    // overload broadcasts it to the executors directly
     val delIds = emb
       .where(pmod(col("vec_id").cast("long"), lit(12L)) === lit(11L))
-      .select(col("vec_id").cast("long"))
-      .collect().map(_.getLong(0)).toSeq.sorted
+      .select(col("vec_id").cast("long").as("vec_id"))
     graft.ops.Similarity.knnGraphDelete(
       servedGraphFor(s, dir, emb, k = 3, tag = "knn_graph_full3"),
-      emb, "vec_id", "embedding", delIds, k = 3)
+      emb, "vec_id", "embedding", delIds, "vec_id", k = 3,
+      repairRounds = 4, repairBeam = 48, repairEntries = 64,
+      checkpoint = _.localCheckpoint())
   }
 
   // ---- q177: kNN-graph shard MERGE (index compaction) ------------------------

@@ -134,8 +134,12 @@ object PostingsMaintenance {
     * listing-level prune survives the fold. */
   private def resolvePostings(spark: SparkSession, sd: StateDir,
                               v: Long): DataFrame = {
+    // same tb normalization as the delta path below: the base's tb is
+    // partition-inferred int, every other producer writes long — one
+    // type at every exit so no consumer leans on set-op coercion
     if (isBase(sd, v))
       return spark.read.parquet(sd.sparkPath(s"v$v/postings"))
+        .withColumn("tb", col("tb").cast("long"))
     val full = chainFor(sd, v)
     val b = full.head
     val chain = full.tail
@@ -234,8 +238,14 @@ object PostingsMaintenance {
     require(badOps.isEmpty,
       s"batch $batchId carries unsupported ops ${badOps.mkString(",")} — " +
         "the CDC contract is op IN ('I','D')")
-    val delIds = rows.where(col("op") === "D").select("doc_id")
-      .collect().map(_.getLong(0)).toSeq.distinct.sorted
+    val delIdsRaw = rows.where(col("op") === "D").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val dupDel = delIdsRaw.groupBy(identity)
+      .collect { case (id, v) if v.sizeIs > 1 => id }.toSeq.sorted.take(5)
+    require(dupDel.isEmpty,
+      s"batch $batchId carries duplicate delete ids (CDC compaction " +
+        s"upstream owns the collapse): ${dupDel.mkString(",")}")
+    val delIds = delIdsRaw.sorted
     val insDocs = rows.where(col("op") === "I").select("doc_id", "text")
     val dupIns = insDocs.groupBy("doc_id").count().where(col("count") > 1)
       .select("doc_id").limit(5).collect().map(_.getLong(0))

@@ -329,5 +329,11 @@ private[graft] object StateProtocol {
         graft.ops.ModelStore.drop(graft.ops.ModelStore.loc(sd.path(n))))
     names.filter(n => n.startsWith(".LATEST.tmp.") && n != ptmp)
       .foreach(sd.deleteFile)
+    // a .WRITER.tmp.* is never a live artifact once WRITER exists: the
+    // acquire renames it away on success, so a survivor is a crashed
+    // acquire (or a rival mid-acquire, whose rename then fails LOUDLY
+    // in acquireWriter and retries — the fencing race already owns
+    // that window)
+    names.filter(_.startsWith(".WRITER.tmp.")).foreach(sd.deleteFile)
   }
 }

