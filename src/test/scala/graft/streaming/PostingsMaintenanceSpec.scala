@@ -162,6 +162,12 @@ class PostingsMaintenanceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       apply(dlog, 1L, Seq(DocCdc("I", 5L, "already live")), 10)
     }
+    // the contract is enforced on BOTH op kinds: duplicate delete ids
+    // are upstream-compaction's job, not silently-tolerated tombstone
+    // duplication in the delta log
+    intercept[IllegalArgumentException] {
+      apply(dlog, 1L, Seq(DocCdc("D", 5L, null), DocCdc("D", 5L, null)), 10)
+    }
     assert(PostingsMaintenance.latestVersion(dlog).contains(0L),
       "rejected batches must leave committed state untouched")
     assert(serve(dlog) == before)

@@ -127,4 +127,21 @@ class WriterFencingSpec extends AnyFunSuite {
     }
     assert(IndexMaintenance.latestVersion(fsDir).contains(0L))
   }
+
+  test("a crashed acquire's .WRITER.tmp.* orphan is reaped by the next " +
+    "commit (never a live artifact once WRITER exists)") {
+    val dir = freshState("reap")
+    val a = IndexMaintenance.acquireWriter(dir)
+    // simulate an acquire that died between staging and rename
+    val orphan = new File(dir, ".WRITER.tmp.dead-crashed-acquire")
+    java.nio.file.Files.writeString(orphan.toPath, "9999")
+    assert(orphan.isFile)
+    IndexMaintenance.applyBatch(batchDf(b0), 0L, dir, k, lease = Some(a))
+    assert(!orphan.exists(),
+      "commit's orphan pass must reap crashed-acquire writer temp files")
+    assert(new File(dir, "WRITER").isFile, "the live WRITER survives the reap")
+    // the lease still works after the reap — epoch state was untouched
+    IndexMaintenance.applyBatch(batchDf(b1), 1L, dir, k, lease = Some(a))
+    assert(IndexMaintenance.latestVersion(dir).contains(1L))
+  }
 }
