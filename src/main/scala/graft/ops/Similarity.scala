@@ -1335,19 +1335,25 @@ object Similarity {
     * a greedy walk's hop count to a fixed neighborhood scales with
     * log n, and the beam must widen with it to keep alternate paths
     * alive. Per decade above [[BeamBudgetRefN]] the rule doubles the
-    * beam (ef), adds one round, and doubles the entry scan — at
-    * n = 1.7×10⁶ that yields (128, 5, 256), strictly dominating the
-    * measured-sufficient (96, 4, 256) point; at gate SFs (n ≤ 2×10³)
-    * it is the identity, so declared-query bytes are unchanged. Caps at
-    * five decades (beam 1024, rounds 8, entries 2048 — the
-    * billion-vector regime, where per-query work is still only
-    * O(beam·graphK·rounds·d)). BeamBudgetRuleProbe is the two-scale
-    * recall evidence. */
+    * beam (ef), adds one round, and doubles the entry scan, with the
+    * decade count rounded up from the HALF-decade point — plain
+    * ceil left the tail of each decade on the previous step's budget,
+    * and the r16 lifecycle measured that tail too weak: step-1
+    * (64, 4, 128) reads 0.92 recall@5 at n = 8.5×10⁵ (8.5× ref — the
+    * descent-built shard) where step-2 budgets read ≥ 0.95, while at
+    * 2×10⁵ step 1 reads 1.000 (`descent_lifecycle_r16.json`,
+    * `beam_budget_rule_r16.json`). At n = 1.7×10⁶ the rule yields
+    * (128, 5, 256), strictly dominating the measured-sufficient
+    * (96, 4, 256) point; at gate SFs (n ≤ 2×10³) it is the identity,
+    * so declared-query bytes are unchanged. Caps at five steps
+    * (beam 1024, rounds 8, entries 2048 — the billion-vector regime,
+    * where per-query work is still only O(beam·graphK·rounds·d)).
+    * BeamBudgetRuleProbe is the two-scale recall evidence. */
   def beamBudgetFor(n: Long): BeamBudget = {
     val steps =
       if (n <= BeamBudgetRefN) 0
       else math.min(5,
-        math.ceil(math.log10(n.toDouble / BeamBudgetRefN)).toInt)
+        math.ceil(math.log10(n.toDouble / BeamBudgetRefN) + 0.5).toInt)
     BeamBudget(32 << steps, 3 + steps, 64 << steps)
   }
 

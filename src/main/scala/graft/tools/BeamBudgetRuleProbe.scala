@@ -85,8 +85,14 @@ object BeamBudgetRuleProbe {
         .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     }
 
-    def buildOrLoad(n: Long, emb: DataFrame): (DataFrame, Double) = {
-      val key = s"gFull_n${n}_lo0_d${dim}_k${graphK}_ik$iterK"
+    // merge recipe for shard-built graphs — shared knobs (and shard cache
+    // keys) with DescentLifecycle so experiments never repay a build
+    val mergeIterK = sys.env.get("SPARK_GRAFT_LC_MERGE_ITERK")
+      .flatMap(_.toIntOption).getOrElse(12)
+    val mergeRounds = sys.env.get("SPARK_GRAFT_LC_MERGE_ROUNDS")
+      .flatMap(_.toIntOption).getOrElse(5)
+
+    def cached(key: String)(build: => DataFrame): (DataFrame, Double) = {
       val dir = new java.io.File(workDir, key)
       val done = new java.io.File(dir, "_SUCCESS")
       val secFile = new java.io.File(workDir, s"$key.sec")
@@ -96,14 +102,48 @@ object BeamBudgetRuleProbe {
         else -1.0
         (spark.read.parquet(dir.getAbsolutePath).localCheckpoint(), sec)
       } else {
-        val (g, sec) = time {
-          graft.ops.Similarity.knnGraphAuto(emb, "vec_id", "embedding",
-            graphK, iterK = iterK).localCheckpoint()
-        }
+        val (g, sec) = time(build.localCheckpoint())
         dir.getParentFile.mkdirs()
         g.write.mode("overwrite").parquet(dir.getAbsolutePath)
         java.nio.file.Files.writeString(secFile.toPath, sec.toString)
         (g, sec)
+      }
+    }
+
+    /** The graph a production system would serve at this n. At or below
+      * 2× the build crossover: one `knnGraphAuto` build (the router the
+      * declared queries use). Above it: TWO half-shards through the same
+      * router, folded by `knnGraphMerge` — the sharded-construction
+      * shape the 10⁹-vector story rests on (q177), and, concretely, the
+      * only shape whose per-round candidate exchange fits this one-disk
+      * box at n = 1.7×10⁶ (the monolithic descent build's round-1
+      * exchange measured past the 80 GB free here). Shard cache keys are
+      * DescentLifecycle's verbatim. */
+    def buildOrLoad(n: Long, emb: DataFrame): (DataFrame, Double) = {
+      if (n <= graft.ops.Similarity.KnnBuildCrossover * 2)
+        cached(s"gFull_n${n}_lo0_d${dim}_k${graphK}_ik$iterK") {
+          graft.ops.Similarity.knnGraphAuto(emb, "vec_id", "embedding",
+            graphK, iterK = iterK)
+        }
+      else {
+        val half = n / 2
+        val (gA, secA) = cached(s"gA_n${half}_lo0_d${dim}_k${graphK}_ik$iterK") {
+          graft.ops.Similarity.knnGraphAuto(synth(0L, half),
+            "vec_id", "embedding", graphK, iterK = iterK)
+        }
+        val (gB, secB) = cached(
+          s"gB_n${n - half}_lo${half}_d${dim}_k${graphK}_ik$iterK") {
+          graft.ops.Similarity.knnGraphAuto(synth(half, n),
+            "vec_id", "embedding", graphK, iterK = iterK)
+        }
+        val (gM, secM) = cached(s"gM_n${n}_lo0_d${dim}_k${graphK}" +
+          s"_ik${iterK}_mi${mergeIterK}_mr$mergeRounds") {
+          graft.ops.Similarity.knnGraphMerge(gA, gB, emb,
+            "vec_id", "embedding", graphK, rounds = mergeRounds,
+            iterK = mergeIterK)
+        }
+        (gM, (if (secA > 0) secA else 0.0) + (if (secB > 0) secB else 0.0) +
+          (if (secM > 0) secM else 0.0))
       }
     }
 
@@ -133,7 +173,10 @@ object BeamBudgetRuleProbe {
         ex.intersect(got.getOrElse(q, Set.empty)).size.toDouble / serveK
       }.sum / exact.size
       if (recall < 0.95) gateFail ::= n
-      val row = s"""{"n":$n,"arm":"$arm","build_sec":${r3(buildSec)},""" +
+      val shape = if (n <= graft.ops.Similarity.KnnBuildCrossover * 2) "mono"
+        else s"shard_merge(mi=$mergeIterK,mr=$mergeRounds)"
+      val row = s"""{"n":$n,"arm":"$arm","build":"$shape",""" +
+        s""""build_sec":${r3(buildSec)},""" +
         s""""budget":{"beam":${budget.beamWidth},"rounds":${budget.rounds},""" +
         s""""entries":${budget.entries}},"serve_sec":${r3(serveSec)},""" +
         s""""recall":${r3(recall)}}"""

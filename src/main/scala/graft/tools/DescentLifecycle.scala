@@ -358,10 +358,28 @@ object DescentLifecycle {
       reclaim()
       val union = embA.unionByName(embB).localCheckpoint()
       val exactU = exactTop(union)
-      val (gM, sec) = time {
-        graft.ops.Similarity.knnGraphMerge(gA, gB, union,
-          "vec_id", "embedding", graphK, rounds = mergeRounds,
-          iterK = mergeIterK).localCheckpoint()
+      // merged graph persists under the SAME key BeamBudgetRuleProbe
+      // derives, so the budget probe's large scale serves off this
+      // exact index instead of re-paying the merge
+      val mergeKey = s"gM_n${n}_lo0_d${dim}_k${graphK}" +
+        s"_ik${iterK}_mi${mergeIterK}_mr$mergeRounds"
+      val mergeDir = new java.io.File(workDir, mergeKey)
+      val mergeDone = new java.io.File(mergeDir, "_SUCCESS")
+      val mergeSecF = new java.io.File(workDir, s"$mergeKey.sec")
+      val (gM, sec) = if (mergeDone.exists()) {
+        val s = if (mergeSecF.isFile)
+          new String(java.nio.file.Files.readAllBytes(mergeSecF.toPath)).trim.toDouble
+        else -1.0
+        (spark.read.parquet(mergeDir.getAbsolutePath).localCheckpoint(), s)
+      } else {
+        val (g, s) = time {
+          graft.ops.Similarity.knnGraphMerge(gA, gB, union,
+            "vec_id", "embedding", graphK, rounds = mergeRounds,
+            iterK = mergeIterK).localCheckpoint()
+        }
+        g.write.mode("overwrite").parquet(mergeDir.getAbsolutePath)
+        java.nio.file.Files.writeString(mergeSecF.toPath, s.toString)
+        (g, s)
       }
       val edges = gM.count()
       val (rec, ssec) = time(servedRecall(gM, union, exactU))

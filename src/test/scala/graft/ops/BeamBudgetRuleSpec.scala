@@ -25,16 +25,23 @@ class BeamBudgetRuleSpec extends AnyFunSuite {
   }
 
   test("per decade above the reference the beam doubles, rounds gain one, " +
-    "entries double — dominating the measured-sufficient point at 1.7e6") {
-    assert(Similarity.beamBudgetFor(1000000L) ==
+    "entries double, with the decade count rounded up from the half-decade " +
+    "point — dominating every measured point") {
+    // 2×10⁵ (2× ref): step 1 — measured recall 1.000 there
+    // (beam_budget_rule_r16.json)
+    assert(Similarity.beamBudgetFor(200000L) ==
       Similarity.BeamBudget(64, 4, 128))
+    // 8.5×10⁵ (8.5× ref, the decade's tail): step 2 — step 1 measured
+    // 0.92 at this n (descent_lifecycle_r16.json), below the 0.95 bar
+    assert(Similarity.beamBudgetFor(850000L) ==
+      Similarity.BeamBudget(128, 5, 256))
     val at17 = Similarity.beamBudgetFor(1700000L)
     assert(at17 == Similarity.BeamBudget(128, 5, 256))
     // the r15 lifecycle point: (96, 4, 256) read recall 1.0 at this n;
     // the rule must never emit LESS than that measured-sufficient budget
     assert(at17.beamWidth >= 96 && at17.rounds >= 4 && at17.entries >= 256)
     assert(Similarity.beamBudgetFor(100000000L) ==
-      Similarity.BeamBudget(256, 6, 512))
+      Similarity.BeamBudget(512, 7, 1024))
   }
 
   test("the rule is monotone in n and capped at five decades (the " +
