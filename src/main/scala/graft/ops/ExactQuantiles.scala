@@ -175,12 +175,20 @@ object ExactQuantiles {
     // INSIDE the Catalyst projection (whole-stage codegen over the
     // vectorized scan); only the narrow long columns cross into the RDD.
     val proj = keyProjection(df, groupCol, cols)
+    // Rows whose requested columns are ALL null emit a presence sentinel
+    // (cid = -1) instead of vanishing: pass A then sees every group, so
+    // the group catalog derives from the SAME single scan instead of the
+    // second full-source distinct() this used to pay (the round-12
+    // ADVICE cost note — guide §1.2, remove unnecessary passes). The
+    // sentinel carries no value: stats registers presence without
+    // updating min/max/count, and every later pass ignores cid < 0.
     val keysRaw = proj.rdd.mapPartitions { it =>
       it.flatMap { r =>
         val g = r.get(0)
-        (0 until nCols).iterator.collect {
-          case i if !r.isNullAt(i + 1) => (g, i, r.getLong(i + 1))
+        val ks = (0 until nCols).flatMap { i =>
+          if (r.isNullAt(i + 1)) Nil else (g, i, r.getLong(i + 1)) :: Nil
         }
+        if (ks.isEmpty) (g, -1, 0L) :: Nil else ks
       }
     }
     // cacheScan = false is the 100-TB arm: every pass re-reads the
@@ -199,7 +207,8 @@ object ExactQuantiles {
       // each partial map is capped, so a high-cardinality group column
       // dies with guidance during pass A instead of OOMing an executor
       // before the post-hoc require below is ever reached
-      val maxPairs = MaxStates * nCols
+      // +1 slot per group for the presence sentinel (cid = -1)
+      val maxPairs = MaxStates * (nCols + 1)
       def capped(m: mutable.HashMap[(Any, Int), ColStats]): mutable.HashMap[(Any, Int), ColStats] = {
         require(m.size <= maxPairs,
           s"quantileDisc: over $maxPairs distinct (group, column) pairs — the group " +
@@ -208,25 +217,22 @@ object ExactQuantiles {
         m
       }
       val stats = keys.treeAggregate(mutable.HashMap.empty[(Any, Int), ColStats])(
-        (m, t) => { m.getOrElseUpdate((t._1, t._2), new ColStats).add(t._3); capped(m) },
+        (m, t) => {
+          val s = m.getOrElseUpdate((t._1, t._2), new ColStats)
+          if (t._2 >= 0) s.add(t._3) // cid = -1 registers presence only
+          capped(m)
+        },
         (a, b) => { b.foreach { case (k, s) =>
           a.get(k) match { case Some(x) => x.merge(s); case None => a.update(k, s) } }; capped(a) })
-      // Group catalog from a DISTINCT over the group column ITSELF, not
-      // the non-null keys: a group whose requested columns are all null
-      // contributes no keys rows, but SQL GROUP BY still emits its row
-      // (with NULL quantiles) — deriving the catalog from `stats` would
-      // silently drop it. limit() bounds driver materialization BEFORE
-      // the require, so a high-cardinality group column fails fast
-      // instead of collecting unbounded rows.
-      // Cost model note (round-12 ADVICE): this distinct() is a second
-      // full source scan per call EVEN when cacheScan=true — the
-      // persisted keys RDD cannot serve it (all-null groups are absent
-      // from it), so the cached arm pays ~2× scan cost vs the old
-      // stats-derived catalog. Accepted for the all-null-group
-      // correctness fix; a future refinement is stats-keys ∪ a cheap
-      // anti-join probe for key-less groups when cacheScan=true.
+      // Group catalog from pass A itself: every source row contributed
+      // either a real key or an all-null presence sentinel, so the stats
+      // keys cover EVERY group — including all-null-value groups, which
+      // SQL GROUP BY still emits (with NULL quantiles). This removes the
+      // second full-source distinct() scan the round-12 ADVICE costed
+      // (the cached arm paid ~2× scan); sorted by string form so the
+      // pre-orderBy row order stays deterministic across partitionings.
       val groups: Seq[Any] =
-        proj.select(col(groupCol)).distinct().limit(MaxStates + 1).collect().map(_.get(0)).toSeq
+        stats.keysIterator.map(_._1).toSeq.distinct.sortBy(String.valueOf(_: Any))
       require(groups.length <= MaxStates,
         s"quantileDisc: over $MaxStates distinct groups — the group column must " +
           "be reporting-bounded (a rollup catalog, not a high-cardinality key); " +
@@ -286,7 +292,7 @@ object ExactQuantiles {
             val t = bcWins.value
             val arr = new Array[Long](total)
             it.foreach { case (g, cid, k) =>
-              t.get(g).foreach { byCid =>
+              if (cid >= 0) t.get(g).foreach { byCid =>
                 val ws = byCid(cid)
                 var i = 0
                 while (i < ws.length) {
@@ -332,7 +338,7 @@ object ExactQuantiles {
           // referenced by the persisted survivors lineage for the rest of
           // the call, so destroying earlier would break re-computation
           val surv = keys.filter { case (g, cid, k) =>
-            bcFilt.value.get(g).exists { byCid =>
+            cid >= 0 && bcFilt.value.get(g).exists { byCid =>
               byCid(cid).exists(w => k >= w.lo && k <= w.hi)
             }
           }.persist(StorageLevel.MEMORY_AND_DISK)

@@ -186,11 +186,68 @@ object ModelStore {
     * skip it entirely when the store is disabled. */
   def fingerprint(df: org.apache.spark.sql.DataFrame,
                   cols: org.apache.spark.sql.Column*): (Long, String) = {
-    import org.apache.spark.sql.functions.{count, lit, sum, xxhash64}
-    val r = df.agg(count(lit(1)),
-      sum(xxhash64(cols: _*).cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
-    (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString)
+    val memoKey = fpMemoKey(df, cols)
+    memoKey.flatMap(k => Option(fpMemo.get(k))) match {
+      case Some(v) => v
+      case None =>
+        import org.apache.spark.sql.functions.{count, lit, sum, xxhash64}
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64(cols: _*).cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+        val v = (r.getLong(0),
+          if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString)
+        memoKey.foreach { k =>
+          if (fpMemo.size >= FpMemoCap) fpMemo.clear()
+          fpMemo.put(k, v)
+        }
+        v
+    }
   }
+
+  /** In-JVM fingerprint memo (round-16, guide §1.2 "don't compute things
+    * you throw away"): every warm store resolution was re-paying the
+    * content-digest scan — one full pass over the corpus columns per
+    * invocation, across ~14 declared queries — to re-derive a value that
+    * cannot have changed while the inputs' files haven't. The memo key is
+    * (canonicalized analyzed plan of `df.select(cols…)`) × (sorted
+    * per-file path:length:mtime signature of every input file), so it is
+    * metadata-staleness caching, NOT result caching: any content change
+    * that today's fingerprint would see arrives through a file rewrite,
+    * which changes length or mtime and re-keys the memo (the same
+    * invalidation contract as Spark's own file-index and block caches).
+    * The residual accepted risk — an in-place same-length rewrite within
+    * one mtime quantum, inside one JVM — is strictly narrower than the
+    * cross-process staleness the fingerprint exists to close, and the
+    * digest itself is still computed (and persisted keys still carry it)
+    * on every first sight of a plan/file-state pair. Frames with no file
+    * inputs (test LocalRelations, checkpointed RDDs) and lakes with
+    * pathological file counts skip the memo and pay the scan as before.
+    * `SPARK_GRAFT_FP_MEMO=0` disables; [[clear]] wipes it so the bench
+    * cold column keeps pricing a true new-JVM start. */
+  private val fpMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+  private val FpMemoCap = 4096
+  private val FpMemoMaxFiles = 8192
+
+  private def fpMemoKey(df: org.apache.spark.sql.DataFrame,
+                        cols: Seq[org.apache.spark.sql.Column]): Option[String] =
+    try {
+      if (sys.env.get("SPARK_GRAFT_FP_MEMO").contains("0")) return None
+      val files = df.inputFiles
+      if (files.isEmpty || files.length > FpMemoMaxFiles) return None
+      val conf = hadoopConf
+      val sig = new StringBuilder
+      files.sorted.foreach { p =>
+        val hp = new HPath(p)
+        val st = hp.getFileSystem(conf).getFileStatus(hp)
+        sig.append(p).append(':').append(st.getLen).append(':')
+          .append(st.getModificationTime).append('\n')
+      }
+      val plan = df.select(cols: _*).queryExecution.analyzed.canonicalized.toString
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(plan.getBytes("UTF-8"))
+      md.update(sig.toString.getBytes("UTF-8"))
+      Some(md.digest().map("%02x".format(_)).mkString)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** True when some backend is live — callers use this to skip the
     * fingerprint job entirely when persistence is off. */
@@ -200,7 +257,9 @@ object ModelStore {
     * [[Similarity.clearCaches]], now needed only to reclaim space or
     * force refits (content-fingerprint keys made same-count rewrites
     * self-invalidating). */
-  def clear(): Unit = backend.foreach {
+  def clear(): Unit = {
+    fpMemo.clear()
+    backend.foreach {
     case LocalBackend(d) =>
       Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
         if (f.isDirectory) deleteRecursively(f) else f.delete()
@@ -210,6 +269,7 @@ object ModelStore {
         val fs = dir.getFileSystem(hadoopConf)
         fs.listStatus(dir).foreach(st => fs.delete(st.getPath, true))
       } catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   private def deleteRecursively(f: File): Unit = {

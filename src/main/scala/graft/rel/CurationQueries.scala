@@ -1055,7 +1055,12 @@ object CurationQueries {
       .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tk"))
     val vocab = toks.groupBy("lang", "tk").agg(count(lit(1)).as("cnt"))
-    val totals = vocab.groupBy("lang").agg(sum(col("cnt")).as("tot"))
+    // per-lang token totals straight off the token stream: Σ_tk cnt(lang,
+    // tk) ≡ count of tokens per lang, so this is the same number without
+    // nesting a second full vocab aggregation under the totals broadcast
+    // (r16 before-plan: 18 scans of documents, three of them feeding
+    // vocab-for-totals subtrees)
+    val totals = toks.groupBy("lang").agg(count(lit(1)).as("tot"))
     // the LM table broadcasts: scoring is then map-side over the token
     // stream (one shuffle builds the counts, one aggregates per doc —
     // the token stream is never re-shuffled on the token key). At corpus
@@ -1067,11 +1072,17 @@ object CurationQueries {
       .select(col("doc_id"), col("lang"),
         (floor(-log(col("cnt").cast("double") / col("tot").cast("double"))
           * 1000000.0 + 0.5) / 1000000.0).cast("decimal(18,6)").as("nll"))
+    // one row per doc — the small decision table (guide §8): materialize
+    // it ONCE so the two tercile-threshold branches and the final join
+    // read blocks instead of each re-running the corpus scan + LM join +
+    // per-doc aggregate (the r16 before-plan evaluated this subtree 3×,
+    // 18 document scans in total; after: 2 — vocab and the scoring pass)
     val scored = nll.groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tokens"), sum(col("nll")).as("nll_sum"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         graft.Stable.r4(col("nll_sum").cast("double")
           / col("n_tokens").cast("double")).as("xent"))
+      .localCheckpoint()
     val wr = Window.partitionBy("lang").orderBy(col("xent"), col("doc_id"))
     val ranked = scored
       .withColumn("rn", row_number().over(wr))
@@ -1398,7 +1409,12 @@ object CurationQueries {
         when(col("rnk") <= least(col("n2"), lit(10)), lit(3L) * col("disc_n9"))
           .when(col("rnk") <= least(col("nrel"), lit(10)), col("disc_n9"))
           .otherwise(0L)).as("idcg_n9"))
-    dcg.join(relcnt, Seq("qid")).join(idcg, Seq("qid"))
+    // relcnt/idcg are |Q|-row aggregates, but the planner only sees
+    // post-aggregation estimates and planned SortMergeJoins here (2
+    // exchanges each in the r16 before-plan); |Q| is a caller-bounded
+    // query budget at every scale, so the broadcast is safe by
+    // construction (guide §3.1: hint when you know a side is small)
+    dcg.join(broadcast(relcnt), Seq("qid")).join(broadcast(idcg), Seq("qid"))
       .select(col("qid"), col("nrel").as("n_rel"), col("hits_at_10"),
         r6(col("hits_at_10").cast("double") / 10.0).as("precision_at_10"),
         when(col("nrel") === 0, 0.0)
