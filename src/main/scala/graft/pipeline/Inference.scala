@@ -115,7 +115,15 @@ object Inference {
       var decided = Stages.decide(branch)(
         withLlm.withColumn(branch, withPrev).drop("_llm"))
       val lastRound = i == cfg.numIteration - 1
-      if (!lastRound) decided = decided.persist()
+      // localCheckpoint rather than persist (round-16): persist caches the
+      // blocks but every later action still re-ANALYZES the accumulated
+      // lineage — the deep withField/parse plans here cost ~0.4-0.6 s of
+      // driver gap per action (ProfileQ q91: 1.4 s of gaps vs 0.9 s of
+      // jobs). Checkpointing truncates the logical plan to the computed
+      // blocks; rows are identical (the round executes eagerly either way
+      // via the isEmpty probe below). Cluster HA deployments that must
+      // survive executor loss swap in reliable checkpoint, as elsewhere.
+      if (!lastRound) decided = decided.localCheckpoint()
       val exiting =
         if (lastRound) decided
         else decided.where(col(s"$branch.pred_decision") === "discard")
@@ -138,12 +146,15 @@ object Inference {
     // cf_quality threads messages_quality, cf_use threads messages in place.
     val forked = annotated.withColumn("messages_quality", col("messages"))
     val afterUse = counterfactualBranch(forked, model, cfg, "cf_use", "messages")
-    // persist before the complementary agree/disagree split below: without
-    // it each side re-executes the full LLM lineage (double cost), and a
-    // nondeterministic model could flip a decision between the two
-    // recomputations, silently dropping or duplicating the row.
+    // materialize before the complementary agree/disagree split below:
+    // without it each side re-executes the full LLM lineage (double
+    // cost), and a nondeterministic model could flip a decision between
+    // the two recomputations, silently dropping or duplicating the row.
+    // localCheckpoint rather than persist for the same plan-analysis
+    // reason as the branch loop above (each split side re-optimized the
+    // full two-branch lineage).
     val afterQuality = counterfactualBranch(afterUse, model, cfg, "cf_quality", "messages_quality")
-      .persist()
+      .localCheckpoint()
 
     val du = col("cf_use.pred_decision")
     val dq = col("cf_quality.pred_decision")
