@@ -184,11 +184,18 @@ object ExactQuantiles {
     // updating min/max/count, and every later pass ignores cid < 0.
     val keysRaw = proj.rdd.mapPartitions { it =>
       it.flatMap { r =>
+        // count non-null columns with a primitive loop first, then emit a
+        // lazy iterator (or the single sentinel) — no per-row IndexedSeq on
+        // the operator's one full-corpus scan (round-16 ADVICE). `r` is a
+        // materialized external Row (df.rdd), so deferring reads is safe.
         val g = r.get(0)
-        val ks = (0 until nCols).flatMap { i =>
-          if (r.isNullAt(i + 1)) Nil else (g, i, r.getLong(i + 1)) :: Nil
-        }
-        if (ks.isEmpty) (g, -1, 0L) :: Nil else ks
+        var nonNull = 0
+        var i = 0
+        while (i < nCols) { if (!r.isNullAt(i + 1)) nonNull += 1; i += 1 }
+        if (nonNull == 0) Iterator.single((g, -1, 0L))
+        else Iterator.range(0, nCols)
+          .filter(j => !r.isNullAt(j + 1))
+          .map(j => (g, j, r.getLong(j + 1)))
       }
     }
     // cacheScan = false is the 100-TB arm: every pass re-reads the

@@ -196,7 +196,14 @@ object ModelStore {
         val v = (r.getLong(0),
           if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString)
         memoKey.foreach { k =>
-          if (fpMemo.size >= FpMemoCap) fpMemo.clear()
+          // at cap, evict ONE arbitrary entry instead of wiping the map: a
+          // long-lived serving JVM crossing 4096 distinct plan/file-state
+          // pairs keeps its hot keys warm instead of re-paying every
+          // fingerprint scan after a wholesale clear (round-16 ADVICE)
+          if (fpMemo.size >= FpMemoCap) {
+            val it = fpMemo.keySet().iterator()
+            if (it.hasNext) { it.next(); it.remove() }
+          }
           fpMemo.put(k, v)
         }
         v
@@ -232,6 +239,20 @@ object ModelStore {
                         cols: Seq[org.apache.spark.sql.Column]): Option[String] =
     try {
       if (sys.env.get("SPARK_GRAFT_FP_MEMO").contains("0")) return None
+      // only memoize when EVERY leaf of the analyzed plan is a file-source
+      // relation: `inputFiles` being non-empty does not preclude extra
+      // non-file leaves (LocalRelation, localCheckpoint LogicalRDDs) whose
+      // row content can change without touching any file signature — a
+      // frame mixing file and in-memory inputs must pay the digest scan
+      // (round-16 ADVICE: keep the utility's content-fingerprint contract)
+      val leaves = df.queryExecution.analyzed.collectLeaves()
+      val allFileBacked = leaves.nonEmpty && leaves.forall {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        case _ => false
+      }
+      if (!allFileBacked) return None
       val files = df.inputFiles
       if (files.isEmpty || files.length > FpMemoMaxFiles) return None
       val conf = hadoopConf

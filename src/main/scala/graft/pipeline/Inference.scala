@@ -81,11 +81,14 @@ object Inference {
     * reference skips calls); a final `continue` maps to keep inside
     * [[Stages.decide]]. The branch's conversation is threaded in its own
     * `msgCol` so the two branches stay independent. Each round's result is
-    * cached before the active/exiting split when iterating (otherwise the
-    * split re-executes the round's LLM lineage twice). The cached handles
-    * are left for Spark's LRU storage eviction rather than unpersisted
-    * eagerly — the final `done` plan still references every round's cache,
-    * so an early unpersist would force LLM recomputation downstream.
+    * `localCheckpoint`ed before the active/exiting split when iterating
+    * (otherwise the split re-executes the round's LLM lineage twice, and
+    * every later action re-ANALYZES the accumulated deep withField/parse
+    * plans — the round-16 driver-gap fix). The checkpointed blocks live
+    * until the session ends or the RDD is GC'd; lineage is truncated, so
+    * blocks lost to executor failure are NOT recomputable — acceptable
+    * under the local[N] contract, and cluster HA deployments swap in
+    * reliable `checkpoint` as elsewhere in the repo.
     */
   def counterfactualBranch(df0: DataFrame, model: ChatModel.Model, cfg: Config,
                            branch: String, msgCol: String): DataFrame = {

@@ -157,6 +157,30 @@ class ModelStoreHardeningSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint memo refuses mixed file+in-memory frames: a content " +
+    "change in a non-file leaf is always observed (round-16 ADVICE)") {
+    import spark.implicits._
+    // same file inputs, same canonicalized plan SHAPE, same row count —
+    // only the LocalRelation's row data differs. A memo keyed on (plan ×
+    // file state) alone would serve frame A's digest for frame B; the
+    // file-leaf guard must force both calls through the real scan.
+    val file = spark.read.parquet(dir + "/documents.parquet")
+      .select(col("doc_id").cast("long").as("k"))
+    val a = file.union(Seq(100L).toDF("k"))
+    val b = file.union(Seq(999L).toDF("k"))
+    val fa = ModelStore.fingerprint(a, col("k"))
+    val fb = ModelStore.fingerprint(b, col("k"))
+    assert(fa._1 == fb._1, "row counts must match (the test isolates the digest)")
+    assert(fa._2 != fb._2,
+      "digest must reflect the in-memory leaf's content — the memo may " +
+        "only fire when every plan leaf is a file-source relation")
+    // and pure file-backed frames still memoize coherently (same value
+    // from the memo as from the scan)
+    val f1 = ModelStore.fingerprint(file, col("k"))
+    val f2 = ModelStore.fingerprint(file, col("k"))
+    assert(f1 == f2)
+  }
+
   test("default store location is per-user (0700), not a world-shared " +
     "path: the predictable-key poisoning surface of a shared /tmp dir") {
     val saved = ModelStore.overrideDir
