@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.ml.clustering.KMeans
@@ -1047,7 +1047,6 @@ object Similarity {
                                   warmInit: Option[DataFrame] = None
                                  ): DataFrame = {
     val spark = vecsIn.sparkSession
-    val shufN = spark.sessionState.conf.numShufflePartitions
     val vecs = vecsIn.toDF("node", "nv")
     val n = vecs.count()
     // working-list width: THE recall knob, and it must grow (mildly)
@@ -1063,15 +1062,37 @@ object Similarity {
     val kw = if (iterK > 0) iterK
       else math.max(2 * k,
         math.ceil(2.2 * math.log(n.toDouble + 1) / math.log(2.0)).toInt)
+    // exchange width for the loop: the configured parallelism, RAISED
+    // when the per-round candidate mass (≤ 4·kw²·n pairs, both
+    // directions, ~50 B serialized each) outgrows the §2.2 per-partition
+    // band — scale-adaptive upward, never below the configured cores.
+    // (Deriving the width from bytes ALONE was measured 1.8× slower at
+    // sf0.1: the round stages are compute-parallel — d2 kernel + heap
+    // cuts — so shrinking below the core count serializes real work,
+    // not just task overhead.)
+    val shufN = spark.sessionState.conf.numShufflePartitions
+    val loopW = math.max(shufN,
+      widthForBytes(4.0 * kw * kw * math.max(n, 1L) * 50.0))
     def d2of(a: Column, b: Column): Column =
       graft.exprs.GraftFunctions.call("graft_sqdist_q", a, b)
     // score a (vid, nbr) candidate frame: two id-equi-joins fetch the
-    // quantized vectors (both sides hash-partitioned by id at scale —
-    // candidates are O(n·iterK²) rows, never broadcastable)
-    def scored(cand: DataFrame): DataFrame =
-      cand.join(vecs.select(col("node").as("vid"), col("nv").as("va")), "vid")
-        .join(vecs.select(col("node").as("nbr"), col("nv").as("vb")), "nbr")
-        .select(col("vid"), col("nbr"), d2of(col("va"), col("vb")).as("d2"))
+    // quantized vectors. The CANDIDATE side is O(n·iterK²) rows — never
+    // broadcastable — but the VECTOR side is n rows of ~600 B, so below
+    // [[DescentBroadcastCorpusRows]] it rides an explicit broadcast hint
+    // (two map-side passes, no exchange) and above it both sides
+    // hash-partition by id as before. This is the size decision AQE made
+    // at runtime, now taken from the already-counted n so the round loop
+    // can run AQE-off (see the loop comment below) without losing it.
+    val vecsBroadcastable = n <= DescentBroadcastCorpusRows
+    def scored(cand: DataFrame): DataFrame = {
+      val va = vecs.select(col("node").as("vid"), col("nv").as("va"))
+      val vb = vecs.select(col("node").as("nbr"), col("nv").as("vb"))
+      val j =
+        if (vecsBroadcastable)
+          cand.join(broadcast(va), "vid").join(broadcast(vb), "nbr")
+        else cand.join(va, "vid").join(vb, "nbr")
+      j.select(col("vid"), col("nbr"), d2of(col("va"), col("vb")).as("d2"))
+    }
     def cutKw(df: DataFrame): DataFrame =
       graft.plans.TopK.perKey(df, Seq("vid"),
         Seq(col("d2").asc, col("nbr").asc), kw)
@@ -1103,9 +1124,9 @@ object Similarity {
           .as("b"))
     }.reduce(_ union _)
     val bl = bucketed.select(col("b"), col("node").as("vid"))
-      .repartition(shufN, col("b"))
+      .repartition(loopW, col("b"))
     val br = bucketed.select(col("b"), col("node").as("nbr"))
-      .repartition(shufN, col("b"))
+      .repartition(loopW, col("b"))
     val initPairs = bl.join(br, "b").where(col("vid") < col("nbr"))
       .select("vid", "nbr").dropDuplicates("vid", "nbr")
     // ---- NN-descent rounds (INCREMENTAL: the paper's new/old flags) ---
@@ -1126,12 +1147,18 @@ object Similarity {
           struct(col("vid"), col("nbr"), col("d2")),
           struct(col("nbr").as("vid"), col("vid").as("nbr"), col("d2"))))
         .as("e")).select(col("e.vid"), col("e.nbr"), col("e.d2"))
-    // (AQE stays ON for the loop: its per-exchange query-stage jobs cost
-    // driver gap locally — 77 jobs vs 19 — but its runtime size-based
-    // broadcast of the bounded join sides wins more than the gaps cost:
-    // measured 7.5 s with AQE vs 9.0–9.8 s without. The width pins below
-    // close the one AQE hazard, input-byte coalescing of exploding
-    // exchanges.)
+    // (The descent loop runs AQE-OFF — round 17, revising the round-16
+    // call that kept it on. AQE's one measured contribution here was the
+    // runtime broadcast of the vector side of the scoring joins; that
+    // decision is now taken explicitly from the already-counted n (see
+    // `vecsBroadcastable`), and the two hazards AQE would otherwise
+    // guard — input-byte coalescing of exploding exchanges and skew —
+    // are already closed by the operator's own invariants: every
+    // exchange is width-pinned (`repartition(N, ...)`) and per-key
+    // fan-out is capped at 2·iterK by the reverse-degree cut. What
+    // AQE-off removes is the per-exchange query-stage job: one action
+    // per round instead of 8-10, the driver-gap cost that kept q171
+    // flat from 8 to 32 cores.)
     // warm start (graph MERGE): already-scored edges — e.g. the union of
     // two shard indexes — join the clique init as round-0 state. Their d2
     // came from the same exact integer kernel, so the groupBy-min is a
@@ -1148,7 +1175,14 @@ object Similarity {
           .groupBy("vid", "nbr").agg(min(col("d2")).as("d2"))
       case None => initScored
     }
+    // the INIT checkpoint stays under AQE: the warm-start semi-joins
+    // (knnGraphMerge) and the clique self-join are corpus-scale joins
+    // whose sides AQE runtime-sizes (measured: folding init into the
+    // AQE-off region cost q177 +0.6 s); only the ROUND loop below runs
+    // AQE-off — its joins are all explicitly decided (broadcast gate,
+    // width pins, degree caps), so query-stage jobs are pure overhead
     var g = checkpoint(cutKw(seeded).withColumn("isnew", lit(true)))
+    withLoopConf(spark, loopW) {
     // deterministic EARLY EXIT: when a round ends with zero NEW edges
     // surviving the cut, the next round's candidate frontier is empty by
     // construction (only new edges generate candidates), so every
@@ -1180,7 +1214,7 @@ object Similarity {
       // in one direction and old via the reverse cap, and an arbitrary
       // pick would make the candidate set partitioning-dependent.)
       val adj = fwd.union(revCapped)
-        .repartition(shufN, col("vid"))
+        .repartition(loopW, col("vid"))
         .groupBy(col("vid").as("u"), col("nbr").as("v"))
         .agg(max(col("isnew")).as("isnew"))
       // neighbor-of-neighbor: NEW edges paired against the full
@@ -1211,6 +1245,7 @@ object Similarity {
       if (round < rounds) converged = g.where(col("isnew")).isEmpty
       round += 1
     }
+    } // withAqeOff
     val top = graft.plans.TopK.perKey(g, Seq("vid"),
       Seq(col("d2").asc, col("nbr").asc), k)
     val w = Window.partitionBy("vid").orderBy(col("d2"), col("nbr"))
@@ -1229,6 +1264,17 @@ object Similarity {
     * it the scan's pair count is the thing that stops scaling (10⁹
     * vectors ⇒ 10¹⁸ pairs, infeasible on any cluster). */
   val KnnBuildCrossover: Long = 800000L
+
+  /** Corpus size at and below which the NN-descent scoring joins
+    * broadcast the quantized VECTOR side instead of shuffling both sides
+    * by id: a (id, 64×BIGINT) row is ~600 B, so the bound caps the
+    * broadcast at ~60 MB — comfortably inside executor/driver budgets —
+    * while above it the vector table shuffles as before (the candidates
+    * side is O(n·iterK²) rows and never broadcasts at any n). This is
+    * the same size decision AQE made at runtime when it planned the
+    * loop; taking it from the already-counted n lets the round loop run
+    * AQE-off (one job per round instead of one per exchange). */
+  val DescentBroadcastCorpusRows: Long = 100000L
 
   /** Build a kNN graph by the MEASURED-optimal construction for the
     * corpus size (the `weightedJaccardAuto` decision-rule pattern): the
@@ -1839,6 +1885,58 @@ object Similarity {
     } finally vecs.unpersist()
   }
 
+  /** Run `body` with AQE disabled, restoring the session's setting after.
+    * Used around the beam-walk round loop: every exchange inside a walk
+    * round is QUERY-BATCH-sized (≤ |Q|·beam·graphK rows — the TopK beam
+    * cut, the frontier dedup, the ledger anti-join) and every CORPUS-sized
+    * operation is an explicitly broadcast-hinted map-side pass with no
+    * exchange at all, so AQE has nothing to re-optimize at any scale —
+    * while its per-exchange query-stage materialization turns each round's
+    * one checkpoint action into 5-6 driver-gap-paying jobs (measured q175:
+    * 60 jobs, wall dominated by job count, flat 8→32 cores). Corpus-scale
+    * exchanges (graph symmetrization, the descent build) stay OUTSIDE the
+    * toggle: AQE's coalescing/skew handling matters there. */
+  private def withAqeOff[T](spark: SparkSession)(body: => T): T =
+    withLoopConf(spark, shuffleWidth = -1)(body)
+
+  /** [[withAqeOff]] plus an optional shuffle-partition pin for the
+    * enclosed actions (`shuffleWidth > 0`). The width callers pass is
+    * DERIVED FROM THE DATA (candidate-mass bytes / a 100 MB–1 GB-band
+    * partition target — guide §2.2's sizing rule), so it is the
+    * scale-adaptive replacement for what AQE's coalescing did at runtime:
+    * a few partitions on a small corpus (tiny-task overhead was the
+    * measured local wall), thousands at 10⁹ vectors (past any static
+    * conf). Restores both settings after. */
+  private def withLoopConf[T](spark: SparkSession, shuffleWidth: Int)
+                             (body: => T): T = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevAqe = spark.conf.getOption(aqeKey)
+    val prevSp = spark.conf.getOption(spKey)
+    spark.conf.set(aqeKey, "false")
+    if (shuffleWidth > 0) spark.conf.set(spKey, shuffleWidth.toString)
+    try body
+    finally {
+      prevAqe match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
+      if (shuffleWidth > 0) prevSp match {
+        case Some(v) => spark.conf.set(spKey, v)
+        case None => spark.conf.unset(spKey)
+      }
+    }
+  }
+
+  /** Exchange width for a loop stage moving ~`bytes` of shuffle data:
+    * the guide §2.2 partition-sizing rule (100 MB–1 GB per partition,
+    * 256 MB target) as a formula — 1–4 partitions on gate-SF corpora
+    * (where per-task overhead dominated the measured wall), growing
+    * linearly with the data past any static `shuffle.partitions`. */
+  private def widthForBytes(bytes: Double): Int =
+    math.max(1L, math.min(math.ceil(bytes / (256L << 20)).toLong,
+      2000000L)).toInt
+
   /** Micro-unit quantization shared by the beam-search forms (q157's
     * exactness contract: integer distances ⇒ deterministic walks). */
   private def quantized(name: String): Column =
@@ -1915,23 +2013,31 @@ object Similarity {
         .select(col("qid"), col("qv"), col("node"), col("d2"))
     }
     val entryScored = scoreOf(qs.crossJoin(broadcast(entry)))
-    var ledger = checkpoint(
-      seed.map(entryScored.union).getOrElse(entryScored))
-    for (_ <- 1 to rounds) {
-      val beam = graft.plans.TopK.perKey(ledger,
-        Seq("qid"), Seq(col("d2").asc, col("node").asc), beamWidth)
-      // BROADCAST the beam side: it is ≤ |Q|·beamWidth rows while the
-      // graph is n·graphK edges — without the hint the planner shuffles
-      // the GRAPH every round (measured at the 10× blow-up: the walk
-      // term grew with the corpus; broadcast makes each round one
-      // map-side pass over the checkpointed edge table, no exchange)
-      val frontier = broadcast(beam.select(col("qid"), col("qv"), col("node")))
-        .join(graph, col("node") === col("vid"))
-        .select(col("qid"), col("qv"), col("nbr").as("node"))
-        .dropDuplicates("qid", "node")
-        .join(ledger.select(col("qid"), col("node")),
-          Seq("qid", "node"), "left_anti")
-      ledger = checkpoint(ledger.union(scoreOf(frontier)))
+    // the walk rounds run under AQE-off (see [[withAqeOff]]): one job per
+    // round's checkpoint instead of one per exchange — every in-round
+    // exchange is query-batch-sized and both corpus-scale joins are
+    // broadcast-hinted map-side passes, so there is nothing for AQE to
+    // size-adapt at any corpus scale (measured q175: 60 → ~24 jobs)
+    var ledger: DataFrame = null
+    withAqeOff(spark) {
+      ledger = checkpoint(
+        seed.map(entryScored.union).getOrElse(entryScored))
+      for (_ <- 1 to rounds) {
+        val beam = graft.plans.TopK.perKey(ledger,
+          Seq("qid"), Seq(col("d2").asc, col("node").asc), beamWidth)
+        // BROADCAST the beam side: it is ≤ |Q|·beamWidth rows while the
+        // graph is n·graphK edges — without the hint the planner shuffles
+        // the GRAPH every round (measured at the 10× blow-up: the walk
+        // term grew with the corpus; broadcast makes each round one
+        // map-side pass over the checkpointed edge table, no exchange)
+        val frontier = broadcast(beam.select(col("qid"), col("qv"), col("node")))
+          .join(graph, col("node") === col("vid"))
+          .select(col("qid"), col("qv"), col("nbr").as("node"))
+          .dropDuplicates("qid", "node")
+          .join(ledger.select(col("qid"), col("node")),
+            Seq("qid", "node"), "left_anti")
+        ledger = checkpoint(ledger.union(scoreOf(frontier)))
+      }
     }
     val w = Window.partitionBy("qid").orderBy(col("d2"), col("node"))
     val finalRows =
