@@ -476,6 +476,16 @@ object Dedup {
         .localCheckpoint()
       var iter = 0
       var converged = false
+      // the propagation loop runs AQE-off (see [[LoopConf]]): every
+      // in-loop decision is already explicit — the nbrMin groupBy does
+      // map-side partial min (hot in-degree keys collapse BEFORE the
+      // exchange, so there is no skew for AQE to split), the joins are
+      // dense 3-long-column frames on the conf-width id key, and the
+      // per-round checkpoint+probe pair is the action. What AQE added
+      // was one query-stage job per exchange — 4-6 driver gaps per
+      // round on a loop whose frames shrink every iteration. Edge
+      // materialization and the round-0 init stay under AQE above.
+      LoopConf.withAqeOff(pairs.sparkSession) {
       while (!converged && iter < maxIter) {
         // min neighbor label per vertex (map-side partial agg), then take
         // the min of (own, neighbors') — one shuffle join + one groupBy
@@ -509,6 +519,7 @@ object Dedup {
         labels = step.select(col("id"), col("next").as("cluster"))
         iter += 1
       }
+      } // withAqeOff
       if (!converged)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIter rounds — " +

@@ -1885,57 +1885,21 @@ object Similarity {
     } finally vecs.unpersist()
   }
 
-  /** Run `body` with AQE disabled, restoring the session's setting after.
-    * Used around the beam-walk round loop: every exchange inside a walk
-    * round is QUERY-BATCH-sized (≤ |Q|·beam·graphK rows — the TopK beam
-    * cut, the frontier dedup, the ledger anti-join) and every CORPUS-sized
-    * operation is an explicitly broadcast-hinted map-side pass with no
-    * exchange at all, so AQE has nothing to re-optimize at any scale —
-    * while its per-exchange query-stage materialization turns each round's
-    * one checkpoint action into 5-6 driver-gap-paying jobs (measured q175:
+  /** See [[LoopConf]]: AQE off around iterative round loops whose round
+    * bodies decide every join/width/skew question explicitly — one job
+    * per round's checkpoint instead of one per exchange (measured q175:
     * 60 jobs, wall dominated by job count, flat 8→32 cores). Corpus-scale
-    * exchanges (graph symmetrization, the descent build) stay OUTSIDE the
-    * toggle: AQE's coalescing/skew handling matters there. */
+    * one-off exchanges (graph symmetrization, the descent init) stay
+    * OUTSIDE the toggle: AQE's coalescing/skew handling matters there. */
   private def withAqeOff[T](spark: SparkSession)(body: => T): T =
-    withLoopConf(spark, shuffleWidth = -1)(body)
+    LoopConf.withAqeOff(spark)(body)
 
-  /** [[withAqeOff]] plus an optional shuffle-partition pin for the
-    * enclosed actions (`shuffleWidth > 0`). The width callers pass is
-    * DERIVED FROM THE DATA (candidate-mass bytes / a 100 MB–1 GB-band
-    * partition target — guide §2.2's sizing rule), so it is the
-    * scale-adaptive replacement for what AQE's coalescing did at runtime:
-    * a few partitions on a small corpus (tiny-task overhead was the
-    * measured local wall), thousands at 10⁹ vectors (past any static
-    * conf). Restores both settings after. */
   private def withLoopConf[T](spark: SparkSession, shuffleWidth: Int)
-                             (body: => T): T = {
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val spKey = "spark.sql.shuffle.partitions"
-    val prevAqe = spark.conf.getOption(aqeKey)
-    val prevSp = spark.conf.getOption(spKey)
-    spark.conf.set(aqeKey, "false")
-    if (shuffleWidth > 0) spark.conf.set(spKey, shuffleWidth.toString)
-    try body
-    finally {
-      prevAqe match {
-        case Some(v) => spark.conf.set(aqeKey, v)
-        case None => spark.conf.unset(aqeKey)
-      }
-      if (shuffleWidth > 0) prevSp match {
-        case Some(v) => spark.conf.set(spKey, v)
-        case None => spark.conf.unset(spKey)
-      }
-    }
-  }
+                             (body: => T): T =
+    LoopConf.withLoopConf(spark, shuffleWidth)(body)
 
-  /** Exchange width for a loop stage moving ~`bytes` of shuffle data:
-    * the guide §2.2 partition-sizing rule (100 MB–1 GB per partition,
-    * 256 MB target) as a formula — 1–4 partitions on gate-SF corpora
-    * (where per-task overhead dominated the measured wall), growing
-    * linearly with the data past any static `shuffle.partitions`. */
   private def widthForBytes(bytes: Double): Int =
-    math.max(1L, math.min(math.ceil(bytes / (256L << 20)).toLong,
-      2000000L)).toInt
+    LoopConf.widthForBytes(bytes)
 
   /** Micro-unit quantization shared by the beam-search forms (q157's
     * exactness contract: integer distances ⇒ deterministic walks). */

@@ -447,16 +447,18 @@ object PipelineQueries {
         s"transform(sequence(0, nn - $n), k -> array_join(slice(t, k + 1, $n), ' '))")).as("s"))
       .distinct()
       .localCheckpoint()
-    // N = docs contributing shingles. doc_id is unique per row (table
-    // key), so a plain shuffle-free count over the length predicate
-    // equals COUNT(DISTINCT doc_id) over the postings — one cheap scan
-    // instead of a corpus-wide distinct aggregate.
-    val ndocs: Long = docs
-      .where(size(split(col("text"), " ")) >= n).count()
+    // N = docs contributing shingles — COUNT(DISTINCT doc_id) over the
+    // CHECKPOINTED postings (every doc with ≥ n tokens contributes ≥ 1
+    // shingle, so the two counts are equal by construction), riding the
+    // idf plan as a broadcast 1-row side instead of a driver-side count
+    // over a SECOND full corpus scan+tokenize (round 17, guide §1.2:
+    // the postings blocks are already local; re-reading the source text
+    // to count it was a whole corpus pass for one integer).
+    val ndocsDf = sh.agg(countDistinct(col("doc_id")).as("nd"))
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    val w = dfreq
+    val w = dfreq.crossJoin(broadcast(ndocsDf))
       .select(col("s"), expr(
-        s"""cast(floor(ln(cast(${ndocs + 1} as double) / cast(df + 1 as double))
+        s"""cast(floor(ln(cast(nd + 1 as double) / cast(df + 1 as double))
              * 1000000.0 + 0.5) as bigint)""").as("iw"))
       .where(col("iw") > 0)
     // the weighted-postings join shuffles on the shingle key (the
