@@ -1384,11 +1384,12 @@ object Similarity {
     * beam (ef), adds one round, and doubles the entry scan, with the
     * decade count rounded up from the HALF-decade point — plain
     * ceil left the tail of each decade on the previous step's budget,
-    * and the r16 lifecycle measured that tail too weak: step-1
+    * and the lifecycle audits measured that tail too weak: step-1
     * (64, 4, 128) reads 0.92 recall@5 at n = 8.5×10⁵ (8.5× ref — the
-    * descent-built shard) where step-2 budgets read ≥ 0.95, while at
-    * 2×10⁵ step 1 reads 1.000 (`descent_lifecycle_r16.json`,
-    * `beam_budget_rule_r16.json`). At n = 1.7×10⁶ the rule yields
+    * descent-built shard) where step-2 budgets read 1.000, while at
+    * 2×10⁵ step 1 reads 1.000 (committed `descent_lifecycle_r17.json` +
+    * `beam_budget_rule_r17.json`, which also carries each scale's
+    * previous-step counterfactual). At n = 1.7×10⁶ the rule yields
     * (128, 5, 256), strictly dominating the measured-sufficient
     * (96, 4, 256) point; at gate SFs (n ≤ 2×10³) it is the identity,
     * so declared-query bytes are unchanged. Caps at five steps

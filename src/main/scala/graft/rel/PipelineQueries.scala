@@ -293,6 +293,11 @@ object PipelineQueries {
       }
       var cents: Seq[(Long, Seq[Long])] = qv.orderBy("vec_id").limit(k).collect()
         .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Long](1)) }.toSeq
+      // (The Lloyd loop KEEPS AQE, unlike the descent/CC/walk loops: the
+      // update's assign⋈qv join has no explicit strategy hint — its
+      // corpus-sized sides are exactly what AQE runtime-sizes — and the
+      // r17 A/B measured AQE-off +15 % here (q124 1.55→1.79 s, q140
+      // 1.74→2.17 s back-to-back), so the change was reverted.)
       for (_ <- 1 to iters) {
         // centroid update: exact integer sums per (cluster, dim); k·d rows
         // of driver state. Empty clusters drop (same rule both engines).

@@ -173,13 +173,44 @@ object BeamBudgetRuleProbe {
         ex.intersect(got.getOrElse(q, Set.empty)).size.toDouble / serveK
       }.sum / exact.size
       if (recall < 0.95) gateFail ::= n
+      // COUNTERFACTUAL: the rule's PREVIOUS step at the same n — the
+      // measurement behind the half-decade round-up (r16 verdict item 3:
+      // "step-1 reads 0.92 at n = 8.5×10⁵ where step-2 reads ≥ 0.95").
+      // Only meaningful above the reference scale, where a step-down
+      // exists; recorded next to the rule's own row so the artifact
+      // carries both sides of the rounding decision.
+      val prevJson =
+        if (n <= graft.ops.Similarity.BeamBudgetRefN) ""
+        else {
+          val steps = Seq(budget.beamWidth / 32, budget.entries / 64)
+            .map(v => (math.log(v.toDouble) / math.log(2.0)).round.toInt).max
+          val prev = graft.ops.Similarity.BeamBudget(
+            32 << math.max(0, steps - 1), 3 + math.max(0, steps - 1),
+            64 << math.max(0, steps - 1))
+          val (gotPrev, prevSec) = time {
+            graft.ops.Similarity.beamSearchAnnOnGraph(
+                g, emb, "vec_id", "embedding", qids, serveK,
+                beamWidth = prev.beamWidth, rounds = prev.rounds,
+                entries = prev.entries)
+              .select(col("qid").cast("long"), col("nbr").cast("long"))
+              .collect().groupBy(_.getLong(0))
+              .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+          }
+          val prevRecall = exact.map { case (q, ex) =>
+            ex.intersect(gotPrev.getOrElse(q, Set.empty)).size.toDouble / serveK
+          }.sum / exact.size
+          s""","prev_budget":{"beam":${prev.beamWidth},""" +
+            s""""rounds":${prev.rounds},"entries":${prev.entries}},""" +
+            s""""prev_serve_sec":${r3(prevSec)},""" +
+            s""""prev_recall":${r3(prevRecall)}"""
+        }
       val shape = if (n <= graft.ops.Similarity.KnnBuildCrossover * 2) "mono"
         else s"shard_merge(mi=$mergeIterK,mr=$mergeRounds)"
       val row = s"""{"n":$n,"arm":"$arm","build":"$shape",""" +
         s""""build_sec":${r3(buildSec)},""" +
         s""""budget":{"beam":${budget.beamWidth},"rounds":${budget.rounds},""" +
         s""""entries":${budget.entries}},"serve_sec":${r3(serveSec)},""" +
-        s""""recall":${r3(recall)}}"""
+        s""""recall":${r3(recall)}$prevJson}"""
       println(s"BUDGETRULE $row")
       rows += row
       val doc =

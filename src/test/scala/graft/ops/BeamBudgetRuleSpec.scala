@@ -10,9 +10,10 @@ import graft.rel.Tables
   * corpus where (96, 4, 256) read 1.0. [[Similarity.beamBudgetFor]]
   * encodes that relationship the way [[Similarity.knnGraphAuto]]
   * encodes the build crossover; this spec pins the arm selection and
-  * the serving entry points' auto default. The two-scale recall
-  * evidence lives in the BeamBudgetRuleProbe artifact
-  * (`beam_budget_rule_r16.json`). */
+  * the serving entry points' auto default. The three-scale recall
+  * evidence (rule budget + previous-step counterfactual per scale)
+  * lives in the committed BeamBudgetRuleProbe artifact
+  * (`beam_budget_rule_r17.json`). */
 class BeamBudgetRuleSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   private val dir = SparkTestBase.Sf0001
@@ -28,11 +29,12 @@ class BeamBudgetRuleSpec extends AnyFunSuite {
     "entries double, with the decade count rounded up from the half-decade " +
     "point — dominating every measured point") {
     // 2×10⁵ (2× ref): step 1 — measured recall 1.000 there
-    // (beam_budget_rule_r16.json)
+    // (beam_budget_rule_r17.json)
     assert(Similarity.beamBudgetFor(200000L) ==
       Similarity.BeamBudget(64, 4, 128))
     // 8.5×10⁵ (8.5× ref, the decade's tail): step 2 — step 1 measured
-    // 0.92 at this n (descent_lifecycle_r16.json), below the 0.95 bar
+    // 0.92 at this n (beam_budget_rule_r17.json's prev_recall row),
+    // below the 0.95 bar
     assert(Similarity.beamBudgetFor(850000L) ==
       Similarity.BeamBudget(128, 5, 256))
     val at17 = Similarity.beamBudgetFor(1700000L)
